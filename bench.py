@@ -1,0 +1,83 @@
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with the `noop` sink (computes
+everything, writes nothing) so the timing covers scan → compute →
+result, never a lazy plan. Per-query wall time is reported; `value` is
+the total across headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from __spark_entry__ import queries
+from secure_agent_api_vector_search_spark.session import get_session
+
+# Headline set: the reference surface (lookup/top-k/find-similar), the
+# scale-path vector ops (IVF, LSH near-dup, kNN join), the relational
+# suite, events analytics, dedup family, and text analysis. Names match
+# queries() / SURVEY.md §2.
+HEADLINE = [
+    "point_lookup",
+    "vector_topk_cosine",
+    "find_similar_records",
+    "knn_join",
+    "ivf_topk",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers_by_revenue",
+    "orders_window_top3",
+    "revenue_by_region",
+    "events_hourly",
+    "events_sessionize",
+    "dedup_exact_keep_first",
+    "minhash_near_dup",
+    "embedding_neardup_lsh",
+    "token_stats",
+    "doc_quality",
+    "hybrid_search",
+    "embed_texts",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.0
+    spark = get_session("bench")
+
+    qs = queries()
+    # warm up the JVM/scan path once (excluded from timings)
+    qs["point_lookup"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,756 @@
+"""The engine's named-query catalog: every operator from SURVEY.md §2
+as a (Spark plan, ANSI-SQL oracle) pair.
+
+This is the U3 toolset surface (tools.yaml:41-44) widened to the full
+operator inventory. Each entry's Spark side and DuckDB oracle are
+written to be *numerically identical*, not approximately equal:
+
+- vector math: float64 left-fold dot products ↔ `list_dot_product`
+  (verified bit-exact);
+- money aggregates: DECIMAL-cast sums (exact, order-independent) cast
+  to DOUBLE at the end;
+- dates/timestamps: emitted as formatted strings; microsecond-exact
+  epoch arithmetic (`unix_micros` ↔ `epoch_us`);
+- counts: always BIGINT on both sides.
+
+Entries whose construction SQL cannot express (KMeans IVF, MinHash/
+SimHash LSH, pandas-UDF embedding, mapInPandas multimodal) have
+`oracle_sql=None` → the driver records a rows-only check; their real
+verification lives in tests/ (recall vs the exact path, invariants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.operators import (
+    analytics as A,
+    dedup as D,
+    hybrid as HY,
+    ivf as I,
+    knn as K,
+    lookup as L,
+    multimodal as M,
+    textops as TX,
+    topk as TK,
+)
+from secure_agent_api_vector_search_spark.embedder import embed_udf
+from secure_agent_api_vector_search_spark.plans.registry import NamedQuery, Registry
+from secure_agent_api_vector_search_spark.sources.tables import (
+    load_documents,
+    load_embeddings,
+)
+
+# ---------------------------------------------------------------------------
+# oracle SQL fragments (DuckDB dialect) — mirrors of functions/vector.py
+# ---------------------------------------------------------------------------
+
+E = "CAST(e.embedding AS DOUBLE[])"
+
+
+def _cos(a: str, b: str) -> str:
+    """cosine = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — same
+    structure as functions/vector.py::cosine_similarity."""
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _l2(a: str, b: str) -> str:
+    """sqrt(greatest(dot(a,a) - 2*dot(a,b) + dot(b,b), 0)) — same
+    expansion as functions/vector.py::l2_distance."""
+    return (
+        f"sqrt(greatest(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b}) "
+        f"+ list_dot_product({b}, {b}), 0.0))"
+    )
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))"
+_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+_STOPS_EN = "['the','a','an','and','of','to','in','is','it','for']"
+_STOPS_ES = "['el','la','los','las','de','y','que','en','un','una']"
+_STOPS_DE = "['der','die','das','und','ist','ein','eine','zu','mit','von']"
+_STOPS_FR = "['le','la','les','et','de','un','une','est','que','pour']"
+
+
+def _hits(stops: str) -> str:
+    return (
+        "len(list_filter(list_transform(string_split(text, ' '), x -> lower(x)), "
+        f"t -> list_contains({stops}, t)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Fetch one stored vector to act as the query vector — the
+    self-contained analog of embedding the query text once on the driver
+    (V1; the testdata vectors are not text-derived, so a stored vector
+    is the reproducible query)."""
+    row = (
+        load_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+# ---------------------------------------------------------------------------
+# Spark query callables — each (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return L.get_record_by_id(load_documents(spark, sf_dir), 42)
+
+
+def vector_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    return TK.topk_similar(emb, _query_vec(spark, sf_dir), k=10, metric="cosine",
+                           extra_cols=("label",))
+
+
+def vector_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    return TK.topk_similar(emb, _query_vec(spark, sf_dir), k=10, metric="l2",
+                           score_name="l2_dist")
+
+
+def vector_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    return TK.topk_similar(emb, _query_vec(spark, sf_dir), k=10, metric="dot",
+                           score_name="dot")
+
+
+def find_similar_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TK.find_similar_records(
+        load_documents(spark, sf_dir), load_embeddings(spark, sf_dir),
+        _query_vec(spark, sf_dir), k=5,
+    )
+
+
+def similar_to_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TK.similar_to_doc(
+        load_documents(spark, sf_dir), load_embeddings(spark, sf_dir), doc_id=7, k=5
+    )
+
+
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return K.knn_join(queries, emb, k=3)
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return K.knn_classify(queries, emb, k=5)
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from secure_agent_api_vector_search_spark.functions import vector as V
+
+    emb = load_embeddings(spark, sf_dir)
+    norm = V.l2_norm(F.col("embedding"))
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm_r"),
+        )
+        .orderBy("label")
+    )
+
+
+def neardup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    return D.embedding_neardup_pairs(emb, threshold=0.35, block_col="label")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q1_pricing_summary(spark, sf_dir)
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q3_shipping_priority(spark, sf_dir)
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q5_local_supplier_volume(spark, sf_dir)
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.top_customers_by_revenue(spark, sf_dir)
+
+
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.part_type_stats(spark, sf_dir)
+
+
+def orders_window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.orders_window_top3(spark, sf_dir)
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.revenue_by_region(spark, sf_dir)
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.events_hourly(spark, sf_dir)
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.events_json_stats(spark, sf_dir)
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.events_sessionize(spark, sf_dir)
+
+
+def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ∪ 50 verbatim copies under shifted ids — a reproducible
+    duplicated corpus (the testdata itself has no exact dups)."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    dups = (
+        load_documents(spark, sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return docs.unionAll(dups)
+
+
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_groups_exact(_docs_with_exact_dups(spark, sf_dir)).orderBy("keeper_id")
+
+
+def _docs_with_noisy_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ∪ 30 case/punctuation-perturbed copies — duplicates only
+    under text normalization."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    noisy = (
+        load_documents(spark, sf_dir)
+        .filter(F.col("doc_id") < 30)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
+        )
+    )
+    return docs.unionAll(noisy)
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_groups_normalized(_docs_with_noisy_dups(spark, sf_dir)).orderBy("keeper_id")
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_fingerprints(load_documents(spark, sf_dir))
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_stats(load_documents(spark, sf_dir))
+
+
+def corpus_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.corpus_token_totals(load_documents(spark, sf_dir))
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_quality(load_documents(spark, sf_dir))
+
+
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_profile(load_documents(spark, sf_dir))
+
+
+def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id_eval(load_documents(spark, sf_dir))
+
+
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return HY.hybrid_search(
+        load_documents(spark, sf_dir), load_embeddings(spark, sf_dir),
+        term="spark", query_vec=_query_vec(spark, sf_dir), k=10,
+    )
+
+
+# ----- rows-only entries (non-SQL-expressible constructions) ---------------
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    index = I.build_ivf(emb, n_lists=16, seed=42)
+    return I.ivf_search(index, _query_vec(spark, sf_dir), k=10, nprobe=4)
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_dup_pairs(
+        _docs_with_noisy_dups(spark, sf_dir), threshold=0.5
+    )
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dup_pairs(_docs_with_exact_dups(spark, sf_dir), max_hamming=3)
+
+
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _docs_with_noisy_dups(spark, sf_dir).filter(
+            (F.col("doc_id") < 100) | (F.col("doc_id") >= 200000)
+        ),
+        threshold=0.6,
+    )
+
+
+def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ∪ perturbed copies of the first 50 vectors under shifted
+    ids: v' = v + 0.45·shift(v), giving cos(v, v') ≈ 0.91 against a
+    ~0-cosine random background (the testdata vectors are near-random,
+    max pairwise cosine < 0.5 — planted dups create the high-similarity
+    regime where sign-LSH is the right tool)."""
+    emb = load_embeddings(spark, sf_dir)
+    v = F.col("embedding")
+    shifted = F.concat(F.slice(v, 2, 10_000), F.slice(v, 1, 1))
+    dup = (
+        emb.filter(F.col("vec_id") < 50)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.zip_with(v, shifted, lambda a, b: a + F.lit(0.45) * b).alias("embedding"),
+            "label",
+        )
+    )
+    return emb.unionAll(dup)
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup_pairs_lsh(
+        _embeddings_with_near_dups(spark, sf_dir), threshold=0.85
+    )
+
+
+def embed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    emb = docs.withColumn("embedding", embed_udf(64)(F.col("text")))
+    return emb.select(
+        "doc_id", F.size("embedding").cast("long").alias("n_dim")
+    ).orderBy("doc_id")
+
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_winnow_fingerprints(load_documents(spark, sf_dir))
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.multimodal_features(load_documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def build_registry() -> Registry:  # noqa: C901 — a catalog is a long list
+    r = Registry()
+
+    r.register(NamedQuery(
+        "point_lookup", point_lookup,
+        oracle_sql="SELECT doc_id, lang, source, n_chars, text FROM documents WHERE doc_id = 42",
+        description="U2 get_record_by_id (tools.yaml:29-39): typed point lookup, "
+                    "pushdown + pruning", tags=("reference", "lookup")))
+
+    r.register(NamedQuery(
+        "vector_topk_cosine", vector_topk_cosine,
+        oracle_sql=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label, {_cos(E, 'q.qe')} AS similarity
+FROM embeddings e CROSS JOIN q
+ORDER BY similarity DESC, e.vec_id LIMIT 10""",
+        description="U1/V4 flagship: exact cosine top-k (tools.yaml:22-27) as "
+                    "TakeOrderedAndProject", tags=("reference", "vector")))
+
+    r.register(NamedQuery(
+        "vector_topk_l2", vector_topk_l2,
+        oracle_sql=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_l2(E, 'q.qe')} AS l2_dist
+FROM embeddings e CROSS JOIN q
+ORDER BY l2_dist ASC, e.vec_id LIMIT 10""",
+        description="L2 top-k (the opclass of the reference's index, "
+                    "sql/05_vector_index.sql:4)", tags=("reference", "vector")))
+
+    r.register(NamedQuery(
+        "vector_topk_dot", vector_topk_dot,
+        oracle_sql=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, list_dot_product({E}, q.qe) AS dot
+FROM embeddings e CROSS JOIN q
+ORDER BY dot DESC, e.vec_id LIMIT 10""",
+        description="inner-product top-k", tags=("vector",)))
+
+    r.register(NamedQuery(
+        "find_similar_records", find_similar_records,
+        oracle_sql=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT e.vec_id, {_cos(E, 'q.qe')} AS similarity
+  FROM embeddings e CROSS JOIN q
+  ORDER BY similarity DESC, e.vec_id LIMIT 5)
+SELECT d.doc_id, d.source, d.lang, d.text, t.similarity
+FROM top t JOIN documents d ON d.doc_id = t.vec_id
+ORDER BY t.similarity DESC, d.doc_id""",
+        description="U1 full surface: top-k then broadcast join back to document "
+                    "scalars (tools.yaml:23-24 projection)", tags=("reference", "vector")))
+
+    r.register(NamedQuery(
+        "similar_to_doc", similar_to_doc,
+        oracle_sql=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 7),
+top AS (
+  SELECT e.vec_id, {_cos(E, 'q.qe')} AS similarity
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 7
+  ORDER BY similarity DESC, e.vec_id LIMIT 5)
+SELECT d.doc_id, d.source, d.lang, t.similarity
+FROM top t JOIN documents d ON d.doc_id = t.vec_id
+ORDER BY t.similarity DESC, d.doc_id""",
+        description="more-like-this by stored vector, self excluded",
+        tags=("vector",)))
+
+    r.register(NamedQuery(
+        "knn_join", knn_join,
+        oracle_sql=f"""
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5)
+SELECT * FROM (
+  SELECT q.q_id, e.vec_id AS neighbor_id, {_cos(E, 'q.qe')} AS similarity,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY {_cos(E, 'q.qe')} DESC, e.vec_id) AS "rank"
+  FROM embeddings e CROSS JOIN q)
+WHERE "rank" <= 3 ORDER BY q_id, "rank" """,
+        description="[EXT] batch kNN join: broadcast query set × corpus, "
+                    "window top-k per query", tags=("vector", "join")))
+
+    r.register(NamedQuery(
+        "knn_classify", knn_classify,
+        oracle_sql=f"""
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id % 100 = 0),
+nb AS (
+  SELECT * FROM (
+    SELECT q.q_id, e.label AS nb_label,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos(E, 'q.qe')} DESC, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+  WHERE rn <= 5),
+votes AS (SELECT q_id, nb_label, COUNT(*) AS votes FROM nb GROUP BY q_id, nb_label)
+SELECT q_id, nb_label AS predicted_label, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY votes DESC, nb_label) AS rn2 FROM votes)
+WHERE rn2 = 1 ORDER BY q_id""",
+        description="[EXT] leave-one-out kNN majority-vote classification",
+        tags=("vector", "ml")))
+
+    r.register(NamedQuery(
+        "embedding_stats", embedding_stats,
+        oracle_sql="""
+SELECT label, COUNT(*) AS n,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+       ROUND(AVG(nrm), 6) AS avg_norm_r
+FROM (SELECT label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings)
+GROUP BY label ORDER BY label""",
+        description="[EXT] per-label corpus statistics over vector norms",
+        tags=("vector", "agg")))
+
+    r.register(NamedQuery(
+        "neardup_pairs_cosine", neardup_pairs_cosine,
+        oracle_sql=f"""
+WITH e2 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.v', 'b.v')} AS cosine
+FROM e2 a JOIN e2 b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos('a.v', 'b.v')} >= 0.35
+ORDER BY id_a, id_b""",
+        description="[EXT] semantic near-dup pairs, label-blocked exact cosine "
+                    "(LSH variant = embedding_neardup_lsh)", tags=("dedup", "vector")))
+
+    r.register(NamedQuery(
+        "q1_pricing_summary", q1_pricing_summary,
+        oracle_sql=f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        description="[EXT] TPC-H Q1 shape: scan-filter-agg, decimal-exact",
+        tags=("relational", "agg")))
+
+    r.register(NamedQuery(
+        "q3_shipping_priority", q3_shipping_priority,
+        oracle_sql=f"""
+SELECT l_orderkey, CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        description="[EXT] TPC-H Q3 shape: broadcast dims into fact, agg, top-k",
+        tags=("relational", "join")))
+
+    r.register(NamedQuery(
+        "q5_local_supplier_volume", q5_local_supplier_volume,
+        oracle_sql=f"""
+SELECT n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM region, nation, customer, supplier, orders, lineitem
+WHERE r_name = 'EUROPE' AND n_regionkey = r_regionkey AND s_nationkey = n_nationkey
+  AND c_nationkey = s_nationkey AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        description="[EXT] TPC-H Q5 shape: 6-table join, all dims broadcast",
+        tags=("relational", "join")))
+
+    r.register(NamedQuery(
+        "top_customers_by_revenue", top_customers_by_revenue,
+        oracle_sql="""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 10""",
+        description="[EXT] join + agg + top-k", tags=("relational",)))
+
+    r.register(NamedQuery(
+        "part_type_stats", part_type_stats,
+        oracle_sql="""
+SELECT p_type, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+FROM part GROUP BY p_type ORDER BY p_type""",
+        description="[EXT] dimension profiling aggregate", tags=("relational", "agg")))
+
+    r.register(NamedQuery(
+        "orders_window_top3", orders_window_top3,
+        oracle_sql="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders WHERE o_custkey < 100)
+WHERE rn <= 3 ORDER BY o_custkey, rn""",
+        description="[EXT] top-k-per-group window (SURVEY.md §2.7)",
+        tags=("relational", "window")))
+
+    r.register(NamedQuery(
+        "revenue_by_region", revenue_by_region,
+        oracle_sql="""
+SELECT r_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name""",
+        description="[EXT] snowflake rollup through two dims", tags=("relational",)))
+
+    r.register(NamedQuery(
+        "events_hourly", events_hourly,
+        oracle_sql="""
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY hour, event_type ORDER BY hour, event_type""",
+        description="[EXT] tumbling-hour rollup (batch twin of streaming/events.py)",
+        tags=("events", "agg")))
+
+    r.register(NamedQuery(
+        "events_json_stats", events_json_stats,
+        oracle_sql="""
+SELECT k - k % 10 AS k_bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
+GROUP BY k_bucket ORDER BY k_bucket""",
+        description="[EXT] semi-structured JSON extraction + bucketed agg",
+        tags=("events",)))
+
+    r.register(NamedQuery(
+        "events_sessionize", events_sessionize,
+        oracle_sql="""
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events)
+GROUP BY user_id ORDER BY user_id""",
+        description="[EXT] sessionization: lag-gap windows, µs-exact",
+        tags=("events", "window")))
+
+    r.register(NamedQuery(
+        "dedup_exact_keep_first", dedup_exact_keep_first,
+        oracle_sql="""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keeper_id""",
+        description="[EXT] exact dedup: hash-groupBy keep-min-id over a "
+                    "reproducibly duplicated corpus", tags=("dedup",)))
+
+    r.register(NamedQuery(
+        "dedup_normalized", dedup_normalized,
+        oracle_sql=f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, upper(text) || ' !!!' AS text
+  FROM documents WHERE doc_id < 30)
+SELECT md5({_NORM_TEXT.format(t='text')}) AS fp, MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_dups
+FROM all_docs GROUP BY fp HAVING COUNT(*) > 1 ORDER BY keeper_id""",
+        description="[EXT] near-exact dedup under case/punct/whitespace folding",
+        tags=("dedup",)))
+
+    r.register(NamedQuery(
+        "doc_fingerprints", doc_fingerprints,
+        oracle_sql=f"""
+SELECT doc_id, md5(text) AS fp_exact,
+       md5({_NORM_TEXT.format(t='text')}) AS fp_normalized,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bag
+FROM documents ORDER BY doc_id""",
+        description="[EXT] content fingerprints: exact / normalized / bag-of-tokens",
+        tags=("text",)))
+
+    r.register(NamedQuery(
+        "token_stats", token_stats,
+        oracle_sql="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS mean_token_len
+FROM documents ORDER BY doc_id""",
+        description="[EXT] per-document token statistics", tags=("text",)))
+
+    r.register(NamedQuery(
+        "corpus_token_totals", corpus_token_totals,
+        oracle_sql="""
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM documents) AS total_tokens,
+       (SELECT COUNT(DISTINCT tok)
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)) AS distinct_tokens""",
+        description="[EXT] corpus totals (exact; approx_count_distinct at scale)",
+        tags=("text", "agg")))
+
+    r.register(NamedQuery(
+        "doc_quality", doc_quality,
+        oracle_sql=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST({_hits(_STOPS_EN)} AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+       (CAST({_hits(_STOPS_EN)} AS DOUBLE) / len(string_split(text, ' '))
+        + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0) / 2.0 AS quality
+FROM documents ORDER BY doc_id""",
+        description="[EXT] document quality scoring (stopword + length factors)",
+        tags=("text",)))
+
+    r.register(NamedQuery(
+        "lang_profile", lang_profile,
+        oracle_sql="""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang""",
+        description="[EXT] per-language corpus profile", tags=("text", "agg")))
+
+    r.register(NamedQuery(
+        "lang_id_eval", lang_id_eval,
+        oracle_sql=f"""
+WITH scored AS (
+  SELECT lang,
+         {_hits(_STOPS_EN)} AS h_en, {_hits(_STOPS_ES)} AS h_es,
+         {_hits(_STOPS_DE)} AS h_de, {_hits(_STOPS_FR)} AS h_fr
+  FROM documents)
+SELECT lang,
+       CASE WHEN h_es > h_en AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+            WHEN h_de > h_en AND h_de >= h_fr THEN 'de'
+            WHEN h_fr > h_en THEN 'fr'
+            ELSE 'en' END AS guess,
+       COUNT(*) AS n
+FROM scored GROUP BY lang, guess ORDER BY lang, guess""",
+        description="[EXT] marker-word language-ID vs labeled lang",
+        tags=("text",)))
+
+    r.register(NamedQuery(
+        "hybrid_search", hybrid_search,
+        oracle_sql=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT d.doc_id,
+       CAST((length(d.text) - length(replace(d.text, 'spark', ''))) / 5 AS BIGINT) AS kw_hits,
+       {_cos(E, 'q.qe')} AS similarity,
+       CAST(CAST((length(d.text) - length(replace(d.text, 'spark', ''))) / 5 AS BIGINT) AS DOUBLE)
+         * 0.1 + {_cos(E, 'q.qe')} AS score
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN q
+ORDER BY score DESC, d.doc_id LIMIT 10""",
+        description="[EXT] hybrid keyword+vector search with score fusion",
+        tags=("vector", "text")))
+
+    # --- rows-only (non-SQL-expressible constructions; verified in tests/) ---
+    r.register(NamedQuery(
+        "ivf_topk", ivf_topk,
+        description="V5 IVF index (KMeans lists + partition-pruned probe; "
+                    "recall vs exact path asserted in tests)", tags=("vector", "index")))
+    r.register(NamedQuery(
+        "minhash_near_dup", minhash_near_dup,
+        description="[EXT] MinHash-LSH near-dup pairs (banded equi-join + "
+                    "exact-Jaccard verify)", tags=("dedup",)))
+    r.register(NamedQuery(
+        "simhash_near_dup", simhash_near_dup,
+        description="[EXT] SimHash near-dup pairs (chunk-join candidates + "
+                    "popcount verify)", tags=("dedup",)))
+    r.register(NamedQuery(
+        "ngram_jaccard_dedup", ngram_jaccard_dedup,
+        description="[EXT] token-3-gram exact Jaccard pairs", tags=("dedup",)))
+    r.register(NamedQuery(
+        "embedding_neardup_lsh", embedding_neardup_lsh,
+        description="[EXT] random-hyperplane LSH semantic near-dup over a "
+                    "planted-dup corpus (scale path; recall vs exact pairs "
+                    "asserted in tests)", tags=("dedup", "vector")))
+    r.register(NamedQuery(
+        "embed_texts", embed_texts,
+        description="V1 embedding backfill via Arrow-batched pandas UDF "
+                    "(sql/04_embeddings.sql:5-6 analog)", tags=("vector", "ingest")))
+    r.register(NamedQuery(
+        "doc_winnow_fingerprints", doc_winnow_fingerprints,
+        description="[EXT] winnowing rolling-hash fingerprints", tags=("text",)))
+    r.register(NamedQuery(
+        "multimodal_features", multimodal_features,
+        description="[EXT] binary-payload plumbing + mapInPandas feature "
+                    "extraction (decode stubbed)", tags=("multimodal",)))
+    return r
+
+
+REGISTRY = build_registry()

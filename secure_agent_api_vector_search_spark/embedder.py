@@ -1,0 +1,69 @@
+"""Deterministic text embedder — the test seam for the reference's
+`embedding('text-embedding-005', text)` in-database UDF (tools.yaml:24,
+sql/04_embeddings.sql:5-6, V1 in SURVEY.md §2.3).
+
+The reference calls a remote model from inside the database; a
+reproducible engine needs an injectable embedder so correctness is
+oracle-checkable without a network. This one is the classic hashing
+trick: token → bucket = hash(token) mod DIM, count, L2-normalize.
+Properties tests rely on: deterministic; identical text → identical
+vector (cosine 1); shared vocabulary → higher cosine.
+
+Two surfaces, same math:
+- :func:`embed_text` — driver-side, for query vectors (embed ONCE on the
+  driver and broadcast as a literal — the reference re-evaluates the
+  query embedding per row inside the DB; computing it once is strictly
+  better, SURVEY.md §4).
+- :func:`embed_udf` — Arrow-batched pandas_udf for corpus backfill on
+  executors (the `UPDATE ... SET abstract_embeddings = embedding(...)`
+  analog, sql/04_embeddings.sql:5-6).
+
+A real deployment swaps these for a model-endpoint client with the same
+signatures; nothing else in the engine changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DIM = 64  # matches the testdata corpus; the reference uses 768 (sql/02_schema.sql:14)
+
+
+def _bucket(token: str, dim: int) -> int:
+    # stable across processes (unlike hash()): first 8 bytes of md5
+    h = hashlib.md5(token.encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "big") % dim
+
+
+def embed_text(text: str, dim: int = DIM) -> list[float]:
+    """Hash-bucket bag-of-words, L2-normalized. Pure, no network."""
+    vec = [0.0] * dim
+    for tok in text.lower().split():
+        vec[_bucket(tok, dim)] += 1.0
+    n = math.sqrt(sum(x * x for x in vec))
+    if n > 0:
+        vec = [x / n for x in vec]
+    return vec
+
+
+def embed_udf(dim: int = DIM):
+    """Arrow-batched pandas UDF: text column → array<double> embedding.
+
+    Batched like the reference's per-batch Vertex callout, but on
+    executors; at 100 TB this is the only Python stage in the ingest
+    pipeline and it is embarrassingly parallel (no shuffle).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.map(lambda t: embed_text(t if t is not None else "", dim))
+
+    return _embed

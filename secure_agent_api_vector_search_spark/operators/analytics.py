@@ -1,0 +1,233 @@
+"""Relational analytics over the TPC-H-ish star schema ([EXT],
+SURVEY.md §2.5-2.7: the reference has no joins/aggregations/windows;
+these supply the relational surface a real engine needs).
+
+Numeric contract for oracle parity: every money aggregate is computed
+over DECIMAL casts (exact, order-independent — a float sum would differ
+in low bits between any two execution orders) and cast to DOUBLE only
+at the end; averages divide the exact decimal-sum by the exact count.
+Dates are emitted as formatted strings so Spark/DuckDB timestamp
+representations never disagree.
+
+Scale shapes: dimension joins are broadcast (region/nation/supplier/
+customer are tiny vs fact tables); fact aggregates are partial-agg +
+single shuffle on the group key; windows partition by their natural key.
+AQE handles skew/coalescing at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.sources.tables import load_table
+
+
+def _dec(col: str, prec: int = 18, scale: int = 4):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate, 8 aggregates, 2 group
+    cols. Map-side partial aggregation makes the shuffle 6 rows."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice", 12, 2) * (F.lit(1).cast("decimal(3,0)") - _dec("l_discount", 8, 4))
+    charge = disc_price * (F.lit(1).cast("decimal(3,0)") + _dec("l_tax", 8, 4))
+    out = (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity", 12, 2)).alias("_sum_qty"),
+            F.sum(_dec("l_extendedprice", 12, 2)).alias("_sum_base"),
+            F.sum(disc_price).alias("_sum_disc"),
+            F.sum(charge).alias("_sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sum_qty").cast("double").alias("sum_qty"),
+            F.col("_sum_base").cast("double").alias("sum_base_price"),
+            # round the high-scale decimal sums (scale 6/10) to 2 before the
+            # double cast: a scale-10 decimal can exceed 2^53 ulps, where
+            # decimal→double rounding is implementation-defined (Spark
+            # correctly rounds, DuckDB rounds twice via hugeint) — at scale 2
+            # both casts are exact-single-rounding and bit-identical
+            F.round(F.col("_sum_disc"), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.col("_sum_charge"), 2).cast("double").alias("sum_charge"),
+            (F.col("_sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("_sum_base").cast("double") / F.col("count_order")).alias("avg_price"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast join into the
+    fact → aggregate → top-10. The customer side is broadcast; only
+    lineitem shuffles (on l_orderkey for the final aggregate)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice", 12, 2) * (F.lit(1).cast("decimal(3,0)") - _dec("l_discount", 8, 4))
+    return (
+        l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"), "o_orderpriority")
+        .agg(F.sum(revenue).alias("_rev"))
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join; all dimensions broadcast, facts
+    joined then aggregated per nation."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice", 12, 2) * (F.lit(1).cast("decimal(3,0)") - _dec("l_discount", 8, 4))
+    return (
+        l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("_rev"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(_dec("o_totalprice", 14, 2)).alias("_rev"), F.count("*").alias("n_orders"))
+        .select("c_custkey", "c_name", F.col("_rev").cast("double").alias("revenue"), "n_orders")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(_dec("p_retailprice", 12, 2)).alias("_sum_price"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+        .select(
+            "p_type",
+            "n_parts",
+            (F.col("_sum_price").cast("double") / F.col("n_parts")).alias("avg_price"),
+            "min_price",
+            "max_price",
+        )
+        .orderBy("p_type")
+    )
+
+
+def orders_window_top3(spark: SparkSession, sf_dir: str, max_custkey: int = 100) -> DataFrame:
+    """Top-3 orders per customer by value — the canonical top-k-per-group
+    window. Partition by customer: the shuffle key matches the window
+    key, one exchange."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < max_custkey)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.sum(_dec("o_totalprice", 14, 2)).alias("_rev"), F.count("*").alias("n_orders"))
+        .select("r_name", F.col("_rev").cast("double").alias("revenue"), "n_orders")
+        .orderBy("r_name")
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup of the event stream table (batch twin of the
+    streaming/events.py windowed aggregation)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value", 14, 2)).alias("_sum_value"),
+        )
+        .select("hour", "event_type", "n", F.col("_sum_value").cast("double").alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column + bucketed aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select((k - k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.sum(_dec("value", 14, 2)).alias("_sum"))
+        .select("k_bucket", "n", F.col("_sum").cast("double").alias("sum_value"))
+        .orderBy("k_bucket")
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: a session break is a gap > ``gap_minutes`` since
+    the previous event of the same user; session count = 1 + breaks.
+    Lag + conditional-sum windows, both partitioned by user — one
+    shuffle on user_id. Output: (user_id, n_events, n_sessions)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (unix_micros ↔ DuckDB epoch_us) so the
+    # boundary comparison can never disagree with the oracle
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_break = F.when(gap > gap_minutes * 60 * 1_000_000, 1).otherwise(0)
+    return (
+        e.withColumn("brk", is_break)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), (F.sum("brk") + 1).alias("n_sessions"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,284 @@
+"""Deduplication operators — exact, near (MinHash-LSH / SimHash /
+n-gram Jaccard), and semantic (embedding cosine).
+
+[EXT] operators (SURVEY.md §2.10): first-class components of a
+training-data pipeline. The reference has no dedup; its seed corpus is
+50 curated rows (sql/03_seed_data.sql:2-51).
+
+Scale shapes (the whole point of each design):
+- exact:      one hash-groupBy shuffle keyed by md5(text) — never a
+              text-to-text comparison.
+- minhash:    signatures are a map stage (native xxhash64 expressions);
+              LSH banding turns all-pairs into a band-hash equi-join —
+              candidates ∝ collisions, verification only on candidates.
+- simhash:    64-bit fingerprint map stage; candidates via banding the
+              fingerprint into 4×16-bit chunks (any chunk equal →
+              candidate, catches Hamming ≤ 3 guaranteed when distance
+              < chunks), verify popcount.
+- embedding:  LSH over random hyperplanes or (here, with a labeled
+              corpus) block-join within blocks; never n².
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from secure_agent_api_vector_search_spark.functions import hashing as H
+from secure_agent_api_vector_search_spark.functions import text as X
+from secure_agent_api_vector_search_spark.functions import vector as V
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact-text group. Returns the kept rows.
+
+    groupBy on a fixed-width hash (not the text itself) keeps shuffle
+    rows small; `min(id)` is the deterministic keeper policy.
+    """
+    keepers = (
+        df.select(F.col(id_col), X.exact_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+def dedup_groups_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups (size > 1): (fingerprint, keeper_id, n_dups)."""
+    return (
+        df.select(X.exact_fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_groups_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-exact dedup on the normalized text (case/punct/ws-folded)."""
+    return (
+        df.select(F.md5(X.normalized_text(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash-LSH with exact-Jaccard verify.
+
+    Pipeline: char-k-shingles → 64-hash MinHash signature (map stage) →
+    16 bands × 4 rows banding → equi-join on band hash (the ONLY
+    shuffle) → exact Jaccard on the candidate pairs only.
+    Output: (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // num_bands
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(X.char_shingles(text_col, shingle_k)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sigs = H.minhash_signatures(shingled, id_col, "shingles", num_hashes)
+    banded = sigs.select(
+        id_col, H.lsh_bands(F.col("signature"), num_bands, rows_per_band).alias("bands")
+    )
+    candidates = H.candidate_pairs_from_bands(banded, id_col, "bands")
+    sh = shingled.select(F.col(id_col), F.col("shingles"))
+    pairs = (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .select("id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash (bit-array form).
+
+    Candidates: pack the fingerprint into 4 16-bit chunks and equi-join
+    on any equal chunk — by pigeonhole, every pair with Hamming ≤ 3
+    shares at least one chunk. Verify with exact Hamming distance.
+    Output: (id_a, id_b, hamming).
+    """
+    toks = F.transform(X.tokens(text_col), lambda t: F.lower(t))
+    sh = df.select(F.col(id_col), H.simhash_bits(toks).alias("bits"))
+    banded = sh.select(id_col, H.simhash_chunks(F.col("bits")).alias("bands"))
+    cand = H.candidate_pairs_from_bands(banded, id_col, "bands")
+    bits = sh.select(F.col(id_col), F.col("bits"))
+    return (
+        cand.join(bits.withColumnRenamed(id_col, "id_a").withColumnRenamed("bits", "bits_a"), "id_a")
+        .join(bits.withColumnRenamed(id_col, "id_b").withColumnRenamed("bits", "bits_b"), "id_b")
+        .select("id_a", "id_b", H.hamming_bits(F.col("bits_a"), F.col("bits_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard similarity pairs, optionally blocked.
+
+    Without a block column this is all-pairs — only for small frames or
+    as the verify stage after LSH. With ``block_col`` (e.g. a coarse
+    cluster/source/language), the join is per-block.
+    """
+    grams = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.array_distinct(X.token_shingles(text_col, n)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    a, b = grams.alias("a"), grams.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            H.jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine ≥ threshold.
+
+    With ``block_col`` the join is blocked (per label/cluster); the
+    unblocked scale path is :func:`embedding_neardup_pairs_lsh`.
+    Output: (id_a, id_b, cosine).
+    """
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col),
+        *([F.col(block_col)] if block_col else []),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sim = V.cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def lsh_tables_for(threshold: float, num_planes: int, target_recall: float = 0.95) -> int:
+    """Number of hash tables so a pair at exactly ``threshold`` cosine is
+    recalled with probability ≥ ``target_recall``.
+
+    Sign-LSH collision probability per plane is s = 1 − θ/π
+    (Goemans–Williamson); a table of r planes matches with s^r, and b
+    independent tables recall 1 − (1−s^r)^b. Solving for b makes the
+    operator honest about its regime: high thresholds (≥0.8) need a few
+    dozen tables; moderate ones (≤0.5) would need hundreds — at that
+    point use the exact blocked path or an IVF-blocked join instead.
+    """
+    s = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_table = s**num_planes
+    if p_table >= 1.0:
+        return 1
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table))
+    return max(1, min(b, 256))
+
+
+def embedding_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    num_tables: int | None = None,
+    target_recall: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH bucketing, then exact cosine
+    verify on bucket-colliding pairs only.
+
+    ``num_tables`` defaults to the count that achieves ``target_recall``
+    at the given threshold (:func:`lsh_tables_for`). A pair is a
+    candidate if all ``num_planes`` signs match in ANY table; precision
+    is 1.0 by construction (exact verify), recall is the tunable.
+
+    The sketch stage is a vectorized Arrow-batched pandas UDF — one
+    (batch × dim) @ (dim × tables·planes) matmul per Arrow batch. The
+    expression-per-plane alternative builds a tables·planes-subexpression
+    plan that overflows whole-stage codegen and runs interpreted; a
+    single BLAS matmul is the 100 TB shape (map-only, no shuffle).
+    The bucket join is the only shuffle.
+    """
+    if num_tables is None:
+        num_tables = lsh_tables_for(threshold, num_planes, target_recall)
+    dim = len(embeddings.select(vec_col).head()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables * num_planes, dim))
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sketch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            m = np.vstack(s.to_numpy())                       # n × dim
+            signs = (m @ planes.T) >= 0.0                     # n × (b·r)
+            hashes = signs.reshape(len(m), num_tables, num_planes) @ weights
+            yield pd.Series(list(hashes))
+
+    vec = F.col(vec_col).cast("array<double>")
+    with_buckets = embeddings.select(
+        F.col(id_col), vec.alias(vec_col), sketch(vec).alias("_sk")
+    ).select(
+        id_col, vec_col,
+        F.transform(
+            F.col("_sk"),
+            lambda h, i: F.struct(i.alias("band_id"), h.alias("band_hash")),
+        ).alias("bands"),
+    )
+    cand = H.candidate_pairs_from_bands(with_buckets.select(id_col, "bands"), id_col, "bands")
+    e = with_buckets.select(F.col(id_col), F.col(vec_col))
+    pairs = (
+        cand.join(e.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "v_a"), "id_a")
+        .join(e.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "v_b"), "id_b")
+        .select("id_a", "id_b", V.cosine_similarity(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.orderBy("id_a", "id_b")

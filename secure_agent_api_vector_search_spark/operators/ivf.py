@@ -1,0 +1,151 @@
+"""IVF (inverted-file) ANN index — the reference's ivfflat rebuilt as
+an index-as-table (V5, SURVEY.md §2.3).
+
+Reference: `CREATE INDEX ... USING ivfflat (abstract_embeddings
+vector_l2_ops) WITH (lists = 100)` (sql/05_vector_index.sql:3-5) —
+coarse quantization: k-means centroids, each row assigned to its
+nearest centroid's list; a query probes only the closest lists.
+(The reference's index is actually unusable by its own cosine query —
+opclass mismatch, V6 — so the EXACT path in operators/topk.py is the
+correctness contract and this is the performance path, recall-checked
+against it.)
+
+Spark-first design — no custom Catalyst rule needed (SURVEY.md §4):
+- BUILD (batch): MLlib KMeans fits centroids (sampled at scale); every
+  row gets a `list_id`; the corpus is written partitioned by `list_id`.
+  Centroids are a tiny side table (lists ≈ √n rows).
+- PROBE (query): rank centroids vs the query vector ON THE DRIVER
+  (lists ≈ √n rows — e.g. 10k for 100M vectors, trivially
+  driver-sized), then read only the `nprobe` chosen partitions —
+  Spark's ordinary **partition pruning** does the physical skipping —
+  and run the exact top-k inside them.
+
+At 100 TB: scan cost drops from |corpus| to nprobe/lists of it
+(e.g. 10/316 ≈ 3%); the build is one KMeans over a sample plus one
+shuffle-free map to assign list ids, and one partitioned write.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.functions import vector as V
+
+
+@dataclass
+class IvfIndex:
+    """In-memory handle: assigned corpus + centroid table."""
+
+    assigned: DataFrame          # corpus columns + list_id
+    centroids: list[list[float]]  # list_id -> centroid vector
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+
+def _fit_centroids(
+    embeddings: DataFrame, vec_col: str, n_lists: int, seed: int = 42, sample_cap: int = 1_000_000
+) -> list[list[float]]:
+    """KMeans centroids via MLlib. At scale, fit on a bounded sample —
+    centroid quality needs ~100·k points, not the full corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = embeddings.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample = embeddings if frac >= 1.0 else embeddings.sample(fraction=frac, seed=seed)
+    feats = sample.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def assign_lists(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag each row with its nearest centroid id (L2, like the
+    reference's vector_l2_ops) — a pure map stage, no shuffle: the
+    centroid array is inlined into the plan and the argmin is a native
+    codegen'd expression."""
+    cent = F.lit([[float(x) for x in c] for c in centroids])
+    vec = F.col(vec_col).cast("array<double>")
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    d2s = F.transform(idx, lambda i: l2sq(vec, F.element_at(cent, i + 1)))
+    # argmin with first-occurrence (deterministic) tiebreak
+    list_id = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+    return embeddings.withColumn("list_id", list_id)
+
+
+def build_ivf(
+    embeddings: DataFrame,
+    n_lists: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> IvfIndex:
+    """Fit + assign. ``n_lists`` defaults to √n (pgvector's own sizing
+    guidance; the reference hardcodes 100 for its corpus)."""
+    if n_lists is None:
+        n_lists = max(2, int(math.sqrt(embeddings.count())))
+    centroids = _fit_centroids(embeddings, vec_col, n_lists, seed=seed)
+    return IvfIndex(assign_lists(embeddings, centroids, vec_col), centroids, id_col, vec_col)
+
+
+def write_ivf(index: IvfIndex, path: str) -> None:
+    """Persist the index: corpus partitioned BY LIST (so probing is
+    partition pruning on disk) + centroids as one small parquet."""
+    index.assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+    spark = index.assigned.sparkSession
+    rows = [(i, c) for i, c in enumerate(index.centroids)]
+    spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def read_ivf(spark: SparkSession, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> IvfIndex:
+    assigned = spark.read.parquet(f"{path}/lists")
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    return IvfIndex(assigned, [list(r["centroid"]) for r in cent_rows], id_col, vec_col)
+
+
+def _rank_lists(centroids: list[list[float]], query_vec: Sequence[float]) -> list[int]:
+    """Driver-side centroid ranking by L2 — O(lists · dim), trivial."""
+    q = [float(x) for x in query_vec]
+
+    def d2(c: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(c, q))
+
+    return sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))
+
+
+def ivf_search(
+    index: IvfIndex,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Probe the nprobe nearest lists, exact top-k within them.
+
+    `filter(list_id IN probes)` prunes partitions when the index was
+    written with :func:`write_ivf` (partitionBy list_id) — the physical
+    read touches only nprobe/lists of the data.
+    """
+    from secure_agent_api_vector_search_spark.operators.topk import topk_similar
+
+    probes = _rank_lists(index.centroids, query_vec)[:nprobe]
+    pruned = index.assigned.filter(F.col("list_id").isin(probes))
+    return topk_similar(
+        pruned, query_vec, k=k, metric=metric, id_col=index.id_col, vec_col=index.vec_col
+    )

@@ -1,0 +1,116 @@
+"""Exact vector top-k — the reference's flagship query
+`find_similar_customer_records` (U1, tools.yaml:13-27).
+
+Reference semantics: embed the query text, compute cosine distance
+`<=>` against every stored vector, `ORDER BY distance LIMIT k`, project
+(id, title, abstract, similarity). Because of the reference's
+index/operator mismatch (SURVEY.md §2.3 V6) this is *exactly* what the
+reference executes — a full-scan exact top-k — so exact top-k is the
+correctness contract; the IVF path (operators/ivf.py) is the
+performance feature.
+
+Spark shape: `orderBy(sim.desc).limit(k)` → Catalyst plans
+**TakeOrderedAndProject**: each partition keeps a k-element heap and the
+driver merges k·num_partitions candidates — no global sort, no shuffle
+of the table. The similarity expression is a native codegen'd
+higher-order-function fold (functions/vector.py), so on a 1000-executor
+cluster this runs at parquet scan speed with only k rows per partition
+moving to the driver.
+
+The query vector is computed ONCE on the driver and inlined as an array
+literal (broadcast with the task closure) — the reference re-evaluates
+`embedding($1, …)` per row inside the database (tools.yaml:24,26);
+doing it once is strictly better with identical semantics (§4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.functions import vector as V
+
+
+def _sim_col(metric: str, vec_col: Column, qlit: Column) -> tuple[Column, bool]:
+    """Returns (score column, ascending?) for a metric name."""
+    if metric == "cosine":
+        return V.cosine_similarity(vec_col, qlit), False
+    if metric == "dot":
+        return V.dot(vec_col, qlit), False
+    if metric == "l2":
+        return V.l2_distance(vec_col, qlit), True
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def topk_similar(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_name: str = "similarity",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact top-k nearest rows to ``query_vec``.
+
+    Deterministic total order: score, then id ascending as tiebreak
+    (stable results for the oracle and for pagination).
+    """
+    q = F.lit([float(x) for x in query_vec])
+    score, asc = _sim_col(metric, F.col(vec_col), q)
+    order = [F.col(score_name).asc() if asc else F.col(score_name).desc(), F.col(id_col).asc()]
+    return (
+        embeddings.select(id_col, *extra_cols, score.alias(score_name))
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
+def find_similar_records(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+) -> DataFrame:
+    """The full U1 surface: top-k by cosine joined back to the document
+    scalars — returns (doc_id, source, lang, text, similarity) like the
+    reference's (id, title, abstract, similarity) projection
+    (tools.yaml:23-24).
+
+    Join order matters at scale: top-k FIRST (k rows), then a broadcast
+    join of those k rows against documents — never a join before the
+    limit.
+    """
+    top = topk_similar(embeddings, query_vec, k=k, metric="cosine")
+    return (
+        F.broadcast(top)
+        .join(documents, top["vec_id"] == documents["doc_id"])
+        .select("doc_id", "source", "lang", "text", "similarity")
+        .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
+    )
+
+
+def similar_to_doc(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    doc_id: int,
+    k: int = 5,
+) -> DataFrame:
+    """More-like-this: query by a stored document's own vector,
+    excluding the document itself."""
+    q = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == doc_id).select("embedding").head()[0]
+    ]
+    top = topk_similar(
+        embeddings.filter(F.col("vec_id") != doc_id), q, k=k, metric="cosine"
+    )
+    return (
+        F.broadcast(top)
+        .join(documents, top["vec_id"] == documents["doc_id"])
+        .select("doc_id", "source", "lang", "similarity")
+        .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
+    )

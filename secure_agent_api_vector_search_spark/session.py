@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test bed; the settings are chosen so the same code
+is correct on a multi-executor cluster (AQE, sane shuffle partition
+count, Arrow for the few Pandas-UDF paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "secure_agent_api_vector_search_spark",
+                cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
+    cluster the master/resource settings come from spark-submit instead;
+    everything set here is master-agnostic except ``local[N]``.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    n_shuffle = str(max(cpus, 32))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # shuffle partitions ~ cores for local; AQE coalesces at runtime
+        .config("spark.sql.shuffle.partitions", n_shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to a session we did not create (the
+    driver owns the session in the `__spark_entry__` contract)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,7 @@
+from secure_agent_api_vector_search_spark.sources.tables import (  # noqa: F401
+    TABLES,
+    load_table,
+    load_documents,
+    load_embeddings,
+    register_views,
+)

@@ -1,0 +1,145 @@
+"""Dedup family: exact, normalized, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding near-dup (blocked exact + LSH scale path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy dog near the river bank today!!"),  # case/punct dup
+        (4, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup (1 token)
+        (5, "completely different content about distributed query engines and parquet files"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(tiny_docs):
+    kept = D.dedup_exact(tiny_docs).select("doc_id").rdd.map(lambda r: r[0]).collect()
+    assert sorted(kept) == [1, 3, 4, 5]  # 2 collapsed into 1
+
+
+def test_dedup_groups_exact(tiny_docs):
+    groups = D.dedup_groups_exact(tiny_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper_id"] == 1 and groups[0]["n_dups"] == 2
+
+
+def test_dedup_groups_normalized(tiny_docs):
+    groups = D.dedup_groups_normalized(tiny_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper_id"] == 1 and groups[0]["n_dups"] == 3  # 1,2,3 fold together
+
+
+def test_minhash_finds_planted_near_dups(tiny_docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.minhash_near_dup_pairs(tiny_docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) in pairs
+    assert not any(5 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_jaccard_is_exact_on_candidates(tiny_docs):
+    row = (
+        D.minhash_near_dup_pairs(tiny_docs, threshold=0.5)
+        .filter((F.col("id_a") == 1) & (F.col("id_b") == 2))
+        .head()
+    )
+    assert row["jaccard"] == pytest.approx(1.0)  # identical shingle sets
+
+
+def test_simhash_near_dups(tiny_docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             D.simhash_near_dup_pairs(tiny_docs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0  # identical text → identical fingerprint
+    assert not any(5 in p for p in pairs)
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_simhash_pigeonhole_guarantee(spark):
+    """The 4-chunk banding must surface every pair with Hamming ≤ 3
+    (chunks−1), regardless of which bits differ — checked directly on
+    synthetic bit arrays through the same candidate machinery."""
+    from secure_agent_api_vector_search_spark.functions import hashing as H
+
+    base = [i % 2 for i in range(64)]
+    flipped = list(base)
+    for i in (0, 21, 63):  # 3 flips spread across 3 different chunks
+        flipped[i] ^= 1
+    df = spark.createDataFrame(
+        [(1, base), (2, flipped)], "doc_id long, bits array<int>"
+    )
+    banded = df.select("doc_id", H.simhash_chunks(F.col("bits")).alias("bands"))
+    cand = H.candidate_pairs_from_bands(banded, "doc_id", "bands").collect()
+    assert {(r["id_a"], r["id_b"]) for r in cand} == {(1, 2)}
+    d = (
+        df.alias("a").join(df.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(H.hamming_bits(F.col("a.bits"), F.col("b.bits")).alias("h"))
+        .head()["h"]
+    )
+    assert d == 3
+
+
+def test_ngram_jaccard_pairs(tiny_docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             D.ngram_jaccard_pairs(tiny_docs, n=3, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def tiny_vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),   # near dup of 1
+        (3, [0.0, 1.0, 0.0], 0),      # orthogonal
+        (4, [1.0, 0.0, 0.001], 1),    # near dup of 1 but other block
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_embedding_neardup_blocked(tiny_vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.embedding_neardup_pairs(tiny_vecs, threshold=0.99, block_col="label").collect()}
+    assert pairs == {(1, 2)}  # (1,4) blocked away, (1,3) below threshold
+
+
+def test_embedding_neardup_unblocked(tiny_vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.embedding_neardup_pairs(tiny_vecs, threshold=0.99).collect()}
+    assert pairs == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
+    """The LSH scale path must recover ≥90% of the exact near-dup pairs
+    (it is a candidate generator + exact verify, so precision is 1 by
+    construction; recall is the probabilistic part). Run on the
+    planted-dup corpus — the high-similarity regime sign-LSH is for
+    (the raw testdata vectors are near-random: max pairwise cosine
+    < 0.5, so there is nothing for ANY ANN method to find there)."""
+    from secure_agent_api_vector_search_spark.catalog import _embeddings_with_near_dups
+
+    planted = _embeddings_with_near_dups(spark, sf_dir).cache()
+    exact = {(r["id_a"], r["id_b"]) for r in
+             D.embedding_neardup_pairs(planted, threshold=0.85).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           D.embedding_neardup_pairs_lsh(planted, threshold=0.85).collect()}
+    assert lsh.issubset(exact)  # exact-verify ⇒ no false positives
+    assert len(exact) >= 50     # every planted (v, v′) pair qualifies
+    assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_lsh_tables_for_sizing():
+    """The table-count solver: high thresholds need few tables, moderate
+    ones explode — the operator is honest about its regime."""
+    few = D.lsh_tables_for(0.9, num_planes=16, target_recall=0.95)
+    many = D.lsh_tables_for(0.5, num_planes=16, target_recall=0.95)
+    assert few < 64
+    assert many >= few

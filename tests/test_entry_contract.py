@@ -1,0 +1,85 @@
+"""The driver contract (__spark_entry__.py): entry() runs, queries()
+and oracle_sql() are consistent, every oracle is valid DuckDB SQL, and
+a sampled subset matches the oracle end-to-end at sf0.001 (the full
+gate runs in tools/mini_driver.py at sf0.01)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c
+
+
+def test_entry_runs_and_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["doc_id", "source", "lang", "text", "similarity"]
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30  # the SURVEY §2 surface
+
+
+def test_all_oracles_are_valid_duckdb(con):
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.sql(sql).fetchall()
+        except Exception as exc:  # noqa: BLE001
+            pytest.fail(f"oracle for {name} failed in DuckDB: {exc}")
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def _key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+# one representative per operator family — the full sweep is
+# tools/mini_driver.py (run at sf0.01, the driver's own gate)
+SAMPLED = [
+    "point_lookup",
+    "vector_topk_cosine",
+    "find_similar_records",
+    "q1_pricing_summary",
+    "events_sessionize",
+    "dedup_exact_keep_first",
+    "token_stats",
+    "hybrid_search",
+]
+
+
+@pytest.mark.parametrize("name", SAMPLED)
+def test_query_matches_oracle(spark, sf_dir, con, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    sdf = qs[name](spark, sf_dir)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = con.sql(oracles[name])
+    dcols = [c.lower() for c in rel.columns]
+    drows = rel.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert _key(srows, scols) == _key(drows, dcols)

@@ -1,0 +1,79 @@
+"""IVF ANN index (V5): recall vs the exact path, persistence layout,
+partition pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.operators import ivf as I
+from secure_agent_api_vector_search_spark.operators import topk as TK
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return I.build_ivf(emb, n_lists=8, seed=42)
+
+
+@pytest.fixture(scope="module")
+def qvecs(emb):
+    rows = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    return {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+
+def test_every_row_assigned_exactly_one_list(index, emb):
+    assert index.assigned.count() == emb.count()
+    n_lists = len(index.centroids)
+    bad = index.assigned.filter(
+        (F.col("list_id") < 0) | (F.col("list_id") >= n_lists)
+    ).count()
+    assert bad == 0
+
+
+def test_full_probe_equals_exact(index, emb, qvecs):
+    """nprobe = all lists ⇒ IVF degenerates to the exact scan — identical
+    answers, not just similar."""
+    q = qvecs[0]
+    exact = [(r["vec_id"], r["similarity"]) for r in TK.topk_similar(emb, q, k=10).collect()]
+    ivf = [(r["vec_id"], r["similarity"]) for r in
+           I.ivf_search(index, q, k=10, nprobe=len(index.centroids)).collect()]
+    assert ivf == exact
+
+
+def test_recall_at_10(index, emb, qvecs):
+    """recall@10 ≥ 0.9 averaged over 20 stored-vector queries with a
+    4/8-list probe (SURVEY.md §5.4)."""
+    hits = total = 0
+    for q in qvecs.values():
+        exact_ids = {r["vec_id"] for r in TK.topk_similar(emb, q, k=10).collect()}
+        ivf_ids = {r["vec_id"] for r in I.ivf_search(index, q, k=10, nprobe=4).collect()}
+        hits += len(exact_ids & ivf_ids)
+        total += len(exact_ids)
+    assert hits / total >= 0.9
+
+
+def test_write_read_roundtrip_and_partition_layout(index, spark, tmp_path):
+    path = str(tmp_path / "ivf")
+    I.write_ivf(index, path)
+    # partitioned-by-list layout on disk → probing = partition pruning
+    import os
+
+    dirs = [d for d in os.listdir(f"{path}/lists") if d.startswith("list_id=")]
+    assert len(dirs) == len(set(index.assigned.select("list_id").rdd.map(lambda r: r[0]).collect()))
+
+    loaded = I.read_ivf(spark, path)
+    assert loaded.centroids == index.centroids
+    assert loaded.assigned.count() == index.assigned.count()
+
+
+def test_probe_reads_only_nprobe_partitions(index, spark, tmp_path, qvecs):
+    """The probe filter must prune the partitioned read to nprobe dirs."""
+    path = str(tmp_path / "ivf2")
+    I.write_ivf(index, path)
+    loaded = I.read_ivf(spark, path)
+    df = I.ivf_search(loaded, qvecs[0], k=5, nprobe=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # partition filters show up as list_id IN (...) on the scan node
+    assert "list_id" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 5

@@ -1,0 +1,115 @@
+"""kNN join/classify, hybrid search, deterministic embedder, and the
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.embedder import embed_text, embed_udf
+from secure_agent_api_vector_search_spark.operators import hybrid as HY
+from secure_agent_api_vector_search_spark.operators import knn as K
+from secure_agent_api_vector_search_spark.operators import multimodal as M
+
+
+def test_knn_join_self_is_rank_one(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = K.knn_join(queries, emb, k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rows in by_q.items():
+        assert rows[0]["rank"] == 1
+        assert rows[0]["neighbor_id"] == q_id  # the vector itself
+        assert rows[0]["similarity"] == pytest.approx(1.0)
+
+
+def test_knn_join_exclude_self(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = K.knn_join(queries, emb, k=2, exclude_self=True).collect()
+    assert all(r["neighbor_id"] != r["q_id"] for r in got)
+
+
+def test_knn_classify_tiny(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [0.9, 0.1], 7), (3, [0.95, 0.05], 7), (4, [0.0, 1.0], 8)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05])], "q_id long, q_vec array<double>"
+    )
+    row = K.knn_classify(queries, corpus, k=3).head()
+    assert row["predicted_label"] == 7 and row["votes"] == 3
+
+
+def test_keyword_hits(spark):
+    df = spark.createDataFrame([(1, "spark and spark and sparkle")], "doc_id long, text string")
+    assert df.select(HY.keyword_hits("text", "spark").cast("long")).head()[0] == 3
+
+
+def test_hybrid_search_fuses_scores(docs, emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    rows = HY.hybrid_search(docs, emb, term="the", query_vec=q, k=10).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["score"] == pytest.approx(0.1 * r["kw_hits"] + r["similarity"])
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_embed_text_deterministic_unit_norm():
+    a = embed_text("hello world hello")
+    b = embed_text("hello world hello")
+    assert a == b
+    import math
+
+    assert math.sqrt(sum(x * x for x in a)) == pytest.approx(1.0)
+
+
+def test_embed_udf_matches_driver_side(spark):
+    texts = ["alpha beta gamma", "delta epsilon", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = df.select(embed_udf(64)(F.col("text")).alias("e")).collect()
+    for row, t in zip(got, texts):
+        assert list(row["e"]) == pytest.approx(embed_text(t, 64))
+
+
+def test_embedded_similar_texts_are_closer():
+    import math
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    base = embed_text("the quick brown fox jumps over the lazy dog")
+    near = embed_text("the quick brown fox jumps over the lazy cat")
+    far = embed_text("parquet columnar storage with vectorized execution")
+    assert cos(base, near) > cos(base, far)
+
+
+def test_multimodal_features_schema_and_determinism(docs):
+    out = M.multimodal_features(docs.limit(20))
+    rows1 = out.collect()
+    rows2 = out.collect()
+    assert rows1 == rows2
+    assert out.columns == [
+        "doc_id", "mime", "n_bytes", "payload_sha256", "width", "height", "n_channels"
+    ]
+    for r in rows1:
+        assert r["n_bytes"] > 0 and len(r["payload_sha256"]) == 64
+        assert 64 <= r["width"] <= 64 + 255 and 64 <= r["height"] <= 64 + 255
+
+
+def test_multimodal_real_decoder_is_explicit_stub(docs):
+    with pytest.raises(Exception) as exc_info:
+        M.extract_features(
+            M.attach_binary_payload(docs.limit(1)), decode_stub=False
+        ).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )

@@ -1,0 +1,80 @@
+"""Property-based invariants (hypothesis) — SURVEY.md §5.5:
+similarity bounds, self-retrieval, limit semantics."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from secure_agent_api_vector_search_spark.embedder import embed_text
+
+finite = st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False)
+vec = st.lists(finite, min_size=4, max_size=4)
+
+
+def _cos(a, b):
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(y * y for y in b))
+    if na == 0 or nb == 0:
+        return None
+    return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+
+_SPARK = {}
+
+
+def _vectors_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(vec, min_size=2, max_size=6, unique_by=tuple))
+def test_topk_self_retrieval_and_bounds(spark, vecs):
+    """Querying with a stored non-zero vector: top-1 is that vector with
+    similarity ≈ 1; every similarity ∈ [−1, 1]; limit k returns
+    min(k, n_valid) rows."""
+    from secure_agent_api_vector_search_spark.operators.topk import topk_similar
+
+    vecs = [v for v in vecs if _cos(v, v) is not None]
+    if not vecs:
+        return
+    df = _vectors_df(spark, vecs)
+    rows = topk_similar(df, vecs[0], k=len(vecs)).collect()
+    assert len(rows) == len(vecs)
+    assert rows[0]["similarity"] >= 1.0 - 1e-9
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["similarity"] <= 1.0 + 1e-9
+    # Spark's cosine must agree with an independent Python oracle
+    by_id = {r["vec_id"]: r["similarity"] for r in rows}
+    for i, v in enumerate(vecs):
+        want = _cos(v, vecs[0])
+        assert abs(by_id[i] - want) < 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=200))
+def test_embedder_properties(text):
+    e = embed_text(text)
+    assert len(e) == 64
+    n = math.sqrt(sum(x * x for x in e))
+    assert n == 0.0 or abs(n - 1.0) < 1e-9
+    assert embed_text(text) == e  # deterministic
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vec, vec)
+def test_l2_distance_symmetry_and_triangle_with_zero(spark, a, b):
+    from secure_agent_api_vector_search_spark.functions import vector as V
+
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    d_ab, d_ba, n_a, n_b = df.select(
+        V.l2_distance("a", "b"), V.l2_distance("b", "a"), V.l2_norm("a"), V.l2_norm("b")
+    ).head()
+    assert abs(d_ab - d_ba) < 1e-9
+    want = math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+    assert abs(d_ab - want) < 1e-6 * max(1.0, want)
+    assert d_ab <= n_a + n_b + 1e-6  # triangle inequality through 0

@@ -1,0 +1,102 @@
+"""Structured Streaming: incremental embed-ingest (the reference's
+"immediately searchable" freshness claim, README.md:69) and the
+windowed event rollup's batch/stream agreement."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.operators.analytics import events_hourly
+from secure_agent_api_vector_search_spark.sources.tables import load_table
+from secure_agent_api_vector_search_spark.streaming import events as SE
+from secure_agent_api_vector_search_spark.streaming.ingest import embed_documents, start_ingest
+
+
+def _wait(query, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        query.processAllAvailable()
+        if not query.status["isDataAvailable"]:
+            return
+        time.sleep(0.2)
+
+
+def test_streaming_ingest_embeds_new_docs(spark, docs, tmp_path):
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    sample = docs.limit(25).select("doc_id", "text", "lang", "source", "n_chars")
+    sample.write.mode("overwrite").parquet(in_dir)
+
+    q = start_ingest(spark, in_dir, out_dir, ckpt, dim=16)
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 25
+    assert "embedding" in out.columns
+    # streamed embeddings equal the batch backfill (same UDF, same math)
+    batch = embed_documents(sample, dim=16)
+    got = {r["doc_id"]: list(r["embedding"]) for r in out.collect()}
+    want = {r["doc_id"]: list(r["embedding"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_ingest_is_incremental(spark, docs, tmp_path):
+    """A second file landing in the directory is picked up without
+    reprocessing the first (exactly-once via checkpoint)."""
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    d1 = docs.filter(F.col("doc_id") < 10).select("doc_id", "text", "lang", "source", "n_chars")
+    d2 = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    d1.write.mode("append").parquet(in_dir)
+    q = start_ingest(spark, in_dir, out_dir, ckpt, dim=16)
+    try:
+        _wait(q)
+        assert spark.read.parquet(out_dir).count() == 10
+        d2.write.mode("append").parquet(in_dir)
+        _wait(q)
+        out = spark.read.parquet(out_dir)
+        assert out.count() == 20
+        assert out.select("doc_id").distinct().count() == 20  # no duplicates
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming rollup over the events table (replayed as files)
+    must agree with the batch twin — the Structured Streaming
+    correctness contract."""
+    events = load_table(spark, sf_dir, "events")
+    in_dir = str(tmp_path / "events_in")
+    events.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA).parquet(in_dir)
+    agg = SE.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hourly_stream")
+        .start()
+    )
+    try:
+        _wait(q)
+        got = {
+            (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM hourly_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in events_hourly(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for key, (n, _) in want.items():
+        assert got[key][0] == n
+        assert got[key][1] == pytest.approx(want[key][1], rel=1e-9)

@@ -1,0 +1,106 @@
+"""Text-analysis functions and operators (functions/text.py,
+operators/textops.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.functions import text as X
+from secure_agent_api_vector_search_spark.operators import textops as TX
+
+
+def _df(spark, text):
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_token_count(spark):
+    df = _df(spark, "a b c d")
+    assert df.select(X.token_count("text")).head()[0] == 4
+
+
+def test_distinct_token_count(spark):
+    df = _df(spark, "a b a b c")
+    assert df.select(X.distinct_token_count("text")).head()[0] == 3
+
+
+def test_mean_token_length(spark):
+    df = _df(spark, "ab cdef")  # (2+4)/2
+    assert df.select(X.mean_token_length("text")).head()[0] == pytest.approx(3.0)
+
+
+def test_stopword_ratio(spark):
+    df = _df(spark, "the cat and the dog")  # the, and, the → 3/5
+    assert df.select(X.stopword_ratio("text")).head()[0] == pytest.approx(0.6)
+
+
+def test_quality_score_bounds(docs):
+    rows = docs.select(X.quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_lang_id_guess(spark):
+    rows = [
+        (1, "the cat is in the house and it is happy", "en"),
+        (2, "el gato es de la casa y la familia que vive en una ciudad", "es"),
+        (3, "der hund ist ein tier und das haus ist mit von der familie", "de"),
+        (4, "le chat est dans les maisons et pour une famille que nous aimons", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, expected string")
+    got = df.select("expected", X.lang_id_guess("text").alias("guess")).collect()
+    for r in got:
+        assert r["guess"] == r["expected"]
+
+
+def test_normalized_text(spark):
+    df = _df(spark, "  Hello,   WORLD!! 42  ")
+    assert df.select(X.normalized_text("text")).head()[0] == "hello world 42"
+
+
+def test_char_shingles(spark):
+    df = _df(spark, "abcdef")
+    got = df.select(X.char_shingles("text", 5)).head()[0]
+    assert got == ["abcde", "bcdef"]
+
+
+def test_char_shingles_short_text_empty(spark):
+    df = _df(spark, "abc")
+    assert df.select(X.char_shingles("text", 5)).head()[0] == []
+
+
+def test_token_shingles(spark):
+    df = _df(spark, "a b c d")
+    got = df.select(X.token_shingles("text", 3)).head()[0]
+    assert got == ["a b c", "b c d"]
+
+
+def test_bag_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z z"), (2, "z y x"), (3, "x y w")], "doc_id long, text string"
+    )
+    fps = [r[0] for r in df.select(X.bag_fingerprint("text")).collect()]
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_rolling_hash_fingerprint_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten"),
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    fps = [tuple(r[0]) for r in df.select(X.rolling_hash_fingerprint("text")).collect()]
+    assert fps[0] == fps[1] and len(fps[0]) > 0
+
+
+def test_corpus_token_totals(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    row = TX.corpus_token_totals(df).head()
+    assert row["n_docs"] == 2 and row["total_tokens"] == 6 and row["distinct_tokens"] == 4
+
+
+def test_lang_profile(docs):
+    rows = TX.lang_profile(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(r["avg_chars"] > 0 for r in rows)

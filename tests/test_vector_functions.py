@@ -1,0 +1,78 @@
+"""Unit tests for the vector column expressions (functions/vector.py) —
+the engine's pgvector-operator analogs (SURVEY.md §2.3 V2/V3)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.functions import vector as V
+
+
+def _one(spark, a, b):
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    return df
+
+
+def test_dot_known_value(spark):
+    df = _one(spark, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])
+    assert df.select(V.dot("a", "b")).head()[0] == pytest.approx(32.0)
+
+
+def test_cosine_identical_is_one(spark):
+    df = _one(spark, [0.6, 0.8], [0.6, 0.8])
+    assert df.select(V.cosine_similarity("a", "b")).head()[0] == pytest.approx(1.0)
+
+
+def test_cosine_orthogonal_is_zero(spark):
+    df = _one(spark, [1.0, 0.0], [0.0, 1.0])
+    assert df.select(V.cosine_similarity("a", "b")).head()[0] == pytest.approx(0.0)
+    assert df.select(V.cosine_distance("a", "b")).head()[0] == pytest.approx(1.0)
+
+
+def test_cosine_opposite_is_minus_one(spark):
+    df = _one(spark, [1.0, 2.0], [-1.0, -2.0])
+    assert df.select(V.cosine_similarity("a", "b")).head()[0] == pytest.approx(-1.0)
+    assert df.select(V.cosine_distance("a", "b")).head()[0] == pytest.approx(2.0)
+
+
+def test_l2_distance_known(spark):
+    df = _one(spark, [0.0, 0.0], [3.0, 4.0])
+    assert df.select(V.l2_distance("a", "b")).head()[0] == pytest.approx(5.0)
+
+
+def test_l2_distance_self_is_zero_not_nan(spark):
+    # the expansion |a|²−2ab+|b|² can go slightly negative for a≈b;
+    # greatest(·,0) must clamp it — never NaN
+    df = _one(spark, [0.1, 0.2, 0.30000000001], [0.1, 0.2, 0.3])
+    v = df.select(V.l2_distance("a", "b")).head()[0]
+    assert v == pytest.approx(0.0, abs=1e-9) and not math.isnan(v)
+
+
+def test_l2_norm(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], "a array<double>")
+    assert df.select(V.l2_norm("a")).head()[0] == pytest.approx(5.0)
+
+
+def test_normalize_unit_norm(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], "a array<double>")
+    out = df.select(V.l2_norm(V.normalize("a"))).head()[0]
+    assert out == pytest.approx(1.0)
+
+
+def test_normalize_zero_vector_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0],)], "a array<double>")
+    assert df.select(V.normalize("a")).head()[0] is None
+
+
+def test_cosine_equals_dot_after_normalize(spark):
+    """The 100 TB layout invariant (SURVEY.md §4): unit-normalized
+    vectors make cosine ≡ dot."""
+    df = _one(spark, [1.0, 2.0, 2.0], [2.0, 1.0, 2.0])
+    cos, dot_norm = df.select(
+        V.cosine_similarity("a", "b"),
+        V.dot(V.normalize("a"), V.normalize("b")),
+    ).head()
+    assert cos == pytest.approx(dot_norm)
