@@ -67,6 +67,9 @@ def main() -> int:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 3)
+        # drop intermediates persisted inside operators (minhash/simhash
+        # cache their signature tables) so queries are timed in isolation
+        spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({

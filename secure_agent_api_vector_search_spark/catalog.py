@@ -307,13 +307,20 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(_docs_with_exact_dups(spark, sf_dir), max_hamming=3)
 
 
-def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(
-        _docs_with_noisy_dups(spark, sf_dir).filter(
-            (F.col("doc_id") < 100) | (F.col("doc_id") >= 200000)
-        ),
-        threshold=0.6,
+def _docs_with_appended_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus slice ∪ copies with a short suffix appended — duplicates
+    that keep most of their token n-grams (unlike the case-folded noisy
+    corpus, whose 3-grams are disjoint from the originals)."""
+    docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id", "text")
+    dups = docs.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing audit note")).alias("text"),
     )
+    return docs.unionAll(dups)
+
+
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs_with_appended_dups(spark, sf_dir), threshold=0.6)
 
 
 def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

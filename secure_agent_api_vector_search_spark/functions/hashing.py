@@ -1,40 +1,73 @@
 """MinHash / SimHash signatures for near-duplicate detection.
 
-[EXT] operators (SURVEY.md §2.10). Spark-first design: signatures are
-computed with native `xxhash64` expressions and **hash aggregation**
-(explode → groupBy → 64 min-aggs), which is the shape that scales —
-the giant-nested-expression alternative falls out of whole-stage
-codegen (64 KB method limit) and runs interpreted. The LSH *join* is an
-ordinary shuffle on (band_id, band_hash): candidates ∝ collisions,
-never n².
+[EXT] operators (SURVEY.md §2.10). Spark-first design: the MinHash
+signature stage is a vectorized Arrow-batched pandas UDF — each shingle
+is string-hashed ONCE (`pd.util.hash_array`, vectorized), then the k
+MinHash values come from an affine universal-hash family
+``(a_i·h + b_i) mod p`` as one numpy outer-product + column-min per
+document. The whole signature is a **map stage with zero shuffle**.
+
+Two slower shapes were measured and rejected: explode→groupBy with k
+min-aggs (shuffles |docs|·|shingles| string rows and re-hashes every
+string k times — 105 s at sf0.1) and a higher-order-function expression
+tree (lambda expressions are evaluated interpreted, outside whole-stage
+codegen, and projection collapse duplicates the hash array into every
+consumer — slower still). The numpy batch shape runs the same work in
+seconds and is exactly how the hyperplane-LSH sketch is built
+(operators/dedup.py).
+
+The LSH *join* is an ordinary shuffle on (band_id, band_hash):
+candidates ∝ collisions, never n².
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 2^31 − 1 (Mersenne prime). a·h + b with a, b, h < p stays < 2^62, so
+# the arithmetic can never overflow int64 (Spark 4 runs ANSI mode —
+# overflow would raise, not wrap).
+MINHASH_P = (1 << 31) - 1
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, shingles_col: str, num_hashes: int = 64
+    df: DataFrame, id_col: str, shingles_col: str, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
     """(id, array<string> shingles) → (id, signature array<bigint>).
 
-    Explode + hash-aggregate: min(xxhash64(seed_s, shingle)) per seed —
-    partial aggregation makes the shuffle one row per (doc, 64 mins);
-    every hash evaluation is JVM codegen.
+    signature[i] = min over shingles of (a_i·hash(x) + b_i) mod p,
+    computed per Arrow batch with numpy (deterministic: fixed seed for
+    the affine params, pandas' fixed default hash key for the string
+    hash). Rows with empty shingle sets get a null signature.
     """
-    ex = df.select(F.col(id_col), F.explode(F.col(shingles_col)).alias("_sh"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(s), F.col("_sh"))).alias(f"_h{s}") for s in range(num_hashes)
-    ]
-    return (
-        ex.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            id_col, F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("signature")
-        )
-    )
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_P, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MINHASH_P, size=num_hashes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            out = []
+            for shingles in s:
+                if shingles is None or len(shingles) == 0:
+                    out.append(None)
+                    continue
+                hs = (
+                    pd.util.hash_array(np.asarray(shingles, dtype=object))
+                    % np.uint64(MINHASH_P)
+                ).astype(np.int64)
+                mat = (hs[:, None] * a[None, :] + b[None, :]) % MINHASH_P
+                out.append(mat.min(axis=0))
+            yield pd.Series(out)
+
+    return df.select(F.col(id_col), sig(F.col(shingles_col)).alias("signature"))
 
 
 def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:

@@ -72,6 +72,43 @@ def dedup_groups_normalized(
     )
 
 
+def _shingle_sig_udf(shingle_k: int, num_hashes: int, seed: int):
+    """text → struct(shingles array<bigint>, signature array<bigint>).
+
+    Byte-k-shingles packed directly into int64 (k ≤ 8 bytes — the
+    shingle IS its own hash, no string materialization at all), then
+    the MinHash signature via the affine family (a_i·h + b_i) mod p —
+    one numpy outer-product per document, vectorized per Arrow batch.
+    """
+    assert shingle_k <= 8, "byte shingles pack into int64 only for k ≤ 8"
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, H.MINHASH_P, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, H.MINHASH_P, size=num_hashes, dtype=np.int64)
+
+    @F.pandas_udf("struct<shingles: array<bigint>, signature: array<bigint>>")
+    def f(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in it:
+            sh_out, sig_out = [], []
+            for text in s:
+                bs = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                if len(bs) < shingle_k:
+                    sh_out.append(None)
+                    sig_out.append(None)
+                    continue
+                w = np.lib.stride_tricks.sliding_window_view(bs, shingle_k)
+                x = np.zeros(len(w), dtype=np.int64)
+                for i in range(shingle_k):
+                    x = (x << 8) | w[:, i].astype(np.int64)
+                sh = np.unique(x)                      # distinct shingle ids
+                hs = sh % H.MINHASH_P
+                mat = (hs[:, None] * a[None, :] + b[None, :]) % H.MINHASH_P
+                sh_out.append(sh)
+                sig_out.append(mat.min(axis=0))
+            yield pd.DataFrame({"shingles": sh_out, "signature": sig_out})
+
+    return f
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -80,27 +117,68 @@ def minhash_near_dup_pairs(
     num_hashes: int = 64,
     num_bands: int = 16,
     threshold: float = 0.5,
+    seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH with exact-Jaccard verify.
 
-    Pipeline: char-k-shingles → 64-hash MinHash signature (map stage) →
-    16 bands × 4 rows banding → equi-join on band hash (the ONLY
-    shuffle) → exact Jaccard on the candidate pairs only.
+    Pipeline: byte-k-shingles + 64-value MinHash signature in one
+    vectorized Arrow-batched map stage (no shuffle) → 16 bands × 4 rows
+    banding → equi-join on band hash → signature-agreement screen →
+    exact Jaccard (long-array set ops) on the survivors.
     Output: (id_a, id_b, jaccard) with jaccard ≥ threshold.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // num_bands
-    shingled = df.select(
-        F.col(id_col),
-        F.array_distinct(X.char_shingles(text_col, shingle_k)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sigs = H.minhash_signatures(shingled, id_col, "shingles", num_hashes)
-    banded = sigs.select(
+    # small local inputs arrive as 1-2 splits; spread the heavy map
+    # stage across the cluster. At scale the scan has many splits and
+    # this is a cheap balanced exchange.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    feats = (
+        df.repartition(n_part, F.col(id_col))
+        .select(F.col(id_col), _shingle_sig_udf(shingle_k, num_hashes, seed)(F.col(text_col)).alias("_f"))
+        .select(id_col, F.col("_f.shingles").alias("shingles"), F.col("_f.signature").alias("signature"))
+        .filter(F.col("shingles").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # materialize before fan-out: the banding self-join and the
+    # two-sided verify joins all consume `feats`; computed concurrently
+    # inside one job they race cache population and each re-runs the
+    # scan→shingle→signature lineage. One eager pass fills the cache.
+    feats.count()
+    banded = feats.select(
         id_col, H.lsh_bands(F.col("signature"), num_bands, rows_per_band).alias("bands")
     )
     candidates = H.candidate_pairs_from_bands(banded, id_col, "bands")
-    sh = shingled.select(F.col(id_col), F.col("shingles"))
+    # two-stage verify. Banding at (16 bands × 4 rows) lets J≈0.2 pairs
+    # through at the percent level, which on a corpus with repeated
+    # boilerplate is 100× more candidates than true pairs. Stage 1
+    # estimates Jaccard from signature agreement (64 long equalities —
+    # an unbiased Bin(k, J)/k estimator) and drops candidates more than
+    # 3σ below the threshold; stage 2 computes exact Jaccard on the
+    # survivors only, so the set intersection touches ~|true pairs|
+    # rows, not ~|collisions|.
+    margin = 3.0 * math.sqrt(0.25 / num_hashes)
+    s = feats.select(F.col(id_col), F.col("signature"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    screened = (
+        candidates.join(s.withColumnRenamed(id_col, "id_a").withColumnRenamed("signature", "sig_a"), "id_a")
+        .join(s.withColumnRenamed(id_col, "id_b").withColumnRenamed("signature", "sig_b"), "id_b")
+        .select("id_a", "id_b", est.alias("_est"))
+        .filter(F.col("_est") >= threshold - margin)
+        .select("id_a", "id_b")
+    )
+    sh = feats.select(F.col(id_col), F.col("shingles"))
     pairs = (
-        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        screened.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
         .select("id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -121,8 +199,20 @@ def simhash_near_dup_pairs(
     shares at least one chunk. Verify with exact Hamming distance.
     Output: (id_a, id_b, hamming).
     """
+    from pyspark import StorageLevel
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     toks = F.transform(X.tokens(text_col), lambda t: F.lower(t))
-    sh = df.select(F.col(id_col), H.simhash_bits(toks).alias("bits"))
+    # repartition: local small scans arrive as 1-2 splits and the bit
+    # aggregation is the heavy map stage; persist + eager count: the
+    # fingerprints feed the band join AND both verify sides (see
+    # minhash_near_dup_pairs for the race rationale).
+    sh = (
+        df.repartition(n_part, F.col(id_col))
+        .select(F.col(id_col), H.simhash_bits(toks).alias("bits"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh.count()
     banded = sh.select(id_col, H.simhash_chunks(F.col("bits")).alias("bands"))
     cand = H.candidate_pairs_from_bands(banded, id_col, "bands")
     bits = sh.select(F.col(id_col), F.col("bits"))
