@@ -31,6 +31,7 @@ HEADLINE = [
     "point_lookup",
     "vector_topk_cosine",
     "find_similar_records",
+    "find_similar_by_text",
     "knn_join",
     "ivf_topk",
     "q1_pricing_summary",
@@ -41,6 +42,8 @@ HEADLINE = [
     "revenue_by_region",
     "events_hourly",
     "events_sessionize",
+    "orders_asof_event",
+    "revenue_rollup",
     "dedup_exact_keep_first",
     "minhash_near_dup",
     "embedding_neardup_lsh",

@@ -37,9 +37,12 @@ DIM = 64  # matches the testdata corpus; the reference uses 768 (sql/02_schema.s
 
 
 def _bucket(token: str, dim: int) -> int:
-    # stable across processes (unlike hash()): first 8 bytes of md5
+    # stable across processes (unlike hash()), and chosen to be
+    # SQL-expressible: little-endian first 8 bytes of md5 is exactly
+    # DuckDB's md5_number_upper(), so the oracle can recompute corpus
+    # embeddings with plain SQL (catalog.py find_similar_by_text)
     h = hashlib.md5(token.encode("utf-8")).digest()
-    return int.from_bytes(h[:8], "big") % dim
+    return int.from_bytes(h[:8], "little") % dim
 
 
 def embed_text(text: str, dim: int = DIM) -> list[float]:

