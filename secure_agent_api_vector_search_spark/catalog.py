@@ -289,6 +289,10 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return HY.bm25_search(load_documents(spark, sf_dir), ["spark", "vector"], k=10)
+
+
 def orders_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each order of a low-key customer, the latest event of the
     matching user at or before the order date (backward as-of join).
@@ -829,6 +833,35 @@ FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN q
 ORDER BY score DESC, d.doc_id LIMIT 10""",
         description="[EXT] hybrid keyword+vector search with score fusion",
         tags=("vector", "text")))
+
+    r.register(NamedQuery(
+        "bm25_search", bm25_search,
+        oracle_sql="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         CAST(len(list_filter(list_transform(string_split(text, ' '), x -> lower(x)),
+                              t -> t = 'spark')) AS DOUBLE) AS tf0,
+         CAST(len(list_filter(list_transform(string_split(text, ' '), x -> lower(x)),
+                              t -> t = 'vector')) AS DOUBLE) AS tf1
+  FROM documents),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+  FROM d)
+SELECT doc_id,
+       ROUND(ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+             9) AS score
+FROM d CROSS JOIN s
+WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10""",
+        description="[EXT] BM25-ranked keyword search (Lucene RSJ idf, "
+                    "k1=1.2 b=0.75); single scan + tiny broadcast stats",
+        tags=("text", "search")))
 
     r.register(NamedQuery(
         "orders_asof_event", orders_asof_event,

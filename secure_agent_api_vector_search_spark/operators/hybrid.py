@@ -47,3 +47,62 @@ def hybrid_search(
         (hits.cast("double") * F.lit(float(kw_weight)) + sim).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25-ranked keyword search over lowercased whitespace tokens.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    with idf(t) = ln( (N − df + 0.5) / (df + 0.5) + 1 )   (the
+    Robertson–Spärck Jones form used by Lucene).
+
+    Plan shape: one scan computes per-doc (length, tf per query term)
+    as native array expressions — the query's terms are a literal, so
+    there is no explode/join over the corpus vocabulary; the only
+    aggregate is the tiny global (N, avgdl, df per term) which AQE
+    broadcasts back. Scores round to 9 dp (ln low bits may differ
+    across engines); ranking uses the rounded score.
+    Output: (doc_id, score) top-k, deterministic tiebreak on id.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = F.transform(F.split(F.col(text_col), " "), lambda t: F.lower(t))
+    dl = F.size(toks).cast("double")
+
+    tf_cols = [
+        F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("double").alias(f"_tf_{i}")
+        for i, term in enumerate(terms)
+    ]
+    per_doc = documents.select(F.col(id_col), dl.alias("_dl"), *tf_cols)
+
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0)).cast("double").alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5) + 1.0
+        )
+        tf = F.col(f"_tf_{i}")
+        denom = tf + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+        score = score + idf * (tf * (k1 + 1.0)) / denom
+    return (
+        scored.select(F.col(id_col), F.round(score, 9).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -61,6 +61,36 @@ def test_hybrid_search_fuses_scores(docs, emb):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_bm25_hand_computed(spark):
+    # 3 docs, query ["a", "b"]: tf/df/avgdl small enough to verify by hand.
+    df = spark.createDataFrame(
+        [(1, "a a b x"), (2, "a x x x"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    import math
+
+    def bm25(tf, df_t, n=3.0, dl=4.0, avgdl=4.0, k1=1.2, b=0.75):
+        idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    rows = {r["doc_id"]: r["score"] for r in HY.bm25_search(df, ["a", "b"], k=10).collect()}
+    assert set(rows) == {1, 2}  # doc 3 has no query term → filtered out
+    assert rows[1] == pytest.approx(bm25(2.0, 2.0) + bm25(1.0, 1.0))
+    assert rows[2] == pytest.approx(bm25(1.0, 2.0))
+    assert rows[1] > rows[2]
+
+
+def test_bm25_case_insensitive_and_k(spark):
+    df = spark.createDataFrame(
+        [(i, ("Spark " * (i + 1)).strip()) for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = HY.bm25_search(df, ["spark"], k=3).collect()
+    assert len(rows) == 3
+    # higher tf → higher score → doc_ids 4,3,2 in order
+    assert [r["doc_id"] for r in rows] == [4, 3, 2]
+
+
 def test_embed_text_deterministic_unit_norm():
     a = embed_text("hello world hello")
     b = embed_text("hello world hello")
