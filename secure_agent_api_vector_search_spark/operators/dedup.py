@@ -88,22 +88,47 @@ def _shingle_sig_udf(shingle_k: int, num_hashes: int, seed: int):
     @F.pandas_udf("struct<shingles: array<bigint>, signature: array<bigint>>")
     def f(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for s in it:
-            sh_out, sig_out = [], []
-            for text in s:
-                bs = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
-                if len(bs) < shingle_k:
-                    sh_out.append(None)
-                    sig_out.append(None)
-                    continue
-                w = np.lib.stride_tricks.sliding_window_view(bs, shingle_k)
+            # Whole-batch vectorization: one concatenated byte buffer, one
+            # sliding-window pack, one lexsort dedup, 64 segmented mins —
+            # no per-document numpy dispatch (which dominated at ~1.5 ms
+            # per doc in the row-loop form).
+            texts = [(t or "").encode("utf-8") for t in s]
+            n_docs = len(texts)
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n_docs)
+            nwin = np.maximum(lens - shingle_k + 1, 0)
+            sh_out: list = [None] * n_docs
+            sig_out: list = [None] * n_docs
+            total = int(nwin.sum())
+            if total > 0:
+                buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+                w = np.lib.stride_tricks.sliding_window_view(buf, shingle_k)
                 x = np.zeros(len(w), dtype=np.int64)
                 for i in range(shingle_k):
                     x = (x << 8) | w[:, i].astype(np.int64)
-                sh = np.unique(x)                      # distinct shingle ids
-                hs = sh % H.MINHASH_P
-                mat = (hs[:, None] * a[None, :] + b[None, :]) % H.MINHASH_P
-                sh_out.append(sh)
-                sig_out.append(mat.min(axis=0))
+                starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                # global buffer position of every in-document window
+                pos = np.repeat(starts, nwin) + (
+                    np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(nwin)))[:-1], nwin)
+                )
+                doc_of = np.repeat(np.arange(n_docs), nwin)
+                sh_all = x[pos]
+                order = np.lexsort((sh_all, doc_of))
+                d_s, v_s = doc_of[order], sh_all[order]
+                keep = np.ones(total, dtype=bool)
+                keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+                d_u, v_u = d_s[keep], v_s[keep]
+                seg_starts = np.concatenate(
+                    ([0], np.nonzero(d_u[1:] != d_u[:-1])[0] + 1)
+                )
+                hs = v_u % H.MINHASH_P
+                sig = np.empty((len(seg_starts), num_hashes), dtype=np.int64)
+                for j in range(num_hashes):
+                    sig[:, j] = np.minimum.reduceat((hs * a[j] + b[j]) % H.MINHASH_P, seg_starts)
+                bounds = np.append(seg_starts[1:], len(v_u))
+                seg_docs = d_u[seg_starts]
+                for si, d in enumerate(seg_docs):
+                    sh_out[d] = v_u[seg_starts[si]:bounds[si]]
+                    sig_out[d] = sig[si]
             yield pd.DataFrame({"shingles": sh_out, "signature": sig_out})
 
     return f
@@ -159,7 +184,6 @@ def minhash_near_dup_pairs(
     # survivors only, so the set intersection touches ~|true pairs|
     # rows, not ~|collisions|.
     margin = 3.0 * math.sqrt(0.25 / num_hashes)
-    s = feats.select(F.col(id_col), F.col("signature"))
     est = (
         F.size(
             F.filter(
@@ -169,18 +193,25 @@ def minhash_near_dup_pairs(
         ).cast("double")
         / F.lit(float(num_hashes))
     )
-    screened = (
-        candidates.join(s.withColumnRenamed(id_col, "id_a").withColumnRenamed("signature", "sig_a"), "id_a")
-        .join(s.withColumnRenamed(id_col, "id_b").withColumnRenamed("signature", "sig_b"), "id_b")
-        .select("id_a", "id_b", est.alias("_est"))
-        .filter(F.col("_est") >= threshold - margin)
-        .select("id_a", "id_b")
+    # one join per side fetching (signature, shingles) together; the
+    # exact Jaccard sits under a when() on the signature estimate, so it
+    # is only evaluated on screen survivors — same two-stage verify as
+    # separate joins, at half the join/broadcast count.
+    side_a = feats.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"),
+        F.col("shingles").alias("sh_a"),
     )
-    sh = feats.select(F.col(id_col), F.col("shingles"))
+    side_b = feats.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    jac = F.when(
+        est >= threshold - margin, H.jaccard(F.col("sh_a"), F.col("sh_b"))
+    )
     pairs = (
-        screened.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-        .select("id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        candidates.join(side_a, "id_a")
+        .join(side_b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     return pairs.orderBy("id_a", "id_b")
