@@ -44,6 +44,14 @@ HEADLINE = [
     "events_sessionize",
     "orders_asof_event",
     "revenue_rollup",
+    "orders_semi_late_lines",
+    "customers_without_orders",
+    "brand_setops",
+    "price_quantiles_by_brand",
+    "region_priority_pivot",
+    "part_small_qty_revenue",
+    "events_interval_join",
+    "bm25_search",
     "dedup_exact_keep_first",
     "minhash_near_dup",
     "embedding_neardup_lsh",

@@ -223,6 +223,59 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.events_sessionize(spark, sf_dir)
 
 
+def orders_semi_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.orders_semi_late_lines(spark, sf_dir)
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.customers_without_orders(spark, sf_dir)
+
+
+def brand_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.brand_setops(spark, sf_dir)
+
+
+def price_quantiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.price_quantiles_by_brand(spark, sf_dir)
+
+
+def region_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.region_priority_pivot(spark, sf_dir)
+
+
+def part_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.part_small_qty_revenue(spark, sf_dir)
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): for each error event's 10-minute
+    follow-up window, the purchases inside it — binned equi-join form
+    (operators/rangejoin.py), integer-µs containment."""
+    from secure_agent_api_vector_search_spark.operators import rangejoin as RJ
+    from secure_agent_api_vector_search_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    win_us = 600_000_000
+    intervals = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_id"),
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + win_us).alias("hi"),
+    )
+    points = e.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("pt"), "value"
+    )
+    joined = RJ.interval_point_join(intervals, points, "lo", "hi", "pt", bin_width=win_us)
+    return (
+        joined.groupBy("a_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(14,2)")).alias("_sv"),
+        )
+        .select("a_id", "n_purchases", F.col("_sv").cast("double").alias("sum_value"))
+        .orderBy("a_id")
+    )
+
+
 def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus ∪ 50 verbatim copies under shifted ids — a reproducible
     duplicated corpus (the testdata itself has no exact dups)."""
@@ -723,6 +776,104 @@ FROM (
 GROUP BY user_id ORDER BY user_id""",
         description="[EXT] sessionization: lag-gap windows, µs-exact",
         tags=("events", "window")))
+
+    r.register(NamedQuery(
+        "orders_semi_late_lines", orders_semi_late_lines,
+        oracle_sql="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > TIMESTAMP '1998-06-01')
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        description="[EXT] TPC-H Q4 shape: EXISTS decorrelated to a left-semi "
+                    "join, then agg", tags=("relational", "join")))
+
+    r.register(NamedQuery(
+        "customers_without_orders", customers_without_orders,
+        oracle_sql="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        description="[EXT] NOT EXISTS as a left-anti join: churned customers "
+                    "per segment", tags=("relational", "join")))
+
+    r.register(NamedQuery(
+        "brand_setops", brand_setops,
+        oracle_sql="""
+SELECT 'both' AS which, p_brand FROM (
+  SELECT p_brand FROM part WHERE p_type = 'ECONOMY'
+  INTERSECT
+  SELECT p_brand FROM part WHERE p_type = 'PROMO')
+UNION ALL
+SELECT 'economy_only' AS which, p_brand FROM (
+  SELECT p_brand FROM part WHERE p_type = 'ECONOMY'
+  EXCEPT
+  SELECT p_brand FROM part WHERE p_type = 'PROMO')
+ORDER BY which, p_brand""",
+        description="[EXT] set operations (INTERSECT / EXCEPT) over brand "
+                    "assortments", tags=("relational", "setop")))
+
+    r.register(NamedQuery(
+        "price_quantiles_by_brand", price_quantiles_by_brand,
+        oracle_sql="""
+SELECT p_brand, COUNT(*) AS n_parts,
+       ROUND(quantile_cont(p_retailprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(p_retailprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(p_retailprice, 0.75), 6) AS p75
+FROM part GROUP BY p_brand ORDER BY p_brand""",
+        description="[EXT] exact percentile_cont quantiles per group "
+                    "(approx_percentile is the 100 TB swap-in)",
+        tags=("relational", "agg")))
+
+    r.register(NamedQuery(
+        "region_priority_pivot", region_priority_pivot,
+        oracle_sql="""
+SELECT o_orderpriority,
+  CAST(COALESCE(SUM(CASE WHEN r_name = 'AFRICA' THEN CAST(o_totalprice AS DECIMAL(14,2)) END), 0) AS DOUBLE) AS rev_africa,
+  CAST(COALESCE(SUM(CASE WHEN r_name = 'AMERICA' THEN CAST(o_totalprice AS DECIMAL(14,2)) END), 0) AS DOUBLE) AS rev_america,
+  CAST(COALESCE(SUM(CASE WHEN r_name = 'ASIA' THEN CAST(o_totalprice AS DECIMAL(14,2)) END), 0) AS DOUBLE) AS rev_asia,
+  CAST(COALESCE(SUM(CASE WHEN r_name = 'EUROPE' THEN CAST(o_totalprice AS DECIMAL(14,2)) END), 0) AS DOUBLE) AS rev_europe,
+  CAST(COALESCE(SUM(CASE WHEN r_name = 'MIDDLE EAST' THEN CAST(o_totalprice AS DECIMAL(14,2)) END), 0) AS DOUBLE) AS rev_middle_east
+FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        description="[EXT] pivot (regions as columns) = conditional "
+                    "decimal-exact aggregation", tags=("relational", "agg")))
+
+    r.register(NamedQuery(
+        "part_small_qty_revenue", part_small_qty_revenue,
+        oracle_sql="""
+WITH j AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+         AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO')
+SELECT l_partkey, COUNT(*) AS n_small_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_qty_revenue
+FROM j WHERE l_quantity < 0.2 * avg_qty
+GROUP BY l_partkey ORDER BY l_partkey""",
+        description="[EXT] TPC-H Q17 shape: correlated scalar subquery "
+                    "decorrelated to a window average (quantity sums are "
+                    "integer-exact doubles on both engines)",
+        tags=("relational", "window")))
+
+    r.register(NamedQuery(
+        "events_interval_join", events_interval_join,
+        oracle_sql="""
+WITH a AS (SELECT event_id AS a_id, epoch_us(ts) AS lo, epoch_us(ts) + 600000000 AS hi
+           FROM events WHERE event_type = 'error'),
+b AS (SELECT epoch_us(ts) AS pt, value FROM events WHERE event_type = 'purchase')
+SELECT a.a_id, COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(b.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM a JOIN b ON b.pt >= a.lo AND b.pt < a.hi
+GROUP BY a.a_id ORDER BY a.a_id""",
+        description="[EXT] pure range join via the binned equi-join form "
+                    "(operators/rangejoin.py) — never a nested loop; "
+                    "integer-µs containment", tags=("relational", "join", "temporal")))
 
     r.register(NamedQuery(
         "dedup_exact_keep_first", dedup_exact_keep_first,

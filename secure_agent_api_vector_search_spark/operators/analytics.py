@@ -214,6 +214,121 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_semi_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS decorrelated to a left-semi join): count
+    orders per priority having at least one line shipped after the
+    cutoff. The semi join never materializes lineitem columns and
+    short-circuits per order key."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        o.join(late, o["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join: customers with no recent orders
+    (none since 2000-01-01), profiled per market segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def brand_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over brand assortments: brands selling both
+    ECONOMY and PROMO parts (INTERSECT) vs ECONOMY-only (EXCEPT),
+    labeled and unioned. Distinct-set semantics on both engines."""
+    p = load_table(spark, sf_dir, "part")
+    eco = p.filter(F.col("p_type") == "ECONOMY").select("p_brand")
+    promo = p.filter(F.col("p_type") == "PROMO").select("p_brand")
+    both = eco.intersect(promo).select(F.lit("both").alias("which"), "p_brand")
+    only = eco.subtract(promo).select(F.lit("economy_only").alias("which"), "p_brand")
+    return both.unionAll(only).orderBy("which", "p_brand")
+
+
+def price_quantiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation quantiles (SQL percentile_cont
+    semantics) of retail price per brand. Exact percentile needs the
+    group's values together — one shuffle on brand; at 100 TB scale
+    swap in approx_percentile (t-digest, partial-mergeable) and drop
+    the oracle to tolerance checks."""
+    p = load_table(spark, sf_dir, "part")
+    qs = [
+        F.round(F.percentile("p_retailprice", F.lit(q)), 6).alias(f"p{int(q * 100)}")
+        for q in (0.25, 0.5, 0.75)
+    ]
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"), *qs)
+        .orderBy("p_brand")
+    )
+
+
+def region_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order revenue per priority × region, regions as columns.
+    Spark's pivot is a single hash aggregate with composite keys; the
+    pivot value list is declared so no extra distinct-values job runs."""
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    pivoted = (
+        joined.groupBy("o_orderpriority")
+        .pivot("r_name", regions)
+        .agg(F.sum(_dec("o_totalprice", 14, 2)))
+    )
+    cols = [
+        F.coalesce(F.col(f"`{reg}`").cast("double"), F.lit(0.0)).alias(
+            f"rev_{reg.lower().replace(' ', '_')}"
+        )
+        for reg in regions
+    ]
+    return pivoted.select("o_orderpriority", *cols).orderBy("o_orderpriority")
+
+
+def part_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines with quantity below 20% of their part's
+    average. The correlated scalar subquery decorrelates to a window
+    average over the part key — one shuffle, no self-join re-scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    flagged = joined.withColumn("_avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("_avg_qty")
+    )
+    return (
+        flagged.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small_lines"),
+            F.sum(_dec("l_extendedprice", 12, 2)).alias("_rev"),
+        )
+        .select("l_partkey", "n_small_lines", F.col("_rev").cast("double").alias("small_qty_revenue"))
+        .orderBy("l_partkey")
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: a session break is a gap > ``gap_minutes`` since
     the previous event of the same user; session count = 1 + breaks.
