@@ -223,6 +223,49 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.events_sessionize(spark, sf_dir)
 
 
+def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState sessionizer run as a finite stream
+    (replay the events table through the file source, drain, read the
+    update-mode memory sink's final row per user). Converges to the
+    batch twin `events_sessionize`, so it shares its SQL oracle — a
+    value-checked STREAMING operator."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from secure_agent_api_vector_search_spark.sources.tables import load_table
+    from secure_agent_api_vector_search_spark.streaming.events import EVENTS_SCHEMA
+    from secure_agent_api_vector_search_spark.streaming.sessions import sessionize_stream
+
+    events = load_table(spark, sf_dir, "events")
+    in_dir = tempfile.mkdtemp(prefix="sess_stream_") + "/in"
+    events.write.mode("overwrite").parquet(in_dir)
+    name = "sess_stream_" + uuid.uuid4().hex[:8]
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("n_sessions").desc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "n_sessions")
+        .orderBy("user_id")
+    )
+
+
 def orders_semi_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.orders_semi_late_lines(spark, sf_dir)
 
@@ -776,6 +819,22 @@ FROM (
 GROUP BY user_id ORDER BY user_id""",
         description="[EXT] sessionization: lag-gap windows, µs-exact",
         tags=("events", "window")))
+
+    r.register(NamedQuery(
+        "sessionize_streaming", sessionize_streaming,
+        oracle_sql="""
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events)
+GROUP BY user_id ORDER BY user_id""",
+        description="[EXT] custom stateful streaming operator "
+                    "(applyInPandasWithState sessionization) replayed to "
+                    "completion — value-checked against the batch-twin SQL",
+        tags=("streaming", "window")))
 
     r.register(NamedQuery(
         "orders_semi_late_lines", orders_semi_late_lines,

@@ -1,6 +1,6 @@
 """Event-stream temporal analytics ([EXT], SURVEY.md §2.9): windowed
-aggregation with watermarked late-data handling, and a custom stateful
-operator via applyInPandasWithState.
+aggregation with watermarked late-data handling. The custom stateful
+operator (applyInPandasWithState sessionization) lives in sessions.py.
 
 Batch twin: operators/analytics.py `events_hourly` computes the same
 rollup over the static table — tests assert batch/stream agreement,

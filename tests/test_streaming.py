@@ -9,10 +9,14 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
-from secure_agent_api_vector_search_spark.operators.analytics import events_hourly
+from secure_agent_api_vector_search_spark.operators.analytics import (
+    events_hourly,
+    events_sessionize,
+)
 from secure_agent_api_vector_search_spark.sources.tables import load_table
 from secure_agent_api_vector_search_spark.streaming import events as SE
 from secure_agent_api_vector_search_spark.streaming.ingest import embed_documents, start_ingest
+from secure_agent_api_vector_search_spark.streaming.sessions import sessionize_stream
 
 
 def _wait(query, timeout=60):
@@ -100,3 +104,79 @@ def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
     for key, (n, _) in want.items():
         assert got[key][0] == n
         assert got[key][1] == pytest.approx(want[key][1], rel=1e-9)
+
+
+def _final_sessions(spark, table: str) -> dict:
+    """Latest update per user from an update-mode memory sink (n_events
+    grows monotonically, so max(n_events) is the final state)."""
+    rows = spark.sql(
+        f"SELECT user_id, n_events, n_sessions FROM {table}"
+    ).collect()
+    final: dict = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["n_sessions"])
+    return final
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization over the replayed events
+    table converges to the batch window twin (events_sessionize)."""
+    events = load_table(spark, sf_dir, "events")
+    in_dir = str(tmp_path / "sess_in")
+    events.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA).parquet(in_dir)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions_stream")
+        .start()
+    )
+    try:
+        _wait(q)
+        got = _final_sessions(spark, "sessions_stream")
+    finally:
+        q.stop()
+
+    want = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in events_sessionize(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stateful_sessionize_state_survives_batches(spark, sf_dir, tmp_path):
+    """State carries across micro-batches: replaying the first and
+    second halves of the timeline as separate files gives the same
+    final answer as the batch twin (gap logic spans the file split)."""
+    events = load_table(spark, sf_dir, "events").persist()
+    in_dir = str(tmp_path / "sess_inc")
+    first = events.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    second = events.filter(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+    first.write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA).parquet(in_dir)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions_inc")
+        .start()
+    )
+    try:
+        _wait(q)
+        second.write.mode("append").parquet(in_dir)
+        _wait(q)
+        got = _final_sessions(spark, "sessions_inc")
+    finally:
+        q.stop()
+        events.unpersist()
+
+    want = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in events_sessionize(spark, sf_dir).collect()
+    }
+    assert got == want
