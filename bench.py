@@ -71,6 +71,14 @@ def main() -> int:
     qs = queries()
     # warm up the JVM/scan path once (excluded from timings)
     qs["point_lookup"](spark, sf_dir).collect()
+    # warm the Arrow / Python-worker path too: the first pandas-UDF
+    # stage of a session pays worker fork + numpy import on every core
+    # (~10-20 s on local[32]) — steady-state cost on a long-lived
+    # cluster, so it is excluded from per-query timings.
+    from pyspark.sql import functions as F  # local import: bench-only
+
+    _warm = F.pandas_udf("long")(lambda s: s)
+    spark.range(256).repartition(32).select(_warm("id").alias("v")).count()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
