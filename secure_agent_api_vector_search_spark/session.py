@@ -35,7 +35,11 @@ def get_session(app_name: str = "secure_agent_api_vector_search_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs driver + all executor threads in ONE JVM, so
+        # this heap backs 32 concurrent tasks' shuffle/cache/UDF buffers;
+        # 8g GC-thrashed under the LSH band joins (2x run-to-run swings).
+        # On a real cluster this is spark.executor.memory territory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
