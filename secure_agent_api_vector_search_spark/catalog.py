@@ -446,6 +446,38 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(region, order-priority) revenue — the full grouping-sets
+    lattice (SURVEY.md §2.7), complementing ROLLUP's prefix hierarchy.
+    Same shape as rollup: one shuffle, cube expansion is map-side."""
+    from secure_agent_api_vector_search_spark.sources.tables import load_table
+
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.cube("r_name", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("_rev"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "r_name", "o_orderpriority",
+            F.col("_rev").cast("double").alias("revenue"), "n_orders",
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-word-ish token counting: words and punctuation as separate
     tokens (regex \\w+|[^\\w\\s]) — the BPE-style pre-tokenization pass
@@ -1098,6 +1130,20 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY ROLLUP(r_name, n_name)
 ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
         description="[EXT] ROLLUP grouping sets over the snowflake dims",
+        tags=("relational", "agg")))
+
+    r.register(NamedQuery(
+        "revenue_cube", revenue_cube,
+        oracle_sql="""
+SELECT r_name, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE(r_name, o_orderpriority)
+ORDER BY r_name NULLS FIRST, o_orderpriority NULLS FIRST""",
+        description="[EXT] CUBE grouping sets over region x order priority",
         tags=("relational", "agg")))
 
     r.register(NamedQuery(
