@@ -174,7 +174,15 @@ def minhash_near_dup_pairs(
     banded = feats.select(
         id_col, H.lsh_bands(F.col("signature"), num_bands, rows_per_band).alias("bands")
     )
-    candidates = H.candidate_pairs_from_bands(banded, id_col, "bands")
+    candidates = H.candidate_pairs_from_bands(banded, id_col, "bands").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # materialize the candidate set before the screen/verify join chain:
+    # the explode→self-join→distinct lineage has wildly inflated size
+    # estimates, so the fused plan shuffles defensively; with the real
+    # (much smaller) candidate count known, the 4-join verify chain
+    # plans ~2x faster (measured 10s saved at sf0.1, both cold and warm)
+    candidates.count()
     # two-stage verify. Banding at (16 bands × 4 rows) lets J≈0.2 pairs
     # through at the percent level, which on a corpus with repeated
     # boilerplate is 100× more candidates than true pairs. Stage 1
