@@ -253,7 +253,13 @@ def simhash_near_dup_pairs(
     )
     sh.count()
     banded = sh.select(id_col, H.simhash_chunks(F.col("bits")).alias("bands"))
-    cand = H.candidate_pairs_from_bands(banded, id_col, "bands")
+    cand = H.candidate_pairs_from_bands(banded, id_col, "bands").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # materialize before the verify joins — same rationale as
+    # minhash_near_dup_pairs: real candidate count beats the inflated
+    # explode→self-join→distinct estimate the planner sees otherwise
+    cand.count()
     bits = sh.select(F.col(id_col), F.col("bits"))
     return (
         cand.join(bits.withColumnRenamed(id_col, "id_a").withColumnRenamed("bits", "bits_a"), "id_a")
@@ -402,7 +408,15 @@ def embedding_neardup_pairs_lsh(
             lambda h, i: F.struct(i.alias("band_id"), h.alias("band_hash")),
         ).alias("bands"),
     )
-    cand = H.candidate_pairs_from_bands(with_buckets.select(id_col, "bands"), id_col, "bands")
+    from pyspark import StorageLevel
+
+    cand = H.candidate_pairs_from_bands(
+        with_buckets.select(id_col, "bands"), id_col, "bands"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize before the verify joins — same rationale as
+    # minhash_near_dup_pairs: real candidate count beats the inflated
+    # explode→self-join→distinct estimate the planner sees otherwise
+    cand.count()
     e = with_buckets.select(F.col(id_col), F.col(vec_col))
     pairs = (
         cand.join(e.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "v_a"), "id_a")
