@@ -36,7 +36,7 @@ from secure_agent_api_vector_search_spark.operators import (
     textops as TX,
     topk as TK,
 )
-from secure_agent_api_vector_search_spark.embedder import embed_text, embed_udf
+from secure_agent_api_vector_search_spark.embedder import DIM, embed_text, embed_udf
 from secure_agent_api_vector_search_spark.plans.registry import NamedQuery, Registry
 from secure_agent_api_vector_search_spark.sources.tables import (
     load_documents,
@@ -535,9 +535,14 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_near_dup_pairs(
-        _docs_with_noisy_dups(spark, sf_dir), threshold=0.5
+    # Shingle the NORMALIZED text: the noisy corpus's planted dups are
+    # case-folded + punctuated (UPPER(text) || ' !!!'), so raw-byte
+    # shingles would share almost nothing with the originals and the
+    # operator would only measure incidental background pairs.
+    docs = _docs_with_noisy_dups(spark, sf_dir).select(
+        "doc_id", TX.X.normalized_text("text").alias("text")
     )
+    return D.minhash_near_dup_pairs(docs, threshold=0.5)
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,7 +587,7 @@ def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_pairs_lsh(
-        _embeddings_with_near_dups(spark, sf_dir), threshold=0.85
+        _embeddings_with_near_dups(spark, sf_dir), threshold=0.85, dim=DIM
     )
 
 

@@ -16,8 +16,10 @@ consumer — slower still). The numpy batch shape runs the same work in
 seconds and is exactly how the hyperplane-LSH sketch is built
 (operators/dedup.py).
 
-The LSH *join* is an ordinary shuffle on (band_id, band_hash):
-candidates ∝ collisions, never n².
+The LSH candidate stage is one groupBy shuffle on (band_id, band_hash)
+(`bucket_member_pairs`): candidates ∝ collisions, never n², and pair
+payloads (signatures / bits / vectors) ride in the bucket member
+structs so verify metrics are computed map-side with zero joins.
 """
 
 from __future__ import annotations
@@ -86,24 +88,66 @@ def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
 
 
 def simhash_bits(tokens_col: Column, n_bits: int = 64) -> Column:
-    """SimHash as an array<int> of ``n_bits`` bits.
+    """SimHash as an array<int> of ``n_bits`` bits (column-expression
+    form, for composing on already-tokenized arrays).
 
-    Per bit i: sum over tokens of +1/−1 according to the sign of
-    xxhash64(i, token) — one independent hash per bit, exact integer
-    arithmetic throughout (variable bit-shifts aren't expressible as
-    columns, so independent seeded hashes replace bit extraction);
-    bit set iff the sum is positive.
+    Each token is hashed ONCE (`xxhash64`), and bit i of the
+    fingerprint comes from bit i of that hash via literal shift+mask —
+    the earlier per-(bit, token) independent-hash form recomputed a
+    string hash 64× per token, which dominated the operator's CPU.
+    Bit set iff the signed bit-count over tokens is positive.
+
+    The operator-scale path is :func:`simhash_fingerprint` in
+    operators/dedup.py (explode → groupBy with codegen'd sums — HOF
+    lambdas evaluate interpreted, outside whole-stage codegen).
     """
-    counts = F.aggregate(
-        tokens_col,
-        F.array_repeat(F.lit(0), n_bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(n_bits - 1)),
-            lambda a, i: a + F.when(F.xxhash64(i, t) < 0, 1).otherwise(-1),
-        ),
+    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    counts = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for i in range(n_bits)
+    ]
+    return F.array(*[F.when(c > 0, 1).otherwise(0) for c in counts])
+
+
+def pack_bits(bits: Column, n_bits: int = 64) -> Column:
+    """array<int> of bits → one BIGINT fingerprint (bit i of the long =
+    bits[i]). Shifts are bitwise, not arithmetic, so bit 63 packs into
+    the sign bit without ANSI overflow."""
+    fp = F.lit(0).cast("long")
+    for i in range(n_bits):
+        fp = fp.bitwiseOR(
+            F.when(bits[i] == 1, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return fp
+
+
+def simhash_fp_chunks(fp: Column, num_chunks: int = 4, n_bits: int = 64) -> Column:
+    """Packed-fingerprint banding: cut the BIGINT fingerprint into
+    ``num_chunks`` bit-fields as (band_id, band_hash) structs (the
+    pigeonhole candidate generator, same guarantee as
+    :func:`simhash_chunks` on the array form)."""
+    width = n_bits // num_chunks
+    mask = F.lit((1 << width) - 1)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band_id"),
+                F.shiftrightunsigned(fp, c * width).bitwiseAND(mask).cast("long").alias("band_hash"),
+            )
+            for c in range(num_chunks)
+        ]
     )
-    return F.transform(counts, lambda c: F.when(c > 0, 1).otherwise(0))
+
+
+def hamming_fp(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed BIGINT fingerprints — one
+    codegen'd `bit_count(a XOR b)`."""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_chunks(bits: Column, num_chunks: int = 4) -> Column:
@@ -138,26 +182,83 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
 
 
-def candidate_pairs_from_bands(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
-    """Explode band structs and self-join on (band_id, band_hash) to get
-    distinct candidate pairs (id_a < id_b).
+def bucket_member_pairs(
+    df: DataFrame,
+    id_col: str,
+    bands_col: str,
+    payload_cols: tuple[str, ...] = (),
+    metric=None,
+    keep=None,
+    max_width: int = 512,
+) -> DataFrame:
+    """Candidate pairs by LSH-bucket grouping, with the verify metric
+    computed INSIDE the bucket's pair array.
 
-    Scale shape: one shuffle keyed by band hash; bucket sizes are the
-    skew knob (tune bands/rows so buckets stay small; AQE skew-join
-    splits stragglers).
+    (id, bands, *payload) → (id_a, id_b[, metric]) where a pair appears
+    once per shared (band_id, band_hash) bucket — NOT deduped; callers
+    aggregate `groupBy(id_a, id_b)` downstream.
+
+    ``metric`` is a callable (member_a, member_b) → Column evaluated on
+    the member structs (which hold ``payload_cols``) while pairs are
+    still array elements; ``keep`` is a Column predicate on the metric
+    applied BEFORE the explode, so rejected pairs never become rows and
+    payload bytes never leave the bucket. Without ``metric`` the output
+    is bare id pairs.
+
+    Scale shape (replaces the explode→self-join→distinct form, which
+    cost two extra shuffles and fed the planner a wildly inflated
+    estimate of the join output): one shuffle groups bucket members
+    (`collect_list`), then in-bucket pairs + metric + filter are one
+    pure map stage over the sorted member array.
+
+    Buckets wider than ``max_width`` would emit O(w²) pairs (the skew
+    failure mode at 100 TB: boilerplate text → one giant bucket); they
+    degrade to star pairing against the bucket minimum — O(w) pairs
+    that preserve dedup connectivity (every member still pairs with the
+    keeper candidate) while bounding work linearly. Width ≤ 512 keeps a
+    bucket's member array ≤ ~0.5 MB even with a 1 KB payload.
     """
-    exploded = df.select(F.col(id_col), F.explode(F.col(bands_col)).alias("band")).select(
-        id_col, "band.band_id", "band.band_hash"
+    member = F.struct(F.col(id_col).alias("_id"), *[F.col(c) for c in payload_cols])
+    buckets = (
+        df.select(member.alias("m"), F.explode(F.col(bands_col)).alias("band"))
+        .groupBy("band.band_id", "band.band_hash")
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") >= 2)
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ms, w = F.col("ms"), F.size("ms")
+
+    def pair(i: Column, j: Column) -> Column:
+        fields = [ms[i]["_id"].alias("id_a"), ms[j]["_id"].alias("id_b")]
+        if metric is not None:
+            fields.append(metric(ms[i], ms[j]).alias("metric"))
+        return F.struct(*fields)
+
+    all_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), w - 2),
+            lambda i: F.transform(F.sequence(i + 1, w - 1), lambda j: pair(i, j)),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    )
+    star_pairs = F.transform(F.sequence(F.lit(1), w - 1), lambda j: pair(F.lit(0), j))
+    arr = F.when(w <= max_width, all_pairs).otherwise(star_pairs)
+    if keep is not None:
+        arr = F.filter(arr, lambda p: keep(p["metric"]))
+    pairs = buckets.select(F.explode(arr).alias("p"))
+    cols = [F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")]
+    if metric is not None:
+        cols.append(F.col("p.metric").alias("metric"))
+    return pairs.select(*cols)
+
+
+def candidate_pairs_from_bands(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band hash.
+
+    Thin wrapper over :func:`bucket_member_pairs` for callers that want
+    only the pair ids; the dedup is one groupBy shuffle.
+    """
+    return (
+        bucket_member_pairs(df, id_col, bands_col)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_n"))
+        .select("id_a", "id_b")
     )

@@ -148,70 +148,73 @@ def minhash_near_dup_pairs(
 
     Pipeline: byte-k-shingles + 64-value MinHash signature in one
     vectorized Arrow-batched map stage (no shuffle) → 16 bands × 4 rows
-    banding → equi-join on band hash → signature-agreement screen →
-    exact Jaccard (long-array set ops) on the survivors.
+    banding → bucket groupBy (signatures ride in the member structs) →
+    in-bucket pair generation with the signature-agreement screen
+    computed IN THE MAP STAGE right after the pair explode → one
+    groupBy(id_a, id_b) fusing pair-dedup with the screen → exact
+    Jaccard (long-array set ops) via a shingle join on survivors only.
     Output: (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    vs. the explode→self-join→distinct→2-screen-join→2-verify-join
+    shape this replaces: three fewer shuffles, no intermediate
+    `.persist().count()` planner hints needed for the candidate set,
+    and the screen never shuffles a signature byte — measured 49 s →
+    ~10 s at sf0.1 (18 s worst-case cold) with run-to-run stability
+    (the join chain's inflated size estimates were the instability
+    source).
     """
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // num_bands
-    # small local inputs arrive as 1-2 splits; spread the heavy map
-    # stage across the cluster. At scale the scan has many splits and
-    # this is a cheap balanced exchange.
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # No repartition before the UDF: the whole-batch-vectorized
+    # signature stage costs ~20 ms per 157-doc Arrow batch, so even a
+    # 2-split local scan finishes in well under a second — a balancing
+    # shuffle of the raw text costs more than it recovers. At cluster
+    # scale the scan already has one split per ~128 MB and the map
+    # stage parallelizes naturally.
     feats = (
-        df.repartition(n_part, F.col(id_col))
+        df
         .select(F.col(id_col), _shingle_sig_udf(shingle_k, num_hashes, seed)(F.col(text_col)).alias("_f"))
         .select(id_col, F.col("_f.shingles").alias("shingles"), F.col("_f.signature").alias("signature"))
         .filter(F.col("shingles").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # materialize before fan-out: the banding self-join and the
-    # two-sided verify joins all consume `feats`; computed concurrently
-    # inside one job they race cache population and each re-runs the
+    # materialize before fan-out: the banding stage and the shingle
+    # verify join both consume `feats`; computed concurrently inside one
+    # job they race cache population and each re-runs the
     # scan→shingle→signature lineage. One eager pass fills the cache.
     feats.count()
     banded = feats.select(
-        id_col, H.lsh_bands(F.col("signature"), num_bands, rows_per_band).alias("bands")
+        id_col, F.col("signature"),
+        H.lsh_bands(F.col("signature"), num_bands, rows_per_band).alias("bands"),
     )
-    candidates = H.candidate_pairs_from_bands(banded, id_col, "bands").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # materialize the candidate set before the screen/verify join chain:
-    # the explode→self-join→distinct lineage has wildly inflated size
-    # estimates, so the fused plan shuffles defensively; with the real
-    # (much smaller) candidate count known, the 4-join verify chain
-    # plans ~2x faster (measured 10s saved at sf0.1, both cold and warm)
-    candidates.count()
-    # two-stage verify. Banding at (16 bands × 4 rows) lets J≈0.2 pairs
-    # through at the percent level, which on a corpus with repeated
-    # boilerplate is 100× more candidates than true pairs. Stage 1
-    # estimates Jaccard from signature agreement (64 long equalities —
-    # an unbiased Bin(k, J)/k estimator) and drops candidates more than
-    # 3σ below the threshold; stage 2 computes exact Jaccard on the
-    # survivors only, so the set intersection touches ~|true pairs|
-    # rows, not ~|collisions|.
+    # Banding at (16 bands × 4 rows) lets J≈0.2 pairs through at the
+    # percent level, which on a corpus with repeated boilerplate is
+    # 100× more candidates than true pairs. The screen estimates
+    # Jaccard from signature agreement (64 long equalities — an
+    # unbiased Bin(k, J)/k estimator) and drops candidates more than
+    # 3σ below the threshold, so the exact set intersection touches
+    # ~|true pairs| rows, not ~|collisions|.
     margin = 3.0 * math.sqrt(0.25 / num_hashes)
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
-    # the screen joins ship ONLY signatures (64 longs ≈ 0.5 KB/side);
-    # shingle arrays (~4× larger) are joined in afterwards for the
-    # screen survivors only — ~3× fewer verify-shuffle bytes than one
-    # merged (signature, shingles) join, measured at parity locally
-    # where candidate counts are small and join overhead dominates.
-    sig_a = feats.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sig_b = feats.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+
+    def est(a, b):
+        return (
+            F.size(
+                F.filter(
+                    F.zip_with(a["signature"], b["signature"], lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / F.lit(float(num_hashes))
+        )
+
     screened = (
-        candidates.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .filter(est >= threshold - margin)
+        H.bucket_member_pairs(
+            banded, id_col, "bands", payload_cols=("signature",),
+            metric=est, keep=lambda m: m >= threshold - margin,
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("metric").alias("est"))
         .select("id_a", "id_b")
     )
     sh_a = feats.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -225,47 +228,68 @@ def minhash_near_dup_pairs(
     return pairs.orderBy("id_a", "id_b")
 
 
+def simhash_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64
+) -> DataFrame:
+    """(id, text) → (id, fp BIGINT): 64-bit SimHash, packed.
+
+    Scale shape: explode lowercased tokens, hash each token ONCE
+    (xxhash64), then one groupBy(id) with ``n_bits`` codegen'd
+    shift-mask sign-sums (partial aggregation map-side, shuffle rows
+    are (id, 64 longs)). This stays inside whole-stage codegen end to
+    end — the higher-order-function alternative evaluates interpreted
+    and was the operator's CPU hot spot (64 string hashes per token).
+    Bit i of fp = sign of Σ_tokens (2·bit_i(xxhash64(token)) − 1).
+    Docs with no tokens produce no row (they cannot pair anyway).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(X.tokens(text_col), lambda t: F.lower(t))).alias("tok"),
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(n_bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(n_bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(F.col(id_col), fp.alias("fp"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-duplicate pairs by 64-bit SimHash (bit-array form).
+    """Near-duplicate pairs by 64-bit SimHash (packed-long form).
 
-    Candidates: pack the fingerprint into 4 16-bit chunks and equi-join
-    on any equal chunk — by pigeonhole, every pair with Hamming ≤ 3
-    shares at least one chunk. Verify with exact Hamming distance.
+    Candidates: cut the fingerprint into 4 16-bit chunks and bucket by
+    chunk value — by pigeonhole, every pair with Hamming ≤ 3 shares at
+    least one chunk. The exact Hamming verify (`bit_count(a XOR b)`,
+    one codegen op on two longs) runs inside the bucket's pair array
+    before the explode, so the whole operator is: codegen fingerprint
+    (one groupBy) → bucket groupBy → pair-dedup groupBy. Three
+    shuffles, zero joins, nothing persisted, 8-byte payloads.
     Output: (id_a, id_b, hamming).
     """
-    from pyspark import StorageLevel
-
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    toks = F.transform(X.tokens(text_col), lambda t: F.lower(t))
-    # repartition: local small scans arrive as 1-2 splits and the bit
-    # aggregation is the heavy map stage; persist + eager count: the
-    # fingerprints feed the band join AND both verify sides (see
-    # minhash_near_dup_pairs for the race rationale).
-    sh = (
-        df.repartition(n_part, F.col(id_col))
-        .select(F.col(id_col), H.simhash_bits(toks).alias("bits"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sh.count()
-    banded = sh.select(id_col, H.simhash_chunks(F.col("bits")).alias("bands"))
-    cand = H.candidate_pairs_from_bands(banded, id_col, "bands").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # materialize before the verify joins — same rationale as
-    # minhash_near_dup_pairs: real candidate count beats the inflated
-    # explode→self-join→distinct estimate the planner sees otherwise
-    cand.count()
-    bits = sh.select(F.col(id_col), F.col("bits"))
+    sh = simhash_fingerprint(df, text_col, id_col)
+    banded = sh.select(id_col, "fp", H.simhash_fp_chunks(F.col("fp")).alias("bands"))
     return (
-        cand.join(bits.withColumnRenamed(id_col, "id_a").withColumnRenamed("bits", "bits_a"), "id_a")
-        .join(bits.withColumnRenamed(id_col, "id_b").withColumnRenamed("bits", "bits_b"), "id_b")
-        .select("id_a", "id_b", H.hamming_bits(F.col("bits_a"), F.col("bits_b")).alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+        H.bucket_member_pairs(
+            banded, id_col, "bands", payload_cols=("fp",),
+            metric=lambda a, b: H.hamming_fp(a["fp"], b["fp"]),
+            keep=lambda m: m <= max_hamming,
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("metric").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
 
@@ -367,6 +391,7 @@ def embedding_neardup_pairs_lsh(
     num_tables: int | None = None,
     target_recall: float = 0.95,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH bucketing, then exact cosine
     verify on bucket-colliding pairs only.
@@ -381,11 +406,25 @@ def embedding_neardup_pairs_lsh(
     expression-per-plane alternative builds a tables·planes-subexpression
     plan that overflows whole-stage codegen and runs interpreted; a
     single BLAS matmul is the 100 TB shape (map-only, no shuffle).
-    The bucket join is the only shuffle.
+    The cosine verify runs in the map stage right after the in-bucket
+    pair explode (vectors ride in the member structs), so the whole
+    plan is map → bucket groupBy → map → pair-dedup groupBy: two
+    shuffles, zero joins.
+
+    ``dim`` should be passed by callers that know it (an extra Spark
+    job to probe it is wasted work, and ``head()`` on an empty frame
+    has nothing to probe); when omitted it is inferred, and an empty
+    input yields an empty result.
     """
     if num_tables is None:
         num_tables = lsh_tables_for(threshold, num_planes, target_recall)
-    dim = len(embeddings.select(vec_col).head()[0])
+    if dim is None:
+        probe = embeddings.select(vec_col).head()
+        if probe is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = len(probe[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables * num_planes, dim))
     weights = 1 << np.arange(num_planes, dtype=np.int64)
@@ -408,20 +447,13 @@ def embedding_neardup_pairs_lsh(
             lambda h, i: F.struct(i.alias("band_id"), h.alias("band_hash")),
         ).alias("bands"),
     )
-    from pyspark import StorageLevel
-
-    cand = H.candidate_pairs_from_bands(
-        with_buckets.select(id_col, "bands"), id_col, "bands"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # materialize before the verify joins — same rationale as
-    # minhash_near_dup_pairs: real candidate count beats the inflated
-    # explode→self-join→distinct estimate the planner sees otherwise
-    cand.count()
-    e = with_buckets.select(F.col(id_col), F.col(vec_col))
-    pairs = (
-        cand.join(e.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "v_a"), "id_a")
-        .join(e.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "v_b"), "id_b")
-        .select("id_a", "id_b", V.cosine_similarity(F.col("v_a"), F.col("v_b")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    return (
+        H.bucket_member_pairs(
+            with_buckets, id_col, "bands", payload_cols=(vec_col,),
+            metric=lambda a, b: V.cosine_similarity(a[vec_col], b[vec_col]),
+            keep=lambda m: m >= threshold,
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("metric").alias("cosine"))
+        .orderBy("id_a", "id_b")
     )
-    return pairs.orderBy("id_a", "id_b")

@@ -84,8 +84,16 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
 
 def doc_winnow_fingerprints(documents: DataFrame, window: int = 8) -> DataFrame:
     """Winnowing fingerprints (rolling-hash min-sampling) — Spark-only
-    (xxhash64), rows-only correctness check."""
+    (xxhash64), rows-only correctness check.
+
+    The raw fingerprint is `array<bigint>`; external row-hash gates
+    can't canonicalize list cells, so the projection digests it to a
+    scalar md5 plus the fingerprint cardinality. Callers that need the
+    raw array use functions.text.rolling_hash_fingerprint directly.
+    """
+    fp = X.rolling_hash_fingerprint("text", window)
     return documents.select(
         "doc_id",
-        X.rolling_hash_fingerprint("text", window).alias("fingerprint"),
+        F.md5(F.array_join(fp.cast("array<string>"), ",")).alias("fp_winnow"),
+        F.size(fp).cast("long").alias("n_fingerprints"),
     ).orderBy("doc_id")
