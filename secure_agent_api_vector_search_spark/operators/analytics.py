@@ -9,10 +9,16 @@ at the end; averages divide the exact decimal-sum by the exact count.
 Dates are emitted as formatted strings so Spark/DuckDB timestamp
 representations never disagree.
 
-Scale shapes: dimension joins are broadcast (region/nation/supplier/
-customer are tiny vs fact tables); fact aggregates are partial-agg +
-single shuffle on the group key; windows partition by their natural key.
-AQE handles skew/coalescing at runtime.
+Scale shapes: only BOUNDED dimensions carry a broadcast hint (region is
+5 rows, nation 25, supplier grows slowly enough to stay under the
+broadcast threshold at any realistic SF). Tables that scale linearly
+with the data volume — orders, customer, part — get NO hint: a forced
+`F.broadcast()` bypasses `autoBroadcastJoinThreshold` entirely and
+becomes an executor/driver OOM at large SF, whereas AQE's runtime size
+estimation still picks a broadcast join for them at small SF and
+degrades gracefully to shuffle joins beyond the threshold. Fact
+aggregates are partial-agg + single shuffle on the group key; windows
+partition by their natural key. AQE handles skew/coalescing at runtime.
 """
 
 from __future__ import annotations
@@ -66,9 +72,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → broadcast join into the
-    fact → aggregate → top-10. The customer side is broadcast; only
-    lineitem shuffles (on l_orderkey for the final aggregate)."""
+    """TPC-H Q3 shape: selective filters → join into the fact →
+    aggregate → top-10. orders and customer scale with SF, so the join
+    strategy is left to AQE (broadcast at small SF, shuffle join at
+    scale) rather than forced."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -78,8 +85,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = _dec("l_extendedprice", 12, 2) * (F.lit(1).cast("decimal(3,0)") - _dec("l_discount", 8, 4))
     return (
-        l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"), "o_orderpriority")
         .agg(F.sum(revenue).alias("_rev"))
         .select(
@@ -94,8 +101,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table join; all dimensions broadcast, facts
-    joined then aggregated per nation."""
+    """TPC-H Q5 shape: 6-table join; bounded dimensions
+    (supplier/nation/region) broadcast, orders/customer join strategy
+    left to AQE, facts joined then aggregated per nation."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -107,8 +115,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     revenue = _dec("l_extendedprice", 12, 2) * (F.lit(1).cast("decimal(3,0)") - _dec("l_discount", 8, 4))
     return (
-        l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(s), (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
@@ -123,7 +131,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> D
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(F.sum(_dec("o_totalprice", 14, 2)).alias("_rev"), F.count("*").alias("n_orders"))
         .select("c_custkey", "c_name", F.col("_rev").cast("double").alias("revenue"), "n_orders")
@@ -173,9 +181,9 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(r), n["r_regionkey"] == r["r_regionkey"])
         .groupBy("r_name")
         .agg(F.sum(_dec("o_totalprice", 14, 2)).alias("_rev"), F.count("*").alias("n_orders"))
         .select("r_name", F.col("_rev").cast("double").alias("revenue"), "n_orders")
