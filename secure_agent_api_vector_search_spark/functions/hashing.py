@@ -214,10 +214,17 @@ def bucket_member_pairs(
     Buckets wider than ``max_width`` would emit O(w²) pairs (the skew
     failure mode at 100 TB: boilerplate text → one giant bucket); they
     degrade to star pairing against the bucket minimum — O(w) pairs
-    that preserve dedup connectivity (every member still pairs with the
-    keeper candidate) while bounding work linearly. Width ≤ 512 keeps a
-    bucket's member array ≤ ~0.5 MB even with a 1 KB payload.
+    bounding work linearly. Star pairs are emitted UNFILTERED (``keep``
+    applies only to the all-pairs branch): in an over-wide bucket the
+    keeper pairs are connectivity *candidates*, not verified results,
+    and dropping those that fail the metric would disconnect true
+    near-dup members whose only recorded path runs through the keeper.
+    Callers must therefore apply their final metric filter downstream
+    (cheap — star pairs are O(w) per wide bucket only). Width ≤ 512
+    keeps a bucket's member array ≤ ~0.5 MB even with a 1 KB payload.
     """
+    if keep is not None and metric is None:
+        raise ValueError("keep requires metric")
     member = F.struct(F.col(id_col).alias("_id"), *[F.col(c) for c in payload_cols])
     buckets = (
         df.select(member.alias("m"), F.explode(F.col(bands_col)).alias("band"))
@@ -239,10 +246,10 @@ def bucket_member_pairs(
             lambda i: F.transform(F.sequence(i + 1, w - 1), lambda j: pair(i, j)),
         )
     )
+    if keep is not None:
+        all_pairs = F.filter(all_pairs, lambda p: keep(p["metric"]))
     star_pairs = F.transform(F.sequence(F.lit(1), w - 1), lambda j: pair(F.lit(0), j))
     arr = F.when(w <= max_width, all_pairs).otherwise(star_pairs)
-    if keep is not None:
-        arr = F.filter(arr, lambda p: keep(p["metric"]))
     pairs = buckets.select(F.explode(arr).alias("p"))
     cols = [F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")]
     if metric is not None:
@@ -250,11 +257,37 @@ def bucket_member_pairs(
     return pairs.select(*cols)
 
 
+def bucket_width_stats(
+    df: DataFrame, id_col: str, bands_col: str, max_width: int = 512
+) -> DataFrame:
+    """LSH bucket diagnostics, one row: (n_buckets, max_bucket_width,
+    n_over_width, candidate_pairs). ``n_over_width`` counts buckets that
+    :func:`bucket_member_pairs` would degrade to star pairing;
+    ``candidate_pairs`` is the pair count after that degradation. Bench
+    logs these for every LSH query so skew is visible in artifacts."""
+    widths = (
+        df.select(F.col(id_col), F.explode(F.col(bands_col)).alias("band"))
+        .groupBy("band.band_id", "band.band_hash")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    w = F.col("w")
+    pair_ct = F.when(w <= max_width, w * (w - 1) / 2).otherwise(w - 1)
+    return widths.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("w").alias("max_bucket_width"),
+        F.sum(F.when(w > max_width, 1).otherwise(0)).alias("n_over_width"),
+        F.sum(pair_ct).cast("long").alias("candidate_pairs"),
+    )
+
+
 def candidate_pairs_from_bands(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band hash.
 
     Thin wrapper over :func:`bucket_member_pairs` for callers that want
-    only the pair ids; the dedup is one groupBy shuffle.
+    only the pair ids; the dedup is one groupBy shuffle. Inherits the
+    skew cap: buckets wider than the default ``max_width`` (512)
+    contribute only their O(w) star pairs, not all distinct pairs.
     """
     return (
         bucket_member_pairs(df, id_col, bands_col)

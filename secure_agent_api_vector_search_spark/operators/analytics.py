@@ -183,7 +183,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["r_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name")
         .agg(F.sum(_dec("o_totalprice", 14, 2)).alias("_rev"), F.count("*").alias("n_orders"))
         .select("r_name", F.col("_rev").cast("double").alias("revenue"), "n_orders")
@@ -296,8 +296,11 @@ def region_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    # customer scales with SF — no forced broadcast hint; AQE picks a
+    # broadcast join at small SF and a shuffle join at 100×. Only the
+    # fixed-cardinality dims (nation=25, region=5) keep the hint.
     joined = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )

@@ -290,6 +290,9 @@ def simhash_near_dup_pairs(
         )
         .groupBy("id_a", "id_b")
         .agg(F.first("metric").alias("hamming"))
+        # star pairs from over-wide (skew-capped) buckets arrive
+        # unfiltered — re-apply the final Hamming bound here
+        .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
 
@@ -421,8 +424,16 @@ def embedding_neardup_pairs_lsh(
     if dim is None:
         probe = embeddings.select(vec_col).head()
         if probe is None:
+            # empty-path schema must agree with the non-empty path, so
+            # derive the pair-id type from the actual id column
+            id_type = embeddings.schema[id_col].dataType
             return embeddings.sparkSession.createDataFrame(
-                [], "id_a long, id_b long, cosine double"
+                [],
+                T.StructType([
+                    T.StructField("id_a", id_type),
+                    T.StructField("id_b", id_type),
+                    T.StructField("cosine", T.DoubleType()),
+                ]),
             )
         dim = len(probe[0])
     rng = np.random.default_rng(seed)
@@ -455,5 +466,8 @@ def embedding_neardup_pairs_lsh(
         )
         .groupBy("id_a", "id_b")
         .agg(F.first("metric").alias("cosine"))
+        # star pairs from over-wide (skew-capped) buckets arrive
+        # unfiltered — re-apply the final cosine threshold here
+        .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )

@@ -34,6 +34,11 @@ def get_session(app_name: str = "secure_agent_api_vector_search_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the events table stores TIMESTAMP(NANOS), which the vectorized
+        # parquet reader rejects; read nanos as long session-wide (the
+        # loader truncates to µs). Set here, not per-read, so loaders
+        # never mutate shared session conf.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         # local mode runs driver + all executor threads in ONE JVM, so
         # this heap backs 32 concurrent tasks' shuffle/cache/UDF buffers;
@@ -51,4 +56,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
     driver owns the session in the `__spark_entry__` contract)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -38,10 +38,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # the events table stores ts as TIMESTAMP(NANOS) which the Spark
-        # vectorized reader rejects; read nanos as long and truncate to
-        # microseconds (matching DuckDB's µs timestamps exactly)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the events table stores ts as TIMESTAMP(NANOS); the session is
+        # built with spark.sql.legacy.parquet.nanosAsLong=true (see
+        # session.py) so ts arrives as a long — truncate to microseconds
+        # (matching DuckDB's µs timestamps exactly)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

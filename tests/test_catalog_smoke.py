@@ -1,0 +1,30 @@
+"""Catalog smoke test: every `queries()` entry must build and execute.
+
+Round-2 lesson: a one-character column typo in an analytics catalog entry
+crashed the driver's correctness gate while pytest stayed green, because
+no test ran the catalog entries themselves. This test runs EVERY entry on
+sf0.001 — plan analysis errors (UNRESOLVED_COLUMN etc.) and execution
+crashes now turn pytest red before the gate ever sees them.
+
+Cheap by design: `.limit(5).count()` per entry — we only assert the plan
+resolves and executes, not values (the oracle gate and per-operator tests
+own value correctness).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from secure_agent_api_vector_search_spark.catalog import REGISTRY
+
+_NAMES = sorted(REGISTRY.fns().keys())
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_catalog_entry_runs(spark, sf_dir, name):
+    fn = REGISTRY.fns()[name]
+    df = fn(spark, sf_dir)
+    # touching the plan forces full analysis; limit keeps execution cheap
+    n = df.limit(5).count()
+    assert n >= 0
+    assert len(df.columns) > 0
