@@ -2,12 +2,25 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "queries_warm": {...}, "lsh_diagnostics": {...}, "errors": {...},
+     "sf": ...}
 
 Each query is forced to full execution with the `noop` sink (computes
 everything, writes nothing) so the timing covers scan → compute →
-result, never a lazy plan. Per-query wall time is reported; `value` is
-the total across headline queries.
+result, never a lazy plan. Every query runs TWICE: `queries` records
+the cold pass (first execution: scan + codegen + Python-worker spin-up
+included) and `queries_warm` the immediately-following warm pass — the
+steady-state number a long-lived cluster would see. `value` is the
+cold total.
+
+A query that raises is recorded in `errors` and the run CONTINUES —
+round 2 lost its entire bench artifact to one broken query aborting the
+harness; the artifact now always exists, with the failure visible.
+
+`lsh_diagnostics` logs candidate-pair count / max bucket width /
+over-width bucket count for the LSH dedup queries, so banding skew is
+visible per round instead of inferred from timings.
 """
 
 from __future__ import annotations
@@ -17,6 +30,7 @@ import os
 import re
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -62,6 +76,32 @@ HEADLINE = [
 ]
 
 
+def _lsh_diagnostics(spark, sf_dir: str) -> dict:
+    """Bucket-skew stats for the LSH queries, keyed by query name."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark import catalog as C
+    from secure_agent_api_vector_search_spark.functions import text as X
+    from secure_agent_api_vector_search_spark.operators import dedup as D
+
+    out: dict[str, dict] = {}
+    try:
+        docs = C._docs_with_noisy_dups(spark, sf_dir).select(
+            "doc_id", X.normalized_text("text").alias("text")
+        )
+        row = D.minhash_bucket_stats(docs).collect()[0]
+        out["minhash_near_dup"] = row.asDict()
+    except Exception as exc:  # diagnostics never fail the bench
+        out["minhash_near_dup"] = {"error": repr(exc)}
+    try:
+        emb = C._embeddings_with_near_dups(spark, sf_dir)
+        row = D.embedding_lsh_bucket_stats(emb, threshold=0.85, dim=C.DIM).collect()[0]
+        out["embedding_neardup_lsh"] = row.asDict()
+    except Exception as exc:
+        out["embedding_neardup_lsh"] = {"error": repr(exc)}
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -80,22 +120,37 @@ def main() -> int:
     _warm = F.pandas_udf("long")(lambda s: s)
     spark.range(256).repartition(32).select(_warm("id").alias("v")).count()
 
-    per_query: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        # drop intermediates persisted inside operators (minhash/simhash
-        # cache their signature tables) so queries are timed in isolation
-        spark.catalog.clearCache()
+        for rep, sink in (("cold", cold), ("warm", warm)):
+            try:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                sink[name] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                errors[name] = traceback.format_exc(limit=3)
+                print(f"bench: {name} ({rep}) FAILED", file=sys.stderr)
+                traceback.print_exc(limit=3, file=sys.stderr)
+                break
+            finally:
+                # drop intermediates persisted inside operators (minhash
+                # caches its signature table) so queries are timed in
+                # isolation; the second rep is still JVM/codegen-warm
+                spark.catalog.clearCache()
 
-    total = round(sum(per_query.values()), 3)
+    total = round(sum(cold.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": per_query,
+        "queries": cold,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        "errors": errors,
+        "lsh_diagnostics": _lsh_diagnostics(spark, sf_dir),
         "sf": sf,
     }))
     return 0

@@ -28,6 +28,7 @@ import hashlib
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -66,7 +67,29 @@ def embed_udf(dim: int = DIM):
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # Whole-batch form: md5 runs once per UNIQUE token in the batch
+        # (corpus vocabulary << token count), then one bincount scatter
+        # builds every document's bucket counts at once. Bit-exact with
+        # embed_text: integer counts, the same IEEE sqrt/divide.
         for s in it:
-            yield s.map(lambda t: embed_text(t if t is not None else "", dim))
+            toks_per_doc = [(t or "").lower().split() for t in s]
+            n_docs = len(toks_per_doc)
+            n_toks = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n_docs)
+            mat = np.zeros((n_docs, dim))
+            if int(n_toks.sum()) > 0:
+                flat_toks = np.asarray(
+                    [tok for toks in toks_per_doc for tok in toks], dtype=object
+                )
+                uniq, inv = np.unique(flat_toks, return_inverse=True)
+                bucket_of_uniq = np.fromiter(
+                    (_bucket(t, dim) for t in uniq), dtype=np.int64, count=len(uniq)
+                )
+                doc_of = np.repeat(np.arange(n_docs), n_toks)
+                mat = np.bincount(
+                    doc_of * dim + bucket_of_uniq[inv], minlength=n_docs * dim
+                ).reshape(n_docs, dim).astype(np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            np.divide(mat, norms, out=mat, where=norms > 0.0)
+            yield pd.Series(list(mat))
 
     return _embed

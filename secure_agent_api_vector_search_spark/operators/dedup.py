@@ -228,6 +228,34 @@ def minhash_near_dup_pairs(
     return pairs.orderBy("id_a", "id_b")
 
 
+def minhash_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+    max_width: int = 512,
+) -> DataFrame:
+    """One-row skew diagnostics for the minhash LSH banding stage
+    (n_buckets, max_bucket_width, n_over_width, candidate_pairs) — bench
+    logs these so bucket skew is visible in the per-round artifacts."""
+    rows_per_band = num_hashes // num_bands
+    feats = (
+        df.select(
+            F.col(id_col),
+            _shingle_sig_udf(shingle_k, num_hashes, seed)(F.col(text_col)).alias("_f"),
+        )
+        .select(id_col, F.col("_f.signature").alias("signature"))
+        .filter(F.col("signature").isNotNull())
+    )
+    banded = feats.select(
+        id_col, H.lsh_bands(F.col("signature"), num_bands, rows_per_band).alias("bands")
+    )
+    return H.bucket_width_stats(banded, id_col, "bands", max_width)
+
+
 def simhash_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64
 ) -> DataFrame:
@@ -385,6 +413,76 @@ def lsh_tables_for(threshold: float, num_planes: int, target_recall: float = 0.9
     return max(1, min(b, 256))
 
 
+def _embedding_lsh_buckets(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    num_tables: int | None,
+    target_recall: float,
+    seed: int,
+    dim: int | None,
+) -> DataFrame | None:
+    """(id, vec) → (id, vec, bands) via the sign-LSH sketch; None on an
+    empty frame when ``dim`` can't be inferred. Shared by the pairs
+    operator and the bench bucket-stats diagnostic."""
+    if num_tables is None:
+        num_tables = lsh_tables_for(threshold, num_planes, target_recall)
+    if dim is None:
+        probe = embeddings.select(vec_col).head()
+        if probe is None:
+            return None
+        dim = len(probe[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables * num_planes, dim))
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sketch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            m = np.vstack(s.to_numpy())                       # n × dim
+            signs = (m @ planes.T) >= 0.0                     # n × (b·r)
+            hashes = signs.reshape(len(m), num_tables, num_planes) @ weights
+            yield pd.Series(list(hashes))
+
+    vec = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col), vec.alias(vec_col), sketch(vec).alias("_sk")
+    ).select(
+        id_col, vec_col,
+        F.transform(
+            F.col("_sk"),
+            lambda h, i: F.struct(i.alias("band_id"), h.alias("band_hash")),
+        ).alias("bands"),
+    )
+
+
+def embedding_lsh_bucket_stats(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    num_tables: int | None = None,
+    target_recall: float = 0.95,
+    seed: int = 42,
+    dim: int | None = None,
+    max_width: int = 512,
+) -> DataFrame:
+    """One-row skew diagnostics for the sign-LSH bucketing stage."""
+    with_buckets = _embedding_lsh_buckets(
+        embeddings, threshold, id_col, vec_col, num_planes, num_tables,
+        target_recall, seed, dim,
+    )
+    if with_buckets is None:
+        return embeddings.sparkSession.createDataFrame(
+            [(0, None, 0, 0)],
+            "n_buckets long, max_bucket_width long, n_over_width long, candidate_pairs long",
+        )
+    return H.bucket_width_stats(with_buckets, id_col, "bands", max_width)
+
+
 def embedding_neardup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float,
@@ -419,45 +517,22 @@ def embedding_neardup_pairs_lsh(
     has nothing to probe); when omitted it is inferred, and an empty
     input yields an empty result.
     """
-    if num_tables is None:
-        num_tables = lsh_tables_for(threshold, num_planes, target_recall)
-    if dim is None:
-        probe = embeddings.select(vec_col).head()
-        if probe is None:
-            # empty-path schema must agree with the non-empty path, so
-            # derive the pair-id type from the actual id column
-            id_type = embeddings.schema[id_col].dataType
-            return embeddings.sparkSession.createDataFrame(
-                [],
-                T.StructType([
-                    T.StructField("id_a", id_type),
-                    T.StructField("id_b", id_type),
-                    T.StructField("cosine", T.DoubleType()),
-                ]),
-            )
-        dim = len(probe[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables * num_planes, dim))
-    weights = 1 << np.arange(num_planes, dtype=np.int64)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sketch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            m = np.vstack(s.to_numpy())                       # n × dim
-            signs = (m @ planes.T) >= 0.0                     # n × (b·r)
-            hashes = signs.reshape(len(m), num_tables, num_planes) @ weights
-            yield pd.Series(list(hashes))
-
-    vec = F.col(vec_col).cast("array<double>")
-    with_buckets = embeddings.select(
-        F.col(id_col), vec.alias(vec_col), sketch(vec).alias("_sk")
-    ).select(
-        id_col, vec_col,
-        F.transform(
-            F.col("_sk"),
-            lambda h, i: F.struct(i.alias("band_id"), h.alias("band_hash")),
-        ).alias("bands"),
+    with_buckets = _embedding_lsh_buckets(
+        embeddings, threshold, id_col, vec_col, num_planes, num_tables,
+        target_recall, seed, dim,
     )
+    if with_buckets is None:
+        # empty-path schema must agree with the non-empty path, so
+        # derive the pair-id type from the actual id column
+        id_type = embeddings.schema[id_col].dataType
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            T.StructType([
+                T.StructField("id_a", id_type),
+                T.StructField("id_b", id_type),
+                T.StructField("cosine", T.DoubleType()),
+            ]),
+        )
     return (
         H.bucket_member_pairs(
             with_buckets, id_col, "bands", payload_cols=(vec_col,),
