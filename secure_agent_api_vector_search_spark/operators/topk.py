@@ -53,14 +53,35 @@ def topk_similar(
     vec_col: str = "embedding",
     score_name: str = "similarity",
     extra_cols: Sequence[str] = (),
+    null_policy: str = "exclude",
 ) -> DataFrame:
     """Exact top-k nearest rows to ``query_vec``.
 
     Deterministic total order: score, then id ascending as tiebreak
     (stable results for the oracle and for pagination).
+
+    Null embeddings are a real state, not an accident — the reference
+    inserts rows with NULL vectors and backfills them later
+    (sql/03_seed_data.sql:2, sql/04_embeddings.sql:5-6), so a query can
+    always race a backfill. The policy is deliberate (SURVEY.md §1.2):
+    ``"exclude"`` (default) filters null vectors before the scan — a
+    not-yet-embedded document is not a candidate; ``"fail"`` raises at
+    execution on the first null — for pipelines that must not silently
+    search a partially-embedded corpus.
     """
+    if null_policy not in ("exclude", "fail"):
+        raise ValueError(f"null_policy must be 'exclude' or 'fail', got {null_policy!r}")
+    vec = F.col(vec_col)
+    if null_policy == "exclude":
+        embeddings = embeddings.filter(vec.isNotNull())
+    else:
+        # raise_error's NullType coerces into the array branch; the score
+        # expression consumes `vec`, so the check cannot be pruned away
+        vec = F.when(vec.isNotNull(), vec).otherwise(
+            F.raise_error(F.lit("topk_similar: null embedding with null_policy='fail'"))
+        )
     q = F.lit([float(x) for x in query_vec])
-    score, asc = _sim_col(metric, F.col(vec_col), q)
+    score, asc = _sim_col(metric, vec, q)
     order = [F.col(score_name).asc() if asc else F.col(score_name).desc(), F.col(id_col).asc()]
     return (
         embeddings.select(id_col, *extra_cols, score.alias(score_name))
