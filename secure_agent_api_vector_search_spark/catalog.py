@@ -38,6 +38,7 @@ from secure_agent_api_vector_search_spark.operators import (
     topk as TK,
 )
 from secure_agent_api_vector_search_spark.embedder import DIM, embed_text, embed_udf
+from secure_agent_api_vector_search_spark.functions import vector as VF
 from secure_agent_api_vector_search_spark.plans.registry import NamedQuery, Registry
 from secure_agent_api_vector_search_spark.sources.tables import (
     load_documents,
@@ -664,6 +665,59 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_vectors_perturbed(spark: SparkSession, sf_dir: str, n: int = 20) -> DataFrame:
+    """Small query-side frame for the A×B similarity joins: perturbed
+    copies of the first ``n`` corpus vectors (v + 0.45·rotate(v), cosine
+    ≈ 0.91 to the source vector — the high-similarity regime where each
+    query should match exactly its source against a ~0-cosine random
+    background)."""
+    emb = load_embeddings(spark, sf_dir)
+    v = F.col("embedding")
+    shifted = F.concat(F.slice(v, 2, 10_000), F.slice(v, 1, 1))
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("vec_id"),
+        F.zip_with(v, shifted, lambda a, b: a + F.lit(0.45) * b).alias("embedding"),
+    )
+
+
+def similarity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A×B threshold similarity join, exact path: the small query side
+    broadcasts into a nested-loop cosine filter against the corpus —
+    the right plan when |A| is tiny and a scan of B is unavoidable
+    anyway. The scale path for large A is similarity_join_lsh."""
+    q = _query_vectors_perturbed(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    sim = VF.cosine_similarity(q["embedding"], emb["embedding"])
+    return (
+        F.broadcast(q.withColumnRenamed("vec_id", "id_a"))
+        .crossJoin(emb.withColumnRenamed("vec_id", "id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= 0.85)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join through the sign-LSH bucket machinery (the 100 TB
+    shape: no nested loop, candidates ∝ bucket collisions). Rows-only;
+    recall vs the exact path is asserted in tests/test_dedup.py."""
+    q = _query_vectors_perturbed(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    return D.embedding_similarity_join(q, emb, threshold=0.85, dim=DIM)
+
+
+def text_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-frame MinHash text join: suffix-perturbed copies of the first
+    50 documents (side A) rejoined to the corpus (side B) at Jaccard ≥
+    0.5 — each A doc must recover its source."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    qdocs = docs.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" trailing audit note")).alias("text"),
+    )
+    return D.minhash_similarity_join(qdocs, docs, threshold=0.5)
+
+
 def embed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     emb = docs.withColumn("embedding", embed_udf(64)(F.col("text")))
@@ -810,6 +864,22 @@ WHERE {_cos('a.v', 'b.v')} >= 0.35
 ORDER BY id_a, id_b""",
         description="[EXT] semantic near-dup pairs, label-blocked exact cosine "
                     "(LSH variant = embedding_neardup_lsh)", tags=("dedup", "vector")))
+
+    r.register(NamedQuery(
+        "similarity_join_exact", similarity_join_exact,
+        oracle_sql=f"""
+WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid,
+        list_transform(range(1, {DIM + 1}),
+          i -> v[i] + 0.45 * v[CASE WHEN i = {DIM} THEN 1 ELSE i + 1 END]) AS qv
+      FROM e2 WHERE vec_id < 20)
+SELECT q.qid AS id_a, e2.vec_id AS id_b, {_cos('q.qv', 'e2.v')} AS cosine
+FROM q CROSS JOIN e2
+WHERE {_cos('q.qv', 'e2.v')} >= 0.85
+ORDER BY id_a, id_b""",
+        description="[EXT] A×B threshold similarity join, exact broadcast "
+                    "nested-loop path (LSH variant = similarity_join_lsh)",
+        tags=("vector", "join")))
 
     r.register(NamedQuery(
         "q1_pricing_summary", q1_pricing_summary,
@@ -1309,6 +1379,15 @@ ORDER BY similarity DESC, d.doc_id LIMIT 10""",
         description="[EXT] random-hyperplane LSH semantic near-dup over a "
                     "planted-dup corpus (scale path; recall vs exact pairs "
                     "asserted in tests)", tags=("dedup", "vector")))
+    r.register(NamedQuery(
+        "similarity_join_lsh", similarity_join_lsh,
+        description="[EXT] A×B similarity join through shared LSH buckets "
+                    "(side-tagged union; recall vs similarity_join_exact "
+                    "asserted in tests)", tags=("vector", "join")))
+    r.register(NamedQuery(
+        "text_similarity_join", text_similarity_join,
+        description="[EXT] two-frame MinHash text similarity join "
+                    "(approxSimilarityJoin for documents)", tags=("dedup", "join")))
     r.register(NamedQuery(
         "ngram_jaccard_dedup", ngram_jaccard_dedup,
         description="[EXT] token-3-gram exact Jaccard pairs within blocks",

@@ -189,6 +189,7 @@ def bucket_member_pairs(
     payload_cols: tuple[str, ...] = (),
     metric=None,
     keep=None,
+    pair_keep=None,
     max_width: int = 512,
 ) -> DataFrame:
     """Candidate pairs by LSH-bucket grouping, with the verify metric
@@ -204,6 +205,13 @@ def bucket_member_pairs(
     applied BEFORE the explode, so rejected pairs never become rows and
     payload bytes never leave the bucket. Without ``metric`` the output
     is bare id pairs.
+
+    ``pair_keep`` is a STRUCTURAL predicate (member_a, member_b) →
+    boolean Column deciding whether a pair exists at all (e.g. "sides
+    differ" for an A×B join over a tagged union). Unlike ``keep`` it
+    applies to the star-pairing branch too — it defines the pair set,
+    not a quality filter, so skipping it would emit pairs the caller's
+    contract excludes.
 
     Scale shape (replaces the explode→self-join→distinct form, which
     cost two extra shuffles and fed the planner a wildly inflated
@@ -236,19 +244,30 @@ def bucket_member_pairs(
 
     def pair(i: Column, j: Column) -> Column:
         fields = [ms[i]["_id"].alias("id_a"), ms[j]["_id"].alias("id_b")]
+        if pair_keep is not None:
+            fields.append(pair_keep(ms[i], ms[j]).alias("_pk"))
         if metric is not None:
             fields.append(metric(ms[i], ms[j]).alias("metric"))
         return F.struct(*fields)
 
-    all_pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), w - 2),
-            lambda i: F.transform(F.sequence(i + 1, w - 1), lambda j: pair(i, j)),
+    def structural(arr_col: Column) -> Column:
+        if pair_keep is None:
+            return arr_col
+        return F.filter(arr_col, lambda p: p["_pk"])
+
+    all_pairs = structural(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), w - 2),
+                lambda i: F.transform(F.sequence(i + 1, w - 1), lambda j: pair(i, j)),
+            )
         )
     )
     if keep is not None:
         all_pairs = F.filter(all_pairs, lambda p: keep(p["metric"]))
-    star_pairs = F.transform(F.sequence(F.lit(1), w - 1), lambda j: pair(F.lit(0), j))
+    star_pairs = structural(
+        F.transform(F.sequence(F.lit(1), w - 1), lambda j: pair(F.lit(0), j))
+    )
     arr = F.when(w <= max_width, all_pairs).otherwise(star_pairs)
     pairs = buckets.select(F.explode(arr).alias("p"))
     cols = [F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")]

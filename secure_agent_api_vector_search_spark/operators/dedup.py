@@ -228,6 +228,91 @@ def minhash_near_dup_pairs(
     return pairs.orderBy("id_a", "id_b")
 
 
+def minhash_similarity_join(
+    dfA: DataFrame,
+    dfB: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-frame approximate similarity join on text: pairs (a ∈ A,
+    b ∈ B) with exact Jaccard ≥ threshold, candidates via shared LSH
+    bands (`approxSimilarityJoin(dfA, dfB, τ)` in MLlib terms —
+    SURVEY.md §2.10).
+
+    Spark shape: both frames go through the SAME vectorized
+    shingle+signature map stage, tagged with a (side, id) struct id and
+    unioned — so banding + bucket grouping + in-bucket pair generation
+    is ONE machine, not a join of two. `array_sort` on the member
+    structs orders side 0 (A) before side 1 (B) inside every bucket,
+    so a cross-side pair is always (A-member, B-member) — orientation
+    falls out of the sort, no post-hoc flip. The structural
+    ``pair_keep`` (sides differ) prunes same-side pairs before the
+    explode. Verify: exact Jaccard via shingle joins against each
+    side's feature frame, survivors only.
+
+    Output: (id_a, id_b, jaccard), id_a from A, id_b from B.
+    """
+    sig = _shingle_sig_udf(shingle_k, num_hashes, seed)
+    rows_per_band = num_hashes // num_bands
+
+    def feats(df: DataFrame, side: int) -> DataFrame:
+        return (
+            df.select(
+                F.struct(F.lit(side).alias("side"), F.col(id_col).alias("id")).alias("sid"),
+                sig(F.col(text_col)).alias("_f"),
+            )
+            .select("sid", F.col("_f.shingles").alias("shingles"), F.col("_f.signature").alias("signature"))
+            .filter(F.col("shingles").isNotNull())
+        )
+
+    from pyspark import StorageLevel
+
+    fa = feats(dfA, 0).persist(StorageLevel.MEMORY_AND_DISK)
+    fb = feats(dfB, 1).persist(StorageLevel.MEMORY_AND_DISK)
+    fa.count(), fb.count()  # one eager pass each: banding + verify both consume
+    banded = fa.unionAll(fb).select(
+        "sid", "signature",
+        H.lsh_bands(F.col("signature"), num_bands, rows_per_band).alias("bands"),
+    )
+    margin = 3.0 * math.sqrt(0.25 / num_hashes)
+
+    def est(a, b):
+        return (
+            F.size(
+                F.filter(
+                    F.zip_with(a["signature"], b["signature"], lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / F.lit(float(num_hashes))
+        )
+
+    screened = (
+        H.bucket_member_pairs(
+            banded, "sid", "bands", payload_cols=("signature",),
+            metric=est, keep=lambda m: m >= threshold - margin,
+            pair_keep=lambda x, y: x["_id"]["side"] != y["_id"]["side"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_n"))
+        .select(F.col("id_a.id").alias("id_a"), F.col("id_b.id").alias("id_b"))
+    )
+    sh_a = fa.select(F.col("sid.id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = fb.select(F.col("sid.id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        screened.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def minhash_bucket_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -544,5 +629,69 @@ def embedding_neardup_pairs_lsh(
         # star pairs from over-wide (skew-capped) buckets arrive
         # unfiltered — re-apply the final cosine threshold here
         .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_similarity_join(
+    dfA: DataFrame,
+    dfB: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    num_tables: int | None = None,
+    target_recall: float = 0.95,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Two-frame semantic similarity join: pairs (a ∈ A, b ∈ B) with
+    cosine ≥ threshold, candidates via shared sign-LSH buckets
+    (`approxSimilarityJoin` for embeddings — SURVEY.md §2.10).
+
+    Same machinery as :func:`embedding_neardup_pairs_lsh`, but over a
+    side-tagged union: member ids are (side, id) structs, so the
+    in-bucket `array_sort` places A before B and every cross pair is
+    already (A, B)-oriented; the structural ``pair_keep`` drops
+    same-side pairs before the explode. Precision 1.0 (exact cosine
+    verify in-bucket); recall = the table-count target. Output:
+    (id_a, id_b, cosine), id_a from A, id_b from B.
+    """
+    def tag(df: DataFrame, side: int) -> DataFrame:
+        return df.select(
+            F.struct(F.lit(side).alias("side"), F.col(id_col).alias("id")).alias("sid"),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        )
+
+    tagged = tag(dfA, 0).unionAll(tag(dfB, 1))
+    with_buckets = _embedding_lsh_buckets(
+        tagged, threshold, "sid", vec_col, num_planes, num_tables,
+        target_recall, seed, dim,
+    )
+    if with_buckets is None:
+        id_type = dfA.schema[id_col].dataType
+        return dfA.sparkSession.createDataFrame(
+            [],
+            T.StructType([
+                T.StructField("id_a", id_type),
+                T.StructField("id_b", id_type),
+                T.StructField("cosine", T.DoubleType()),
+            ]),
+        )
+    return (
+        H.bucket_member_pairs(
+            with_buckets, "sid", "bands", payload_cols=(vec_col,),
+            metric=lambda a, b: V.cosine_similarity(a[vec_col], b[vec_col]),
+            keep=lambda m: m >= threshold,
+            pair_keep=lambda x, y: x["_id"]["side"] != y["_id"]["side"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("metric").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("id_a.id").alias("id_a"),
+            F.col("id_b.id").alias("id_b"),
+            "cosine",
+        )
         .orderBy("id_a", "id_b")
     )

@@ -143,3 +143,50 @@ def test_lsh_tables_for_sizing():
     many = D.lsh_tables_for(0.5, num_planes=16, target_recall=0.95)
     assert few < 64
     assert many >= few
+
+
+def test_embedding_similarity_join_matches_exact(spark, sf_dir):
+    """A×B LSH join: precision 1.0 (exact verify), recall ≥ 0.9 vs the
+    brute-force A×B join, and orientation (id_a from A, id_b from B)."""
+    from secure_agent_api_vector_search_spark.catalog import (
+        _query_vectors_perturbed,
+        similarity_join_exact,
+        similarity_join_lsh,
+    )
+
+    exact = {(r["id_a"], r["id_b"]) for r in similarity_join_exact(spark, sf_dir).collect()}
+    lsh_rows = similarity_join_lsh(spark, sf_dir).collect()
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_rows}
+    assert lsh.issubset(exact)
+    assert len(exact) >= 20            # each perturbed query matches its source
+    assert len(lsh & exact) / len(exact) >= 0.9
+    n_queries = _query_vectors_perturbed(spark, sf_dir).count()
+    assert all(r["id_a"] < n_queries for r in lsh_rows)  # id_a is A-side
+
+
+def test_minhash_similarity_join_recovers_sources(spark, sf_dir):
+    """Two-frame text join: every suffix-perturbed copy of a document
+    must recover its source at Jaccard ≥ 0.5, oriented (A, B)."""
+    from secure_agent_api_vector_search_spark.catalog import text_similarity_join
+
+    rows = text_similarity_join(spark, sf_dir).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert {(i, i) for i in range(50)} <= pairs  # each copy finds its source
+    assert all(r["id_a"] < 50 for r in rows)
+
+
+def test_minhash_similarity_join_tiny(spark):
+    a = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river today"),
+            (2, "completely unrelated text about catalyst optimizer internals"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.minhash_similarity_join(a, b, threshold=0.5).collect()}
+    assert pairs == {(100, 1)}
