@@ -52,3 +52,63 @@ def start_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_indexed_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    dim: int = 64,
+) -> StreamingQuery:
+    """Streaming ingest INTO an IVF index: readStream → embed → assign
+    each new vector to its nearest EXISTING centroid (a pure map, no
+    shuffle — operators/ivf.py::assign_lists) → exactly-once append to
+    the index's partitioned lists store.
+
+    This closes the freshness gap between `start_ingest` and `ivf_topk`:
+    without it, streamed documents are invisible to the index until a
+    full rebuild. Assign-only indexing is the standard IVF incremental
+    recipe (what faiss `add` does after `train`): centroids are frozen,
+    so recall degrades only as far as the ingest distribution drifts
+    from the training distribution — the periodic `build_ivf` +
+    `write_ivf` rebuild is the compaction story, exactly like pgvector's
+    guidance to reindex after heavy writes (reference
+    sql/05_vector_index.sql's ivfflat has the same property).
+
+    A probe re-reading `{index_path}/lists` (read_ivf → ivf_search) sees
+    appended rows immediately; partition pruning keeps working because
+    the append is `partitionBy(list_id)` into the same layout.
+    """
+    from secure_agent_api_vector_search_spark.operators.ivf import assign_lists
+
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/centroids").orderBy("list_id").collect()
+    )
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+    assigned = assign_lists(embed_documents(stream, dim), centroids)
+
+    # foreachBatch, NOT the direct parquet sink: the streaming sink
+    # plants a _spark_metadata log that makes every later read of the
+    # directory ignore files it didn't write — including the entire
+    # batch-built index. A plain batch append per micro-batch coexists
+    # with the build_ivf/write_ivf layout; the checkpoint still tracks
+    # source progress (at-least-once on a mid-write crash, the standard
+    # foreachBatch contract — an index tolerates a duplicate vector,
+    # and compaction rebuilds clean it up).
+    def _append(batch_df: DataFrame, _epoch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy("list_id").parquet(
+            f"{index_path}/lists"
+        )
+
+    return (
+        assigned.writeStream.outputMode("append")
+        .foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

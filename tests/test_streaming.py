@@ -180,3 +180,41 @@ def test_stateful_sessionize_state_survives_batches(spark, sf_dir, tmp_path):
         for r in events_sessionize(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_indexed_ingest_makes_streamed_docs_searchable(spark, docs, tmp_path):
+    """Streaming index freshness: a document streamed AFTER the index
+    build must be found by an IVF probe without any rebuild."""
+    from secure_agent_api_vector_search_spark.embedder import embed_text
+    from secure_agent_api_vector_search_spark.operators.ivf import (
+        build_ivf,
+        ivf_search,
+        read_ivf,
+        write_ivf,
+    )
+    from secure_agent_api_vector_search_spark.streaming.ingest import start_indexed_ingest
+
+    in_dir, idx, ckpt = (str(tmp_path / d) for d in ("in", "idx", "ckpt"))
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+
+    initial = embed_documents(docs.filter(F.col("doc_id") < 200).select(*cols), dim=16)
+    index = build_ivf(initial, n_lists=4, id_col="doc_id")
+    write_ivf(index, idx)
+
+    new_docs = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 220)).select(*cols)
+    new_docs.write.mode("append").parquet(in_dir)
+    q = start_indexed_ingest(spark, in_dir, idx, ckpt, dim=16)
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+
+    fresh = read_ivf(spark, idx, id_col="doc_id")
+    assert fresh.assigned.count() == 220
+    # centroids were NOT retrained — assign-only freshness
+    assert fresh.centroids == index.centroids
+
+    target = docs.filter(F.col("doc_id") == 205).select("text").head()[0]
+    top = ivf_search(fresh, embed_text(target, 16), k=1, nprobe=2).collect()
+    assert top[0]["doc_id"] == 205
+    assert top[0]["similarity"] == pytest.approx(1.0, abs=1e-9)
