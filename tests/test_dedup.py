@@ -190,3 +190,19 @@ def test_minhash_similarity_join_tiny(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              D.minhash_similarity_join(a, b, threshold=0.5).collect()}
     assert pairs == {(100, 1)}
+
+
+def test_similarity_join_exact_plan_shape(spark, sf_dir):
+    """The exact A×B path must broadcast the tiny query side into a
+    nested-loop join (never shuffle the corpus against it), with the
+    query-side slice filter pushed into the parquet scan."""
+    from secure_agent_api_vector_search_spark.catalog import similarity_join_exact
+    from secure_agent_api_vector_search_spark.plans.explain import (
+        assert_in_plan,
+        physical_plan,
+    )
+
+    df = similarity_join_exact(spark, sf_dir)
+    assert_in_plan(df, "BroadcastNestedLoopJoin", "PushedFilters")
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
