@@ -8,31 +8,35 @@ components and keeping one representative per component. The reference
 has no dedup at all (its corpus is 50 curated rows,
 sql/03_seed_data.sql:2-51) — this is part of the [EXT] pipeline surface.
 
-Spark-first shape: min-label propagation with path-halving pointer
-jumping (the MapReduce connected-components recipe of Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14 — public
-literature). Each round is two equi-joins + one min-aggregate, all
-shuffle-partitioned on node id, and labels only ever decrease toward
-the component minimum:
+Spark-first shape: the **alternating large-star / small-star**
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14 — public literature), which rewrites the EDGE SET each
+round instead of propagating labels over fixed edges:
 
-    propagate:  comp(v) ← min(comp(v), min over neighbors u of comp(u))
-    jump:       comp(v) ← comp(comp(v))        (path halving)
+    large-star(u): m = min(N(u) ∪ {u}); for v ∈ N(u), v > u: edge (v, m)
+    small-star(u): over smaller neighbors S(u): m = min(S); edges
+                   (x, m) for x ∈ (S ∪ {u}) \\ {m}
 
-Propagation alone needs O(diameter) rounds; the jump step halves label
-paths each round, giving O(log d) convergence — near-dup components are
-cliques/stars/short chains (d ≤ ~10 even for pathological boilerplate
-chains), so 2-4 rounds in practice. Each round `localCheckpoint`s the
-label frame: iterative self-joins otherwise stack lineage that Spark
-re-executes from the scan every round (the classic iterative-algorithm
-trap). Convergence is detected by a changed-label count hitting zero;
-`max_iter` bounds the worst case.
+Each step preserves connectivity and strictly flattens the graph; the
+fixpoint is a star per component centered on its minimum id, reached in
+O(log² n) rounds (a handful in practice). Plain min-label propagation
+was tried first and REJECTED: labels advance only one edge-hop per
+round (pointer-jumping compresses label chains, not graph distance), so
+a moderately dense 200-node graph still hadn't converged after 15
+rounds — at 100 TB that shape is fatal, and worse, an iteration cap
+turns it into silently wrong answers.
 
-At 100 TB the edge list is the near-dup pair output — orders of
-magnitude smaller than the corpus (pairs ∝ duplicates, not documents) —
-so every round's joins are cheap relative to the LSH stage that made
-the pairs. The final keeper join back to the corpus is a left-anti on
-the (small) non-keeper set — broadcastable whenever the duplicate count
-is, and AQE decides that at runtime.
+Scale notes: every round is two groupBy-min aggregates (map-side
+combinable — a million-member boilerplate cluster costs a partial min,
+never a collect_list) plus two node-keyed joins; edges are
+`localCheckpoint`ed per round so iterative lineage never re-executes.
+Convergence is detected by an order-insensitive edge-set signature
+(count + sum of xxhash64); if `max_iter` is ever hit the operator
+RAISES rather than returning a partially-merged labeling. The edge list
+itself is the near-dup pair output — orders of magnitude smaller than
+the corpus — and the final keeper join back to the corpus is a
+left-anti on the (small) non-keeper set, broadcastable when it fits
+(AQE decides).
 """
 
 from __future__ import annotations
@@ -41,11 +45,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canon(df: DataFrame) -> DataFrame:
+    """Canonical undirected edge form: (u, v) with u > v, deduped, no
+    self-loops."""
+    return (
+        df.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 15,
+    max_iter: int = 30,
 ) -> DataFrame:
     """Resolve an undirected pair graph to components.
 
@@ -55,50 +72,59 @@ def connected_components(
     own trivial components and never need a row here — keeper logic
     treats absence as "keep").
     """
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .localCheckpoint()
-    )
-    prev_sum = object()  # sentinel: never equal to a real sum
+    edges = _canon(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).localCheckpoint()
+    prev_sig = None
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .groupBy(edges["a"].alias("n2"))
-            .agg(F.min("comp").alias("nbr_comp"))
+        # large-star: over the full neighborhood of u, hook every
+        # LARGER neighbor to the neighborhood minimum
+        both = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        prop = (
-            labels.join(nbr, labels["node"] == nbr["n2"], "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-            )
+        lmin = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
         )
-        ptr = prop.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
-        jumped = (
-            prop.join(ptr, prop["comp"] == ptr["p_node"], "left")
-            .select("node", F.coalesce("p_comp", "comp").alias("comp"))
-            .localCheckpoint()
+        ls = (
+            both.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        labels = jumped
-        # labels only ever decrease, so Σcomp is a strictly-monotone
-        # convergence witness: one cheap aggregate per round, no
-        # changed-labels join. (sum() is None on an empty graph.)
-        # decimal(38,0) sum: immune to long overflow at any node count
-        label_sum = jumped.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
-        if label_sum == prev_sum:
+        edges = _canon(ls).localCheckpoint()
+        # small-star: among u and its SMALLER neighbors, star everything
+        # onto the minimum
+        smin = edges.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            edges.join(smin, "u")
+            .select(F.col("v").alias("x"), F.col("m"))
+            .union(smin.select(F.col("u").alias("x"), F.col("m")))
+        )
+        edges = _canon(
+            ss.select(F.col("x").alias("u"), F.col("m").alias("v"))
+        ).localCheckpoint()
+        # order-insensitive edge-set signature: one aggregate per round
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        sig = (row["n"], row["s"])
+        if sig == prev_sig:
             break
-        prev_sum = label_sum
-    edges.unpersist()
-    return labels
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "raise max_iter (the alternating algorithm needs O(log^2 n) "
+            "rounds; 30 covers any realistic graph)"
+        )
+    # fixpoint: one star per component, centered on the component min
+    # (canonical edges are (member, center)); groupBy-min is belt and
+    # braces against any ties
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    centers = edges.select(F.col("v").alias("node"), F.col("v").alias("comp"))
+    return members.union(centers).groupBy("node").agg(F.min("comp").alias("comp"))
 
 
 def keep_first(
@@ -107,7 +133,7 @@ def keep_first(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 15,
+    max_iter: int = 30,
 ) -> DataFrame:
     """Deduplicated corpus: resolve ``pairs`` to components and keep the
     minimum-id row of each component (plus every row in no pair at all).
@@ -127,7 +153,7 @@ def dup_groups(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 15,
+    max_iter: int = 30,
 ) -> DataFrame:
     """Component summary of a pair graph: (comp, n_members) per
     duplicate group (size ≥ 2 by construction — singletons never pair)."""

@@ -107,3 +107,41 @@ def test_components_keep_first_matches_fingerprint_grouping(spark, sf_dir):
     )
     got = [r["doc_id"] for r in dedup_components_keep_first(spark, sf_dir).collect()]
     assert got == expect
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Property check: the distributed min-label algorithm must agree
+    with a plain union-find on pseudo-random graphs (fixed seeds) —
+    including long chains, stars, and disconnected clutter."""
+    import random
+
+    for seed in (7, 21, 1234):
+        rng = random.Random(seed)
+        n_nodes, n_edges = 200, 150
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want = {x: find(x) for x in touched}
+
+        got = {
+            r["node"]: r["comp"]
+            for r in CC.connected_components(
+                _pairs(spark, edges)
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"
