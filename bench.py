@@ -102,6 +102,28 @@ def _lsh_diagnostics(spark, sf_dir: str) -> dict:
     return out
 
 
+def _dim768_probe(spark, sf_dir: str) -> dict:
+    """Reference-dimension parity probe (vector(768), reference
+    sql/02_schema.sql:14): embed the document corpus at dim 768 and run
+    the flagship exact cosine top-10 against a text query — the full
+    U1 path at the reference's true width. Times one cold pass."""
+    try:
+        from pyspark.sql import functions as F
+
+        from secure_agent_api_vector_search_spark.embedder import embed_text, embed_udf
+        from secure_agent_api_vector_search_spark.operators.topk import topk_similar
+        from secure_agent_api_vector_search_spark.sources.tables import load_documents
+
+        t0 = time.perf_counter()
+        docs = load_documents(spark, sf_dir)
+        emb = docs.select("doc_id", embed_udf(768)(F.col("text")).alias("embedding"))
+        q = embed_text("standard procedure for mitigating water damage", 768)
+        n = topk_similar(emb, q, k=10, id_col="doc_id").count()
+        return {"topk_cosine_768_sec": round(time.perf_counter() - t0, 3), "rows": n}
+    except Exception as exc:
+        return {"error": repr(exc)}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -152,6 +174,7 @@ def main() -> int:
         "warm_total": round(sum(warm.values()), 3),
         "errors": errors,
         "lsh_diagnostics": _lsh_diagnostics(spark, sf_dir),
+        "dim768": _dim768_probe(spark, sf_dir),
         "sf": sf,
     }))
     return 0

@@ -426,6 +426,71 @@ def corpus_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_token_totals(load_documents(spark, sf_dir))
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass: quality gates (min tokens + composite
+    score) then normalized-dedup keep-one AMONG the survivors — the
+    filter→dedup composition a training-data pipeline runs before
+    tokenization. One scan, one window shuffle on the fingerprint."""
+    from pyspark.sql import Window
+
+    docs = load_documents(spark, sf_dir)
+    gated = docs.select(
+        "doc_id", "lang", "text",
+        TX.X.token_count("text").cast("long").alias("n_tokens"),
+        TX.X.quality_score("text").alias("quality"),
+    ).filter((F.col("n_tokens") >= 10) & (F.col("quality") >= 0.5))
+    w = Window.partitionBy(F.md5(TX.X.normalized_text("text")))
+    return (
+        gated.withColumn("_keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .select("doc_id", "lang", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str, budget: int = 20_000) -> DataFrame:
+    """Deterministic token-budget sampling (the data-mixing primitive):
+    pseudo-shuffle the corpus by a seeded hash and keep the prefix whose
+    cumulative token count fits the budget.
+
+    Scale shape: a naive `SUM() OVER (ORDER BY hash)` collapses the
+    whole corpus into ONE window partition. Instead the hash space is
+    range-bucketed by its leading byte (bucket order ≡ hash order), so
+    the cumulative sum is: per-bucket totals (map-side agg) → a 256-row
+    prefix-offset window (driver-sized) → per-bucket windows in
+    parallel, each offset by its bucket's prefix. The shuffle key is
+    `md5(doc_id)` — computable identically in DuckDB, so the sampled
+    prefix is oracle-checkable, unlike a Spark-only hash.
+    """
+    from pyspark.sql import Window
+
+    docs = load_documents(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    toks = docs.select(
+        "doc_id",
+        TX.X.token_count("text").cast("long").alias("n_tokens"),
+        key.alias("k"),
+        F.substring(key, 1, 2).alias("b"),
+    )
+    bucket_sums = toks.groupBy("b").agg(F.sum("n_tokens").alias("bt"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_sums.select(
+        "b", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        toks.join(F.broadcast(offsets), "b")
+        .withColumn("cum_tokens", F.col("off") + F.sum("n_tokens").over(w_in))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_quality(load_documents(spark, sf_dir))
 
@@ -1200,6 +1265,43 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id""",
         description="[EXT] document quality scoring (stopword + length factors)",
         tags=("text",)))
+
+    r.register(NamedQuery(
+        "corpus_curation", corpus_curation,
+        oracle_sql=f"""
+WITH gated AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         (CAST({_hits(_STOPS_EN)} AS DOUBLE) / len(string_split(text, ' '))
+          + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0) / 2.0 AS quality
+  FROM documents),
+filtered AS (SELECT * FROM gated WHERE n_tokens >= 10 AND quality >= 0.5)
+SELECT doc_id, lang, n_tokens, quality FROM (
+  SELECT doc_id, lang, n_tokens, quality,
+         MIN(doc_id) OVER (PARTITION BY md5({_NORM_TEXT.format(t='text')})) AS keeper
+  FROM filtered)
+WHERE doc_id = keeper ORDER BY doc_id""",
+        description="[EXT] curation pipeline: quality gates then "
+                    "normalized-dedup keep-one among survivors",
+        tags=("text", "dedup")))
+
+    r.register(NamedQuery(
+        "token_budget_sample", token_budget_sample,
+        oracle_sql="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents)
+SELECT doc_id, n_tokens, cum_tokens FROM (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t)
+WHERE cum_tokens <= 20000 ORDER BY doc_id""",
+        description="[EXT] deterministic token-budget sampling via "
+                    "range-bucketed cumulative sum (md5 shuffle key, "
+                    "oracle-identical in DuckDB)",
+        tags=("text", "sampling")))
 
     r.register(NamedQuery(
         "lang_profile", lang_profile,
