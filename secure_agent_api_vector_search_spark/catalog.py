@@ -784,10 +784,20 @@ def text_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus embedding backfill, content-checked: besides the dim, the
+    projection carries the L1 mass of each unit vector (Σ components =
+    Σ bucket counts / L2 norm) — recomputable in DuckDB through the
+    md5_number_upper bucket identity, so the oracle verifies the actual
+    embedding values, not just that a 64-wide array exists. Rounded to
+    9 dp (different summation order across engines)."""
     docs = load_documents(spark, sf_dir)
     emb = docs.withColumn("embedding", embed_udf(64)(F.col("text")))
     return emb.select(
-        "doc_id", F.size("embedding").cast("long").alias("n_dim")
+        "doc_id",
+        F.size("embedding").cast("long").alias("n_dim"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 9
+        ).alias("emb_l1"),
     ).orderBy("doc_id")
 
 
@@ -1456,8 +1466,27 @@ ORDER BY similarity DESC, d.doc_id LIMIT 10""",
     # judge has least other evidence for come first.
     r.register(NamedQuery(
         "multimodal_features", multimodal_features,
+        # the deterministic stub decode derives every feature from the
+        # payload's sha256, and DuckDB's sha256() is bit-identical to
+        # hashlib's — so even the mapInPandas stage is value-hash
+        # oracle-checkable (hex→int via strpos arithmetic)
+        oracle_sql="""
+WITH p AS (
+  SELECT doc_id, 'application/octet-stream' AS mime,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS d
+  FROM documents)
+SELECT doc_id, mime, n_bytes, d AS payload_sha256,
+       CAST(64 + (strpos('0123456789abcdef', substr(d, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(d, 2, 1)) - 1) AS INT) AS width,
+       CAST(64 + (strpos('0123456789abcdef', substr(d, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(d, 4, 1)) - 1) AS INT) AS height,
+       CAST(3 AS INT) AS n_channels
+FROM p ORDER BY doc_id""",
         description="[EXT] binary-payload plumbing + mapInPandas feature "
-                    "extraction (decode stubbed)", tags=("multimodal",)))
+                    "extraction (decode stubbed; stub features are "
+                    "sha256-derived, so the oracle recomputes them in SQL)",
+        tags=("multimodal",)))
     r.register(NamedQuery(
         "dedup_near_keep_first", dedup_near_keep_first,
         description="[EXT] end-to-end near-dup dedup: MinHash-LSH pairs → "
@@ -1496,8 +1525,23 @@ ORDER BY similarity DESC, d.doc_id LIMIT 10""",
         tags=("dedup",)))
     r.register(NamedQuery(
         "embed_texts", embed_texts,
+        oracle_sql="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id, CAST(md5_number_upper(tok) % 64 AS INT) AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM toks GROUP BY doc_id, bucket),
+v AS (SELECT doc_id, SUM(c) AS s, sqrt(SUM(c * c)) AS nrm FROM b GROUP BY doc_id)
+SELECT d.doc_id, CAST(64 AS BIGINT) AS n_dim,
+       ROUND(COALESCE(CASE WHEN v.nrm > 0 THEN v.s / v.nrm END, 0.0), 9) AS emb_l1
+FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+ORDER BY d.doc_id""",
         description="V1 embedding backfill via Arrow-batched pandas UDF "
-                    "(sql/04_embeddings.sql:5-6 analog)", tags=("vector", "ingest")))
+                    "(sql/04_embeddings.sql:5-6 analog); oracle recomputes "
+                    "the embedding's L1 mass through the md5 bucket identity",
+        tags=("vector", "ingest")))
     r.register(NamedQuery(
         "doc_winnow_fingerprints", doc_winnow_fingerprints,
         description="[EXT] winnowing rolling-hash fingerprints", tags=("text",)))
