@@ -1544,7 +1544,25 @@ ORDER BY d.doc_id""",
         tags=("vector", "ingest")))
     r.register(NamedQuery(
         "doc_winnow_fingerprints", doc_winnow_fingerprints,
-        description="[EXT] winnowing rolling-hash fingerprints", tags=("text",)))
+        oracle_sql="""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        x -> CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)) AS hs
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 8 THEN
+           list_sort(list_distinct(
+             list_transform(range(1, len(hs) - 6), i -> list_min(hs[i:i+7]))))
+         ELSE [] END AS fp
+  FROM t)
+SELECT doc_id, md5(array_to_string(fp, ',')) AS fp_winnow,
+       CAST(len(fp) AS BIGINT) AS n_fingerprints
+FROM m ORDER BY doc_id""",
+        description="[EXT] winnowing min-sampling fingerprints; token hash "
+                    "is md5-48 so DuckDB recomputes the full fingerprint "
+                    "including window mins", tags=("text",)))
     return r
 
 

@@ -146,14 +146,24 @@ def token_shingles(text: Column | str, k: int = 3) -> Column:
     return _windows(n, lambda i: F.array_join(F.slice(toks, i, k), " "))
 
 
+def md5_hash48(t: Column) -> Column:
+    """48-bit token hash with a cross-engine twin: the first 12 hex
+    chars of md5 parsed as an integer — DuckDB computes the identical
+    value as `('0x' || substr(md5(t), 1, 12))::BIGINT`, so operators
+    built on it stay oracle-checkable (unlike xxhash64, which no other
+    engine implements). 48 bits fit a signed int64 on both sides."""
+    return F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 12), 16, 10).cast("long")
+
+
 def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
-    """Winnowing-style document fingerprint: polynomial rolling hash of
-    each token (base 31 over xxhash64 of the token), then the min hash
-    per sliding window, distinct-sorted. Spark-only (xxhash64 has no
-    cross-engine twin) → rows-only correctness check.
+    """Winnowing-style document fingerprint (Schleimer et al.'s
+    min-sampling): hash each token, take the min hash per sliding
+    window of ``window`` tokens, distinct-sort the mins. Token hash is
+    :func:`md5_hash48`, so the whole fingerprint — including the
+    window mins — is recomputable in DuckDB and oracle-checked.
     """
     toks = tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: md5_hash48(t))
     n = F.size(hashes) - F.lit(window - 1)
     mins = _windows(n, lambda i: F.array_min(F.slice(hashes, i, window)), "bigint")
     return F.array_sort(F.array_distinct(mins))
