@@ -218,3 +218,29 @@ def test_indexed_ingest_makes_streamed_docs_searchable(spark, docs, tmp_path):
     top = ivf_search(fresh, embed_text(target, 16), k=1, nprobe=2).collect()
     assert top[0]["doc_id"] == 205
     assert top[0]["similarity"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dedup_ingest_drops_redelivered_docs(spark, docs, tmp_path):
+    """At-least-once sources replay documents; the dedup ingest must
+    emit each doc_id exactly once across micro-batches."""
+    from secure_agent_api_vector_search_spark.streaming.ingest import start_dedup_ingest
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    first = docs.filter(F.col("doc_id") < 15).select(*cols)
+    # overlapping redelivery: 10-14 appear again alongside 15-24
+    second = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 25)).select(*cols)
+
+    first.write.mode("append").parquet(in_dir)
+    q = start_dedup_ingest(spark, in_dir, out_dir, ckpt, dim=16)
+    try:
+        _wait(q)
+        second.write.mode("append").parquet(in_dir)
+        _wait(q)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_dir)
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert sorted(ids) == list(range(25))      # each doc exactly once
+    assert len(ids) == len(set(ids))
