@@ -150,6 +150,40 @@ def read_ivf(spark: SparkSession, path: str, id_col: str = "vec_id", vec_col: st
     return IvfIndex(assigned, [list(r["centroid"]) for r in cent_rows], id_col, vec_col)
 
 
+def rebuild_ivf(
+    spark: SparkSession,
+    path: str,
+    n_lists: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> IvfIndex:
+    """Compaction: re-train centroids over the CURRENT corpus (base
+    build + everything streamed in since) and rewrite the lists layout.
+
+    This is the maintenance half of the incremental story
+    (streaming/ingest.py::start_indexed_ingest appends with frozen
+    centroids): run it when ingest volume or distribution drift has
+    degraded list balance — the same cadence guidance as pgvector's
+    "reindex after heavy writes" for the reference's ivfflat
+    (sql/05_vector_index.sql). The rewrite goes through a temp-read
+    barrier: ``assigned`` must be fully materialized before the
+    overwrite starts, so the new layout is written from a consistent
+    snapshot (collect-free — only the KMeans sample ever reaches the
+    driver).
+    """
+    old = read_ivf(spark, path, id_col, vec_col)
+    corpus = old.assigned.drop("list_id")
+    # materialize the snapshot before overwriting the directory it was
+    # read from (write-over-read is undefined otherwise)
+    corpus.persist()
+    corpus.count()
+    index = build_ivf(corpus, n_lists=n_lists, vec_col=vec_col, id_col=id_col, seed=seed)
+    write_ivf(index, path)
+    corpus.unpersist()
+    return read_ivf(spark, path, id_col, vec_col)
+
+
 def _rank_lists(centroids: list[list[float]], query_vec: Sequence[float]) -> list[int]:
     """Driver-side centroid ranking by L2 — O(lists · dim), trivial."""
     q = [float(x) for x in query_vec]

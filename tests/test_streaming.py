@@ -244,3 +244,38 @@ def test_dedup_ingest_drops_redelivered_docs(spark, docs, tmp_path):
     ids = [r["doc_id"] for r in out.select("doc_id").collect()]
     assert sorted(ids) == list(range(25))      # each doc exactly once
     assert len(ids) == len(set(ids))
+
+
+def test_rebuild_after_indexed_ingest_retrains_and_serves(spark, docs, tmp_path):
+    """Index lifecycle: build → stream-append (frozen centroids) →
+    rebuild (compaction). The rebuild re-trains over the merged corpus
+    and the probe still finds both old and streamed documents."""
+    from secure_agent_api_vector_search_spark.embedder import embed_text
+    from secure_agent_api_vector_search_spark.operators.ivf import (
+        build_ivf,
+        ivf_search,
+        rebuild_ivf,
+        write_ivf,
+    )
+    from secure_agent_api_vector_search_spark.streaming.ingest import start_indexed_ingest
+
+    in_dir, idx, ckpt = (str(tmp_path / d) for d in ("in", "idx", "ckpt"))
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+
+    initial = embed_documents(docs.filter(F.col("doc_id") < 100).select(*cols), dim=16)
+    write_ivf(build_ivf(initial, n_lists=4, id_col="doc_id"), idx)
+
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 130)).select(*cols) \
+        .write.mode("append").parquet(in_dir)
+    q = start_indexed_ingest(spark, in_dir, idx, ckpt, dim=16)
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+
+    rebuilt = rebuild_ivf(spark, idx, n_lists=4, id_col="doc_id")
+    assert rebuilt.assigned.count() == 130
+    for probe_id in (50, 120):  # one pre-build doc, one streamed doc
+        target = docs.filter(F.col("doc_id") == probe_id).select("text").head()[0]
+        top = ivf_search(rebuilt, embed_text(target, 16), k=1, nprobe=2).collect()
+        assert top[0]["doc_id"] == probe_id
