@@ -76,3 +76,79 @@ def knn_classify(
         .select(F.col(q_id), F.col("nb_label").alias("predicted_label"), "votes")
         .orderBy(q_id)
     )
+
+
+def knn_join_ivf(
+    index,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """Batch kNN routed through an IVF index (operators/ivf.py) — the
+    scale path when |Q| is too large to broadcast AND the corpus too
+    large to scan per query.
+
+    Each query is assigned to its ``nprobe`` nearest lists by a pure
+    map over the inlined centroid table (same codegen argmin shape as
+    `ivf.assign_lists`, extended to top-nprobe via an in-array sort of
+    (distance, list) structs — lists ≈ √n entries, trivial per row).
+    The cross product then becomes a `list_id` equi-join: candidates
+    drop from |Q|·|corpus| to ~nprobe/lists of it, and both sides
+    shuffle-partition on list_id — with the corpus stored
+    `partitionBy(list_id)` (write_ivf) the corpus side is
+    partition-pruned at the scan. A corpus row lives in exactly one
+    list, so no pair is generated twice.
+
+    Recall follows IVF semantics (a neighbor in an unprobed list is
+    missed); verified against the exact `knn_join` in tests.
+    Output: (q_id, neighbor_id, similarity, rank), rank 1..k.
+
+    ``index``: an `ivf.IvfIndex` (duck-typed to avoid a circular
+    import; only `.assigned`, `.centroids`, `.id_col`, `.vec_col` are
+    used).
+    """
+    cent = F.lit([[float(x) for x in c] for c in index.centroids])
+    qv = F.col(q_vec).cast("array<double>")
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    n_lists = len(index.centroids)
+    idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
+    ranked = F.array_sort(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                l2sq(qv, F.element_at(cent, i + 1)).alias("d2"),
+                i.cast("int").alias("list_id"),
+            ),
+        )
+    )
+    probes = F.transform(
+        F.slice(ranked, 1, nprobe), lambda s: s["list_id"]
+    )
+    # two-step select: aliasing the cast vector and consuming it in the
+    # probe expression in ONE select trips lateral-alias resolution
+    qcast = queries.select(F.col(q_id), qv.alias(q_vec))
+    routed = qcast.select(
+        F.col(q_id), F.col(q_vec), F.explode(probes).alias("list_id")
+    )
+    joined = routed.join(index.assigned, "list_id")
+    sim = V.cosine_similarity(F.col(index.vec_col).cast("array<double>"), F.col(q_vec))
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select(
+            F.col(q_id), F.col(index.id_col).alias("neighbor_id"), sim.alias("similarity")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(q_id, "rank")
+    )

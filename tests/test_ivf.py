@@ -103,3 +103,33 @@ def test_probe_reads_only_nprobe_partitions(index, spark, tmp_path, qvecs):
     assert "list_id" in plan
     rows = df.collect()
     assert 0 < len(rows) <= 5
+
+
+def test_knn_join_ivf_matches_exact_on_planted_corpus(spark, sf_dir):
+    """The IVF-routed batch kNN must (a) find each query's own vector at
+    rank 1 with similarity 1, and (b) recover ≥80% of the exact top-k
+    at nprobe=half the lists on the planted high-similarity corpus."""
+    from secure_agent_api_vector_search_spark.catalog import _embeddings_with_near_dups
+    from secure_agent_api_vector_search_spark.operators.ivf import build_ivf
+    from secure_agent_api_vector_search_spark.operators.knn import knn_join, knn_join_ivf
+
+    corpus = _embeddings_with_near_dups(spark, sf_dir).cache()
+    queries = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    index = build_ivf(corpus, n_lists=8, seed=42)
+
+    approx = knn_join_ivf(index, queries, k=3, nprobe=4).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rows in by_q.items():
+        assert rows[0]["rank"] == 1
+        assert rows[0]["neighbor_id"] == q          # own vector, own list
+        assert rows[0]["similarity"] == pytest.approx(1.0)
+
+    exact = knn_join(queries, corpus, k=3).collect()
+    exact_set = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["neighbor_id"]) for r in approx}
+    assert len(approx_set & exact_set) / len(exact_set) >= 0.8
