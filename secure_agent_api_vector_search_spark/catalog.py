@@ -745,6 +745,44 @@ def _query_vectors_perturbed(spark: SparkSession, sf_dir: str, n: int = 20) -> D
     )
 
 
+def token_budget_by_lang(spark: SparkSession, sf_dir: str, budget_per_lang: int = 5_000) -> DataFrame:
+    """Stratified data mixing: an independent token budget PER LANGUAGE
+    (the per-source quota step of corpus mixing). Same range-bucketed
+    cumulative-sum shape as :func:`token_budget_sample`, with every
+    window additionally partitioned by lang — all languages fill their
+    quotas in parallel, and the only tiny window is (langs × 256
+    buckets) rows."""
+    from pyspark.sql import Window
+
+    docs = load_documents(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    toks = docs.select(
+        "doc_id", "lang",
+        TX.X.token_count("text").cast("long").alias("n_tokens"),
+        key.alias("k"),
+        F.substring(key, 1, 2).alias("b"),
+    )
+    bucket_sums = toks.groupBy("lang", "b").agg(F.sum("n_tokens").alias("bt"))
+    w_off = Window.partitionBy("lang").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_sums.select(
+        "lang", "b", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = (
+        Window.partitionBy("lang", "b")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        toks.join(F.broadcast(offsets), ["lang", "b"])
+        .withColumn("cum_tokens", F.col("off") + F.sum("n_tokens").over(w_in))
+        .filter(F.col("cum_tokens") <= budget_per_lang)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def similarity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A×B threshold similarity join, exact path: the small query side
     broadcasts into a nested-loop cosine filter against the corpus —
@@ -1311,6 +1349,24 @@ WHERE cum_tokens <= 20000 ORDER BY doc_id""",
         description="[EXT] deterministic token-budget sampling via "
                     "range-bucketed cumulative sum (md5 shuffle key, "
                     "oracle-identical in DuckDB)",
+        tags=("text", "sampling")))
+
+    r.register(NamedQuery(
+        "token_budget_by_lang", token_budget_by_lang,
+        oracle_sql="""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t)
+WHERE cum_tokens <= 5000 ORDER BY doc_id""",
+        description="[EXT] stratified data mixing: independent token "
+                    "budget per language, parallel bucketed cumulative sums",
         tags=("text", "sampling")))
 
     r.register(NamedQuery(
