@@ -36,6 +36,21 @@ from secure_agent_api_vector_search_spark.functions import text as X
 from secure_agent_api_vector_search_spark.functions import vector as V
 
 
+def _pair_order(df: DataFrame) -> DataFrame:
+    """Deterministic (id_a, id_b) total order for the pair output.
+
+    A global ``orderBy`` would insert a range-partitioned exchange whose
+    sampling job RE-EXECUTES the entire upstream candidate/verify
+    pipeline once more (measured: ~2x cold time on minhash at sf0.1).
+    The pair stream is orders of magnitude smaller than the corpus —
+    dup rate times corpus, ~10^2-10^6 rows of 24 bytes even at 100 TB
+    input — so a single-partition sort is both cheaper and safe. The
+    ordering contract exists for tests/oracle comparison; large-scale
+    callers consume the unordered parent instead.
+    """
+    return df.coalesce(1).sortWithinPartitions("id_a", "id_b")
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest id per exact-text group. Returns the kept rows.
 
@@ -225,7 +240,7 @@ def minhash_near_dup_pairs(
         .select("id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return pairs.orderBy("id_a", "id_b")
+    return _pair_order(pairs)
 
 
 def minhash_similarity_join(
@@ -309,7 +324,7 @@ def minhash_similarity_join(
         .join(sh_b, "id_b")
         .select("id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
+        .transform(_pair_order)
     )
 
 
@@ -406,7 +421,7 @@ def simhash_near_dup_pairs(
         # star pairs from over-wide (skew-capped) buckets arrive
         # unfiltered — re-apply the final Hamming bound here
         .filter(F.col("hamming") <= max_hamming)
-        .orderBy("id_a", "id_b")
+        .transform(_pair_order)
     )
 
 
@@ -441,7 +456,7 @@ def ngram_jaccard_pairs(
             H.jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
+        .transform(_pair_order)
     )
 
 
@@ -475,7 +490,7 @@ def embedding_neardup_pairs(
             sim.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .orderBy("id_a", "id_b")
+        .transform(_pair_order)
     )
 
 
@@ -629,7 +644,7 @@ def embedding_neardup_pairs_lsh(
         # star pairs from over-wide (skew-capped) buckets arrive
         # unfiltered — re-apply the final cosine threshold here
         .filter(F.col("cosine") >= threshold)
-        .orderBy("id_a", "id_b")
+        .transform(_pair_order)
     )
 
 
@@ -693,5 +708,5 @@ def embedding_similarity_join(
             F.col("id_b.id").alias("id_b"),
             "cosine",
         )
-        .orderBy("id_a", "id_b")
+        .transform(_pair_order)
     )
