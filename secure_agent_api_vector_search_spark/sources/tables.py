@@ -38,12 +38,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # the events table stores ts as TIMESTAMP(NANOS); the session is
-        # built with spark.sql.legacy.parquet.nanosAsLong=true (see
-        # session.py) so ts arrives as a long — truncate to microseconds
-        # (matching DuckDB's µs timestamps exactly)
+        # ts has appeared as TIMESTAMP(NANOS) (read as long via
+        # spark.sql.legacy.parquet.nanosAsLong=true, see session.py) or as
+        # TIMESTAMP(MICROS) depending on the generator; normalize both to a
+        # µs timestamp (matching DuckDB's µs timestamps exactly)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
