@@ -43,6 +43,7 @@ from secure_agent_api_vector_search_spark.plans.registry import NamedQuery, Regi
 from secure_agent_api_vector_search_spark.sources.tables import (
     load_documents,
     load_embeddings,
+    rebalance_if_narrow,
 )
 
 # ---------------------------------------------------------------------------
@@ -668,7 +669,9 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # case-folded + punctuated (UPPER(text) || ' !!!'), so raw-byte
     # shingles would share almost nothing with the originals and the
     # operator would only measure incidental background pairs.
-    docs = _docs_with_noisy_dups(spark, sf_dir).select(
+    # rebalance BEFORE the normalize select: regexp folding over a
+    # 2-split scan would otherwise run on 2 of 32 cores
+    docs = rebalance_if_narrow(_docs_with_noisy_dups(spark, sf_dir)).select(
         "doc_id", TX.X.normalized_text("text").alias("text")
     )
     return D.minhash_near_dup_pairs(docs, threshold=0.5)

@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from secure_agent_api_vector_search_spark.functions import hashing as H
 from secure_agent_api_vector_search_spark.functions import text as X
 from secure_agent_api_vector_search_spark.functions import vector as V
+from secure_agent_api_vector_search_spark.sources.tables import rebalance_if_narrow
 
 
 def _pair_order(df: DataFrame) -> DataFrame:
@@ -47,8 +48,15 @@ def _pair_order(df: DataFrame) -> DataFrame:
     input — so a single-partition sort is both cheaper and safe. The
     ordering contract exists for tests/oracle comparison; large-scale
     callers consume the unordered parent instead.
+
+    ``repartition(1)``, NOT ``coalesce(1)``: coalesce propagates the
+    1-partition constraint up to the previous exchange, collapsing the
+    verify join itself into a single task (measured: minhash verify
+    11s parallel → 60+s serialized). repartition inserts a real
+    shuffle boundary, so upstream keeps full parallelism and only the
+    tiny pair set crosses into the one sorting task.
     """
-    return df.coalesce(1).sortWithinPartitions("id_a", "id_b")
+    return df.repartition(1).sortWithinPartitions("id_a", "id_b")
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -87,20 +95,43 @@ def dedup_groups_normalized(
     )
 
 
-def _shingle_sig_udf(shingle_k: int, num_hashes: int, seed: int):
-    """text → struct(shingles array<bigint>, signature array<bigint>).
+def _band_hashes(sig: "np.ndarray", num_bands: int) -> "np.ndarray":
+    """(n × num_hashes) signature matrix → (n × num_bands) band-hash
+    matrix: polynomial mix of each band's rows in uint64 wraparound.
+    Any deterministic 64-bit mix works — bands are grouped on
+    (band_id, band_hash), so cross-band collisions never merge."""
+    n = sig.shape[0]
+    bands = sig.reshape(n, num_bands, -1).astype(np.uint64)
+    h = np.full((n, num_bands), np.uint64(1469598103934665603))  # FNV offset
+    for r in range(bands.shape[2]):
+        h = (h ^ bands[:, :, r]) * np.uint64(1099511628211)
+    return h.view(np.int64)
+
+
+def _shingle_sig_udf(shingle_k: int, num_hashes: int, seed: int, num_bands: int = 0):
+    """text → struct(shingles array<bigint>, signature array<bigint>,
+    bands array<bigint>).
 
     Byte-k-shingles packed directly into int64 (k ≤ 8 bytes — the
     shingle IS its own hash, no string materialization at all), then
     the MinHash signature via the affine family (a_i·h + b_i) mod p —
     one numpy outer-product per document, vectorized per Arrow batch.
+
+    With ``num_bands`` > 0 the LSH band hashes are computed here too,
+    as one vectorized mix over the signature matrix. The expression
+    alternative (`H.lsh_bands`: transform + slice + cast-to-string +
+    xxhash64) is a higher-order function, which Spark evaluates
+    INTERPRETED per element (HOFs have no codegen) — profiled at >100
+    CPU-s on a 5k-doc corpus vs milliseconds here.
     """
     assert shingle_k <= 8, "byte shingles pack into int64 only for k ≤ 8"
     rng = np.random.default_rng(seed)
     a = rng.integers(1, H.MINHASH_P, size=num_hashes, dtype=np.int64)
     b = rng.integers(0, H.MINHASH_P, size=num_hashes, dtype=np.int64)
 
-    @F.pandas_udf("struct<shingles: array<bigint>, signature: array<bigint>>")
+    @F.pandas_udf(
+        "struct<shingles: array<bigint>, signature: array<bigint>, bands: array<bigint>>"
+    )
     def f(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for s in it:
             # Whole-batch vectorization: one concatenated byte buffer, one
@@ -113,6 +144,7 @@ def _shingle_sig_udf(shingle_k: int, num_hashes: int, seed: int):
             nwin = np.maximum(lens - shingle_k + 1, 0)
             sh_out: list = [None] * n_docs
             sig_out: list = [None] * n_docs
+            bnd_out: list = [None] * n_docs
             total = int(nwin.sum())
             if total > 0:
                 buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
@@ -141,12 +173,122 @@ def _shingle_sig_udf(shingle_k: int, num_hashes: int, seed: int):
                     sig[:, j] = np.minimum.reduceat((hs * a[j] + b[j]) % H.MINHASH_P, seg_starts)
                 bounds = np.append(seg_starts[1:], len(v_u))
                 seg_docs = d_u[seg_starts]
+                bnd = _band_hashes(sig, num_bands) if num_bands else None
                 for si, d in enumerate(seg_docs):
                     sh_out[d] = v_u[seg_starts[si]:bounds[si]]
                     sig_out[d] = sig[si]
-            yield pd.DataFrame({"shingles": sh_out, "signature": sig_out})
+                    if bnd is not None:
+                        bnd_out[d] = bnd[si]
+            yield pd.DataFrame({"shingles": sh_out, "signature": sig_out, "bands": bnd_out})
 
     return f
+
+
+def _screen_pairs_map(num_hashes: int, keep_min: float, max_width: int):
+    """mapInPandas generator: bucket-sorted (band_id, band_hash, id,
+    signature) rows → screened candidate pairs (id_a, id_b).
+
+    Runs over partitions that are hash-partitioned AND sorted by the
+    bucket key, so buckets are contiguous; a bucket spanning Arrow
+    batches is carried over in a small buffer. Per bucket the
+    signature-agreement screen is one (w × w × k) vectorized compare —
+    the expression form (nested transform/flatten/zip_with lambdas) is
+    interpreted per element by Spark and profiled 50-100× slower.
+
+    Buckets wider than ``max_width`` degrade to star pairing against
+    the min-id member, UNFILTERED (connectivity contract — see
+    functions/hashing.py::bucket_member_pairs).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: pd.DataFrame | None = None
+
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            ids_all = df["id"].to_numpy()
+            keys = (df["band_id"].to_numpy(), df["band_hash"].to_numpy())
+            # bucket boundaries over the sorted stream
+            change = np.ones(len(df), dtype=bool)
+            change[1:] = (keys[0][1:] != keys[0][:-1]) | (keys[1][1:] != keys[1][:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(df))
+            out_a: list = []
+            out_b: list = []
+            for s, e in zip(starts, ends):
+                w = e - s
+                if w < 2:
+                    continue
+                ids = ids_all[s:e]
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                if w > max_width:
+                    # star pairing, unfiltered (connectivity candidates)
+                    out_a.append(np.full(w - 1, ids[0]))
+                    out_b.append(ids[1:])
+                    continue
+                sig = np.vstack(df["signature"].to_numpy()[s:e][order])
+                agree = (sig[:, None, :] == sig[None, :, :]).sum(axis=2)
+                ia, ib = np.nonzero(
+                    np.triu(agree >= keep_min * num_hashes, k=1)
+                )
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+            if out_a:
+                return pd.DataFrame(
+                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                )
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64)})
+
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            if buf is not None:
+                batch = pd.concat([buf, batch], ignore_index=True)
+            # hold back the trailing (possibly incomplete) bucket
+            bk = (batch["band_id"].iloc[-1], batch["band_hash"].iloc[-1])
+            tail_mask = (batch["band_id"] == bk[0]) & (batch["band_hash"] == bk[1])
+            tail_start = int(np.nonzero(~tail_mask.to_numpy())[0][-1] + 1) if (~tail_mask).any() else 0
+            buf = batch.iloc[tail_start:]
+            head = batch.iloc[:tail_start]
+            if len(head):
+                yield emit(head)
+        if buf is not None and len(buf):
+            yield emit(buf)
+
+    return gen
+
+
+def minhash_candidate_pairs(
+    feats: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    num_bands: int,
+    keep_min: float,
+    max_width: int = 512,
+) -> DataFrame:
+    """(id, signature, bands) → screened candidate pairs (id_a, id_b),
+    deduped.
+
+    Shape: posexplode(bands) [map] → hash-repartition + in-partition
+    sort on the bucket key [ONE shuffle] → vectorized numpy screen
+    [map] → pair dedup groupBy [shuffle, pair-count-sized]. Identical
+    data movement to the collect_list/HOF form it replaces, but both
+    the banding and the w²·k screen run at numpy speed instead of
+    Spark's interpreted higher-order-function evaluator.
+    """
+    exploded = feats.select(
+        F.col(id_col).alias("id"),
+        F.col("signature"),
+        F.posexplode("bands").alias("band_id", "band_hash"),
+    ).select("band_id", "band_hash", "id", "signature")
+    parted = exploded.repartition("band_id", "band_hash").sortWithinPartitions(
+        "band_id", "band_hash"
+    )
+    pairs = parted.mapInPandas(
+        _screen_pairs_map(num_hashes, keep_min, max_width),
+        schema="id_a long, id_b long",
+    )
+    return pairs.distinct()
 
 
 def minhash_near_dup_pairs(
@@ -161,76 +303,64 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH with exact-Jaccard verify.
 
-    Pipeline: byte-k-shingles + 64-value MinHash signature in one
-    vectorized Arrow-batched map stage (no shuffle) → 16 bands × 4 rows
-    banding → bucket groupBy (signatures ride in the member structs) →
-    in-bucket pair generation with the signature-agreement screen
-    computed IN THE MAP STAGE right after the pair explode → one
-    groupBy(id_a, id_b) fusing pair-dedup with the screen → exact
-    Jaccard (long-array set ops) via a shingle join on survivors only.
+    Pipeline: byte-k-shingles + 64-value MinHash signature + 16 band
+    hashes in ONE vectorized Arrow-batched map stage (no shuffle) →
+    posexplode(bands) → bucket-key repartition + in-partition sort
+    [one shuffle] → numpy in-bucket pair generation with the
+    signature-agreement screen (:func:`minhash_candidate_pairs`) →
+    pair-dedup → exact Jaccard (long-array set ops, codegen) via a
+    shingle join on survivors only.
     Output: (id_a, id_b, jaccard) with jaccard ≥ threshold.
 
-    vs. the explode→self-join→distinct→2-screen-join→2-verify-join
-    shape this replaces: three fewer shuffles, no intermediate
-    `.persist().count()` planner hints needed for the candidate set,
-    and the screen never shuffles a signature byte — measured 49 s →
-    ~10 s at sf0.1 (18 s worst-case cold) with run-to-run stability
-    (the join chain's inflated size estimates were the instability
-    source).
+    Why numpy for banding + screen: Spark higher-order functions
+    (transform/flatten/zip_with) have no codegen — they evaluate
+    interpreted per array element. The expression form of band
+    hashing + in-bucket pair screening profiled at 150-300 CPU-s on a
+    5k-doc corpus; the vectorized form is <2 CPU-s for identical data
+    movement (same shuffle count, same payload bytes).
+
+    The signature-agreement screen estimates Jaccard from 64 hash
+    equalities (an unbiased Bin(k, J)/k estimator) and drops
+    candidates more than 3σ below the threshold, so the exact set
+    intersection touches ~|true pairs| rows, not ~|band collisions|.
     """
     from pyspark import StorageLevel
 
-    rows_per_band = num_hashes // num_bands
-    # No repartition before the UDF: the whole-batch-vectorized
-    # signature stage costs ~20 ms per 157-doc Arrow batch, so even a
-    # 2-split local scan finishes in well under a second — a balancing
-    # shuffle of the raw text costs more than it recovers. At cluster
-    # scale the scan already has one split per ~128 MB and the map
-    # stage parallelizes naturally.
+    # The signature stage is the CPU hot spot; when the scan
+    # under-splits (one small parquet file → 1-2 input partitions) the
+    # UDF runs on 2 of N cores. Rebalance only in that case — at
+    # cluster scale the scan splits per ~128 MB and this is a no-op.
     feats = (
-        df
-        .select(F.col(id_col), _shingle_sig_udf(shingle_k, num_hashes, seed)(F.col(text_col)).alias("_f"))
-        .select(id_col, F.col("_f.shingles").alias("shingles"), F.col("_f.signature").alias("signature"))
-        .filter(F.col("shingles").isNotNull())
+        rebalance_if_narrow(df)
+        .select(
+            F.col(id_col),
+            _shingle_sig_udf(shingle_k, num_hashes, seed, num_bands)(F.col(text_col)).alias("_f"),
+        )
+        .select(
+            id_col,
+            F.col("_f.shingles").alias("shingles"),
+            F.col("_f.signature").alias("signature"),
+            F.col("_f.bands").alias("bands"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # materialize before fan-out: the banding stage and the shingle
     # verify join both consume `feats`; computed concurrently inside one
     # job they race cache population and each re-runs the
     # scan→shingle→signature lineage. One eager pass fills the cache.
+    #
+    # The too-short-doc filter sits ABOVE the persist, not inside the
+    # cached lineage: a filter on the UDF output below a repartition
+    # exchange gets predicate-pushed past the exchange, and because the
+    # predicate references udf(text), the UDF is re-evaluated per
+    # branch just to test it — the whole signature stage ran TWICE
+    # (observed as duplicate ArrowEvalPython nodes under each union
+    # branch). Filtering the cached rows costs one null check.
     feats.count()
-    banded = feats.select(
-        id_col, F.col("signature"),
-        H.lsh_bands(F.col("signature"), num_bands, rows_per_band).alias("bands"),
-    )
-    # Banding at (16 bands × 4 rows) lets J≈0.2 pairs through at the
-    # percent level, which on a corpus with repeated boilerplate is
-    # 100× more candidates than true pairs. The screen estimates
-    # Jaccard from signature agreement (64 long equalities — an
-    # unbiased Bin(k, J)/k estimator) and drops candidates more than
-    # 3σ below the threshold, so the exact set intersection touches
-    # ~|true pairs| rows, not ~|collisions|.
+    feats = feats.filter(F.col("shingles").isNotNull())
     margin = 3.0 * math.sqrt(0.25 / num_hashes)
-
-    def est(a, b):
-        return (
-            F.size(
-                F.filter(
-                    F.zip_with(a["signature"], b["signature"], lambda x, y: x == y),
-                    lambda eq: eq,
-                )
-            ).cast("double")
-            / F.lit(float(num_hashes))
-        )
-
-    screened = (
-        H.bucket_member_pairs(
-            banded, id_col, "bands", payload_cols=("signature",),
-            metric=est, keep=lambda m: m >= threshold - margin,
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.first("metric").alias("est"))
-        .select("id_a", "id_b")
+    screened = minhash_candidate_pairs(
+        feats, id_col, num_hashes, num_bands, keep_min=threshold - margin
     )
     sh_a = feats.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = feats.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -341,17 +471,20 @@ def minhash_bucket_stats(
     """One-row skew diagnostics for the minhash LSH banding stage
     (n_buckets, max_bucket_width, n_over_width, candidate_pairs) — bench
     logs these so bucket skew is visible in the per-round artifacts."""
-    rows_per_band = num_hashes // num_bands
-    feats = (
+    banded = (
         df.select(
             F.col(id_col),
-            _shingle_sig_udf(shingle_k, num_hashes, seed)(F.col(text_col)).alias("_f"),
+            _shingle_sig_udf(shingle_k, num_hashes, seed, num_bands)(F.col(text_col)).alias("_f"),
         )
-        .select(id_col, F.col("_f.signature").alias("signature"))
-        .filter(F.col("signature").isNotNull())
-    )
-    banded = feats.select(
-        id_col, H.lsh_bands(F.col("signature"), num_bands, rows_per_band).alias("bands")
+        .select(id_col, F.col("_f.bands").alias("_bh"))
+        .filter(F.col("_bh").isNotNull())
+        .select(
+            id_col,
+            F.transform(
+                F.col("_bh"),
+                lambda h, i: F.struct(i.alias("band_id"), h.alias("band_hash")),
+            ).alias("bands"),
+        )
     )
     return H.bucket_width_stats(banded, id_col, "bands", max_width)
 
@@ -547,7 +680,7 @@ def _embedding_lsh_buckets(
             yield pd.Series(list(hashes))
 
     vec = F.col(vec_col).cast("array<double>")
-    return embeddings.select(
+    return rebalance_if_narrow(embeddings).select(
         F.col(id_col), vec.alias(vec_col), sketch(vec).alias("_sk")
     ).select(
         id_col, vec_col,
@@ -607,10 +740,17 @@ def embedding_neardup_pairs_lsh(
     expression-per-plane alternative builds a tables·planes-subexpression
     plan that overflows whole-stage codegen and runs interpreted; a
     single BLAS matmul is the 100 TB shape (map-only, no shuffle).
-    The cosine verify runs in the map stage right after the in-bucket
-    pair explode (vectors ride in the member structs), so the whole
-    plan is map → bucket groupBy → map → pair-dedup groupBy: two
-    shuffles, zero joins.
+
+    The bucket shuffle carries IDS ONLY, and the exact-cosine verify is
+    a join back to the vector table on the deduped candidate set. The
+    alternative (vectors ride in the member structs, verify in-bucket,
+    zero joins — how the MinHash path works) is wrong HERE because the
+    recall target needs ~66 hash tables at θ=0.85: payload-in-bucket
+    shuffles tables × corpus × vec bytes (≈ 2 GB at sf0.1, ≈ 33× the
+    corpus; catastrophic at 100 TB), while id-only shuffles 16-byte
+    rows and the join touches |candidates| ≈ |true pairs| rows, which
+    AQE broadcasts against the vector scan. MinHash keeps the fused
+    form because its 16 bands make payload × bands ≈ 1× corpus.
 
     ``dim`` should be passed by callers that know it (an extra Spark
     job to probe it is wasted work, and ``head()`` on an empty frame
@@ -633,16 +773,21 @@ def embedding_neardup_pairs_lsh(
                 T.StructField("cosine", T.DoubleType()),
             ]),
         )
+    cand = (
+        H.bucket_member_pairs(with_buckets, id_col, "bands")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
     return (
-        H.bucket_member_pairs(
-            with_buckets, id_col, "bands", payload_cols=(vec_col,),
-            metric=lambda a, b: V.cosine_similarity(a[vec_col], b[vec_col]),
-            keep=lambda m: m >= threshold,
+        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            V.cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.first("metric").alias("cosine"))
-        # star pairs from over-wide (skew-capped) buckets arrive
-        # unfiltered — re-apply the final cosine threshold here
         .filter(F.col("cosine") >= threshold)
         .transform(_pair_order)
     )
@@ -693,20 +838,30 @@ def embedding_similarity_join(
                 T.StructField("cosine", T.DoubleType()),
             ]),
         )
-    return (
+    # id-only bucket shuffle + verify join, same reasoning as
+    # embedding_neardup_pairs_lsh (the tagged union still needs ~66
+    # tables at θ=0.85 — payloads must not ride the band explode)
+    cand = (
         H.bucket_member_pairs(
-            with_buckets, "sid", "bands", payload_cols=(vec_col,),
-            metric=lambda a, b: V.cosine_similarity(a[vec_col], b[vec_col]),
-            keep=lambda m: m >= threshold,
+            with_buckets, "sid", "bands",
             pair_keep=lambda x, y: x["_id"]["side"] != y["_id"]["side"],
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.first("metric").alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_a.id").alias("id_a"), F.col("id_b.id").alias("id_b"))
+        .distinct()
+    )
+    va = dfA.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_va")
+    )
+    vb = dfB.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("id_a.id").alias("id_a"),
-            F.col("id_b.id").alias("id_b"),
-            "cosine",
+            "id_a", "id_b",
+            V.cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
         .transform(_pair_order)
     )

@@ -73,6 +73,26 @@ def load_embeddings(spark: SparkSession, sf_dir: str, as_double: bool = True) ->
     return df
 
 
+def rebalance_if_narrow(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition when the scan under-splits, so a
+    CPU-heavy map stage (Pandas-UDF signature/sketch/embed) gets full
+    parallelism.
+
+    A single small parquet file yields 1-2 input splits; a Pandas UDF
+    downstream then runs on 2 of N cores (measured: the MinHash
+    signature stage at sf0.1 was 10.5 s at parallelism 2, ~1.5 s
+    rebalanced). The branch only fires when input partitions <
+    defaultParallelism — on a real cluster reading 100 TB the scan has
+    one split per ~128 MB and this is a no-op, so the shuffle cost is
+    bounded by exactly the small-input case that needs it.
+    """
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL surface."""
     for name in TABLES:
