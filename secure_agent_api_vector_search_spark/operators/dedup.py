@@ -184,9 +184,10 @@ def _shingle_sig_udf(shingle_k: int, num_hashes: int, seed: int, num_bands: int 
     return f
 
 
-def _screen_pairs_map(num_hashes: int, keep_min: float, max_width: int):
+def _screen_pairs_map(num_hashes: int, keep_min: float, max_width: int,
+                      cross_side: bool = False):
     """mapInPandas generator: bucket-sorted (band_id, band_hash, id,
-    signature) rows → screened candidate pairs (id_a, id_b).
+    signature[, side]) rows → screened candidate pairs (id_a, id_b).
 
     Runs over partitions that are hash-partitioned AND sorted by the
     bucket key, so buckets are contiguous; a bucket spanning Arrow
@@ -195,8 +196,14 @@ def _screen_pairs_map(num_hashes: int, keep_min: float, max_width: int):
     the expression form (nested transform/flatten/zip_with lambdas) is
     interpreted per element by Spark and profiled 50-100× slower.
 
+    ``cross_side=True`` is the A×B join form: rows carry a ``side``
+    column (0 = A, 1 = B), only cross-side pairs are emitted, id_a
+    always from A, and the screen compares the A block against the B
+    block only (w_A × w_B × k instead of w²·k).
+
     Buckets wider than ``max_width`` degrade to star pairing against
-    the min-id member, UNFILTERED (connectivity contract — see
+    the min-id member (min A member in cross mode), UNFILTERED
+    (connectivity contract — see
     functions/hashing.py::bucket_member_pairs).
     """
 
@@ -205,6 +212,7 @@ def _screen_pairs_map(num_hashes: int, keep_min: float, max_width: int):
 
         def emit(df: pd.DataFrame) -> pd.DataFrame:
             ids_all = df["id"].to_numpy()
+            sides_all = df["side"].to_numpy() if cross_side else None
             keys = (df["band_id"].to_numpy(), df["band_hash"].to_numpy())
             # bucket boundaries over the sorted stream
             change = np.ones(len(df), dtype=bool)
@@ -218,6 +226,24 @@ def _screen_pairs_map(num_hashes: int, keep_min: float, max_width: int):
                 if w < 2:
                     continue
                 ids = ids_all[s:e]
+                if cross_side:
+                    sides = sides_all[s:e]
+                    order = np.lexsort((ids, sides))
+                    ids, sides = ids[order], sides[order]
+                    n_a = int((sides == 0).sum())
+                    if n_a == 0 or n_a == w:
+                        continue
+                    if w > max_width:
+                        # star: min A member against every B member
+                        out_a.append(np.full(w - n_a, ids[0]))
+                        out_b.append(ids[n_a:])
+                        continue
+                    sig = np.vstack(df["signature"].to_numpy()[s:e][order])
+                    agree = (sig[:n_a, None, :] == sig[None, n_a:, :]).sum(axis=2)
+                    ia, ib = np.nonzero(agree >= keep_min * num_hashes)
+                    out_a.append(ids[ia])
+                    out_b.append(ids[n_a + ib])
+                    continue
                 order = np.argsort(ids, kind="stable")
                 ids = ids[order]
                 if w > max_width:
@@ -276,16 +302,18 @@ def minhash_candidate_pairs(
     the banding and the w²·k screen run at numpy speed instead of
     Spark's interpreted higher-order-function evaluator.
     """
+    side = [F.col("side")] if "side" in feats.columns else []
     exploded = feats.select(
         F.col(id_col).alias("id"),
         F.col("signature"),
+        *side,
         F.posexplode("bands").alias("band_id", "band_hash"),
-    ).select("band_id", "band_hash", "id", "signature")
+    ).select("band_id", "band_hash", "id", "signature", *side)
     parted = exploded.repartition("band_id", "band_hash").sortWithinPartitions(
         "band_id", "band_hash"
     )
     pairs = parted.mapInPandas(
-        _screen_pairs_map(num_hashes, keep_min, max_width),
+        _screen_pairs_map(num_hashes, keep_min, max_width, cross_side=bool(side)),
         schema="id_a long, id_b long",
     )
     return pairs.distinct()
@@ -390,29 +418,30 @@ def minhash_similarity_join(
     SURVEY.md §2.10).
 
     Spark shape: both frames go through the SAME vectorized
-    shingle+signature map stage, tagged with a (side, id) struct id and
-    unioned — so banding + bucket grouping + in-bucket pair generation
-    is ONE machine, not a join of two. `array_sort` on the member
-    structs orders side 0 (A) before side 1 (B) inside every bucket,
-    so a cross-side pair is always (A-member, B-member) — orientation
-    falls out of the sort, no post-hoc flip. The structural
-    ``pair_keep`` (sides differ) prunes same-side pairs before the
-    explode. Verify: exact Jaccard via shingle joins against each
-    side's feature frame, survivors only.
+    shingle+signature+bands map stage, side-tagged and unioned — so
+    banding + bucket grouping + in-bucket pair generation is ONE
+    machine, not a join of two. The numpy bucket screen
+    (:func:`_screen_pairs_map` in cross mode) sorts each bucket's
+    members (side, id), compares the A block against the B block only,
+    and emits cross-side pairs already (A, B)-oriented. Verify: exact
+    Jaccard via shingle joins against each side's feature frame,
+    survivors only. Integral ids required (the pair schema is long).
 
     Output: (id_a, id_b, jaccard), id_a from A, id_b from B.
     """
-    sig = _shingle_sig_udf(shingle_k, num_hashes, seed)
-    rows_per_band = num_hashes // num_bands
+    sig = _shingle_sig_udf(shingle_k, num_hashes, seed, num_bands)
 
     def feats(df: DataFrame, side: int) -> DataFrame:
         return (
-            df.select(
-                F.struct(F.lit(side).alias("side"), F.col(id_col).alias("id")).alias("sid"),
-                sig(F.col(text_col)).alias("_f"),
+            rebalance_if_narrow(df)
+            .select(F.col(id_col), sig(F.col(text_col)).alias("_f"))
+            .select(
+                F.col(id_col).alias("id"),
+                F.lit(side).alias("side"),
+                F.col("_f.shingles").alias("shingles"),
+                F.col("_f.signature").alias("signature"),
+                F.col("_f.bands").alias("bands"),
             )
-            .select("sid", F.col("_f.shingles").alias("shingles"), F.col("_f.signature").alias("signature"))
-            .filter(F.col("shingles").isNotNull())
         )
 
     from pyspark import StorageLevel
@@ -420,35 +449,15 @@ def minhash_similarity_join(
     fa = feats(dfA, 0).persist(StorageLevel.MEMORY_AND_DISK)
     fb = feats(dfB, 1).persist(StorageLevel.MEMORY_AND_DISK)
     fa.count(), fb.count()  # one eager pass each: banding + verify both consume
-    banded = fa.unionAll(fb).select(
-        "sid", "signature",
-        H.lsh_bands(F.col("signature"), num_bands, rows_per_band).alias("bands"),
-    )
+    fa_ok = fa.filter(F.col("shingles").isNotNull())
+    fb_ok = fb.filter(F.col("shingles").isNotNull())
     margin = 3.0 * math.sqrt(0.25 / num_hashes)
-
-    def est(a, b):
-        return (
-            F.size(
-                F.filter(
-                    F.zip_with(a["signature"], b["signature"], lambda x, y: x == y),
-                    lambda eq: eq,
-                )
-            ).cast("double")
-            / F.lit(float(num_hashes))
-        )
-
-    screened = (
-        H.bucket_member_pairs(
-            banded, "sid", "bands", payload_cols=("signature",),
-            metric=est, keep=lambda m: m >= threshold - margin,
-            pair_keep=lambda x, y: x["_id"]["side"] != y["_id"]["side"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_n"))
-        .select(F.col("id_a.id").alias("id_a"), F.col("id_b.id").alias("id_b"))
+    screened = minhash_candidate_pairs(
+        fa_ok.unionAll(fb_ok), "id", num_hashes, num_bands,
+        keep_min=threshold - margin,
     )
-    sh_a = fa.select(F.col("sid.id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = fb.select(F.col("sid.id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    sh_a = fa_ok.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = fb_ok.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         screened.join(sh_a, "id_a")
         .join(sh_b, "id_b")
