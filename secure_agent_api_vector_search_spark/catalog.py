@@ -28,6 +28,7 @@ from secure_agent_api_vector_search_spark.operators import (
     analytics as A,
     asof as AS,
     components as CC,
+    curation as CU,
     dedup as D,
     hybrid as HY,
     ivf as I,
@@ -494,6 +495,45 @@ def token_budget_sample(spark: SparkSession, sf_dir: str, budget: int = 20_000) 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_quality(load_documents(spark, sf_dir))
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_repetition(load_documents(spark, sf_dir))
+
+
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.per_source_cap(load_documents(spark, sf_dir), cap=20)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The corpus is synthetic word soup with no PII, so plant some: a
+    # deterministic suffix with an email / phone / IP on every 7th doc
+    # (both engines build the identical rows — see the oracle).
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return CU.pii_redact(docs)
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.contamination_check(load_documents(spark, sf_dir), eval_max_id=20, n=8)
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.dataset_split(load_documents(spark, sf_dir))
 
 
 def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1316,6 +1356,117 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id""",
         description="[EXT] document quality scoring (stopword + length factors)",
         tags=("text",)))
+
+    r.register(NamedQuery(
+        "doc_repetition", doc_repetition,
+        oracle_sql="""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS ws
+  FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_word_ratio
+  FROM w),
+uni AS (
+  SELECT doc_id, MAX(c) AS top_word_count FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+    GROUP BY doc_id, tok)
+  GROUP BY doc_id),
+big AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT w.doc_id, ws[i] || ' ' || ws[i + 1] AS gram
+          FROM w, UNNEST(range(1, len(ws))) AS t(i))
+    GROUP BY doc_id, gram)
+  GROUP BY doc_id)
+SELECT b.doc_id, b.n_words, b.distinct_word_ratio,
+       CAST(u.top_word_count AS DOUBLE) / b.n_words AS top_word_frac,
+       CASE WHEN b.n_words >= 2
+            THEN CAST(COALESCE(g.top_bigram_count, 0) AS DOUBLE) / (b.n_words - 1)
+            ELSE 0.0 END AS top_bigram_frac,
+       (b.distinct_word_ratio >= 0.3
+        AND CAST(u.top_word_count AS DOUBLE) / b.n_words <= 0.12
+        AND (CASE WHEN b.n_words >= 2
+             THEN CAST(COALESCE(g.top_bigram_count, 0) AS DOUBLE) / (b.n_words - 1)
+             ELSE 0.0 END) <= 0.08) AS keep
+FROM base b
+LEFT JOIN uni u USING (doc_id)
+LEFT JOIN big g USING (doc_id)
+ORDER BY doc_id""",
+        description="[EXT] Gopher-style repetition rules (distinct-word ratio, top uni/bigram share)",
+        tags=("text", "curation")))
+
+    r.register(NamedQuery(
+        "per_source_cap", per_source_cap,
+        oracle_sql="""
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+  FROM documents)
+WHERE rk <= 20 ORDER BY doc_id""",
+        description="[EXT] domain balancing: top-20 longest docs per source",
+        tags=("curation", "window")))
+
+    r.register(NamedQuery(
+        "pii_redact", pii_redact,
+        oracle_sql=r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-867-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted_text
+FROM planted ORDER BY doc_id""",
+        description="[EXT] PII scrub: count + redact emails/phones/IPv4 (planted corpus)",
+        tags=("curation",)))
+
+    r.register(NamedQuery(
+        "contamination_check", contamination_check,
+        oracle_sql="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+ev AS (SELECT DISTINCT gram FROM gd WHERE doc_id < 20),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM gd WHERE doc_id >= 20 GROUP BY doc_id),
+hits AS (SELECT gd.doc_id, COUNT(*) AS n_hit
+         FROM gd JOIN ev USING (gram) WHERE gd.doc_id >= 20 GROUP BY gd.doc_id)
+SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(h.n_hit AS BIGINT) AS n_hit,
+       CAST(h.n_hit AS DOUBLE) / t.n_grams AS hit_frac
+FROM totals t JOIN hits h USING (doc_id) ORDER BY doc_id""",
+        description="[EXT] benchmark-contamination scan: 8-gram overlap vs eval split "
+                    "(broadcast eval gram set, map-side semi-join at scale)",
+        tags=("curation", "join")))
+
+    r.register(NamedQuery(
+        "dataset_split", dataset_split,
+        oracle_sql="""
+SELECT doc_id,
+       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 15)) AS BIGINT) % 10000 AS bucket,
+       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'train'
+            WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 15)) AS BIGINT) % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id""",
+        description="[EXT] deterministic train/val/test split (stable md5 key hash; "
+                    "membership invariant under corpus growth)",
+        tags=("curation",)))
 
     r.register(NamedQuery(
         "corpus_curation", corpus_curation,

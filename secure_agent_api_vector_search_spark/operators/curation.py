@@ -1,6 +1,7 @@
 """Corpus-curation operators for the training-data pipeline ([EXT],
-SURVEY.md §2.10): domain balancing, PII redaction, repetition filtering
-(Gopher-style), and benchmark-contamination checks.
+SURVEY.md §2.10): domain balancing, PII redaction, deterministic
+dataset splitting, and benchmark-contamination checks. (Gopher-style
+repetition rules live in operators/textops.py::doc_repetition.)
 
 The reference (wkw8402/secure-agent-api-vector-search) has no curation
 surface — its corpus is 50 hand-written rows (sql/03_seed_data.sql) —
@@ -76,52 +77,40 @@ def pii_redact(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).orderBy(id_col)
 
 
-def doc_repetition(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Gopher-style repetition metrics per document: distinct-token
-    ratio, most-frequent-unigram fraction, most-frequent-bigram
-    fraction, and a repetition flag (Rae et al. 2021, "Scaling Language
-    Models" §A1.1 — public thresholds: top unigram > 0.2 of tokens or
-    distinct ratio < 0.5 marks boilerplate/spam).
+def dataset_split(
+    documents: DataFrame,
+    train: float = 0.9,
+    val: float = 0.05,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by stable key hash.
 
-    Scale shape: explode → two-level agg keyed by (doc, gram). The
-    first groupBy partial-aggregates map-side (same doc+gram pairs
-    collapse before the shuffle), the second is keyed by doc alone —
-    both AQE-coalesced. No per-row O(n²) array scans: for long
-    documents the explode form beats aggregate-over-array quadratics.
+    split(doc) depends ONLY on (key, seed): re-running over a grown
+    corpus never reassigns an existing document (the property random()
+    sampling lacks), and any subset of the data reproduces the same
+    labels — the requirement for incremental 100 TB ingest. One scan,
+    zero shuffles.
+
+    The hash is the first 15 hex chars of md5(key || seed) — 60 bits,
+    cross-engine: Spark `conv(substring(md5(x), 1, 15), 16, 10)` and
+    DuckDB `('0x' || substring(md5(x), 1, 15))::BIGINT` produce the
+    identical integer, so the assignment itself is oracle-checked.
+    Output: (doc_id, bucket, split).
     """
-    toks = documents.select(id_col, F.explode(X.tokens("text")).alias("tok"))
-    uni = (
-        toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count("*").alias("n_distinct"),
-            F.max("c").alias("top_uni"),
-        )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    bucket = (h % 10000).alias("bucket")
+    split = (
+        F.when(h % 10000 < int(train * 10000), "train")
+        .when(h % 10000 < int((train + val) * 10000), "val")
+        .otherwise("test")
     )
-    bigrams = documents.select(
-        id_col, F.explode(X.token_shingles("text", 2)).alias("g")
-    )
-    big = (
-        bigrams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_big"))
-    )
-    d = F.col("n_distinct").cast("double") / F.col("n_tokens")
-    fu = F.col("top_uni").cast("double") / F.col("n_tokens")
-    fb = F.col("top_big").cast("double") / F.col("n_bigrams")
-    return (
-        uni.join(big, id_col)
-        .select(
-            id_col,
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            d.alias("distinct_ratio"),
-            fu.alias("top_unigram_frac"),
-            fb.alias("top_bigram_frac"),
-            ((fu > 0.2) | (d < 0.5)).alias("is_repetitive"),
-        )
-        .orderBy(id_col)
-    )
+    return documents.select(
+        id_col, bucket, split.alias("split")
+    ).orderBy(id_col)
 
 
 def contamination_check(

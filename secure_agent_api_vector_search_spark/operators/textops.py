@@ -97,3 +97,75 @@ def doc_winnow_fingerprints(documents: DataFrame, window: int = 8) -> DataFrame:
         F.md5(F.array_join(fp.cast("array<string>"), ",")).alias("fp_winnow"),
         F.size(fp).cast("long").alias("n_fingerprints"),
     ).orderBy("doc_id")
+
+
+def doc_repetition(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality metrics per document (Rae et al.
+    2021 §A1.1; the duplicate-line family degenerates on this corpus —
+    single-line texts — so the word/n-gram rules carry the signal).
+
+    Output: (doc_id, n_words, distinct_word_ratio, top_word_frac,
+    top_bigram_frac, keep) where the `top_*` columns are the most
+    frequent unigram/bigram's share of the doc and `keep` applies the
+    curation thresholds.
+
+    Scale shape: everything is codegen — tokenization + distinct ratio
+    in the scan projection; the two mode computations are
+    explode → groupBy(doc_id, gram) → max per doc, i.e. partial
+    aggregation map-side then two doc_id-keyed shuffles that AQE
+    co-plans. Bigrams come from arrays_zip(slice, slice) (plain
+    codegen expressions, NOT lambda higher-order functions — HOFs
+    evaluate interpreted and profiled 50-100x slower in the LSH
+    screen). No Python, no driver loop.
+    """
+    ws = F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")
+    base = documents.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.size(ws).cast("long").alias("n_words"),
+    ).select(
+        "doc_id",
+        "ws",
+        "n_words",
+        (F.size(F.array_distinct("ws")).cast("double") / F.col("n_words"))
+        .alias("distinct_word_ratio"),
+    )
+    uni = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_word_count"))
+    )
+    grams = F.arrays_zip(
+        F.slice(F.col("ws"), 1, F.col("n_words") - 1),
+        F.slice(F.col("ws"), 2, F.col("n_words") - 1),
+    )
+    big = (
+        base.filter(F.col("n_words") >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.concat_ws(" ", F.col("g.0"), F.col("g.1")).alias("gram"))
+        .groupBy("doc_id", "gram").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_bigram_count"))
+    )
+    top_word_frac = F.col("top_word_count").cast("double") / F.col("n_words")
+    top_bigram_frac = F.when(
+        F.col("n_words") >= 2,
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("double")
+        / (F.col("n_words") - 1),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(uni, "doc_id", "left")
+        .join(big, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "distinct_word_ratio",
+            top_word_frac.alias("top_word_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            (
+                (F.col("distinct_word_ratio") >= 0.3)
+                & (top_word_frac <= 0.12)
+                & (top_bigram_frac <= 0.08)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

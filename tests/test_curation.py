@@ -1,0 +1,69 @@
+"""Curation-operator invariants: per-source caps, PII redaction,
+deterministic splits, contamination scan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.operators import curation as CU
+
+
+def test_per_source_cap_bounds_and_prefers_long(docs):
+    out = CU.per_source_cap(docs, cap=5)
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    # kept docs per source are the longest ones
+    src = per[0]["source"]
+    kept = {r["doc_id"] for r in out.filter(F.col("source") == src).collect()}
+    top = {
+        r["doc_id"]
+        for r in docs.filter(F.col("source") == src)
+        .orderBy(F.desc("n_chars"), "doc_id").limit(5).collect()
+    }
+    assert kept == top
+
+
+def test_pii_redact_counts_and_scrubs(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.io and jo@y.org call 555-123-4567 host 10.0.0.1"),
+         (2, "clean text only")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in CU.pii_redact(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_emails"], r1["n_phones"], r1["n_ips"]) == (2, 1, 1)
+    assert "<EMAIL>" in r1["redacted_text"] and "<PHONE>" in r1["redacted_text"]
+    assert "bob@x.io" not in r1["redacted_text"] and "10.0.0.1" not in r1["redacted_text"]
+    r2 = rows[2]
+    assert (r2["n_emails"], r2["n_phones"], r2["n_ips"]) == (0, 0, 0)
+    assert r2["redacted_text"] == "clean text only"
+
+
+def test_dataset_split_deterministic_and_stable_under_growth(docs):
+    full = {r["doc_id"]: r["split"] for r in CU.dataset_split(docs).collect()}
+    n = len(full)
+    # complete + proportions in sane bands
+    from collections import Counter
+    c = Counter(full.values())
+    assert sum(c.values()) == n
+    assert 0.8 <= c["train"] / n <= 0.97
+    # subset reproduces identical assignments (growth stability)
+    sub = {r["doc_id"]: r["split"]
+           for r in CU.dataset_split(docs.filter(F.col("doc_id") % 3 == 0)).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    # different seed reshuffles at least something
+    other = {r["doc_id"]: r["split"]
+             for r in CU.dataset_split(docs, seed="split-v2").collect()}
+    assert any(full[k] != other[k] for k in full)
+
+
+def test_contamination_flags_planted_overlap(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(0, base),                       # eval doc
+         (50, base + " extra tail words here now"),  # contaminated
+         (51, "totally different words with no shared eight gram runs at all")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in CU.contamination_check(df, eval_max_id=20, n=8).collect()}
+    assert 50 in rows and rows[50]["n_hit"] >= 1
+    assert 51 not in rows  # inner join: uncontaminated docs drop out

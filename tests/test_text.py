@@ -104,3 +104,30 @@ def test_lang_profile(docs):
     rows = TX.lang_profile(docs).collect()
     assert sum(r["n_docs"] for r in rows) == docs.count()
     assert all(r["avg_chars"] > 0 for r in rows)
+
+
+def test_doc_repetition_hand_values(spark):
+    df = spark.createDataFrame(
+        [
+            # "spam spam spam spam": distinct 1/4, top word 4/4, top bigram 3/3
+            (1, "spam spam spam spam"),
+            # all-distinct doc: ratios 1.0, 1/5, 1/4
+            (2, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.doc_repetition(df).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert r1["n_words"] == 4 and r1["distinct_word_ratio"] == 0.25
+    assert r1["top_word_frac"] == 1.0 and r1["top_bigram_frac"] == 1.0
+    assert r1["keep"] is False
+    assert r2["n_words"] == 5 and r2["distinct_word_ratio"] == 1.0
+    assert r2["top_word_frac"] == 0.2 and r2["top_bigram_frac"] == 0.25
+    assert r2["keep"] is False  # top_word_frac 0.2 > 0.12 on a tiny doc
+
+
+def test_doc_repetition_corpus_discriminates(docs):
+    out = TX.doc_repetition(docs)
+    n = out.count()
+    kept = out.filter("keep").count()
+    assert 0 < kept < n  # thresholds separate the corpus, not degenerate
