@@ -101,9 +101,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table join; bounded dimensions
-    (supplier/nation/region) broadcast, orders/customer join strategy
-    left to AQE, facts joined then aggregated per nation."""
+    """TPC-H Q5 shape: 6-table join; BOUNDED dimensions (nation 25
+    rows, region 5) broadcast; supplier/orders/customer scale with SF,
+    so their join strategy is left to AQE (it still picks broadcast at
+    small SF from runtime sizes, and switches to shuffle joins at
+    scale — a forced hint would OOM the build side at 100×)."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -117,7 +119,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(s, (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
@@ -321,10 +323,12 @@ def region_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def part_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: lines with quantity below 20% of their part's
     average. The correlated scalar subquery decorrelates to a window
-    average over the part key — one shuffle, no self-join re-scan."""
+    average over the part key — one shuffle, no self-join re-scan.
+    part scales with SF (the PROMO filter keeps ~1/5 of it), so the
+    join strategy is AQE's call, not a forced broadcast."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    joined = l.join(p, l["l_partkey"] == p["p_partkey"])
     w = Window.partitionBy("l_partkey")
     flagged = joined.withColumn("_avg_qty", F.avg("l_quantity").over(w)).filter(
         F.col("l_quantity") < 0.2 * F.col("_avg_qty")

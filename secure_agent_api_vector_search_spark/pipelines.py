@@ -73,3 +73,40 @@ def build_and_write_index(
     index = I.build_ivf(emb, n_lists=n_lists, vec_col=vec_col, id_col=id_col, seed=seed)
     I.write_ivf(index, index_path)
     return len(index.centroids)
+
+
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+) -> None:
+    """Persist a table bucketed (hash-clustered) + sorted on the join
+    key — Spark's co-located-join layout.
+
+    At 100 TB the dominant recurring cost of fact-fact joins is the
+    shuffle of both sides on the join key. Bucketing pays that shuffle
+    ONCE at write time: every future equi-join (or aggregation) on
+    ``bucket_cols`` between tables bucketed with the same count reads
+    pre-clustered files and plans a sort-merge join with NO Exchange on
+    either side (and no Sort, via ``sortBy``). tests/test_pipelines.py
+    asserts the exchange-free plan.
+
+    The table is external (data at ``path``); bucket metadata lives in
+    the session catalog, which is the part parquet files alone cannot
+    carry — plain `.parquet()` readers see ordinary files.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_tables(spark: SparkSession, left: str, right: str) -> tuple[DataFrame, DataFrame]:
+    """Read two same-bucketed tables for a shuffle-free equi-join."""
+    return spark.table(left), spark.table(right)

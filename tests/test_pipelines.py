@@ -46,3 +46,30 @@ def test_index_build_job_and_disk_probe(spark, emb, tmp_path):
     got = {r["vec_id"] for r in I.ivf_search(loaded, q, k=5, nprobe=8).collect()}
     want = {r["vec_id"] for r in TK.topk_similar(emb, q, k=5).collect()}
     assert got == want  # full probe ≡ exact
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Same-bucketed tables equi-join with no Exchange and no Sort on
+    either side — the shuffle paid once at write time (the 100 TB
+    co-located fact-fact join layout)."""
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("o_val"))
+    lines = spark.range(0, 3000).select(
+        (F.col("id") % 1000).alias("k"), (F.col("id") + 7).alias("l_val"))
+    P.write_bucketed(orders, str(tmp_path / "bo"), "b_orders", ["k"], n_buckets=8)
+    P.write_bucketed(lines, str(tmp_path / "bl"), "b_lines", ["k"], n_buckets=8)
+    try:
+        bo, bl = P.bucketed_tables(spark, "b_orders", "b_lines")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bo.join(bl, "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert joined.count() == 3000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lines")
