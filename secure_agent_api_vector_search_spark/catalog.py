@@ -704,6 +704,20 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return I.ivf_search(index, _query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
+def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed batch kNN: every 50th corpus vector as the query set,
+    routed through the cached IVF index (nprobe list equi-join instead
+    of a query × corpus cross product — the large-|Q| scale path)."""
+    index = _IVF_CACHE.get(sf_dir)
+    if index is None:
+        index = I.build_ivf(load_embeddings(spark, sf_dir), n_lists=16, seed=42)
+        _IVF_CACHE[sf_dir] = index
+    q = load_embeddings(spark, sf_dir).filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return K.knn_join_ivf(index, q, k=3, nprobe=4)
+
+
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shingle the NORMALIZED text: the noisy corpus's planted dups are
     # case-folded + punctuated (UPPER(text) || ' !!!'), so raw-byte
@@ -1707,6 +1721,11 @@ FROM p ORDER BY doc_id""",
         "ivf_topk", ivf_topk,
         description="V5 IVF index (KMeans lists + partition-pruned probe; "
                     "recall vs exact path asserted in tests)", tags=("vector", "index")))
+    r.register(NamedQuery(
+        "knn_join_ivf", knn_join_ivf,
+        description="[EXT] IVF-routed batch kNN join: nprobe list equi-join "
+                    "replaces the query × corpus product (recall vs exact knn_join "
+                    "asserted in tests/test_ivf.py)", tags=("vector", "index", "join")))
     r.register(NamedQuery(
         "minhash_near_dup", minhash_near_dup,
         description="[EXT] MinHash-LSH near-dup pairs (banded equi-join + "

@@ -575,17 +575,31 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     block_col: str | None = None,
 ) -> DataFrame:
-    """Exact token-n-gram Jaccard similarity pairs, optionally blocked.
+    """Token-n-gram Jaccard similarity pairs, optionally blocked.
 
     Without a block column this is all-pairs — only for small frames or
     as the verify stage after LSH. With ``block_col`` (e.g. a coarse
     cluster/source/language), the join is per-block.
+
+    Grams cross the join as 48-bit md5 hashes, not strings: the gram
+    build is explode → codegen md5 → collect_set (one doc-keyed
+    shuffle), and the per-pair set intersection works on int64 arrays —
+    string gram arrays hashed per pair made the pair stage the
+    operator's hot spot. Jaccard is exact modulo 48-bit collisions
+    (~10⁻⁸ per gram pair; the near-dup decision is unaffected).
     """
-    grams = df.select(
-        F.col(id_col),
-        *( [F.col(block_col)] if block_col else [] ),
-        F.array_distinct(X.token_shingles(text_col, n)).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    blk = [F.col(block_col)] if block_col else []
+    grams = (
+        df.select(
+            F.col(id_col),
+            *blk,
+            F.explode(F.array_distinct(X.token_shingles(text_col, n))).alias("_g"),
+        )
+        .select(F.col(id_col), *blk, X.md5_hash48(F.col("_g")).alias("_gh"))
+        .groupBy(id_col, *([block_col] if block_col else []))
+        .agg(F.array_sort(F.collect_set("_gh")).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
     a, b = grams.alias("a"), grams.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
