@@ -67,3 +67,17 @@ def test_contamination_flags_planted_overlap(spark):
     rows = {r["doc_id"]: r for r in CU.contamination_check(df, eval_max_id=20, n=8).collect()}
     assert 50 in rows and rows[50]["n_hit"] >= 1
     assert 51 not in rows  # inner join: uncontaminated docs drop out
+
+
+def test_curation_plan_shapes(docs):
+    """Pin the 100 TB plan claims: the contamination probe broadcasts
+    the eval gram set; repetition metrics never leave the JVM."""
+    from secure_agent_api_vector_search_spark.operators import textops as TX
+    from secure_agent_api_vector_search_spark.plans.explain import physical_plan
+
+    plan = physical_plan(CU.contamination_check(docs, eval_max_id=20, n=8))
+    assert "BroadcastHashJoin" in plan
+
+    plan = physical_plan(TX.doc_repetition(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
