@@ -206,3 +206,92 @@ def test_similarity_join_exact_plan_shape(spark, sf_dir):
     assert_in_plan(df, "BroadcastNestedLoopJoin", "PushedFilters")
     plan = physical_plan(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_numpy_screen_matches_bruteforce_across_batch_spans(spark):
+    """minhash_candidate_pairs must emit exactly the pairs whose
+    signature agreement clears keep_min, regardless of how buckets
+    split across Arrow batches — force 16-row batches so wide buckets
+    straddle batch boundaries inside the mapInPandas stream."""
+    import itertools
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    n_docs, num_hashes, num_bands = 120, 16, 4
+    # signatures drawn from a tiny value pool → lots of band collisions
+    sigs = rng.integers(0, 3, size=(n_docs, num_hashes)).tolist()
+    # reuse the production band hasher so expectations match exactly
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        _band_hashes, minhash_candidate_pairs)
+    bands = _band_hashes(np.asarray(sigs, dtype=np.int64), num_bands).tolist()
+    rows = [(i, sigs[i], bands[i]) for i in range(n_docs)]
+    feats = spark.createDataFrame(
+        rows, "doc_id long, signature array<bigint>, bands array<bigint>")
+
+    keep_min = 0.5
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        got = {(r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(
+            feats, "doc_id", num_hashes, num_bands, keep_min=keep_min).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    # brute force: same bucketing, same screen
+    want = set()
+    buckets: dict = {}
+    for i in range(n_docs):
+        for b_id, b_hash in enumerate(bands[i]):
+            buckets.setdefault((b_id, b_hash), []).append(i)
+    for members in buckets.values():
+        for i, j in itertools.combinations(sorted(members), 2):
+            agree = sum(x == y for x, y in zip(sigs[i], sigs[j]))
+            if agree >= keep_min * num_hashes:
+                want.add((i, j))
+    assert got == want and len(want) > 0
+
+
+def test_numpy_screen_star_degrades_overwide_buckets(spark):
+    """Buckets wider than max_width must emit min-id star pairs
+    UNFILTERED (connectivity candidates), narrower ones the screened
+    all-pairs set."""
+    import itertools
+    import numpy as np
+
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        _band_hashes, minhash_candidate_pairs)
+
+    rng = np.random.default_rng(11)
+    n_docs, num_hashes, num_bands = 40, 16, 2
+    sig_mat = rng.integers(0, 2, size=(n_docs, num_hashes))
+    sig_mat[:20, :8] = 0  # docs 0..19 share band 0 → one 20-wide bucket
+    sigs = sig_mat.tolist()
+    bands = _band_hashes(np.asarray(sigs, dtype=np.int64), num_bands).tolist()
+    feats = spark.createDataFrame(
+        [(i, sigs[i], bands[i]) for i in range(n_docs)],
+        "doc_id long, signature array<bigint>, bands array<bigint>")
+
+    keep_min, max_width = 0.75, 4
+    got = {(r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(
+        feats, "doc_id", num_hashes, num_bands,
+        keep_min=keep_min, max_width=max_width).collect()}
+
+    want = set()
+    buckets: dict = {}
+    for i in range(n_docs):
+        for b_id, b_hash in enumerate(bands[i]):
+            buckets.setdefault((b_id, b_hash), []).append(i)
+    saw_wide = False
+    for members in buckets.values():
+        members = sorted(members)
+        if len(members) > max_width:
+            saw_wide = True
+            want.update((members[0], j) for j in members[1:])
+        else:
+            for i, j in itertools.combinations(members, 2):
+                agree = sum(x == y for x, y in zip(sigs[i], sigs[j]))
+                if agree >= keep_min * num_hashes:
+                    want.add((i, j))
+    assert saw_wide  # the fixture actually exercises the star branch
+    assert got == want
