@@ -501,6 +501,10 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_repetition(load_documents(spark, sf_dir))
 
 
+def corpus_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.corpus_stats_approx(load_documents(spark, sf_dir))
+
+
 def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.per_source_cap(load_documents(spark, sf_dir), cap=20)
 
@@ -1411,6 +1415,13 @@ LEFT JOIN big g USING (doc_id)
 ORDER BY doc_id""",
         description="[EXT] Gopher-style repetition rules (distinct-word ratio, top uni/bigram share)",
         tags=("text", "curation")))
+
+    r.register(NamedQuery(
+        "corpus_stats_approx", corpus_stats_approx,
+        description="[EXT] sketch corpus summary: HLL++ vocabulary + quantile-sketch "
+                    "token lengths (one-pass mergeable partials; error bound tested "
+                    "vs exact in tests/test_text.py)",
+        tags=("text", "agg", "sketch")))
 
     r.register(NamedQuery(
         "per_source_cap", per_source_cap,

