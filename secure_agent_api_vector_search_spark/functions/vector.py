@@ -7,16 +7,22 @@ Reference mapping (SURVEY.md §2.3):
 - L2 opclass of the ivfflat index (sql/05_vector_index.sql:4) →
   :func:`l2_distance`
 
-Everything here is a **native Catalyst expression** built from
-higher-order functions (`zip_with` + `aggregate`), so the similarity
-computation runs inside whole-stage codegen on the JVM: no Python, no
-serialization, vectorized over the parquet scan. At 100 TB this is the
-difference between a scan-speed kNN and a 100× slower UDF path.
+Everything here is a **native Catalyst expression**: no Python, no
+serialization, evaluated over the parquet scan on the JVM. When the
+dimension is statically known (``dim=...`` — every production call
+site knows it), the fold is UNROLLED into a plain arithmetic
+expression `a[0]*b[0] + a[1]*b[1] + …`, which participates in
+whole-stage codegen. The lambda higher-order form (`zip_with` +
+`aggregate`) is kept as the unknown-dim fallback, but HOFs evaluate
+INTERPRETED in Spark (no codegen — profiled 50-100× slower in the LSH
+screen), so at 100 TB the unrolled form is the difference between a
+scan-speed kNN and an interpreter-bound one.
 
 Numerical contract: all math is float64 with a **left fold in array
-order**, which is bit-for-bit identical to DuckDB's
-`list_dot_product` — the correctness oracle can compare at full
-precision, no rounding tolerance needed.
+order** — the unrolled sum associates `((0+t0)+t1)+…` exactly like
+the aggregate fold, so both forms are bit-for-bit identical to
+DuckDB's `list_dot_product` and the correctness oracle compares at
+full precision, no rounding tolerance needed.
 """
 
 from __future__ import annotations
@@ -29,32 +35,52 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
-    """Inner product  Σ a_i·b_i  as a left fold (array order)."""
+# Max dimension for the unrolled codegen form. The left-associated sum
+# builds a Column tree of depth ~3·dim; beyond a few hundred terms the
+# Column→Expression conversion recurses too deep (observed failure at
+# 768). Above the cap the HOF fold is used — correct, just interpreted.
+UNROLL_MAX_DIM = 256
+
+
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Inner product  Σ a_i·b_i  as a left fold (array order).
+
+    With ``dim`` ≤ UNROLL_MAX_DIM, an unrolled codegen sum; otherwise
+    the interpreted HOF fold (identical values either way — see module
+    contract). The unroll pays a one-time codegen compile (~0.2 s), so
+    it wins on large scans and loses on tiny ones; both forms are kept
+    deliberately.
+    """
+    aa, bb = _c(a), _c(b)
+    if dim is not None and dim <= UNROLL_MAX_DIM:
+        acc = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + aa[i] * bb[i]
+        return acc
     return F.aggregate(
-        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.zip_with(aa, bb, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def l2_norm(a: Column | str) -> Column:
+def l2_norm(a: Column | str, dim: int | None = None) -> Column:
     """Euclidean norm ``sqrt(Σ a_i²)``."""
-    return F.sqrt(dot(a, a))
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+def cosine_similarity(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """cos(a, b) = dot(a,b) / (|a|·|b|) — the `1 - <=>` projection the
     reference exposes as `similarity` (tools.yaml:24)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
-def cosine_distance(a: Column | str, b: Column | str) -> Column:
+def cosine_distance(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """pgvector `<=>`: 1 − cos(a, b) (tools.yaml:26)."""
-    return F.lit(1.0) - cosine_similarity(a, b)
+    return F.lit(1.0) - cosine_similarity(a, b, dim)
 
 
-def l2_distance(a: Column | str, b: Column | str) -> Column:
+def l2_distance(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Euclidean distance via the expansion |a|² − 2·a·b + |b|².
 
     The expansion (rather than Σ(a_i−b_i)²) is used deliberately: the
@@ -63,7 +89,7 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
     clamps the tiny negative residue when a ≈ b.
     """
     aa, bb = _c(a), _c(b)
-    sq = dot(aa, aa) - F.lit(2.0) * dot(aa, bb) + dot(bb, bb)
+    sq = dot(aa, aa, dim) - F.lit(2.0) * dot(aa, bb, dim) + dot(bb, bb, dim)
     return F.sqrt(F.greatest(sq, F.lit(0.0)))
 
 

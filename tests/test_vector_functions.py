@@ -76,3 +76,21 @@ def test_cosine_equals_dot_after_normalize(spark):
         V.dot(V.normalize("a"), V.normalize("b")),
     ).head()
     assert cos == pytest.approx(dot_norm)
+
+
+def test_unrolled_dot_bit_exact_and_768_fallback(spark, emb):
+    """The unrolled codegen form must be bit-identical to the HOF fold
+    (same left association), and dim > UNROLL_MAX_DIM must fall back
+    to the HOF form instead of building an over-deep Column tree."""
+    q = F.lit([float(x) for x in emb.head()["embedding"]])
+    diff = emb.select(
+        (V.cosine_similarity("embedding", q)
+         - V.cosine_similarity("embedding", q, dim=64)).alias("d")
+    ).agg(F.sum(F.abs(F.col("d")))).head()[0]
+    assert diff == 0.0
+
+    big = spark.range(50).select(
+        F.expr("transform(sequence(0,767), i -> cast(i as double))").alias("v"))
+    qb = F.lit([0.5] * 768)
+    out = big.select(V.cosine_similarity("v", qb, dim=768).alias("s")).head()
+    assert out["s"] is not None  # fell back, computed, no conversion blow-up
