@@ -28,3 +28,18 @@ def test_catalog_entry_runs(spark, sf_dir, name):
     n = df.limit(5).count()
     assert n >= 0
     assert len(df.columns) > 0
+
+
+def test_rebalance_if_narrow(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.sources.tables import rebalance_if_narrow
+
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+    narrow = spark.read.parquet(str(tmp_path / "one"))
+    assert narrow.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    out = rebalance_if_narrow(narrow)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 100
+    wide = spark.range(1000).repartition(64)
+    assert rebalance_if_narrow(wide) is wide  # no-op above the threshold
