@@ -72,84 +72,6 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig(F.col(shingles_col)).alias("signature"))
 
 
-def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
-    """Cut a MinHash signature into bands and hash each band:
-    array of (band_id, band_hash) structs. Docs sharing any band hash
-    become candidate pairs."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.xxhash64(
-                b, F.slice(signature, b * rows_per_band + 1, rows_per_band).cast("string")
-            ).alias("band_hash"),
-        ),
-    )
-
-
-def simhash_bits(tokens_col: Column, n_bits: int = 64) -> Column:
-    """SimHash as an array<int> of ``n_bits`` bits (column-expression
-    form, for composing on already-tokenized arrays).
-
-    Each token is hashed ONCE (`xxhash64`), and bit i of the
-    fingerprint comes from bit i of that hash via literal shift+mask —
-    the earlier per-(bit, token) independent-hash form recomputed a
-    string hash 64× per token, which dominated the operator's CPU.
-    Bit set iff the signed bit-count over tokens is positive.
-
-    The operator-scale path is :func:`simhash_fingerprint` in
-    operators/dedup.py (explode → groupBy with codegen'd sums — HOF
-    lambdas evaluate interpreted, outside whole-stage codegen).
-    """
-    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
-    counts = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for i in range(n_bits)
-    ]
-    return F.array(*[F.when(c > 0, 1).otherwise(0) for c in counts])
-
-
-def pack_bits(bits: Column, n_bits: int = 64) -> Column:
-    """array<int> of bits → one BIGINT fingerprint (bit i of the long =
-    bits[i]). Shifts are bitwise, not arithmetic, so bit 63 packs into
-    the sign bit without ANSI overflow."""
-    fp = F.lit(0).cast("long")
-    for i in range(n_bits):
-        fp = fp.bitwiseOR(
-            F.when(bits[i] == 1, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        )
-    return fp
-
-
-def simhash_fp_chunks(fp: Column, num_chunks: int = 4, n_bits: int = 64) -> Column:
-    """Packed-fingerprint banding: cut the BIGINT fingerprint into
-    ``num_chunks`` bit-fields as (band_id, band_hash) structs (the
-    pigeonhole candidate generator, same guarantee as
-    :func:`simhash_chunks` on the array form)."""
-    width = n_bits // num_chunks
-    mask = F.lit((1 << width) - 1)
-    return F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("band_id"),
-                F.shiftrightunsigned(fp, c * width).bitwiseAND(mask).cast("long").alias("band_hash"),
-            )
-            for c in range(num_chunks)
-        ]
-    )
-
-
-def hamming_fp(a: Column, b: Column) -> Column:
-    """Hamming distance between two packed BIGINT fingerprints — one
-    codegen'd `bit_count(a XOR b)`."""
-    return F.bit_count(a.bitwiseXOR(b))
-
-
 def simhash_chunks(bits: Column, num_chunks: int = 4) -> Column:
     """Pack the bit array into ``num_chunks`` integer chunks (for
     pigeonhole candidate generation: Hamming ≤ num_chunks−1 ⇒ at least
