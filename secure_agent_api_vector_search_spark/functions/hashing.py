@@ -72,6 +72,30 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig(F.col(shingles_col)).alias("signature"))
 
 
+def simhash_fp_chunks(fp: Column, num_chunks: int = 4, n_bits: int = 64) -> Column:
+    """Packed-fingerprint banding: cut the BIGINT fingerprint into
+    ``num_chunks`` bit-fields as (band_id, band_hash) structs (the
+    pigeonhole candidate generator, same guarantee as
+    :func:`simhash_chunks` on the array form)."""
+    width = n_bits // num_chunks
+    mask = F.lit((1 << width) - 1)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band_id"),
+                F.shiftrightunsigned(fp, c * width).bitwiseAND(mask).cast("long").alias("band_hash"),
+            )
+            for c in range(num_chunks)
+        ]
+    )
+
+
+def hamming_fp(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed BIGINT fingerprints — one
+    codegen'd `bit_count(a XOR b)`."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
 def simhash_chunks(bits: Column, num_chunks: int = 4) -> Column:
     """Pack the bit array into ``num_chunks`` integer chunks (for
     pigeonhole candidate generation: Hamming ≤ num_chunks−1 ⇒ at least
