@@ -152,3 +152,45 @@ def knn_join_ivf(
         .filter(F.col("rank") <= k)
         .orderBy(q_id, "rank")
     )
+
+
+def ivf_recall_sweep(
+    index,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8, 16),
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """The IVF tuning instrument: recall@k of the probed path vs the
+    exact path, per nprobe.
+
+    IVF's one free parameter trades recall for probe cost; at 100 TB
+    nobody should pick it by feel. Ground truth is ONE exact
+    `knn_join` pass (persisted); each candidate nprobe re-ranks through
+    `knn_join_ivf` and the per-query hit fraction aggregates to a
+    corpus-level recall@k. The sweep loop is driver-side over ≤ a
+    handful of nprobe values — each iteration is a full distributed
+    job, nothing is collected but the one-row-per-nprobe summary.
+
+    Output: (nprobe, recall_at_k, n_queries), ordered by nprobe.
+    """
+    truth = knn_join(queries, corpus, k=k, q_id=q_id, q_vec=q_vec,
+                     c_id=c_id, c_vec=c_vec).select(
+        F.col(q_id), F.col("neighbor_id")).persist()
+    n_truth = truth.count()  # materialize once; also = n_queries * k'
+    frames = []
+    for np_ in nprobes:
+        got = knn_join_ivf(index, queries, k=k, nprobe=np_,
+                           q_id=q_id, q_vec=q_vec).select(
+            F.col(q_id), F.col("neighbor_id"))
+        hit = truth.join(got, [q_id, "neighbor_id"]).count()
+        frames.append((int(np_), float(hit) / float(n_truth),
+                       int(truth.select(q_id).distinct().count())))
+    spark = queries.sparkSession
+    return spark.createDataFrame(
+        frames, "nprobe int, recall_at_k double, n_queries long"
+    ).orderBy("nprobe")

@@ -133,3 +133,18 @@ def test_knn_join_ivf_matches_exact_on_planted_corpus(spark, sf_dir):
     exact_set = {(r["q_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["q_id"], r["neighbor_id"]) for r in approx}
     assert len(approx_set & exact_set) / len(exact_set) >= 0.8
+
+
+def test_ivf_recall_sweep_monotone_to_exact(spark, emb):
+    """Recall@k must be non-decreasing in nprobe and exactly 1.0 at a
+    full probe (probing every list ≡ the exact scan)."""
+    from secure_agent_api_vector_search_spark.operators import knn as K
+
+    index = I.build_ivf(emb, n_lists=8, seed=42)
+    q = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    sweep = K.ivf_recall_sweep(index, q, emb, k=5, nprobes=(1, 2, 4, 8)).collect()
+    recalls = [r["recall_at_k"] for r in sweep]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    assert all(0.0 < r <= 1.0 for r in recalls)
