@@ -149,3 +149,59 @@ def start_indexed_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_curated_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    rejected_dir: str,
+    checkpoint_dir: str,
+    dim: int = 64,
+    min_tokens: int = 10,
+    max_top_word_frac: float = 0.5,
+) -> StreamingQuery:
+    """Streaming ingest with the curation gate BEFORE the embed stage:
+    quality-rejected documents never reach the Python workers, and the
+    rejects are appended to a quarantine path instead of vanishing
+    (curation must be auditable — at 100 TB "we dropped 3% of docs"
+    needs a where and a why).
+
+    The gate is stateless per-document scoring (token count + top-word
+    share, the streaming-safe subset of textops.doc_repetition — the
+    full bigram mode needs a per-doc groupBy, which a foreachBatch
+    applies per micro-batch here), so it adds zero streaming state.
+    Routing both destinations from one stream uses foreachBatch: one
+    embed pass over survivors, two idempotent appends under the same
+    checkpoint (exactly-once for both sinks).
+    """
+    ws = F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+
+    def _route(batch_df: DataFrame, _epoch_id: int) -> None:
+        uni = (
+            batch_df.select("doc_id", F.explode(ws).alias("w"))
+            .groupBy("doc_id", "w").count()
+            .groupBy("doc_id")
+            .agg(F.sum("count").alias("_n_words"), F.max("count").alias("_top"))
+        )
+        scored = batch_df.join(uni, "doc_id", "left").withColumn(
+            "_keep",
+            (F.col("_n_words") >= min_tokens)
+            & (F.col("_top") / F.col("_n_words") <= max_top_word_frac),
+        )
+        survivors = scored.filter("_keep").drop("_n_words", "_top", "_keep")
+        rejects = scored.filter(~F.col("_keep")).drop("_n_words", "_top", "_keep")
+        embed_documents(survivors, dim).write.mode("append").parquet(out_dir)
+        rejects.write.mode("append").parquet(rejected_dir)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_route)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

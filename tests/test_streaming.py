@@ -279,3 +279,31 @@ def test_rebuild_after_indexed_ingest_retrains_and_serves(spark, docs, tmp_path)
         target = docs.filter(F.col("doc_id") == probe_id).select("text").head()[0]
         top = ivf_search(rebuilt, embed_text(target, 16), k=1, nprobe=2).collect()
         assert top[0]["doc_id"] == probe_id
+
+
+def test_curated_ingest_routes_quality_gate(spark, docs, tmp_path):
+    """The streaming curation gate: junk docs land in quarantine
+    un-embedded, survivors are embedded; nothing is silently dropped."""
+    from secure_agent_api_vector_search_spark.streaming.ingest import start_curated_ingest
+
+    in_dir, out_dir, rej_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "rej", "ckpt"))
+    good = docs.limit(20).select("doc_id", "text", "lang", "source", "n_chars")
+    junk = spark.createDataFrame(
+        [(900001, "spam spam spam spam spam spam spam spam spam spam spam",
+          "en", "junk", 55),
+         (900002, "too short", "en", "junk", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    good.unionAll(junk).write.mode("overwrite").parquet(in_dir)
+
+    q = start_curated_ingest(spark, in_dir, out_dir, rej_dir, ckpt, dim=16)
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_dir)
+    rej = spark.read.parquet(rej_dir)
+    assert out.count() == 20 and "embedding" in out.columns
+    assert {r["doc_id"] for r in rej.collect()} == {900001, 900002}
+    assert "embedding" not in rej.columns  # rejects never reach the embedder
