@@ -708,6 +708,30 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return I.ivf_search(index, _query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
+_PQ_CACHE: dict[str, tuple] = {}
+
+
+def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compressed-scan top-k with exact re-rank (operators/pq.py):
+    8-byte codes instead of 512-byte vectors at scan time, shortlist
+    re-ranked with the exact metric. Build+encode memoized per corpus
+    (the index lifecycle, like _IVF_CACHE)."""
+    from secure_agent_api_vector_search_spark.operators import pq as PQ
+
+    cached = _PQ_CACHE.get(sf_dir)
+    if cached is None:
+        emb = load_embeddings(spark, sf_dir)
+        book = PQ.build_pq(emb, m=8, ksub=32, seed=42)
+        codes = PQ.encode_pq(emb, book).persist()
+        codes.count()
+        cached = (book, codes)
+        _PQ_CACHE[sf_dir] = cached
+    book, codes = cached
+    return PQ.pq_topk_rerank(
+        codes, load_embeddings(spark, sf_dir), book, _query_vec(spark, sf_dir), k=10
+    )
+
+
 def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-routed batch kNN: every 50th corpus vector as the query set,
     routed through the cached IVF index (nprobe list equi-join instead
@@ -1732,6 +1756,11 @@ FROM p ORDER BY doc_id""",
         "ivf_topk", ivf_topk,
         description="V5 IVF index (KMeans lists + partition-pruned probe; "
                     "recall vs exact path asserted in tests)", tags=("vector", "index")))
+    r.register(NamedQuery(
+        "pq_topk_rerank", pq_topk_rerank,
+        description="[EXT] product-quantization ANN: ADC over 8-byte codes + "
+                    "exact re-rank (recall and exact-metric contracts in "
+                    "tests/test_pq.py)", tags=("vector", "index", "sketch")))
     r.register(NamedQuery(
         "knn_join_ivf", knn_join_ivf,
         description="[EXT] IVF-routed batch kNN join: nprobe list equi-join "
