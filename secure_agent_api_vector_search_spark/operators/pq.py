@@ -225,3 +225,43 @@ def pq_topk_rerank(
             F.row_number().over(Window.orderBy(F.col("l2sq").asc(), F.col(id_col).asc())),
         )
     )
+
+
+def ivfpq_topk(
+    ivf_index,
+    codes: DataFrame,
+    embeddings: DataFrame,
+    codebook: PqCodebook,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """faiss-style IVF-PQ: coarse quantizer prunes the lists, ADC scans
+    only the probed lists' codes, exact re-rank on the shortlist.
+
+    The two index halves compose orthogonally: IVF bounds the ROWS
+    touched (nprobe/lists of the corpus, physical partition pruning
+    when codes are stored partitioned by list_id) and PQ bounds the
+    BYTES per row (8-byte codes). At 100 TB the probed scan is
+    ~nprobe/lists × corpus/64 bytes — the only full-width vector reads
+    are the ``shortlist`` re-rank rows.
+
+    ``ivf_index``: an ivf.IvfIndex whose `assigned` frame carries
+    (id, list_id); joined to the code table on id (or pre-join and
+    store codes partitioned by list_id in production).
+    Output: (id, l2sq, rank) — exact distances on the shortlist.
+    """
+    from secure_agent_api_vector_search_spark.operators.ivf import _rank_lists
+
+    probes = _rank_lists(ivf_index.centroids, query_vec)[:nprobe]
+    probed_ids = ivf_index.assigned.filter(F.col("list_id").isin(probes)).select(
+        F.col(ivf_index.id_col).alias(id_col)
+    )
+    probed_codes = codes.join(probed_ids, id_col)
+    return pq_topk_rerank(
+        probed_codes, embeddings, codebook, query_vec,
+        k=k, shortlist=shortlist, id_col=id_col, vec_col=vec_col,
+    )

@@ -72,3 +72,20 @@ def test_pq_rerank_distances_are_exact(book_and_codes, emb):
         true = float(((vecs[r["vec_id"]] - q) ** 2).sum())
         assert r["l2sq"] == pytest.approx(true, rel=1e-9)
     assert out[0]["vec_id"] == probe["vec_id"] and out[0]["l2sq"] == pytest.approx(0.0)
+
+
+def test_ivfpq_full_probe_equals_pq(book_and_codes, emb):
+    """Probing every list must reduce IVF-PQ to plain PQ re-rank (the
+    composition is pruning-only); a partial probe returns k rows from
+    the probed subset with exact distances."""
+    from secure_agent_api_vector_search_spark.operators import ivf as I
+
+    book, codes = book_and_codes
+    index = I.build_ivf(emb, n_lists=8, seed=42)
+    q = emb.head()["embedding"]
+    full = PQ.ivfpq_topk(index, codes, emb, book, q, k=5, nprobe=8)
+    plain = PQ.pq_topk_rerank(codes, emb, book, q, k=5)
+    assert [(r["vec_id"], r["l2sq"]) for r in full.collect()] == \
+           [(r["vec_id"], r["l2sq"]) for r in plain.collect()]
+    part = PQ.ivfpq_topk(index, codes, emb, book, q, k=5, nprobe=2).collect()
+    assert len(part) == 5 and part[0]["l2sq"] == pytest.approx(0.0)
