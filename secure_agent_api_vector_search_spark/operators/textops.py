@@ -181,10 +181,13 @@ def corpus_stats_approx(documents: DataFrame, rsd: float = 0.02) -> DataFrame:
     mergeable partial aggregates — no exact-distinct shuffle of the
     token stream, no global sort for percentiles. Rows-only check
     (sketches are engine-specific); pytest bounds the HLL error vs the
-    exact count.
+    exact count. Quantiles are emitted as scalar columns (tokens_p50 /
+    tokens_p90 / tokens_p99), not one array column, so downstream
+    hash/canonicalize tooling never sees an unhashable list cell.
     """
     per_doc = documents.select(F.explode(X.tokens("text")).alias("tok"))
     lens = documents.select(X.token_count("text").cast("long").alias("n_tokens"))
+    q = F.percentile_approx("n_tokens", [0.5, 0.9, 0.99], 10000)
     return (
         documents.agg(
             F.count("*").alias("n_docs"),
@@ -192,7 +195,13 @@ def corpus_stats_approx(documents: DataFrame, rsd: float = 0.02) -> DataFrame:
         )
         .crossJoin(per_doc.agg(
             F.approx_count_distinct("tok", rsd).alias("approx_distinct_tokens")))
-        .crossJoin(lens.agg(
-            F.percentile_approx("n_tokens", [0.5, 0.9, 0.99], 10000)
-            .alias("tokens_p50_p90_p99")))
+        .crossJoin(lens.agg(q.alias("_q")))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "approx_distinct_tokens",
+            F.col("_q")[0].alias("tokens_p50"),
+            F.col("_q")[1].alias("tokens_p90"),
+            F.col("_q")[2].alias("tokens_p99"),
+        )
     )

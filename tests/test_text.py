@@ -142,5 +142,5 @@ def test_corpus_stats_approx_bounds(docs):
     assert approx["total_tokens"] == exact["total_tokens"]
     rel_err = abs(approx["approx_distinct_tokens"] - exact["distinct_tokens"]) / exact["distinct_tokens"]
     assert rel_err <= 0.10
-    p50, p90, p99 = approx["tokens_p50_p90_p99"]
+    p50, p90, p99 = approx["tokens_p50"], approx["tokens_p90"], approx["tokens_p99"]
     assert p50 <= p90 <= p99
