@@ -27,6 +27,9 @@ full precision, no rounding tolerance needed.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -38,7 +41,14 @@ def _c(col: Column | str) -> Column:
 # Max dimension for the unrolled codegen form. The left-associated sum
 # builds a Column tree of depth ~3·dim; beyond a few hundred terms the
 # Column→Expression conversion recurses too deep (observed failure at
-# 768). Above the cap the HOF fold is used — correct, just interpreted.
+# 768), and even a balanced-tree unroll dies in janino ("Code grows
+# beyond 64 KB" — one expression is one generated method, unsplittable;
+# measured here at dim 768, which then runs interpreted at HOF speed).
+# Above the cap, per-row work must leave the expression world: use
+# :func:`np_query_scorer` (Arrow-batched whole-batch numpy — the same
+# pattern as the LSH screens, profiled 50-100× over the interpreted
+# HOF) when the query side is a driver-known vector, or accept the HOF
+# fold when it is not.
 UNROLL_MAX_DIM = 256
 
 
@@ -91,6 +101,47 @@ def l2_distance(a: Column | str, b: Column | str, dim: int | None = None) -> Col
     aa, bb = _c(a), _c(b)
     sq = dot(aa, aa, dim) - F.lit(2.0) * dot(aa, bb, dim) + dot(bb, bb, dim)
     return F.sqrt(F.greatest(sq, F.lit(0.0)))
+
+
+def np_query_scorer(query_vec, metric: str = "cosine"):
+    """Arrow-batched numpy scorer for dims beyond UNROLL_MAX_DIM — the
+    100 TB scan path at the reference's true dimension (``vector(768)``,
+    reference sql/02_schema.sql:14).
+
+    Returns a one-argument Column function ``f(vec_col) -> double`` that
+    scores every row against the driver-known ``query_vec``: the query
+    is closed over (shipped once with the task, like the F.lit inline),
+    only the embedding column crosses the Arrow boundary, and each batch
+    is ONE BLAS matmul ``M @ q`` — no per-row Python. This is the same
+    whole-batch-numpy discipline as the LSH screens (operators/dedup.py)
+    and the embedder (embedder.py), which profiled 50-100× over the
+    interpreted HOF fold that Spark uses for >256-dim expressions.
+
+    Numerics are float64 like the expression forms; the summation order
+    is BLAS pairwise, so scores agree with the fold to ~1e-15 relative —
+    rank-stable, but not the bit-exact tier (that is the ≤256 unroll the
+    oracle gate pins at dim 64).
+    """
+    if metric not in ("cosine", "dot", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qq = float(q @ q)
+
+    @F.pandas_udf("double")
+    def score(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        m = np.stack(v.to_numpy())  # (batch, dim) float64, one copy
+        d = m @ q
+        if metric == "dot":
+            out = d
+        elif metric == "cosine":
+            out = d / (np.sqrt(np.einsum("ij,ij->i", m, m)) * np.sqrt(qq))
+        else:  # l2 via the same |a|²−2ab+|b|² expansion as l2_distance
+            out = np.sqrt(np.maximum(np.einsum("ij,ij->i", m, m) - 2.0 * d + qq, 0.0))
+        return pd.Series(out)
+
+    return score
 
 
 def normalize(a: Column | str) -> Column:

@@ -12,10 +12,13 @@ performance feature.
 Spark shape: `orderBy(sim.desc).limit(k)` → Catalyst plans
 **TakeOrderedAndProject**: each partition keeps a k-element heap and the
 driver merges k·num_partitions candidates — no global sort, no shuffle
-of the table. The similarity expression is a native codegen'd
-higher-order-function fold (functions/vector.py), so on a 1000-executor
-cluster this runs at parquet scan speed with only k rows per partition
-moving to the driver.
+of the table. The similarity expression is chosen by the statically
+known query-vector length: a native UNROLLED codegen sum ≤256 dims
+(functions/vector.py, oracle-bit-exact), an Arrow-batched whole-batch
+numpy scorer above (np_query_scorer — one BLAS matmul per batch; both
+expression forms degrade to interpreted speed past the 64 KB codegen
+method limit). Either way, on a 1000-executor cluster this runs at
+scan speed with only k rows per partition moving to the driver.
 
 The query vector is computed ONCE on the driver and inlined as an array
 literal (broadcast with the task closure) — the reference re-evaluates
@@ -33,14 +36,21 @@ from pyspark.sql import functions as F
 from secure_agent_api_vector_search_spark.functions import vector as V
 
 
-def _sim_col(metric: str, vec_col: Column, qlit: Column) -> tuple[Column, bool]:
-    """Returns (score column, ascending?) for a metric name."""
+def _sim_col(
+    metric: str, vec_col: Column, qlit: Column, dim: int | None = None
+) -> tuple[Column, bool]:
+    """Returns (score column, ascending?) for a metric name.
+
+    ``dim`` is statically known here (it is len(query_vec)), so with
+    dim ≤ 256 the score is the UNROLLED left-fold codegen expression
+    (functions/vector.py) — the oracle-bit-exact tier.
+    """
     if metric == "cosine":
-        return V.cosine_similarity(vec_col, qlit), False
+        return V.cosine_similarity(vec_col, qlit, dim), False
     if metric == "dot":
-        return V.dot(vec_col, qlit), False
+        return V.dot(vec_col, qlit, dim), False
     if metric == "l2":
-        return V.l2_distance(vec_col, qlit), True
+        return V.l2_distance(vec_col, qlit, dim), True
     raise ValueError(f"unknown metric {metric!r}")
 
 
@@ -80,8 +90,19 @@ def topk_similar(
         vec = F.when(vec.isNotNull(), vec).otherwise(
             F.raise_error(F.lit("topk_similar: null embedding with null_policy='fail'"))
         )
-    q = F.lit([float(x) for x in query_vec])
-    score, asc = _sim_col(metric, vec, q)
+    # Score tier by statically-known dim (= len(query_vec)):
+    # ≤256 → unrolled left-fold codegen (bit-exact vs the oracle);
+    # >256 → Arrow-batched whole-batch numpy (one BLAS matmul per
+    # batch — the scan path at the reference's true dim 768, where
+    # both the unroll and the HOF fold degrade to interpreted speed).
+    # Under null_policy="fail" the vec column is a CASE/raise_error
+    # wrapper — a guard mode, so the small HOF expression is kept.
+    dim = len(query_vec) if null_policy == "exclude" else None
+    if dim is not None and dim > V.UNROLL_MAX_DIM:
+        score, asc = V.np_query_scorer(query_vec, metric)(vec), metric == "l2"
+    else:
+        q = F.lit([float(x) for x in query_vec])
+        score, asc = _sim_col(metric, vec, q, dim)
     order = [F.col(score_name).asc() if asc else F.col(score_name).desc(), F.col(id_col).asc()]
     return (
         embeddings.select(id_col, *extra_cols, score.alias(score_name))

@@ -94,3 +94,31 @@ def test_unrolled_dot_bit_exact_and_768_fallback(spark, emb):
     qb = F.lit([0.5] * 768)
     out = big.select(V.cosine_similarity("v", qb, dim=768).alias("s")).head()
     assert out["s"] is not None  # fell back, computed, no conversion blow-up
+
+
+def test_np_query_scorer_matches_hof_fold_at_768(spark):
+    """The Arrow/numpy scorer tier (dim > UNROLL_MAX_DIM) must agree
+    with the HOF fold on every metric to float64 round-off — BLAS
+    pairwise summation vs left fold differ only in association order."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [([rnd.uniform(-1, 1) for _ in range(768)],) for _ in range(40)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    q = [rnd.uniform(-1, 1) for _ in range(768)]
+    qlit = F.lit(q)
+    for metric, expr in (
+        ("cosine", V.cosine_similarity("v", qlit)),
+        ("dot", V.dot("v", qlit)),
+        ("l2", V.l2_distance("v", qlit)),
+    ):
+        got = df.select(
+            V.np_query_scorer(q, metric)(F.col("v")).alias("a"), expr.alias("b")
+        ).collect()
+        for r in got:
+            assert r["a"] == pytest.approx(r["b"], rel=1e-12), metric
+
+
+def test_np_query_scorer_rejects_unknown_metric():
+    with pytest.raises(ValueError):
+        V.np_query_scorer([1.0, 0.0], "manhattan")
