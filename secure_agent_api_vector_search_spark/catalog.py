@@ -153,7 +153,7 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return K.knn_join(queries, emb, k=3)
+    return K.knn_join(queries, emb, k=3, dim=DIM)
 
 
 def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +161,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return K.knn_classify(queries, emb, k=5)
+    return K.knn_classify(queries, emb, k=5, dim=DIM)
 
 
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

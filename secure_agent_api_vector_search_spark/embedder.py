@@ -19,14 +19,18 @@ Two surfaces, same math:
   analog, sql/04_embeddings.sql:5-6).
 
 A real deployment swaps these for a model-endpoint client with the same
-signatures; nothing else in the engine changes.
+signatures — :class:`EndpointEmbedder` below is that swap, with the
+transport injected so it is unit-testable without a network; nothing
+else in the engine changes.
 """
 
 from __future__ import annotations
 
 import hashlib
 import math
-from collections.abc import Iterator
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -93,3 +97,86 @@ def embed_udf(dim: int = DIM):
             yield pd.Series(list(mat))
 
     return _embed
+
+
+@dataclass
+class EndpointEmbedder:
+    """Production analog of the reference's remote-model V1
+    (`embedding('text-embedding-005', text)`, tools.yaml:24,
+    sql/04_embeddings.sql:5-6): the SAME two surfaces as the hashing
+    embedder — a driver-side :meth:`embed_text` for query vectors and
+    an Arrow-batched :meth:`embed_udf` for corpus backfill — backed by
+    a pluggable ``transport: list[str] -> list[list[float]]``.
+
+    The transport is the ONLY networked piece and is injected, so the
+    adapter is unit-tested with a fake and a real deployment supplies
+    e.g. a Vertex/OpenAI-compatible HTTP callable. Requirements on it:
+
+    - picklable (it ships to executors inside the UDF closure); for a
+      client with live connections, pass a top-level function that
+      builds its session lazily per process.
+    - batch-in/batch-out: called with ≤ ``batch_size`` texts per
+      request, like the reference's per-batch model callout.
+
+    Failure policy: transient transport errors retry ``max_retries``
+    times with exponential backoff (sleep injectable for tests); a
+    malformed response — wrong row count or wrong vector width — raises
+    immediately, because silently writing wrong-width vectors poisons
+    every similarity downstream. At 100 TB the UDF is the pipeline's
+    only Python stage and stays shuffle-free; endpoint throughput is
+    the bottleneck, which is why batch_size is the knob.
+    """
+
+    transport: Callable[[list[str]], list[list[float]]]
+    dim: int = DIM
+    batch_size: int = 128
+    max_retries: int = 2
+    backoff_base_s: float = 0.5
+    sleep: Callable[[float], None] = time.sleep
+
+    def _call(self, texts: list[str]) -> list[list[float]]:
+        last: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                out = self.transport(texts)
+                break
+            except Exception as exc:  # noqa: BLE001 — transport is opaque
+                last = exc
+                if attempt == self.max_retries:
+                    raise
+                self.sleep(self.backoff_base_s * (2.0**attempt))
+        else:  # pragma: no cover — loop always breaks or raises
+            raise last  # type: ignore[misc]
+        if len(out) != len(texts):
+            raise ValueError(
+                f"embedding endpoint returned {len(out)} vectors for {len(texts)} texts"
+            )
+        for v in out:
+            if len(v) != self.dim:
+                raise ValueError(
+                    f"embedding endpoint returned dim {len(v)}, expected {self.dim}"
+                )
+        return [[float(x) for x in v] for v in out]
+
+    def embed_text(self, text: str) -> list[float]:
+        """Driver-side single-query embedding (embed once, inline as a
+        literal — same contract as the module-level embed_text)."""
+        return self._call([text])[0]
+
+    def embed_udf(self):
+        """Arrow-batched pandas UDF over the endpoint, re-chunked to
+        ``batch_size`` so Arrow batch sizing never dictates request
+        sizing. Null text embeds as the empty string (the endpoint
+        decides its meaning) — never crashes the backfill."""
+        call, bs = self._call, self.batch_size
+
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for s in it:
+                texts = [(t if t is not None else "") for t in s]
+                vecs: list[list[float]] = []
+                for i in range(0, len(texts), bs):
+                    vecs.extend(call(texts[i : i + bs]))
+                yield pd.Series(vecs)
+
+        return _embed

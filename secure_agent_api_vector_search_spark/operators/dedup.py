@@ -125,6 +125,14 @@ def _shingle_sig_udf(shingle_k: int, num_hashes: int, seed: int, num_bands: int 
     CPU-s on a 5k-doc corpus vs milliseconds here.
     """
     assert shingle_k <= 8, "byte shingles pack into int64 only for k ≤ 8"
+    if num_bands and num_hashes % num_bands:
+        # fail fast on the driver: _band_hashes reshapes (n, bands, -1),
+        # which silently requires equal-width bands — otherwise the
+        # misconfiguration surfaces as an opaque executor reshape error
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by "
+            f"num_bands ({num_bands}) for equal-width LSH bands"
+        )
     rng = np.random.default_rng(seed)
     a = rng.integers(1, H.MINHASH_P, size=num_hashes, dtype=np.int64)
     b = rng.integers(0, H.MINHASH_P, size=num_hashes, dtype=np.int64)

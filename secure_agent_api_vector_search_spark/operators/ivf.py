@@ -63,34 +63,18 @@ def _fit_centroids(
     """
     import numpy as np
 
+    from secure_agent_api_vector_search_spark.functions.kmeans import lloyd
+
     n = embeddings.count()
     frac = min(1.0, sample_cap / max(n, 1))
     sample = embeddings if frac >= 1.0 else embeddings.sample(fraction=frac, seed=seed)
     x = np.array(
         [r[0] for r in sample.select(F.col(vec_col).cast("array<double>")).collect()]
     )
-    rng = np.random.default_rng(seed)
-    # k-means++ seeding
-    cents = [x[rng.integers(len(x))]]
-    for _ in range(1, n_lists):
-        d2 = np.min(
-            np.stack([((x - c) ** 2).sum(axis=1) for c in cents]), axis=0
-        )
-        p = d2 / d2.sum() if d2.sum() > 0 else None
-        cents.append(x[rng.choice(len(x), p=p)])
-    c = np.stack(cents)
-    for _ in range(20):  # Lloyd
-        # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; argmin over centroids
-        d = (x**2).sum(1)[:, None] - 2.0 * (x @ c.T) + (c**2).sum(1)[None, :]
-        assign = d.argmin(axis=1)
-        new_c = c.copy()
-        for j in range(n_lists):
-            mask = assign == j
-            if mask.any():
-                new_c[j] = x[mask].mean(axis=0)
-        if np.allclose(new_c, c):
-            break
-        c = new_c
+    # O(k·n) k-means++ seeding + chunked Lloyd (functions/kmeans.py) —
+    # keeps the √n list sizing honest: k≈10k on the 256k-cap sample
+    # seeds in seconds, not the hours of the naive O(k²·n) loop.
+    c = lloyd(x, n_lists, np.random.default_rng(seed), iters=20)
     return [[float(v) for v in row] for row in c]
 
 

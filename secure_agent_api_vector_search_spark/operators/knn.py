@@ -5,20 +5,54 @@ answers one query vector at a time (tools.yaml:22-27); a pipeline needs
 "for EACH query row, its k nearest corpus rows".
 
 Spark shape: broadcast the (small) query set against the corpus —
-a broadcast nested-loop with a codegen'd similarity expression — then
-`row_number() OVER (PARTITION BY query ORDER BY score)` to keep k per
-query. The corpus is never shuffled; cost is one scan × |Q|.
-For |Q| too large to broadcast, the scale path is the IVF route
-(operators/ivf.py): assign each query to nprobe lists and shuffle-join
-on list_id, which turns the cross product into a partition-pruned join.
+a broadcast nested-loop with a codegen'd similarity expression — then a
+partition-local bounded top-k combiner, then
+`row_number() OVER (PARTITION BY query ORDER BY score)` for the exact
+global answer. The corpus is never shuffled; the combiner caps the
+row_number exchange at |Q|·k rows per input partition instead of the
+full |Q|·|corpus| scored stream. For |Q| too large to broadcast, the
+scale path is the IVF route (operators/ivf.py): assign each query to
+nprobe lists and shuffle-join on list_id, which turns the cross product
+into a partition-pruned join.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from secure_agent_api_vector_search_spark.functions import vector as V
+
+
+def _local_topk_combiner(q_id: str, k: int):
+    """mapInPandas partition combiner: keep the ≤k best
+    (similarity desc, neighbor_id asc) rows per q_id seen so far.
+
+    Spark has no bounded top-k aggregate — a collect_list+slice groupBy
+    caps the OUTPUT but its partial buffers still carry every row across
+    the exchange — so the pre-exchange reduction has to be imperative.
+    State is bounded at |Q|·k rows plus one Arrow batch; ordering
+    matches the downstream window exactly (NaN-first like Spark's DESC)
+    so the combiner never changes the final answer, only the shuffle.
+    """
+
+    def f(it):
+        acc: pd.DataFrame | None = None
+        for pdf in it:
+            cand = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            cand = cand.sort_values(
+                [q_id, "similarity", "neighbor_id"],
+                ascending=[True, False, True],
+                na_position="first",  # Spark DESC ranks NaN above all values
+                kind="mergesort",
+            )
+            acc = cand.groupby(q_id, sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    return f
 
 
 def knn_join(
@@ -30,22 +64,34 @@ def knn_join(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     exclude_self: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """For each query row, the k most-cosine-similar corpus rows.
 
     Output: (q_id, neighbor_id, similarity, rank), rank 1..k,
     deterministic tiebreak on neighbor id. ``exclude_self`` drops the
     corpus row whose id equals the query id (for more-like-this /
-    leave-one-out evaluation).
+    leave-one-out evaluation). Pass ``dim`` when the embedding width is
+    statically known so the similarity runs as the unrolled codegen sum
+    (functions/vector.py) instead of the interpreted HOF fold.
+
+    The global row_number window is exact; the per-partition combiner
+    before it only discards rows that can never reach rank ≤ k (each
+    query's global top-k is contained in the union of its per-partition
+    top-k), cutting the exchange from |Q|·|corpus| scored rows to at
+    most |Q|·k per partition.
     """
     joined = corpus.crossJoin(F.broadcast(queries))
     if exclude_self:
         joined = joined.filter(F.col(c_id) != F.col(q_id))
-    sim = V.cosine_similarity(F.col(c_vec), F.col(q_vec))
+    sim = V.cosine_similarity(F.col(c_vec), F.col(q_vec), dim)
+    scored = joined.select(
+        F.col(q_id), F.col(c_id).alias("neighbor_id"), sim.alias("similarity")
+    )
+    reduced = scored.mapInPandas(_local_topk_combiner(q_id, k), schema=scored.schema)
     w = Window.partitionBy(q_id).orderBy(F.col("similarity").desc(), F.col("neighbor_id").asc())
     return (
-        joined.select(F.col(q_id), F.col(c_id).alias("neighbor_id"), sim.alias("similarity"))
-        .withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy(q_id, "rank")
     )
@@ -141,14 +187,18 @@ def knn_join_ivf(
     )
     joined = routed.join(index.assigned, "list_id")
     sim = V.cosine_similarity(F.col(index.vec_col).cast("array<double>"), F.col(q_vec))
+    scored = joined.select(
+        F.col(q_id), F.col(index.id_col).alias("neighbor_id"), sim.alias("similarity")
+    )
+    # same bounded pre-exchange combiner as knn_join: the probed
+    # candidate stream (|Q|·nprobe·list_size rows, partitioned by
+    # list_id) reduces to ≤ |Q|·k per partition before the window
+    reduced = scored.mapInPandas(_local_topk_combiner(q_id, k), schema=scored.schema)
     w = Window.partitionBy(q_id).orderBy(
         F.col("similarity").desc(), F.col("neighbor_id").asc()
     )
     return (
-        joined.select(
-            F.col(q_id), F.col(index.id_col).alias("neighbor_id"), sim.alias("similarity")
-        )
-        .withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy(q_id, "rank")
     )
@@ -181,15 +231,19 @@ def ivf_recall_sweep(
     truth = knn_join(queries, corpus, k=k, q_id=q_id, q_vec=q_vec,
                      c_id=c_id, c_vec=c_vec).select(
         F.col(q_id), F.col("neighbor_id")).persist()
-    n_truth = truth.count()  # materialize once; also = n_queries * k'
-    frames = []
-    for np_ in nprobes:
-        got = knn_join_ivf(index, queries, k=k, nprobe=np_,
-                           q_id=q_id, q_vec=q_vec).select(
-            F.col(q_id), F.col("neighbor_id"))
-        hit = truth.join(got, [q_id, "neighbor_id"]).count()
-        frames.append((int(np_), float(hit) / float(n_truth),
-                       int(truth.select(q_id).distinct().count())))
+    try:
+        n_truth = truth.count()  # materialize once; also = n_queries * k'
+        # loop-invariant: one distributed distinct, not one per nprobe
+        n_queries = int(truth.select(q_id).distinct().count())
+        frames = []
+        for np_ in nprobes:
+            got = knn_join_ivf(index, queries, k=k, nprobe=np_,
+                               q_id=q_id, q_vec=q_vec).select(
+                F.col(q_id), F.col("neighbor_id"))
+            hit = truth.join(got, [q_id, "neighbor_id"]).count()
+            frames.append((int(np_), float(hit) / float(n_truth), n_queries))
+    finally:
+        truth.unpersist()  # never leak executor cache across sweeps
     spark = queries.sparkSession
     return spark.createDataFrame(
         frames, "nprobe int, recall_at_k double, n_queries long"

@@ -55,28 +55,12 @@ class PqCodebook:
 
 
 def _lloyd(x, k: int, rng, iters: int = 20):
-    """numpy k-means with k-means++ seeding (same recipe as
-    ivf._fit_centroids, on an already-collected sample)."""
-    import numpy as np
+    """numpy k-means on an already-collected sample — delegates to the
+    shared O(k·n)-seeded implementation (functions/kmeans.py), same
+    recipe as ivf._fit_centroids."""
+    from secure_agent_api_vector_search_spark.functions.kmeans import lloyd
 
-    cents = [x[rng.integers(len(x))]]
-    for _ in range(1, k):
-        d2 = np.min(np.stack([((x - c) ** 2).sum(axis=1) for c in cents]), axis=0)
-        p = d2 / d2.sum() if d2.sum() > 0 else None
-        cents.append(x[rng.choice(len(x), p=p)])
-    c = np.stack(cents)
-    for _ in range(iters):
-        d = (x**2).sum(1)[:, None] - 2.0 * (x @ c.T) + (c**2).sum(1)[None, :]
-        assign = d.argmin(axis=1)
-        new_c = c.copy()
-        for j in range(k):
-            mask = assign == j
-            if mask.any():
-                new_c[j] = x[mask].mean(axis=0)
-        if np.allclose(new_c, c):
-            break
-        c = new_c
-    return c
+    return lloyd(x, k, rng, iters=iters)
 
 
 def build_pq(

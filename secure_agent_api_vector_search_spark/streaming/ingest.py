@@ -171,9 +171,20 @@ def start_curated_ingest(
     share, the streaming-safe subset of textops.doc_repetition — the
     full bigram mode needs a per-doc groupBy, which a foreachBatch
     applies per micro-batch here), so it adds zero streaming state.
-    Routing both destinations from one stream uses foreachBatch: one
-    embed pass over survivors, two idempotent appends under the same
-    checkpoint (exactly-once for both sinks).
+
+    Routing both destinations from one stream uses foreachBatch, whose
+    base contract is at-least-once — a crash between the two writes (or
+    before the checkpoint commit) replays the epoch. Both sinks are
+    therefore keyed by epoch: each write lands under an ``_epoch_id``
+    partition with dynamic partition OVERWRITE, so a replayed epoch
+    rewrites its own partition instead of appending duplicates —
+    effectively exactly-once for both outputs. Readers of either path
+    see an extra ``_epoch_id`` partition column (the idempotence key,
+    and free provenance: which micro-batch produced each row).
+
+    Null-text documents (and any doc producing zero words) cannot score;
+    the gate coalesces their verdict to REJECT so they land in the
+    quarantine — rejects never silently vanish.
     """
     ws = F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")
     stream = (
@@ -182,7 +193,16 @@ def start_curated_ingest(
         .parquet(in_dir)
     )
 
-    def _route(batch_df: DataFrame, _epoch_id: int) -> None:
+    def _epoch_overwrite(df: DataFrame, path: str, epoch_id: int) -> None:
+        (
+            df.withColumn("_epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch_id")
+            .parquet(path)
+        )
+
+    def _route(batch_df: DataFrame, epoch_id: int) -> None:
         uni = (
             batch_df.select("doc_id", F.explode(ws).alias("w"))
             .groupBy("doc_id", "w").count()
@@ -191,13 +211,16 @@ def start_curated_ingest(
         )
         scored = batch_df.join(uni, "doc_id", "left").withColumn(
             "_keep",
-            (F.col("_n_words") >= min_tokens)
-            & (F.col("_top") / F.col("_n_words") <= max_top_word_frac),
+            F.coalesce(
+                (F.col("_n_words") >= min_tokens)
+                & (F.col("_top") / F.col("_n_words") <= max_top_word_frac),
+                F.lit(False),
+            ),
         )
         survivors = scored.filter("_keep").drop("_n_words", "_top", "_keep")
         rejects = scored.filter(~F.col("_keep")).drop("_n_words", "_top", "_keep")
-        embed_documents(survivors, dim).write.mode("append").parquet(out_dir)
-        rejects.write.mode("append").parquet(rejected_dir)
+        _epoch_overwrite(embed_documents(survivors, dim), out_dir, epoch_id)
+        _epoch_overwrite(rejects, rejected_dir, epoch_id)
 
     return (
         stream.writeStream.outputMode("append")

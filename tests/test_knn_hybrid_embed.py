@@ -34,6 +34,59 @@ def test_knn_join_exclude_self(emb):
     assert all(r["neighbor_id"] != r["q_id"] for r in got)
 
 
+def test_knn_join_combiner_bounds_window_exchange(spark, emb):
+    """The pre-window combiner (VERDICT r3 #7): the row_number exchange
+    must read the partition-local top-k stream (≤ |Q|·k·partitions
+    rows), not the full |Q|·|corpus| scored cross product — and the
+    reduced form must return the identical exact answer."""
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = K.knn_join(queries, emb, k=3, dim=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the combiner sits between the scoring join and the window exchange
+    assert "MapInPandas" in plan
+    assert plan.index("Window") < plan.index("MapInPandas") < plan.index(
+        "BroadcastNestedLoopJoin"
+    )  # executed plan prints top-down: window consumes the combiner output
+
+    n_corpus = emb.count()
+    n_parts = emb.rdd.getNumPartitions()
+    # what actually crosses into the window: the combiner's output rows
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        F.col("q_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.lit(0.0).alias("similarity"),
+    )
+    reduced_rows = scored.mapInPandas(
+        K._local_topk_combiner("q_id", 3), schema=scored.schema
+    ).count()
+    assert reduced_rows <= 5 * 3 * max(n_parts, 1) < 5 * n_corpus
+
+    # answer parity with the unreduced window form
+    got = [(r["q_id"], r["rank"], r["neighbor_id"]) for r in out.collect()]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc()
+    )
+    import secure_agent_api_vector_search_spark.functions.vector as V
+
+    ref = (
+        emb.crossJoin(F.broadcast(queries))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine_similarity("embedding", F.col("q_vec"), 64).alias("similarity"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("q_id", "rank")
+        .collect()
+    )
+    assert got == [(r["q_id"], r["rank"], r["neighbor_id"]) for r in ref]
+
+
 def test_knn_classify_tiny(spark):
     corpus = spark.createDataFrame(
         [(1, [1.0, 0.0], 7), (2, [0.9, 0.1], 7), (3, [0.95, 0.05], 7), (4, [0.0, 1.0], 8)],

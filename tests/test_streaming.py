@@ -292,7 +292,8 @@ def test_curated_ingest_routes_quality_gate(spark, docs, tmp_path):
     junk = spark.createDataFrame(
         [(900001, "spam spam spam spam spam spam spam spam spam spam spam",
           "en", "junk", 55),
-         (900002, "too short", "en", "junk", 9)],
+         (900002, "too short", "en", "junk", 9),
+         (900003, None, "en", "junk", 0)],  # null text: unscoreable -> quarantine
         "doc_id long, text string, lang string, source string, n_chars long")
     good.unionAll(junk).write.mode("overwrite").parquet(in_dir)
 
@@ -305,5 +306,7 @@ def test_curated_ingest_routes_quality_gate(spark, docs, tmp_path):
     out = spark.read.parquet(out_dir)
     rej = spark.read.parquet(rej_dir)
     assert out.count() == 20 and "embedding" in out.columns
-    assert {r["doc_id"] for r in rej.collect()} == {900001, 900002}
+    assert {r["doc_id"] for r in rej.collect()} == {900001, 900002, 900003}
     assert "embedding" not in rej.columns  # rejects never reach the embedder
+    # both sinks carry the epoch partition key that makes replays idempotent
+    assert "_epoch_id" in out.columns and "_epoch_id" in rej.columns
