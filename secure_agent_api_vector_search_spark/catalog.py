@@ -184,7 +184,7 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def neardup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
-    return D.embedding_neardup_pairs(emb, threshold=0.35, block_col="label")
+    return D.embedding_neardup_pairs(emb, threshold=0.35, block_col="label", dim=DIM)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,7 +875,7 @@ def similarity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway. The scale path for large A is similarity_join_lsh."""
     q = _query_vectors_perturbed(spark, sf_dir)
     emb = load_embeddings(spark, sf_dir)
-    sim = VF.cosine_similarity(q["embedding"], emb["embedding"])
+    sim = VF.cosine_similarity(q["embedding"], emb["embedding"], DIM)
     return (
         F.broadcast(q.withColumnRenamed("vec_id", "id_a"))
         .crossJoin(emb.withColumnRenamed("vec_id", "id_b"))

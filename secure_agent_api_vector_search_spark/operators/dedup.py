@@ -630,12 +630,14 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine ≥ threshold.
 
     With ``block_col`` the join is blocked (per label/cluster); the
     unblocked scale path is :func:`embedding_neardup_pairs_lsh`.
-    Output: (id_a, id_b, cosine).
+    Output: (id_a, id_b, cosine). Pass ``dim`` when known so the
+    cosine runs as the unrolled codegen sum.
     """
     e = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col),
@@ -645,7 +647,7 @@ def embedding_neardup_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    sim = V.cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = V.cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
     return (
         a.join(b, cond)
         .select(
@@ -817,7 +819,7 @@ def embedding_neardup_pairs_lsh(
         .join(vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b")
         .select(
             "id_a", "id_b",
-            V.cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+            V.cosine_similarity(F.col("_va"), F.col("_vb"), dim).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .transform(_pair_order)
@@ -891,7 +893,7 @@ def embedding_similarity_join(
         .join(vb, "id_b")
         .select(
             "id_a", "id_b",
-            V.cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+            V.cosine_similarity(F.col("_va"), F.col("_vb"), dim).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .transform(_pair_order)

@@ -38,7 +38,11 @@ def hybrid_search(
     """
     q = F.lit([float(x) for x in query_vec])
     joined = documents.join(embeddings, documents["doc_id"] == embeddings["vec_id"])
-    sim = V.cosine_similarity(F.col("embedding").cast("array<double>"), q)
+    # statically-known dim → unrolled codegen sum (≤256) instead of the
+    # interpreted HOF fold; bit-identical left-fold order either way
+    sim = V.cosine_similarity(
+        F.col("embedding").cast("array<double>"), q, len(query_vec)
+    )
     hits = keyword_hits("text", term).cast("long")
     scored = joined.select(
         "doc_id",

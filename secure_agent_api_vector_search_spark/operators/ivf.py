@@ -31,10 +31,11 @@ import math
 from collections.abc import Sequence
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from secure_agent_api_vector_search_spark.functions import vector as V
 
 
 @dataclass
@@ -78,28 +79,55 @@ def _fit_centroids(
     return [[float(v) for v in row] for row in c]
 
 
+def _nearest_lists_udf(centroids: list[list[float]], nprobe: int):
+    """Whole-batch numpy centroid ranker: vec column → the nprobe
+    nearest list ids, ordered by (L2 distance, list_id).
+
+    The centroid matrix ships ONCE in the task closure and each Arrow
+    batch is one (batch × lists) BLAS distance block — the executor
+    mirror of the driver-side Lloyd assignment (functions/kmeans.py),
+    so train and assign use identical math. The expression alternative
+    (transform over an inlined centroid array of per-list HOF l2
+    folds) evaluates INTERPRETED — lists·dim ops per row, which at the
+    reference's lists=100 × dim=768 makes ingest assignment the
+    bottleneck instead of a scan-speed map. Null vectors rank to null
+    (callers drop or quarantine them), matching the old expression
+    form's null propagation.
+    """
+    c = np.asarray([[float(x) for x in v] for v in centroids], dtype=np.float64)
+    csq = np.einsum("ij,ij->i", c, c)
+
+    @F.pandas_udf("array<int>")
+    def rank(v: pd.Series) -> pd.Series:
+        vals = v.to_numpy()
+        out = np.full(len(vals), None, dtype=object)
+        mask = np.fromiter((x is not None for x in vals), dtype=bool, count=len(vals))
+        if mask.any():
+            m = np.stack(vals[mask]).astype(np.float64, copy=False)
+            d = np.einsum("ij,ij->i", m, m)[:, None] - 2.0 * (m @ c.T) + csq[None, :]
+            # stable argsort == (distance, list_id) tiebreak
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+            # object-array rows must be assigned individually (a fancy
+            # index would coerce the list of rows into a 2-D block)
+            for j, row in zip(np.flatnonzero(mask), order):
+                out[j] = row
+        return pd.Series(out)
+
+    return rank
+
+
 def assign_lists(
     embeddings: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Tag each row with its nearest centroid id (L2, like the
-    reference's vector_l2_ops) — a pure map stage, no shuffle: the
-    centroid array is inlined into the plan and the argmin is a native
-    codegen'd expression."""
-    cent = F.lit([[float(x) for x in c] for c in centroids])
-    vec = F.col(vec_col).cast("array<double>")
-
-    def l2sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-    d2s = F.transform(idx, lambda i: l2sq(vec, F.element_at(cent, i + 1)))
-    # argmin with first-occurrence (deterministic) tiebreak
-    list_id = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
-    return embeddings.withColumn("list_id", list_id)
+    reference's vector_l2_ops) — a pure map stage, no shuffle, one
+    BLAS distance block per Arrow batch (:func:`_nearest_lists_udf`).
+    Ties break to the lowest list_id, same as the expression form this
+    replaces (array_position of array_min = first occurrence)."""
+    ranked = _nearest_lists_udf(centroids, nprobe=1)(F.col(vec_col))
+    return embeddings.withColumn("list_id", ranked[0])
 
 
 def build_ivf(

@@ -137,10 +137,11 @@ def knn_join_ivf(
     large to scan per query.
 
     Each query is assigned to its ``nprobe`` nearest lists by a pure
-    map over the inlined centroid table (same codegen argmin shape as
-    `ivf.assign_lists`, extended to top-nprobe via an in-array sort of
-    (distance, list) structs — lists ≈ √n entries, trivial per row).
-    The cross product then becomes a `list_id` equi-join: candidates
+    map over the centroid table (ivf._nearest_lists_udf — one BLAS
+    distance block per Arrow batch, the same ranker `assign_lists`
+    uses, extended to top-nprobe with a stable argsort so ties break
+    on list_id). The cross product then becomes a `list_id` equi-join:
+    candidates
     drop from |Q|·|corpus| to ~nprobe/lists of it, and both sides
     shuffle-partition on list_id — with the corpus stored
     `partitionBy(list_id)` (write_ivf) the corpus side is
@@ -155,33 +156,10 @@ def knn_join_ivf(
     import; only `.assigned`, `.centroids`, `.id_col`, `.vec_col` are
     used).
     """
-    cent = F.lit([[float(x) for x in c] for c in index.centroids])
-    qv = F.col(q_vec).cast("array<double>")
+    from secure_agent_api_vector_search_spark.operators.ivf import _nearest_lists_udf
 
-    def l2sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    n_lists = len(index.centroids)
-    idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
-    ranked = F.array_sort(
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                l2sq(qv, F.element_at(cent, i + 1)).alias("d2"),
-                i.cast("int").alias("list_id"),
-            ),
-        )
-    )
-    probes = F.transform(
-        F.slice(ranked, 1, nprobe), lambda s: s["list_id"]
-    )
-    # two-step select: aliasing the cast vector and consuming it in the
-    # probe expression in ONE select trips lateral-alias resolution
-    qcast = queries.select(F.col(q_id), qv.alias(q_vec))
+    qcast = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias(q_vec))
+    probes = _nearest_lists_udf(index.centroids, nprobe)(F.col(q_vec))
     routed = qcast.select(
         F.col(q_id), F.col(q_vec), F.explode(probes).alias("list_id")
     )
