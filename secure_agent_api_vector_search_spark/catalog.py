@@ -683,7 +683,7 @@ def find_similar_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score 0.0, never NaN). Rounded to 9 dp because the oracle's SQL
     # recomputation sums the same products in a different order — both
     # engines rank and compare on the rounded value.
-    sim = F.round(V.dot(F.col("embedding"), F.lit([float(x) for x in qv])), 9)
+    sim = F.round(V.dot(F.col("embedding"), F.lit([float(x) for x in qv]), 64), 9)
     return (
         emb.select("doc_id", sim.alias("similarity"))
         .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())

@@ -4,10 +4,14 @@ pipeline (SURVEY.md §3) as plain DataFrame jobs.
 Reference mapping:
 - `UPDATE customer_records_data SET abstract_embeddings =
   embedding('text-embedding-005', abstract)` (sql/04_embeddings.sql:5-6,
-  S6): parquet has no in-place UPDATE, so the backfill is
-  read → withColumn(embedding) → overwrite-to-new-location — idempotent
-  and re-runnable; only rows with a null/absent embedding are
-  recomputed when a prior embedded table is supplied.
+  S6): parquet has no in-place UPDATE, so two shapes are provided —
+  (a) the full-table form: read → withColumn(embedding) →
+  overwrite-to-new-location (run_backfill_job), and (b) the AT-SCALE
+  form: a keyed MERGE over a hash-bucket-partitioned layout
+  (write_merge_table + merge_upsert + run_merge_backfill_job) that
+  embeds only null-embedding rows and rewrites only the partitions
+  containing them — the `UPDATE ... WHERE embeddings IS NULL`
+  incremental semantics at 0.1%-of-table cost instead of 100%.
 - `CREATE INDEX ... USING ivfflat` (sql/05_vector_index.sql:3-5, V5):
   build_and_write_index fits the coarse quantizer and writes the corpus
   partitioned by list_id (probing = partition pruning; operators/ivf.py).
@@ -73,6 +77,125 @@ def build_and_write_index(
     index = I.build_ivf(emb, n_lists=n_lists, vec_col=vec_col, id_col=id_col, seed=seed)
     I.write_ivf(index, index_path)
     return len(index.centroids)
+
+
+def write_merge_table(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """Write a table in the key-bucket-partitioned layout
+    :func:`merge_upsert` requires: partition column
+    ``_kb = pmod(xxhash64(key), n_buckets)``.
+
+    This is the plain-parquet answer to the reference's in-place
+    `UPDATE ... SET abstract_embeddings = ...` (sql/04_embeddings.sql:5-6,
+    S6): parquet files are immutable, so updatability has to come from
+    the LAYOUT — hash-partitioning by key means any keyed change maps to
+    a known, bounded set of partitions. Size ``n_buckets`` so one bucket
+    ≈ a few GB at the target scale (the unit of rewrite).
+    """
+    (
+        df.withColumn("_kb", _key_bucket(key_col, n_buckets))
+        .write.mode("overwrite")
+        .partitionBy("_kb")
+        .parquet(path)
+    )
+
+
+def _key_bucket(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    n_buckets: int = 64,
+) -> int:
+    """Keyed MERGE (upsert) into a :func:`write_merge_table` layout:
+    rows whose key matches an update are replaced, new keys are
+    inserted, everything else is untouched — **without rewriting the
+    table**. Returns the number of partitions rewritten.
+
+    Plan shape, and why it scales:
+    1. updates → bucket ids; the DISTINCT bucket list is collected
+       (≤ n_buckets ints — driver-sized by construction).
+    2. the table is read with ``_kb IN (buckets)`` — partition pruning,
+       so only partitions that contain an updated key are scanned.
+    3. surviving old rows (left_anti on key) union the updates,
+    4. written back with DYNAMIC partition overwrite — only the touched
+       partitions are replaced; a re-run with the same updates rewrites
+       them identically (idempotent).
+    At 100 TB with 0.1% of keys updated, the rewrite is ~0.1% of the
+    table plus partition-granularity rounding, vs 100% for the naive
+    read→overwrite backfill.
+
+    ``n_buckets`` must match the value the table was written with (it
+    is validated against the observed partition ids). Crash-safety:
+    the union is materialized (persist + count) before the overwrite
+    begins so the snapshot is consistent, but a crash mid-commit can
+    leave a subset of touched partitions rewritten — per-partition
+    parquet commits are not transactional across partitions; that last
+    step is what a table format (Delta/Iceberg MERGE) hardens, and this
+    function is the drop-in seam for it.
+    """
+    upd = updates.withColumn("_kb", _key_bucket(key_col, n_buckets))
+    tbl = spark.read.parquet(path)
+    if sorted(tbl.columns) != sorted(upd.columns):
+        raise ValueError(
+            f"updates schema {sorted(updates.columns)} does not match "
+            f"table schema {sorted(c for c in tbl.columns if c != '_kb')}"
+        )
+    buckets = [r[0] for r in upd.select("_kb").distinct().collect()]
+    bad = [b for b in buckets if b is None or b < 0 or b >= n_buckets]
+    if bad:
+        raise ValueError(
+            f"bucket ids {bad} outside [0, {n_buckets}) — n_buckets must "
+            "match the write_merge_table layout"
+        )
+    if not buckets:
+        return 0
+    pruned = tbl.filter(F.col("_kb").isin(buckets))
+    keep = pruned.join(upd.select(key_col).distinct(), key_col, "left_anti")
+    merged = keep.unionByName(upd).persist()
+    try:
+        merged.count()  # materialization barrier: never write over a live read
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kb")
+            .parquet(path)
+        )
+    finally:
+        merged.unpersist()
+    return len(buckets)
+
+
+def run_merge_backfill_job(
+    spark: SparkSession,
+    path: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_buckets: int = 64,
+) -> int:
+    """Incremental S6 via MERGE: embed ONLY rows whose embedding is
+    null (the reference's pre-backfill state, sql/03_seed_data.sql:2)
+    and merge them back in place — the table-scale analog of
+    `UPDATE ... WHERE abstract_embeddings IS NULL`. Touches only the
+    partitions that contain not-yet-embedded rows; embedded rows'
+    vectors are never recomputed or rewritten (except bucket
+    neighbors). Returns partitions rewritten (0 = nothing to do)."""
+    tbl = spark.read.parquet(path)
+    todo = tbl.filter(F.col(vec_col).isNull()).drop("_kb")
+    if todo.isEmpty():
+        return 0
+    updated = todo.withColumn(vec_col, embed_udf(dim)(F.col(text_col)))
+    return merge_upsert(spark, path, updated, key_col, n_buckets=n_buckets)
 
 
 def write_bucketed(

@@ -48,6 +48,106 @@ def test_index_build_job_and_disk_probe(spark, emb, tmp_path):
     assert got == want  # full probe ≡ exact
 
 
+def _bucket_files(path):
+    """{partition dir name: sorted (file, mtime_ns) list} for a merge table."""
+    import os
+
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("_kb="):
+            full = os.path.join(path, d)
+            out[d] = sorted(
+                (f, os.stat(os.path.join(full, f)).st_mtime_ns)
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_merge_upsert_updates_inserts_and_prunes(spark, tmp_path):
+    """The S6-at-scale path: a keyed MERGE rewrites ONLY partitions
+    containing updated keys — untouched bucket files are bit-for-bit
+    the same files afterward (same names, same mtimes)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"text {i}", float(i)) for i in range(100)],
+        "doc_id long, text string, score double",
+    )
+    P.write_merge_table(base, path, "doc_id", n_buckets=8)
+    before = _bucket_files(path)
+    assert len(before) == 8
+
+    updates = spark.createDataFrame(
+        [(3, "patched 3", -3.0), (900, "new 900", -900.0)],
+        "doc_id long, text string, score double",
+    )
+    touched = P.merge_upsert(spark, path, updates, "doc_id", n_buckets=8)
+    upd_buckets = {
+        r[0] for r in updates.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")).collect()
+    }
+    assert touched == len(upd_buckets)
+
+    out = spark.read.parquet(path)
+    rows = {r["doc_id"]: (r["text"], r["score"]) for r in out.collect()}
+    assert len(rows) == 101                      # 100 base + 1 insert
+    assert rows[3] == ("patched 3", -3.0)        # updated in place
+    assert rows[900] == ("new 900", -900.0)      # inserted
+    assert rows[4] == ("text 4", 4.0)            # untouched value
+
+    after = _bucket_files(path)
+    for d in before:
+        bucket_id = int(d.split("=")[1])
+        if bucket_id not in upd_buckets:
+            assert after[d] == before[d], f"untouched partition {d} was rewritten"
+
+
+def test_merge_upsert_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string")
+    P.write_merge_table(base, path, "k", n_buckets=4)
+    upd = spark.createDataFrame([(5, "patched")], "k long, v string")
+    P.merge_upsert(spark, path, upd, "k", n_buckets=4)
+    P.merge_upsert(spark, path, upd, "k", n_buckets=4)  # replay
+    out = spark.read.parquet(path)
+    assert out.count() == 20
+    assert out.filter("k = 5").head()["v"] == "patched"
+
+
+def test_merge_upsert_rejects_schema_drift(spark, tmp_path):
+    path = str(tmp_path / "t")
+    P.write_merge_table(
+        spark.createDataFrame([(1, "a")], "k long, v string"), path, "k", n_buckets=2)
+    bad = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="schema"):
+        P.merge_upsert(spark, path, bad, "k", n_buckets=2)
+
+
+def test_merge_backfill_embeds_only_null_rows(spark, tmp_path):
+    """Incremental UPDATE-WHERE-NULL: embedded rows keep their exact
+    vectors; null rows get embedded; second run is a no-op."""
+    path = str(tmp_path / "corpus")
+    marker = [42.0] * 16  # sentinel: provably not recomputed
+    rows = [(i, f"document number {i}", marker if i % 3 else None) for i in range(30)]
+    base = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>")
+    P.write_merge_table(base, path, "doc_id", n_buckets=4)
+
+    touched = P.run_merge_backfill_job(spark, path, dim=16, n_buckets=4)
+    assert touched > 0
+    out = {r["doc_id"]: r["embedding"] for r in spark.read.parquet(path).collect()}
+    assert len(out) == 30
+    for i in range(30):
+        if i % 3:
+            assert list(out[i]) == marker                      # untouched
+        else:
+            assert list(out[i]) == pytest.approx(
+                embed_text(f"document number {i}", 16))        # backfilled
+
+    assert P.run_merge_backfill_job(spark, path, dim=16, n_buckets=4) == 0
+
+
 def test_bucketed_join_is_exchange_free(spark, tmp_path):
     """Same-bucketed tables equi-join with no Exchange and no Sort on
     either side — the shuffle paid once at write time (the 100 TB
