@@ -675,7 +675,10 @@ def find_similar_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k. Fully oracle-checked: the deterministic embedder's bucket
     hash is DuckDB's md5_number_upper, so SQL recomputes both sides."""
     qv = embed_text(FLAGSHIP_QUERY_TEXT)
-    docs = load_documents(spark, sf_dir)
+    # rebalance: a small corpus parquet scans as 1-2 splits, which would
+    # serialize the embed UDF on 1-2 of N cores (no-op on a real
+    # cluster's many-split scan — sources/tables.py)
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
     emb = docs.withColumn("embedding", embed_udf(64)(F.col("text")))
     from secure_agent_api_vector_search_spark.functions import vector as V
 
@@ -913,7 +916,7 @@ def embed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5_number_upper bucket identity, so the oracle verifies the actual
     embedding values, not just that a 64-wide array exists. Rounded to
     9 dp (different summation order across engines)."""
-    docs = load_documents(spark, sf_dir)
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
     emb = docs.withColumn("embedding", embed_udf(64)(F.col("text")))
     return emb.select(
         "doc_id",

@@ -129,17 +129,24 @@ def np_query_scorer(query_vec, metric: str = "cosine"):
 
     @F.pandas_udf("double")
     def score(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series(np.empty(0, dtype=np.float64))
-        m = np.stack(v.to_numpy())  # (batch, dim) float64, one copy
-        d = m @ q
-        if metric == "dot":
-            out = d
-        elif metric == "cosine":
-            out = d / (np.sqrt(np.einsum("ij,ij->i", m, m)) * np.sqrt(qq))
-        else:  # l2 via the same |a|²−2ab+|b|² expansion as l2_distance
-            out = np.sqrt(np.maximum(np.einsum("ij,ij->i", m, m) - 2.0 * d + qq, 0.0))
-        return pd.Series(out)
+        vals = v.to_numpy()
+        # null vectors score null (matching the expression forms' null
+        # propagation) — callers order nulls last / filter post-limit
+        res = np.full(len(vals), None, dtype=object)
+        mask = np.fromiter((x is not None for x in vals), dtype=bool, count=len(vals))
+        if mask.any():
+            m = np.stack(vals[mask])  # (batch, dim) float64, one copy
+            d = m @ q
+            if metric == "dot":
+                out = d
+            elif metric == "cosine":
+                out = d / (np.sqrt(np.einsum("ij,ij->i", m, m)) * np.sqrt(qq))
+            else:  # l2 via the same |a|²−2ab+|b|² expansion as l2_distance
+                out = np.sqrt(
+                    np.maximum(np.einsum("ij,ij->i", m, m) - 2.0 * d + qq, 0.0)
+                )
+            res[mask] = out
+        return pd.Series(res)
 
     return score
 

@@ -74,17 +74,17 @@ def topk_similar(
     inserts rows with NULL vectors and backfills them later
     (sql/03_seed_data.sql:2, sql/04_embeddings.sql:5-6), so a query can
     always race a backfill. The policy is deliberate (SURVEY.md §1.2):
-    ``"exclude"`` (default) filters null vectors before the scan — a
-    not-yet-embedded document is not a candidate; ``"fail"`` raises at
-    execution on the first null — for pipelines that must not silently
-    search a partially-embedded corpus.
+    ``"exclude"`` (default) — a not-yet-embedded document is not a
+    candidate: null vectors score null, sort after every real score,
+    and are filtered from the k returned rows (see the inline note for
+    why this beats a pre-scan filter); ``"fail"`` raises at execution
+    on the first null — for pipelines that must not silently search a
+    partially-embedded corpus.
     """
     if null_policy not in ("exclude", "fail"):
         raise ValueError(f"null_policy must be 'exclude' or 'fail', got {null_policy!r}")
     vec = F.col(vec_col)
-    if null_policy == "exclude":
-        embeddings = embeddings.filter(vec.isNotNull())
-    else:
+    if null_policy == "fail":
         # raise_error's NullType coerces into the array branch; the score
         # expression consumes `vec`, so the check cannot be pruned away
         vec = F.when(vec.isNotNull(), vec).otherwise(
@@ -103,12 +103,27 @@ def topk_similar(
     else:
         q = F.lit([float(x) for x in query_vec])
         score, asc = _sim_col(metric, vec, q, dim)
-    order = [F.col(score_name).asc() if asc else F.col(score_name).desc(), F.col(id_col).asc()]
-    return (
+    # "exclude" is implemented WITHOUT a pre-filter on the vec column:
+    # when the embeddings are themselves UDF-derived (the embed-then-
+    # search shape), Catalyst evaluates a filter on the UDF output as a
+    # SEPARATE ArrowEvalPython below the scoring one — the embed UDF
+    # runs twice and the plan gains an extra Arrow boundary (measured
+    # ~4x on the dim-768 probe). Instead: null vectors score null (all
+    # score forms null-propagate), nulls order LAST explicitly, and the
+    # k surviving rows are filtered post-limit — identical results, one
+    # embed pass, and the filter touches k rows instead of the corpus.
+    order = [
+        F.col(score_name).asc_nulls_last() if asc else F.col(score_name).desc_nulls_last(),
+        F.col(id_col).asc(),
+    ]
+    out = (
         embeddings.select(id_col, *extra_cols, score.alias(score_name))
         .orderBy(*order)
         .limit(k)
     )
+    if null_policy == "exclude":
+        out = out.filter(F.col(score_name).isNotNull())
+    return out
 
 
 def find_similar_records(
