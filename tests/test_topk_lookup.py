@@ -50,6 +50,25 @@ def test_topk_k_exceeds_n(spark, emb, qvec):
     assert TK.topk_similar(emb, qvec, k=n + 50).count() == n
 
 
+def test_embed_then_search_evaluates_embed_once(spark):
+    """Regression: a null pre-filter on a UDF-derived vec column makes
+    Catalyst plan a SECOND ArrowEvalPython for the embed UDF (filter
+    branch + scoring branch — the embed-then-search shape paid 2x).
+    The exclude policy must keep exactly one embed evaluation, at any
+    dimension tier."""
+    from secure_agent_api_vector_search_spark.embedder import embed_text, embed_udf
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(20)], "doc_id long, text string"
+    )
+    for dim in (64, 768):  # unrolled-expression tier and numpy-scorer tier
+        emb = df.select("doc_id", embed_udf(dim)(F.col("text")).alias("embedding"))
+        out = TK.topk_similar(emb, embed_text("doc number 3", dim), k=3, id_col="doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("_embed") == 1, f"dim {dim}: embed UDF duplicated\n{plan}"
+        assert out.head()["doc_id"] == 3  # and it still searches correctly
+
+
 def test_topk_deterministic_tiebreak(spark):
     """Equal scores must order by id ascending — stable pagination."""
     rows = [(i, [1.0, 0.0]) for i in (5, 3, 9, 1)]
