@@ -137,14 +137,17 @@ def np_query_scorer(query_vec, metric: str = "cosine"):
         if mask.any():
             m = np.stack(vals[mask])  # (batch, dim) float64, one copy
             d = m @ q
-            if metric == "dot":
-                out = d
-            elif metric == "cosine":
-                out = d / (np.sqrt(np.einsum("ij,ij->i", m, m)) * np.sqrt(qq))
-            else:  # l2 via the same |a|²−2ab+|b|² expansion as l2_distance
-                out = np.sqrt(
-                    np.maximum(np.einsum("ij,ij->i", m, m) - 2.0 * d + qq, 0.0)
-                )
+            # 0/0 → NaN silently, matching the expression form's Double
+            # semantics (zero-norm vectors score NaN, not a log storm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                if metric == "dot":
+                    out = d
+                elif metric == "cosine":
+                    out = d / (np.sqrt(np.einsum("ij,ij->i", m, m)) * np.sqrt(qq))
+                else:  # l2 via the same |a|²−2ab+|b|² expansion as l2_distance
+                    out = np.sqrt(
+                        np.maximum(np.einsum("ij,ij->i", m, m) - 2.0 * d + qq, 0.0)
+                    )
             res[mask] = out
         return pd.Series(res)
 
