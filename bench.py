@@ -115,12 +115,14 @@ def _dim768_probe(spark, sf_dir: str) -> dict:
         from secure_agent_api_vector_search_spark.sources.tables import load_documents
 
         t0 = time.perf_counter()
-        from secure_agent_api_vector_search_spark.sources.tables import rebalance_if_narrow
-
-        # same narrow-scan rebalance as the catalog's embed paths: a
-        # small corpus file scans as 1 split and would serialize the
-        # embed+score chain on one core (no-op on a real cluster)
-        docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+        # deliberately NO narrow-scan rebalance here: at bench corpus
+        # sizes the embed UDF is overhead-dominated, and fanning 500-5k
+        # docs across 32 partitions spawns 64 python-worker chains whose
+        # fixed cost exceeds the whole embed (measured 1.9s -> 10-12s).
+        # A real cluster's scan has one split per ~128 MB and needs no
+        # help; rebalance pays only for CPU-heavy per-row stages like
+        # the MinHash signatures (sources/tables.py::rebalance_if_narrow).
+        docs = load_documents(spark, sf_dir)
         emb = docs.select("doc_id", embed_udf(768)(F.col("text")).alias("embedding"))
         q = embed_text("standard procedure for mitigating water damage", 768)
         n = topk_similar(emb, q, k=10, id_col="doc_id").count()

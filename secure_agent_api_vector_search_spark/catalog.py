@@ -675,10 +675,11 @@ def find_similar_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k. Fully oracle-checked: the deterministic embedder's bucket
     hash is DuckDB's md5_number_upper, so SQL recomputes both sides."""
     qv = embed_text(FLAGSHIP_QUERY_TEXT)
-    # rebalance: a small corpus parquet scans as 1-2 splits, which would
-    # serialize the embed UDF on 1-2 of N cores (no-op on a real
-    # cluster's many-split scan — sources/tables.py)
-    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    # no narrow-scan rebalance: the embed UDF at this corpus size is
+    # overhead-dominated — 32-way fan-out costs more in python-worker
+    # chains than it saves (rebalance pays only for CPU-heavy per-row
+    # stages like MinHash signatures; a real cluster scan self-splits)
+    docs = load_documents(spark, sf_dir)
     emb = docs.withColumn("embedding", embed_udf(64)(F.col("text")))
     from secure_agent_api_vector_search_spark.functions import vector as V
 
@@ -686,7 +687,7 @@ def find_similar_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score 0.0, never NaN). Rounded to 9 dp because the oracle's SQL
     # recomputation sums the same products in a different order — both
     # engines rank and compare on the rounded value.
-    sim = F.round(V.dot(F.col("embedding"), F.lit([float(x) for x in qv]), 64), 9)
+    sim = F.round(V.dot("embedding", [float(x) for x in qv], 64), 9)
     return (
         emb.select("doc_id", sim.alias("similarity"))
         .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
@@ -876,12 +877,18 @@ def similarity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts into a nested-loop cosine filter against the corpus —
     the right plan when |A| is tiny and a scan of B is unavoidable
     anyway. The scale path for large A is similarity_join_lsh."""
-    q = _query_vectors_perturbed(spark, sf_dir)
-    emb = load_embeddings(spark, sf_dir)
-    sim = VF.cosine_similarity(q["embedding"], emb["embedding"], DIM)
+    # rename BOTH sides so the vector columns have unique bare names —
+    # the unrolled cosine then builds as one SQL string (vector.py)
+    q = _query_vectors_perturbed(spark, sf_dir).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_qe")
+    )
+    emb = load_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_ce")
+    )
+    sim = VF.cosine_similarity("_qe", "_ce", DIM)
     return (
-        F.broadcast(q.withColumnRenamed("vec_id", "id_a"))
-        .crossJoin(emb.withColumnRenamed("vec_id", "id_b"))
+        F.broadcast(q)
+        .crossJoin(emb)
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= 0.85)
         .orderBy("id_a", "id_b")
@@ -916,7 +923,7 @@ def embed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5_number_upper bucket identity, so the oracle verifies the actual
     embedding values, not just that a 64-wide array exists. Rounded to
     9 dp (different summation order across engines)."""
-    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    docs = load_documents(spark, sf_dir)
     emb = docs.withColumn("embedding", embed_udf(64)(F.col("text")))
     return emb.select(
         "doc_id",

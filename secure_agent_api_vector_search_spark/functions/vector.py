@@ -27,15 +27,56 @@ full precision, no rounding tolerance needed.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+Vec = "Column | str | list[float] | tuple[float, ...]"
 
-def _c(col: Column | str) -> Column:
-    return F.col(col) if isinstance(col, str) else col
+
+def _c(col) -> Column:
+    if isinstance(col, str):
+        return F.col(col)
+    if isinstance(col, (list, tuple)):
+        return F.lit([float(x) for x in col])
+    return col
+
+
+def _sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _unrolled_sql(a, b, dim: int) -> str | None:
+    """Left-fold unrolled dot as ONE SQL string, or None if an operand
+    is not SQL-renderable (an arbitrary Column expression).
+
+    Why this exists: building the same expression with Column operators
+    costs ~4 py4j round-trips per term (~1.3 s at dim 64 for a cosine —
+    measured), paid on EVERY query construction. One F.expr parse is
+    milliseconds. The string spells the exact same plan: a leading
+    `0.0D +` keeps the fold's (0.0 + t0) + t1 … association, so values
+    stay bit-identical to the HOF fold and the DuckDB oracle.
+    """
+
+    def side(x):
+        if isinstance(x, str):
+            ident = _sql_ident(x)
+            return lambda i: f"{ident}[{i}]"
+        if isinstance(x, (list, tuple)):
+            vals = [float(v) for v in x]
+            if len(vals) < dim or not all(math.isfinite(v) for v in vals):
+                return None
+            return lambda i: f"{vals[i]!r}D"
+        return None
+
+    fa, fb = side(a), side(b)
+    if fa is None or fb is None:
+        return None
+    return "(0.0D + " + " + ".join(f"{fa(i)}*{fb(i)}" for i in range(dim)) + ")"
 
 
 # Max dimension for the unrolled codegen form. The left-associated sum
@@ -52,54 +93,64 @@ def _c(col: Column | str) -> Column:
 UNROLL_MAX_DIM = 256
 
 
-def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+def dot(a, b, dim: int | None = None) -> Column:
     """Inner product  Σ a_i·b_i  as a left fold (array order).
 
-    With ``dim`` ≤ UNROLL_MAX_DIM, an unrolled codegen sum; otherwise
-    the interpreted HOF fold (identical values either way — see module
-    contract). The unroll pays a one-time codegen compile (~0.2 s), so
-    it wins on large scans and loses on tiny ones; both forms are kept
+    Operands may be Columns, column NAMES (str), or literal float
+    sequences. With ``dim`` ≤ UNROLL_MAX_DIM, an unrolled codegen sum —
+    rendered as one SQL string when the operands allow it (see
+    :func:`_unrolled_sql`; arbitrary Column operands fall back to the
+    Column-tree build, ~4 py4j calls per term). Otherwise the
+    interpreted HOF fold (identical values every way — see module
+    contract). The unroll pays a per-query codegen compile (~1 s), so
+    it loses on toy scans and wins on large ones — at 100 TB the
+    interpreted fold is the scan bottleneck; both forms are kept
     deliberately.
     """
-    aa, bb = _c(a), _c(b)
     if dim is not None and dim <= UNROLL_MAX_DIM:
+        sql = _unrolled_sql(a, b, dim)
+        if sql is not None:
+            return F.expr(sql)
+        aa, bb = _c(a), _c(b)
         acc = F.lit(0.0)
         for i in range(dim):
             acc = acc + aa[i] * bb[i]
         return acc
     return F.aggregate(
-        F.zip_with(aa, bb, lambda x, y: x * y),
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def l2_norm(a: Column | str, dim: int | None = None) -> Column:
-    """Euclidean norm ``sqrt(Σ a_i²)``."""
+def l2_norm(a, dim: int | None = None) -> Column:
+    """Euclidean norm ``sqrt(Σ a_i²)``. Operands as in :func:`dot`."""
     return F.sqrt(dot(a, a, dim))
 
 
-def cosine_similarity(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+def cosine_similarity(a, b, dim: int | None = None) -> Column:
     """cos(a, b) = dot(a,b) / (|a|·|b|) — the `1 - <=>` projection the
-    reference exposes as `similarity` (tools.yaml:24)."""
+    reference exposes as `similarity` (tools.yaml:24). Operands as in
+    :func:`dot` (names/literal vectors keep the cheap SQL construction;
+    a literal operand's norm constant-folds in Catalyst)."""
     return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
-def cosine_distance(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+def cosine_distance(a, b, dim: int | None = None) -> Column:
     """pgvector `<=>`: 1 − cos(a, b) (tools.yaml:26)."""
     return F.lit(1.0) - cosine_similarity(a, b, dim)
 
 
-def l2_distance(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+def l2_distance(a, b, dim: int | None = None) -> Column:
     """Euclidean distance via the expansion |a|² − 2·a·b + |b|².
 
     The expansion (rather than Σ(a_i−b_i)²) is used deliberately: the
     DuckDB oracle can express the identical arithmetic with three
     `list_dot_product` calls, giving bit-exact parity. `greatest(·, 0)`
-    clamps the tiny negative residue when a ≈ b.
+    clamps the tiny negative residue when a ≈ b. Operands pass through
+    raw so name/literal forms keep the cheap SQL construction.
     """
-    aa, bb = _c(a), _c(b)
-    sq = dot(aa, aa, dim) - F.lit(2.0) * dot(aa, bb, dim) + dot(bb, bb, dim)
+    sq = dot(a, a, dim) - F.lit(2.0) * dot(a, b, dim) + dot(b, b, dim)
     return F.sqrt(F.greatest(sq, F.lit(0.0)))
 
 

@@ -819,7 +819,7 @@ def embedding_neardup_pairs_lsh(
         .join(vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b")
         .select(
             "id_a", "id_b",
-            V.cosine_similarity(F.col("_va"), F.col("_vb"), dim).alias("cosine"),
+            V.cosine_similarity("_va", "_vb", dim).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .transform(_pair_order)
@@ -893,7 +893,7 @@ def embedding_similarity_join(
         .join(vb, "id_b")
         .select(
             "id_a", "id_b",
-            V.cosine_similarity(F.col("_va"), F.col("_vb"), dim).alias("cosine"),
+            V.cosine_similarity("_va", "_vb", dim).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .transform(_pair_order)

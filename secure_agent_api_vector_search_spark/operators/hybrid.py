@@ -36,13 +36,18 @@ def hybrid_search(
 
     Output: (doc_id, kw_hits, similarity, score).
     """
-    q = F.lit([float(x) for x in query_vec])
     joined = documents.join(embeddings, documents["doc_id"] == embeddings["vec_id"])
     # statically-known dim → unrolled codegen sum (≤256) instead of the
-    # interpreted HOF fold; bit-identical left-fold order either way
-    sim = V.cosine_similarity(
-        F.col("embedding").cast("array<double>"), q, len(query_vec)
+    # interpreted HOF fold; bit-identical left-fold order either way.
+    # When the scan already delivers array<double> (load_embeddings
+    # does), pass the bare NAME so the expression builds as one SQL
+    # string instead of per-term py4j Column calls.
+    emb_op = (
+        "embedding"
+        if dict(embeddings.dtypes).get("embedding") == "array<double>"
+        else F.col("embedding").cast("array<double>")
     )
+    sim = V.cosine_similarity(emb_op, [float(x) for x in query_vec], len(query_vec))
     hits = keyword_hits("text", term).cast("long")
     scored = joined.select(
         "doc_id",

@@ -84,7 +84,9 @@ def knn_join(
     joined = corpus.crossJoin(F.broadcast(queries))
     if exclude_self:
         joined = joined.filter(F.col(c_id) != F.col(q_id))
-    sim = V.cosine_similarity(F.col(c_vec), F.col(q_vec), dim)
+    # bare names (unique after the cross join) keep the unrolled
+    # expression's one-SQL-string construction
+    sim = V.cosine_similarity(c_vec, q_vec, dim)
     scored = joined.select(
         F.col(q_id), F.col(c_id).alias("neighbor_id"), sim.alias("similarity")
     )

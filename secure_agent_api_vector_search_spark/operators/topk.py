@@ -36,21 +36,21 @@ from pyspark.sql import functions as F
 from secure_agent_api_vector_search_spark.functions import vector as V
 
 
-def _sim_col(
-    metric: str, vec_col: Column, qlit: Column, dim: int | None = None
-) -> tuple[Column, bool]:
+def _sim_col(metric: str, vec, q, dim: int | None = None) -> tuple[Column, bool]:
     """Returns (score column, ascending?) for a metric name.
 
-    ``dim`` is statically known here (it is len(query_vec)), so with
-    dim ≤ 256 the score is the UNROLLED left-fold codegen expression
-    (functions/vector.py) — the oracle-bit-exact tier.
+    ``vec``/``q`` are passed in the rawest form available (column name
+    string / literal float list where possible): with dim ≤ 256 the
+    score is then the UNROLLED left-fold codegen expression built as
+    one SQL string (functions/vector.py) — the oracle-bit-exact tier
+    without the per-term py4j construction cost.
     """
     if metric == "cosine":
-        return V.cosine_similarity(vec_col, qlit, dim), False
+        return V.cosine_similarity(vec, q, dim), False
     if metric == "dot":
-        return V.dot(vec_col, qlit, dim), False
+        return V.dot(vec, q, dim), False
     if metric == "l2":
-        return V.l2_distance(vec_col, qlit, dim), True
+        return V.l2_distance(vec, q, dim), True
     raise ValueError(f"unknown metric {metric!r}")
 
 
@@ -101,8 +101,10 @@ def topk_similar(
     if dim is not None and dim > V.UNROLL_MAX_DIM:
         score, asc = V.np_query_scorer(query_vec, metric)(vec), metric == "l2"
     else:
-        q = F.lit([float(x) for x in query_vec])
-        score, asc = _sim_col(metric, vec, q, dim)
+        # exclude mode: the raw name + literal list keep the cheap SQL
+        # construction; fail mode needs the CASE-wrapped Column
+        vec_op = vec_col if null_policy == "exclude" else vec
+        score, asc = _sim_col(metric, vec_op, [float(x) for x in query_vec], dim)
     # "exclude" is implemented WITHOUT a pre-filter on the vec column:
     # when the embeddings are themselves UDF-derived (the embed-then-
     # search shape), Catalyst evaluates a filter on the UDF output as a

@@ -202,6 +202,11 @@ def test_similarity_join_exact_plan_shape(spark, sf_dir):
         physical_plan,
     )
 
+    # parquet-scan assertions need an uncached table (verify-skill
+    # gotcha): if another test's session fixture has cached embeddings,
+    # the scan substitutes an InMemoryRelation and PushedFilters never
+    # appears — an order-dependent flake, not a plan regression
+    spark.catalog.clearCache()
     df = similarity_join_exact(spark, sf_dir)
     assert_in_plan(df, "BroadcastNestedLoopJoin", "PushedFilters")
     plan = physical_plan(df)

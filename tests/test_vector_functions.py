@@ -79,15 +79,22 @@ def test_cosine_equals_dot_after_normalize(spark):
 
 
 def test_unrolled_dot_bit_exact_and_768_fallback(spark, emb):
-    """The unrolled codegen form must be bit-identical to the HOF fold
-    (same left association), and dim > UNROLL_MAX_DIM must fall back
-    to the HOF form instead of building an over-deep Column tree."""
-    q = F.lit([float(x) for x in emb.head()["embedding"]])
+    """Every unrolled construction (SQL-string form for name+literal
+    operands, Column-tree form for arbitrary Columns) must be
+    bit-identical to the HOF fold (same left association), and
+    dim > UNROLL_MAX_DIM must fall back to the HOF form instead of
+    building an over-deep Column tree."""
+    qv = [float(x) for x in emb.head()["embedding"]]
+    q = F.lit(qv)
     diff = emb.select(
         (V.cosine_similarity("embedding", q)
-         - V.cosine_similarity("embedding", q, dim=64)).alias("d")
-    ).agg(F.sum(F.abs(F.col("d")))).head()[0]
-    assert diff == 0.0
+         - V.cosine_similarity("embedding", qv, dim=64)).alias("d"),  # SQL form
+        (V.cosine_similarity("embedding", q)
+         - V.cosine_similarity(F.col("embedding"), q, dim=64)).alias("d2"),  # tree form
+    ).agg(
+        F.sum(F.abs(F.col("d"))), F.sum(F.abs(F.col("d2")))
+    ).head()
+    assert diff[0] == 0.0 and diff[1] == 0.0
 
     big = spark.range(50).select(
         F.expr("transform(sequence(0,767), i -> cast(i as double))").alias("v"))
