@@ -505,6 +505,10 @@ def corpus_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_stats_approx(load_documents(spark, sf_dir))
 
 
+def duplicate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.duplicate_ngram_stats(load_documents(spark, sf_dir), n=5)
+
+
 def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.per_source_cap(load_documents(spark, sf_dir), cap=20)
 
@@ -1451,6 +1455,47 @@ ORDER BY doc_id""",
         tags=("text", "curation")))
 
     r.register(NamedQuery(
+        "duplicate_ngram_stats", duplicate_ngram_stats,
+        oracle_sql="""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS ws
+  FROM documents),
+b AS (
+  SELECT doc_id, ws, GREATEST(len(ws) - 4, 0) AS n_grams FROM w),
+g AS (
+  SELECT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] AS gram
+  FROM b, UNNEST(range(1, n_grams + 1)) AS t(i)
+  WHERE n_grams > 0),
+pdg AS (
+  SELECT doc_id, gram, COUNT(*) AS occ FROM g GROUP BY doc_id, gram),
+gd AS (
+  SELECT gram, COUNT(*) AS n_docs FROM pdg GROUP BY gram),
+dup AS (
+  SELECT p.doc_id, SUM(p.occ) AS n_dup
+  FROM pdg p JOIN gd USING (gram)
+  WHERE gd.n_docs >= 2
+  GROUP BY p.doc_id)
+SELECT b.doc_id, CAST(b.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       CASE WHEN b.n_grams > 0
+            THEN CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / b.n_grams
+            ELSE 0.0 END AS dup_ngram_frac,
+       (CASE WHEN b.n_grams > 0
+             THEN CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / b.n_grams
+             ELSE 0.0 END) <= 0.30 AS keep
+FROM b
+LEFT JOIN dup d USING (doc_id)
+ORDER BY doc_id""",
+        description="[EXT] Gopher duplicated-n-gram fraction: share of each "
+                    "doc's word 5-grams appearing in >= 2 docs; grams shuffle "
+                    "as 8-byte xxhash64 keys, the oracle groups by the gram "
+                    "string itself",
+        tags=("text", "curation", "dedup")))
+
+    r.register(NamedQuery(
         "corpus_stats_approx", corpus_stats_approx,
         description="[EXT] sketch corpus summary: HLL++ vocabulary + quantile-sketch "
                     "token lengths (one-pass mergeable partials; error bound tested "
@@ -1854,6 +1899,8 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
+    # new this round — never checked
+    "duplicate_ngram_stats",
     # no CORRECTNESS row in round 3 (multimodal_features: none in any round)
     "multimodal_features",
     "find_similar_by_text",

@@ -171,6 +171,78 @@ def doc_repetition(documents: DataFrame) -> DataFrame:
     )
 
 
+def duplicate_ngram_stats(
+    documents: DataFrame, n: int = 5, min_docs: int = 2, max_frac: float = 0.30
+) -> DataFrame:
+    """Gopher-style duplicated-n-gram fraction per document (Rae et al.
+    2021 §A1.1: "fraction of characters in duplicate n-grams" — here the
+    gram-count form, which is exactly oracle-mirrorable): the share of a
+    document's word ``n``-grams that also occur in at least
+    ``min_docs - 1`` OTHER documents.
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_ngram_frac, keep) where
+    ``keep`` applies the ``max_frac`` curation threshold. Documents with
+    fewer than ``n`` words have zero grams and keep=true.
+
+    Scale shape (the whole point — this is a corpus-global signal, not a
+    per-doc one): grams never shuffle as strings. Each gram is reduced
+    to its ``xxhash64`` in the scan projection, so the two aggregation
+    exchanges carry 8-byte keys: (doc_id, gh) → occ (map-side
+    combinable), then gh → doc-frequency. The doc-frequency join reuses
+    the gh partitioning from the groupBy (no extra exchange), and only
+    the per-doc dup counts — |docs| rows — come back to the doc_id key.
+    At 64-bit hashing a corpus-scale collision is possible but only
+    perturbs counts by ±1 on the colliding gram; swap in the 128-bit
+    md5 at 100 TB if exactness is required (the oracle groups by the
+    gram string itself, so sf-scale results are identical).
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    ws = F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")
+    base = documents.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.greatest(F.size(ws) - (n - 1), F.lit(0)).cast("long").alias("n_grams"),
+    )
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("ws"), i + 1, F.col("n_grams").cast("int")) for i in range(n)]
+    )
+    grams = (
+        base.filter(F.col("n_grams") > 0)
+        .select("doc_id", F.explode(zipped).alias("g"))
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(n)])
+            ).alias("gh"),
+        )
+    )
+    per_doc_gram = grams.groupBy("doc_id", "gh").agg(F.count("*").alias("occ"))
+    gram_docs = per_doc_gram.groupBy("gh").agg(F.count("*").alias("n_docs"))
+    dup = (
+        per_doc_gram.join(gram_docs, "gh")
+        .filter(F.col("n_docs") >= min_docs)
+        .groupBy("doc_id")
+        .agg(F.sum("occ").alias("n_dup"))
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("double") / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.select("doc_id", "n_grams")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            frac.alias("dup_ngram_frac"),
+            (frac <= max_frac).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def corpus_stats_approx(documents: DataFrame, rsd: float = 0.02) -> DataFrame:
     """Sketch-based one-row corpus summary — the 100 TB form of
     :func:`corpus_token_totals`.

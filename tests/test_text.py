@@ -144,3 +144,46 @@ def test_corpus_stats_approx_bounds(docs):
     assert rel_err <= 0.10
     p50, p90, p99 = approx["tokens_p50"], approx["tokens_p90"], approx["tokens_p99"]
     assert p50 <= p90 <= p99
+
+
+def test_duplicate_ngram_stats_hand_values(spark):
+    """Planted shared 5-gram: docs 1 and 2 share 'a b c d e'; doc 3 is
+    disjoint; doc 4 is too short for any 5-gram."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e x y"),          # grams: abcde, bcdex, cdexy → 1 dup
+            (2, "q a b c d e"),            # grams: qabcd', abcde → 1 dup
+            (3, "p q r s t u"),            # 2 grams, none shared
+            (4, "one two"),                # 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.duplicate_ngram_stats(df).collect()}
+    assert rows[1]["n_grams"] == 3 and rows[1]["n_dup_grams"] == 1
+    assert abs(rows[1]["dup_ngram_frac"] - 1 / 3) < 1e-12
+    assert rows[1]["keep"] is False  # 1/3 > 0.30
+    assert rows[2]["n_grams"] == 2 and rows[2]["n_dup_grams"] == 1
+    assert rows[2]["keep"] is False
+    assert rows[3]["n_grams"] == 2 and rows[3]["n_dup_grams"] == 0
+    assert rows[3]["keep"] is True
+    assert rows[4]["n_grams"] == 0 and rows[4]["n_dup_grams"] == 0
+    assert rows[4]["dup_ngram_frac"] == 0.0 and rows[4]["keep"] is True
+
+
+def test_duplicate_ngram_stats_within_doc_repeat_not_dup(spark):
+    """A gram repeated only WITHIN one doc is not corpus-duplicated
+    (doc-frequency, not occurrence-frequency, drives min_docs)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e z a b c d e"), (2, "v w x y zz")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.duplicate_ngram_stats(df).collect()}
+    assert rows[1]["n_dup_grams"] == 0 and rows[1]["keep"] is True
+
+
+def test_duplicate_ngram_stats_rejects_bad_n(spark):
+    import pytest as _pytest
+
+    df = spark.range(1).selectExpr("id AS doc_id", "'x' AS text")
+    with _pytest.raises(ValueError):
+        TX.duplicate_ngram_stats(df, n=1)
