@@ -823,6 +823,14 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from secure_agent_api_vector_search_spark.operators.semdedup import (
+        semantic_dedup as _sd,
+    )
+
+    return _sd(_embeddings_with_near_dups(spark, sf_dir), threshold=0.9)
+
+
 def _query_vectors_perturbed(spark: SparkSession, sf_dir: str, n: int = 20) -> DataFrame:
     """Small query-side frame for the A×B similarity joins: perturbed
     copies of the first ``n`` corpus vectors (v + 0.45·rotate(v), cosine
@@ -1836,6 +1844,13 @@ FROM p ORDER BY doc_id""",
                     "planted-dup corpus (scale path; recall vs exact pairs "
                     "asserted in tests)", tags=("dedup", "vector")))
     r.register(NamedQuery(
+        "semantic_dedup", semantic_dedup,
+        description="[EXT] SemDeDup (Abbas et al. 2023): k-means-cluster-"
+                    "bounded cosine dedup over a planted-dup corpus — one "
+                    "cluster-keyed applyInPandas screen, no all-pairs join; "
+                    "witness + determinism invariants in tests/test_semdedup.py",
+        tags=("dedup", "vector")))
+    r.register(NamedQuery(
         "similarity_join_lsh", similarity_join_lsh,
         description="[EXT] A×B similarity join through shared LSH buckets "
                     "(side-tagged union; recall vs similarity_join_exact "
@@ -1901,6 +1916,7 @@ FROM m ORDER BY doc_id""",
 CHECK_FIRST: tuple[str, ...] = (
     # new this round — never checked
     "duplicate_ngram_stats",
+    "semantic_dedup",
     # no CORRECTNESS row in round 3 (multimodal_features: none in any round)
     "multimodal_features",
     "find_similar_by_text",
