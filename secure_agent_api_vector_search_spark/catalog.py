@@ -509,6 +509,32 @@ def duplicate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.duplicate_ngram_stats(load_documents(spark, sf_dir), n=5)
 
 
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked form: id-mod sharding (DuckDB replays the exact
+    next-fit packing with a recursive CTE; production default is the
+    xxhash64 shard key)."""
+    from secure_agent_api_vector_search_spark.operators import packing as PK
+
+    return PK.pack_sequences(
+        load_documents(spark, sf_dir),
+        max_tokens=512,
+        n_buckets=32,
+        bucket_expr=F.pmod(F.col("doc_id"), F.lit(32)),
+    ).orderBy("doc_id")
+
+
+def pack_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from secure_agent_api_vector_search_spark.operators import packing as PK
+
+    asg = PK.pack_sequences(
+        load_documents(spark, sf_dir),
+        max_tokens=512,
+        n_buckets=32,
+        bucket_expr=F.pmod(F.col("doc_id"), F.lit(32)),
+    )
+    return PK.sequence_stats(asg, max_tokens=512)
+
+
 def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.per_source_cap(load_documents(spark, sf_dir), cap=20)
 
@@ -1503,6 +1529,69 @@ ORDER BY doc_id""",
                     "string itself",
         tags=("text", "curation", "dedup")))
 
+    _PACK_STATE = """
+WITH RECURSIVE counted AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 32 AS INT) AS bucket
+  FROM documents),
+d AS (
+  SELECT doc_id, n_tokens, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM counted),
+p AS (
+  SELECT doc_id, n_tokens, bucket, rn,
+         CAST(0 AS BIGINT) AS seq_assigned,
+         CAST(CASE WHEN n_tokens >= 512 THEN 1 ELSE 0 END AS BIGINT) AS s_out,
+         CAST(CASE WHEN n_tokens >= 512 THEN 0 ELSE n_tokens END AS BIGINT) AS u_out
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.n_tokens, d.bucket, d.rn,
+         p.s_out + CASE WHEN p.u_out > 0 AND p.u_out + d.n_tokens > 512
+                        THEN 1 ELSE 0 END AS seq_assigned,
+         (p.s_out + CASE WHEN p.u_out > 0 AND p.u_out + d.n_tokens > 512
+                         THEN 1 ELSE 0 END)
+         + CASE WHEN (CASE WHEN p.u_out > 0 AND p.u_out + d.n_tokens > 512
+                           THEN 0 ELSE p.u_out END) + d.n_tokens >= 512
+                THEN 1 ELSE 0 END AS s_out,
+         CASE WHEN (CASE WHEN p.u_out > 0 AND p.u_out + d.n_tokens > 512
+                         THEN 0 ELSE p.u_out END) + d.n_tokens >= 512
+              THEN 0
+              ELSE (CASE WHEN p.u_out > 0 AND p.u_out + d.n_tokens > 512
+                         THEN 0 ELSE p.u_out END) + d.n_tokens END AS u_out
+  FROM d JOIN p ON d.bucket = p.bucket AND d.rn = p.rn + 1)"""
+
+    r.register(NamedQuery(
+        "pack_sequences", pack_sequences,
+        oracle_sql=_PACK_STATE + """
+SELECT doc_id, n_tokens, CAST(bucket AS INT) AS bucket,
+       bucket * 8589934592 + seq_assigned AS seq_id,
+       ROW_NUMBER() OVER (PARTITION BY bucket, seq_assigned ORDER BY doc_id)
+         - 1 AS pos_in_seq
+FROM p ORDER BY doc_id""",
+        description="[EXT] training-sequence packing: greedy next-fit into "
+                    "512-token sequences, sharded by id so packing state "
+                    "never serializes; ids+counts-only shuffle. The oracle "
+                    "replays the exact greedy state machine as a recursive "
+                    "CTE, so even this stateful op is hash-checked",
+        tags=("curation", "pipeline")))
+
+    r.register(NamedQuery(
+        "pack_sequence_stats", pack_sequence_stats,
+        oracle_sql=_PACK_STATE + """,
+per_seq AS (
+  SELECT bucket * 8589934592 + seq_assigned AS seq_id,
+         SUM(n_tokens) AS seq_tokens, COUNT(*) AS n_docs
+  FROM p GROUP BY 1)
+SELECT COUNT(*) AS n_sequences,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       AVG(CAST(LEAST(seq_tokens, 512) AS DOUBLE) / 512.0) AS mean_fill,
+       CAST(SUM(CASE WHEN seq_tokens > 512 AND n_docs = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overflow
+FROM per_seq""",
+        description="[EXT] packing summary: sequence count, mean fill ratio, "
+                    "overflow singletons", tags=("curation", "agg")))
+
     r.register(NamedQuery(
         "corpus_stats_approx", corpus_stats_approx,
         description="[EXT] sketch corpus summary: HLL++ vocabulary + quantile-sketch "
@@ -1917,6 +2006,8 @@ CHECK_FIRST: tuple[str, ...] = (
     # new this round — never checked
     "duplicate_ngram_stats",
     "semantic_dedup",
+    "pack_sequences",
+    "pack_sequence_stats",
     # no CORRECTNESS row in round 3 (multimodal_features: none in any round)
     "multimodal_features",
     "find_similar_by_text",
