@@ -310,3 +310,51 @@ def test_curated_ingest_routes_quality_gate(spark, docs, tmp_path):
     assert "embedding" not in rej.columns  # rejects never reach the embedder
     # both sinks carry the epoch partition key that makes replays idempotent
     assert "_epoch_id" in out.columns and "_epoch_id" in rej.columns
+
+
+def test_merge_upsert_ingest_updates_in_place(spark, docs, tmp_path):
+    """Streaming CDC upsert into the keyed merge layout: updated keys
+    are re-embedded and replaced, new keys insert, untouched keys keep
+    their original rows; within-batch duplicate keys collapse to one."""
+    from secure_agent_api_vector_search_spark.embedder import embed_text
+    from secure_agent_api_vector_search_spark.pipelines import write_merge_table
+    from secure_agent_api_vector_search_spark.streaming.ingest import (
+        embed_documents,
+        start_merge_upsert_ingest,
+    )
+
+    in_dir, tbl, ckpt = (str(tmp_path / d) for d in ("in", "tbl", "ckpt"))
+    base = docs.limit(30).select("doc_id", "text", "lang", "source", "n_chars")
+    write_merge_table(embed_documents(base, dim=16), tbl, "doc_id", n_buckets=8)
+    before = {
+        r["doc_id"]: r for r in spark.read.parquet(tbl).collect()
+    }
+
+    updates = spark.createDataFrame(
+        [
+            (0, "fresh replacement text zero", "en", "cdc", 27),
+            (1, "fresh replacement text one", "en", "cdc", 26),
+            (1, "zzz duplicate later version", "en", "cdc", 27),  # in-batch dup
+            (900500, "brand new streamed document", "en", "cdc", 27),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    updates.write.mode("overwrite").parquet(in_dir)
+
+    q = start_merge_upsert_ingest(spark, in_dir, tbl, ckpt, dim=16, n_buckets=8)
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+
+    after = {r["doc_id"]: r for r in spark.read.parquet(tbl).collect()}
+    assert len(after) == 31  # 30 originals + 1 insert, no duplicates
+    assert after[0]["text"] == "fresh replacement text zero"
+    assert after[0]["embedding"] == embed_text("fresh replacement text zero", 16)
+    # in-batch duplicate collapsed deterministically (min text wins)
+    assert after[1]["text"] == "fresh replacement text one"
+    assert after[900500]["source"] == "cdc"
+    untouched = [k for k in before if k not in (0, 1)]
+    for k in untouched:
+        assert after[k]["text"] == before[k]["text"]
+        assert after[k]["embedding"] == before[k]["embedding"]
