@@ -73,6 +73,12 @@ HEADLINE = [
     "doc_quality",
     "hybrid_search",
     "embed_texts",
+    # round-4 additions: LLM-pipeline operators
+    "duplicate_ngram_stats",
+    "semantic_dedup",
+    "pack_sequences",
+    "image_decode_features",
+    "audio_decode_features",
 ]
 
 
@@ -114,19 +120,37 @@ def _dim768_probe(spark, sf_dir: str) -> dict:
         from secure_agent_api_vector_search_spark.operators.topk import topk_similar
         from secure_agent_api_vector_search_spark.sources.tables import load_documents
 
-        t0 = time.perf_counter()
-        # deliberately NO narrow-scan rebalance here: at bench corpus
-        # sizes the embed UDF is overhead-dominated, and fanning 500-5k
-        # docs across 32 partitions spawns 64 python-worker chains whose
-        # fixed cost exceeds the whole embed (measured 1.9s -> 10-12s).
-        # A real cluster's scan has one split per ~128 MB and needs no
-        # help; rebalance pays only for CPU-heavy per-row stages like
-        # the MinHash signatures (sources/tables.py::rebalance_if_narrow).
+        # Two honest numbers, matching the reference's data model (the
+        # corpus vectors are STORED, sql/02_schema.sql:14; a query embeds
+        # only its own text, tools.yaml:24):
+        #   corpus_embed_768_sec — the one-time ingest/backfill cost of
+        #     embedding the whole corpus at dim 768, materialized. A
+        #     modest 8-way fan: measured at sf0.1, 1 partition = 4.8s
+        #     cold (serial python worker), 8 = 0.7s; 32+ regresses on
+        #     worker spin-up at these corpus sizes (500-5k docs).
+        #   topk_cosine_768_sec — the flagship per-query path over the
+        #     stored vectors: driver query embed + full-scan cosine
+        #     top-10 (np_query_scorer tier for dim > 256), first
+        #     execution, codegen included.
         docs = load_documents(spark, sf_dir)
-        emb = docs.select("doc_id", embed_udf(768)(F.col("text")).alias("embedding"))
+        t0 = time.perf_counter()
+        emb = (
+            docs.repartition(8)
+            .select("doc_id", embed_udf(768)(F.col("text")).alias("embedding"))
+            .cache()
+        )
+        emb.count()
+        embed_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
         q = embed_text("standard procedure for mitigating water damage", 768)
         n = topk_similar(emb, q, k=10, id_col="doc_id").count()
-        return {"topk_cosine_768_sec": round(time.perf_counter() - t0, 3), "rows": n}
+        out = {
+            "corpus_embed_768_sec": embed_sec,
+            "topk_cosine_768_sec": round(time.perf_counter() - t0, 3),
+            "rows": n,
+        }
+        emb.unpersist()
+        return out
     except Exception as exc:
         return {"error": repr(exc)}
 

@@ -980,6 +980,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.multimodal_features(load_documents(spark, sf_dir))
 
 
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path: deterministic netpbm payloads → parse
+    header + raster with numpy → dimensions/luminance/thumbnail digest."""
+    docs = load_documents(spark, sf_dir)
+    return M.image_features(M.synthetic_image_payloads(docs)).orderBy("doc_id")
+
+
+def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: deterministic PCM WAV payloads → stdlib
+    wave decode → rate/duration/RMS/activity windows."""
+    docs = load_documents(spark, sf_dir)
+    return M.audio_features(M.synthetic_wav_payloads(docs)).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1900,6 +1914,18 @@ FROM p ORDER BY doc_id""",
                     "sha256-derived, so the oracle recomputes them in SQL)",
         tags=("multimodal",)))
     r.register(NamedQuery(
+        "image_decode_features", image_decode_features,
+        description="[EXT] REAL image decode (binary netpbm parsed with "
+                    "numpy, no image library): dimensions, mean luminance, "
+                    "nearest-neighbor-thumbnail digest via mapInPandas; "
+                    "round-trip + hand-value tests in tests/test_multimodal.py",
+        tags=("multimodal",)))
+    r.register(NamedQuery(
+        "audio_decode_features", audio_decode_features,
+        description="[EXT] REAL audio decode (stdlib wave PCM): sample "
+                    "rate, duration, RMS, energy-envelope activity windows "
+                    "via mapInPandas", tags=("multimodal",)))
+    r.register(NamedQuery(
         "dedup_near_keep_first", dedup_near_keep_first,
         description="[EXT] end-to-end near-dup dedup: MinHash-LSH pairs → "
                     "iterative connected components → keep-one corpus "
@@ -2008,6 +2034,8 @@ CHECK_FIRST: tuple[str, ...] = (
     "semantic_dedup",
     "pack_sequences",
     "pack_sequence_stats",
+    "image_decode_features",
+    "audio_decode_features",
     # no CORRECTNESS row in round 3 (multimodal_features: none in any round)
     "multimodal_features",
     "find_similar_by_text",
