@@ -58,12 +58,18 @@ def distinct_token_count(text: Column | str) -> Column:
 
 def mean_token_length(text: Column | str) -> Column:
     """Σ len(token) / n_tokens as float64 (exact int sum, then one
-    deterministic division)."""
-    toks = tokens(text)
-    total = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
-    )
-    return total.cast("double") / F.size(toks)
+    deterministic division).
+
+    Computed by identity, not a fold: splitting on the single-space
+    delimiter partitions the string into n tokens and n-1 separators,
+    so Σ len(token) = len(text) - (n - 1) exactly (empty tokens
+    included, same as the split). The aggregate/transform HOF form this
+    replaces evaluates INTERPRETED per token (no codegen — measured 5×
+    slower on the compute at sf0.1×20); the identity is three codegen
+    ops per row and bit-identical (int arithmetic, same division)."""
+    t = _c(text)
+    n = F.size(tokens(text))
+    return (F.length(t) - (n - F.lit(1))).cast("double") / n
 
 
 def stopword_hits(text: Column | str, lang: str = "en") -> Column:
