@@ -539,6 +539,10 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.per_source_cap(load_documents(spark, sf_dir), cap=20)
 
 
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.quality_percentile_filter(load_documents(spark, sf_dir), min_pct=0.2)
+
+
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The corpus is synthetic word soup with no PII, so plant some: a
     # deterministic suffix with an email / phone / IP on every 7th doc
@@ -1626,6 +1630,27 @@ WHERE rk <= 20 ORDER BY doc_id""",
         tags=("curation", "window")))
 
     r.register(NamedQuery(
+        "quality_percentile_filter", quality_percentile_filter,
+        oracle_sql=f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         (CAST({_hits(_STOPS_EN)} AS DOUBLE) / len(string_split(text, ' '))
+          + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0)
+         / 2.0 AS quality
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, quality,
+         PERCENT_RANK() OVER (PARTITION BY lang
+                              ORDER BY quality, doc_id) AS q_pctile
+  FROM q)
+SELECT doc_id, lang, quality, q_pctile
+FROM r WHERE q_pctile >= 0.2 ORDER BY doc_id""",
+        description="[EXT] per-language percentile quality cut: keep docs "
+                    "above the 20th in-group quality percentile (absolute "
+                    "thresholds tuned on one language gut the others)",
+        tags=("curation", "window")))
+
+    r.register(NamedQuery(
         "pii_redact", pii_redact,
         oracle_sql=r"""
 WITH planted AS (
@@ -2036,6 +2061,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "pack_sequence_stats",
     "image_decode_features",
     "audio_decode_features",
+    "quality_percentile_filter",
     # no CORRECTNESS row in round 3 (multimodal_features: none in any round)
     "multimodal_features",
     "find_similar_by_text",

@@ -50,6 +50,41 @@ def per_source_cap(
     )
 
 
+def quality_percentile_filter(
+    documents: DataFrame,
+    min_pct: float = 0.2,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributional curation cut: keep documents whose quality score
+    clears the ``min_pct`` percentile WITHIN their group (per-language
+    cuts are the standard form — an absolute threshold tuned on English
+    silently guts low-resource languages; a per-group percentile keeps
+    the mix).
+
+    percent_rank is (rank - 1) / (n - 1) with (score, id) as a total
+    order, so the cut is deterministic and engine-independent (mirrored
+    verbatim by the SQL oracle).
+
+    Scale shape: one hash-partition window per group — the same shape
+    as :func:`per_source_cap`; group cardinality (languages) is small
+    but each partition's work is a sort O(|group| log |group|), which
+    AQE skew-split spreads when one language dominates. No collect, no
+    global sort.
+    """
+    from secure_agent_api_vector_search_spark.functions import text as X
+
+    q = X.quality_score("text")
+    w = Window.partitionBy(group_col).orderBy(q, id_col)
+    return (
+        documents.withColumn("quality", q)
+        .withColumn("q_pctile", F.percent_rank().over(w))
+        .filter(F.col("q_pctile") >= min_pct)
+        .select(id_col, group_col, "quality", "q_pctile")
+        .orderBy(id_col)
+    )
+
+
 def pii_redact(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """PII scrubbing: count and redact emails, dashed phone numbers,
     and IPv4 literals. Replacement order is fixed (email → phone → ip)

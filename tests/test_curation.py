@@ -81,3 +81,35 @@ def test_curation_plan_shapes(docs):
     plan = physical_plan(TX.doc_repetition(docs))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_percentile_filter_keeps_per_group_fraction(docs):
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        quality_percentile_filter,
+    )
+    from pyspark.sql import functions as F
+
+    out = quality_percentile_filter(docs, min_pct=0.2).cache()
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in totals.items():
+        # percent_rank >= 0.2 keeps ~80% of every group (exact count
+        # depends on rank granularity, never more than 80%+1)
+        assert kept.get(lang, 0) <= n
+        assert kept.get(lang, 0) >= int(0.75 * n) - 1
+    # the cut is distributional: min kept quality >= max dropped quality
+    # within each language
+    marks = quality_percentile_filter(docs, min_pct=0.0)
+    joined = marks.join(out.select("doc_id", F.lit(True).alias("_k")), "doc_id", "left")
+    agg = (
+        joined.groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("_k"), F.col("quality"))).alias("min_kept"),
+            F.max(F.when(F.col("_k").isNull(), F.col("quality"))).alias("max_dropped"),
+        )
+        .collect()
+    )
+    for r in agg:
+        if r["max_dropped"] is not None:
+            assert r["min_kept"] >= r["max_dropped"]
+    out.unpersist()
