@@ -2062,6 +2062,9 @@ CHECK_FIRST: tuple[str, ...] = (
     "image_decode_features",
     "audio_decode_features",
     "quality_percentile_filter",
+    # implementation changed this round (mean_token_length identity) —
+    # re-verify even though long-green
+    "token_stats",
     # no CORRECTNESS row in round 3 (multimodal_features: none in any round)
     "multimodal_features",
     "find_similar_by_text",
