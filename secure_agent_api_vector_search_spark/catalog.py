@@ -123,6 +123,18 @@ def vector_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                            extra_cols=("label",))
 
 
+def vector_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: metadata predicate pre-filter (pushed to
+    the documents parquet scan), semi-join to the vectors, exact top-k."""
+    return TK.topk_similar_filtered(
+        load_documents(spark, sf_dir),
+        load_embeddings(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        predicate="lang = 'en' AND n_chars >= 100",
+        k=10,
+    )
+
+
 def vector_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
     return TK.topk_similar(emb, _query_vec(spark, sf_dir), k=10, metric="l2",
@@ -1021,6 +1033,24 @@ FROM embeddings e CROSS JOIN q
 ORDER BY similarity DESC, e.vec_id LIMIT 10""",
         description="U1/V4 flagship: exact cosine top-k (tools.yaml:22-27) as "
                     "TakeOrderedAndProject", tags=("reference", "vector")))
+
+    r.register(NamedQuery(
+        "vector_topk_filtered", vector_topk_filtered,
+        oracle_sql=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT e.vec_id, {_cos(E, 'q.qe')} AS similarity
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT doc_id FROM documents
+                     WHERE lang = 'en' AND n_chars >= 100)
+  ORDER BY similarity DESC, e.vec_id LIMIT 10)
+SELECT d.doc_id, d.source, d.lang, t.similarity
+FROM top t JOIN documents d ON t.vec_id = d.doc_id
+ORDER BY t.similarity DESC, d.doc_id""",
+        description="[EXT] filtered vector search: metadata predicate "
+                    "pre-filter (parquet pushdown) -> semi-join -> exact "
+                    "top-k (no post-filter recall loss)",
+        tags=("vector", "reference")))
 
     r.register(NamedQuery(
         "vector_topk_l2", vector_topk_l2,
@@ -2062,6 +2092,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "image_decode_features",
     "audio_decode_features",
     "quality_percentile_filter",
+    "vector_topk_filtered",
     # implementation changed this round (mean_token_length identity) —
     # re-verify even though long-green
     "token_stats",

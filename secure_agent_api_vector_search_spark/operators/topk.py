@@ -152,6 +152,41 @@ def find_similar_records(
     )
 
 
+def topk_similar_filtered(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    predicate,
+    k: int = 5,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Filtered vector search: exact top-k among only the documents
+    matching a metadata ``predicate`` (Column or SQL string) — the
+    pre-filter form (pgvector's classic combined query: `WHERE lang =
+    'en' ORDER BY emb <=> q LIMIT k`). The reference's tools expose no
+    filter, but any user of a vector store runs this daily.
+
+    Plan shape: the predicate evaluates on the DOCUMENTS scan (pushed
+    into parquet where possible — metadata columns, not vectors), the
+    surviving ids left-semi-join the embeddings (AQE picks
+    broadcast/shuffle by the filtered cardinality), and only matching
+    vectors are scored → TakeOrderedAndProject. Pre-filter semantics
+    are exact at any selectivity — unlike post-filtering a top-k' |
+    k' > k overshoot, there is no recall loss on highly-selective
+    predicates.
+    """
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    ids = documents.filter(pred).select(F.col("doc_id").alias("vec_id"))
+    cand = embeddings.join(ids, "vec_id", "left_semi")
+    top = topk_similar(cand, query_vec, k=k, metric=metric)
+    return (
+        F.broadcast(top)
+        .join(documents, top["vec_id"] == documents["doc_id"])
+        .select("doc_id", "source", "lang", "similarity")
+        .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
+    )
+
+
 def similar_to_doc(
     documents: DataFrame,
     embeddings: DataFrame,

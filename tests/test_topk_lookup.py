@@ -119,3 +119,36 @@ def test_lookup_filter_pushed_down(spark, sf_dir):
         "o_orderkey", "o_totalprice"
     )
     assert_pushed_filter(df, "o_orderkey")
+
+
+def test_topk_filtered_matches_bruteforce_and_pushes_down(spark, sf_dir):
+    from secure_agent_api_vector_search_spark.operators.topk import (
+        topk_similar,
+        topk_similar_filtered,
+    )
+    from secure_agent_api_vector_search_spark.sources.tables import (
+        load_documents,
+        load_embeddings,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    out = topk_similar_filtered(
+        docs, emb, q, predicate="lang = 'en' AND n_chars >= 100", k=5
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    assert all(r["lang"] == "en" for r in rows)
+    # parity with filter-then-exact-topk computed the naive way
+    allowed = {
+        r["doc_id"]
+        for r in docs.filter("lang = 'en' AND n_chars >= 100").collect()
+    }
+    brute = topk_similar(
+        emb.filter(F.col("vec_id").isin(list(allowed))), q, k=5
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [r["vec_id"] for r in brute]
+    # the metadata predicate reaches the documents parquet scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
