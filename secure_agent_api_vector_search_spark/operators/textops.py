@@ -186,16 +186,18 @@ def duplicate_ngram_stats(
 
     Scale shape (the whole point — this is a corpus-global signal, not a
     per-doc one): grams never shuffle as strings. Each gram is reduced
-    to its ``xxhash64`` in the scan projection, so the two aggregation
-    exchanges carry 8-byte keys: (doc_id, gh) → occ (map-side
-    combinable), then gh → doc-frequency. The doc-frequency join reuses
-    the gh partitioning from the groupBy (no extra exchange), and only
-    the per-doc dup counts — |docs| rows — come back to the doc_id key.
-    At 64-bit hashing a corpus-scale collision is possible but only
-    perturbs counts by ±1 on the colliding gram; swap in the 128-bit
-    md5 at 100 TB if exactness is required (the oracle groups by the
-    gram string itself, so sf-scale results are identical).
+    to its ``xxhash64`` in the scan projection, so every exchange
+    carries 8-byte keys: (doc_id, gh) → occ (map-side combinable), then
+    doc-frequency as a COUNT OVER (PARTITION BY gh) window on the
+    already-reduced per-doc-gram rows — one gh exchange, no second
+    aggregate frame and no join whose shuffle would double the gram
+    traffic — then |docs| rows back to the doc_id key. At 64-bit
+    hashing a corpus-scale collision is possible but only perturbs
+    counts by ±1 on the colliding gram; swap in the 128-bit md5 at
+    100 TB if exactness is required (the oracle groups by the gram
+    string itself, so sf-scale results are identical).
     """
+    from pyspark.sql import Window
     if n < 2:
         raise ValueError("n must be >= 2")
     ws = F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")
@@ -218,9 +220,9 @@ def duplicate_ngram_stats(
         )
     )
     per_doc_gram = grams.groupBy("doc_id", "gh").agg(F.count("*").alias("occ"))
-    gram_docs = per_doc_gram.groupBy("gh").agg(F.count("*").alias("n_docs"))
+    n_docs = F.count("*").over(Window.partitionBy("gh"))
     dup = (
-        per_doc_gram.join(gram_docs, "gh")
+        per_doc_gram.withColumn("n_docs", n_docs)
         .filter(F.col("n_docs") >= min_docs)
         .groupBy("doc_id")
         .agg(F.sum("occ").alias("n_dup"))
