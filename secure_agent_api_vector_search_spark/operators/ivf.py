@@ -226,3 +226,33 @@ def ivf_search(
     return topk_similar(
         pruned, query_vec, k=k, metric=metric, id_col=index.id_col, vec_col=index.vec_col
     )
+
+
+def ivf_search_filtered(
+    index: IvfIndex,
+    query_vec: Sequence[float],
+    predicate,
+    k: int = 5,
+    nprobe: int = 4,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Filtered ANN: probe pruning × metadata predicate — both filters
+    land on the SAME scan (list partition pruning first, then the
+    row-level predicate inside the surviving partitions), so cost is
+    nprobe/lists of the data even under a selective filter.
+
+    Semantics note (inherent to pre-filtered IVF, same trade as
+    pgvector's iterative scan problem): recall is relative to the
+    probed lists — a highly selective predicate can empty the probe set
+    while matches exist in unprobed lists; raise ``nprobe`` when the
+    predicate is narrow. The exact-path alternative is
+    :func:`operators.topk.topk_similar_filtered`.
+    """
+    from secure_agent_api_vector_search_spark.operators.topk import topk_similar
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    probes = _rank_lists(index.centroids, query_vec)[:nprobe]
+    pruned = index.assigned.filter(F.col("list_id").isin(probes)).filter(pred)
+    return topk_similar(
+        pruned, query_vec, k=k, metric=metric, id_col=index.id_col, vec_col=index.vec_col
+    )

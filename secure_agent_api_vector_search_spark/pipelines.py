@@ -198,6 +198,45 @@ def run_merge_backfill_job(
     return merge_upsert(spark, path, updated, key_col, n_buckets=n_buckets)
 
 
+def write_packed_shards(
+    documents: DataFrame,
+    out_dir: str,
+    max_tokens: int = 2048,
+    n_buckets: int = 32,
+) -> None:
+    """Export the training-shard layout: pack documents into
+    token-budget sequences (operators/packing.py) and materialize one
+    row per SEQUENCE — (seq_id, bucket, n_docs, n_tokens, text with the
+    member documents concatenated in pack order) — partitioned on disk
+    by the packing bucket, so each shard directory is one independent
+    packing group (the unit a tokenizer worker consumes).
+
+    Scale shape: the packing itself shuffles only ids+counts; this
+    export is where the TEXT moves, exactly once, keyed by seq_id
+    (one shuffle of the corpus — the irreducible cost of physically
+    grouping sequence members). The per-sequence concat sorts a
+    bounded array (docs-per-sequence ≤ budget/min-doc-tokens), never a
+    global order.
+    """
+    from secure_agent_api_vector_search_spark.operators.packing import pack_sequences
+
+    asg = pack_sequences(documents, max_tokens=max_tokens, n_buckets=n_buckets)
+    joined = asg.join(documents.select("doc_id", "text"), "doc_id")
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("pos_in_seq").alias("p"), F.col("text").alias("t")))
+    )
+    seqs = (
+        joined.groupBy("seq_id")
+        .agg(
+            F.first("bucket").alias("bucket"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.array_join(members.getField("t"), " ").alias("text"),
+        )
+    )
+    seqs.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+
+
 def write_bucketed(
     df: DataFrame,
     path: str,

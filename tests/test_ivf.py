@@ -148,3 +148,24 @@ def test_ivf_recall_sweep_monotone_to_exact(spark, emb):
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0
     assert all(0.0 < r <= 1.0 for r in recalls)
+
+
+def test_filtered_ivf_full_probe_equals_filtered_exact(index, emb, qvecs):
+    """Full probe + predicate == exact top-k over the filtered corpus;
+    partial probe results are a subset of the predicate set."""
+    q = qvecs[3]
+    pred = "label = (SELECT 1)".replace("(SELECT 1)", "1")
+    exact = [
+        (r["vec_id"], r["similarity"])
+        for r in TK.topk_similar(emb.filter(pred), q, k=10).collect()
+    ]
+    full = [
+        (r["vec_id"], r["similarity"])
+        for r in I.ivf_search_filtered(
+            index, q, pred, k=10, nprobe=len(index.centroids)
+        ).collect()
+    ]
+    assert full == exact
+    labels = {r["vec_id"] for r in emb.filter(pred).select("vec_id").collect()}
+    part = I.ivf_search_filtered(index, q, pred, k=10, nprobe=2).collect()
+    assert all(r["vec_id"] in labels for r in part)

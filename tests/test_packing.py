@@ -68,3 +68,25 @@ def test_sequence_stats_consistent(docs, assigned):
 def test_rejects_bad_budget(docs):
     with pytest.raises(ValueError):
         PK.pack_sequences(docs, max_tokens=0)
+
+
+def test_write_packed_shards_roundtrip(spark, docs, tmp_path):
+    from secure_agent_api_vector_search_spark.pipelines import write_packed_shards
+    from secure_agent_api_vector_search_spark.functions.text import token_count
+
+    out = str(tmp_path / "shards")
+    write_packed_shards(docs, out, max_tokens=256, n_buckets=8)
+    shards = spark.read.parquet(out)
+    # every document's tokens land exactly once across all sequences
+    assert shards.agg(F.sum("n_docs")).head()[0] == docs.count()
+    total_doc_tokens = docs.agg(F.sum(token_count("text"))).head()[0]
+    assert shards.agg(F.sum("n_tokens")).head()[0] == total_doc_tokens
+    # concatenated text re-tokenizes to the recorded count (single-space
+    # join of clean texts is token-count preserving)
+    bad = shards.filter(token_count("text") != F.col("n_tokens")).count()
+    assert bad == 0
+    # disk layout: one directory per packing bucket
+    import os
+
+    buckets = {d for d in os.listdir(out) if d.startswith("bucket=")}
+    assert len(buckets) == 8
