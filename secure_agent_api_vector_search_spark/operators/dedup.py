@@ -679,20 +679,54 @@ def lsh_tables_for(threshold: float, num_planes: int, target_recall: float = 0.9
     return max(1, min(b, 256))
 
 
+def lsh_planes_for(n: int, threshold: float, target_recall: float = 0.95) -> int:
+    """Adaptive band width: planes per table scaling with corpus size.
+
+    Why r must grow with n: a FIXED r makes expected random-pair
+    collisions grow ~ n²·(1/2)^r — the verify join's candidate set (the
+    dominant cost) is quadratic in the corpus. r ≈ log₂(n) + 3 keeps
+    per-table collisions per vector roughly constant (the standard LSH
+    sizing), so candidates grow ~linearly instead. Measured at 80k
+    random dim-64 vectors, θ=0.85: r=16/b=66 → ~3.2M candidates;
+    r=20/b=141 → ~0.4M.
+
+    The trade: each extra plane cuts a true pair's per-table match
+    probability by s, so ``lsh_tables_for`` needs more tables to hold
+    ``target_recall`` — and tables are capped at 256. r is therefore
+    clamped to the largest width whose required table count still fits
+    the cap (beyond that, more selectivity would silently cost recall);
+    the floor of 16 keeps small-corpus behavior identical to the old
+    fixed default.
+    """
+    want = max(16, math.ceil(math.log2(max(n, 2))) + 3)
+    r = 16
+    while r < want and lsh_tables_for(threshold, r + 1, target_recall) < 256:
+        r += 1
+    return r
+
+
 def _embedding_lsh_buckets(
     embeddings: DataFrame,
     threshold: float,
     id_col: str,
     vec_col: str,
-    num_planes: int,
+    num_planes: int | None,
     num_tables: int | None,
     target_recall: float,
     seed: int,
     dim: int | None,
+    flat: bool = False,
 ) -> DataFrame | None:
-    """(id, vec) → (id, vec, bands) via the sign-LSH sketch; None on an
+    """(id, vec) → (id, vec, bands) via the sign-LSH sketch — or, with
+    ``flat=True``, exploded (id, band_id, band_hash) rows (the pairs
+    operator's shape; skips the per-element struct HOF). None on an
     empty frame when ``dim`` can't be inferred. Shared by the pairs
-    operator and the bench bucket-stats diagnostic."""
+    operator and the bench bucket-stats diagnostic.
+
+    ``num_planes=None`` → adaptive width (:func:`lsh_planes_for`, one
+    count job to size it); pass an int to pin the band width."""
+    if num_planes is None:
+        num_planes = lsh_planes_for(embeddings.count(), threshold, target_recall)
     if num_tables is None:
         num_tables = lsh_tables_for(threshold, num_planes, target_recall)
     if dim is None:
@@ -713,9 +747,36 @@ def _embedding_lsh_buckets(
             yield pd.Series(list(hashes))
 
     vec = F.col(vec_col).cast("array<double>")
-    return rebalance_if_narrow(embeddings).select(
+    if flat:
+        # (id, band_id, band_hash) rows emitted DIRECTLY from numpy in
+        # one mapInPandas — the sketch-to-array + posexplode alternative
+        # materializes n·tables Python ints through the Arrow list
+        # column (profiled ~20s of the 24s sketch stage at 80k × 141
+        # tables); here every output column is a flat numpy array.
+        id_t = embeddings.schema[id_col].dataType.simpleString()
+
+        def flat_gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tbl = np.arange(num_tables, dtype=np.int32)
+            for pdf in it:
+                ids = pdf["_id"].to_numpy()
+                m = np.vstack(pdf["_v"].to_numpy())
+                signs = (m @ planes.T) >= 0.0
+                hashes = signs.reshape(len(m), num_tables, num_planes) @ weights
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(ids, num_tables),
+                        "band_id": np.tile(tbl, len(m)),
+                        "band_hash": hashes.ravel(),
+                    }
+                )
+
+        return rebalance_if_narrow(embeddings).select(
+            F.col(id_col).alias("_id"), vec.alias("_v")
+        ).mapInPandas(flat_gen, f"id {id_t}, band_id int, band_hash long")
+    sketched = rebalance_if_narrow(embeddings).select(
         F.col(id_col), vec.alias(vec_col), sketch(vec).alias("_sk")
-    ).select(
+    )
+    return sketched.select(
         id_col, vec_col,
         F.transform(
             F.col("_sk"),
@@ -724,12 +785,83 @@ def _embedding_lsh_buckets(
     )
 
 
+def _bucket_pairs_map(max_width: int):
+    """mapInPandas generator: bucket-sorted (band_id, band_hash, id)
+    rows → within-bucket candidate id pairs, vectorized.
+
+    The collect_list + nested-transform expression alternative
+    (functions/hashing.py::bucket_member_pairs) evaluates the pair
+    expansion INTERPRETED (HOFs have no codegen) — profiled 90s for
+    1.3M candidates over 1M buckets at 80k vectors, vs seconds here.
+    Same contract: buckets wider than ``max_width`` degrade to star
+    pairing against the min-id member (connectivity candidates).
+    Requires the input hash-partitioned AND sorted by
+    (band_id, band_hash); a bucket spanning Arrow batches is carried
+    over in a buffer, id order inside a bucket follows the sort.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: pd.DataFrame | None = None
+
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            ids_all = df["id"].to_numpy()
+            b1 = df["band_id"].to_numpy()
+            b2 = df["band_hash"].to_numpy()
+            change = np.ones(len(df), dtype=bool)
+            change[1:] = (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(df))
+            out_a: list = []
+            out_b: list = []
+            for s, e in zip(starts, ends):
+                w = e - s
+                if w < 2:
+                    continue
+                ids = ids_all[s:e]
+                if w > max_width:
+                    out_a.append(np.full(w - 1, ids[0]))
+                    out_b.append(ids[1:])
+                else:
+                    ia, ib = np.triu_indices(w, k=1)
+                    out_a.append(ids[ia])
+                    out_b.append(ids[ib])
+            if out_a:
+                return pd.DataFrame(
+                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                )
+            return pd.DataFrame(
+                {"id_a": np.array([], dtype=np.int64),
+                 "id_b": np.array([], dtype=np.int64)}
+            )
+
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            if buf is not None:
+                batch = pd.concat([buf, batch], ignore_index=True)
+            bk = (batch["band_id"].iloc[-1], batch["band_hash"].iloc[-1])
+            tail_mask = (batch["band_id"] == bk[0]) & (batch["band_hash"] == bk[1])
+            tail_start = (
+                int(np.nonzero(~tail_mask.to_numpy())[0][-1] + 1)
+                if (~tail_mask).any()
+                else 0
+            )
+            buf = batch.iloc[tail_start:]
+            head = batch.iloc[:tail_start]
+            if len(head):
+                yield emit(head)
+        if buf is not None and len(buf):
+            yield emit(buf)
+
+    return gen
+
+
 def embedding_lsh_bucket_stats(
     embeddings: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 16,
+    num_planes: int | None = None,
     num_tables: int | None = None,
     target_recall: float = 0.95,
     seed: int = 42,
@@ -754,7 +886,7 @@ def embedding_neardup_pairs_lsh(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 16,
+    num_planes: int | None = None,
     num_tables: int | None = None,
     target_recall: float = 0.95,
     seed: int = 42,
@@ -790,11 +922,11 @@ def embedding_neardup_pairs_lsh(
     has nothing to probe); when omitted it is inferred, and an empty
     input yields an empty result.
     """
-    with_buckets = _embedding_lsh_buckets(
+    flat = _embedding_lsh_buckets(
         embeddings, threshold, id_col, vec_col, num_planes, num_tables,
-        target_recall, seed, dim,
+        target_recall, seed, dim, flat=True,
     )
-    if with_buckets is None:
+    if flat is None:
         # empty-path schema must agree with the non-empty path, so
         # derive the pair-id type from the actual id column
         id_type = embeddings.schema[id_col].dataType
@@ -806,9 +938,15 @@ def embedding_neardup_pairs_lsh(
                 T.StructField("cosine", T.DoubleType()),
             ]),
         )
+    # bucket-sorted stream → vectorized numpy pair expansion (the
+    # collect_list + nested-transform expression form is interpreted;
+    # profiled 90s → seconds at 80k vectors × 141 tables)
+    part = flat.repartition(F.col("band_id"), F.col("band_hash")).sortWithinPartitions(
+        "band_id", "band_hash", "id"
+    )
+    id_t = embeddings.schema[id_col].dataType.simpleString()
     cand = (
-        H.bucket_member_pairs(with_buckets, id_col, "bands")
-        .select("id_a", "id_b")
+        part.mapInPandas(_bucket_pairs_map(max_width=512), f"id_a {id_t}, id_b {id_t}")
         .distinct()
     )
     vecs = embeddings.select(
@@ -832,7 +970,7 @@ def embedding_similarity_join(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 16,
+    num_planes: int | None = None,
     num_tables: int | None = None,
     target_recall: float = 0.95,
     seed: int = 42,

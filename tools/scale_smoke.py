@@ -1,0 +1,144 @@
+"""Scaling smoke harness: measure headline pipeline operators on
+synthetic corpora LARGER than the driver's sf0.1 (5k docs), to test the
+scaling claims the 100 TB design arguments rest on.
+
+    python tools/scale_smoke.py [n_docs ...]     # default: 5000 20000 80000
+
+Generates a deterministic random corpus (documents + embeddings) under
+/tmp/scale_smoke/n<N>/ with DISTRIBUTED generation (mapInPandas, rng
+seeded per batch by the first id — no driver-side materialization), then
+times one cold pass of each operator and prints one JSON line per corpus
+size. Wall-clock on a shared box is noisy; the signal is the GROWTH
+RATE across sizes (linear vs quadratic), which survives noise.
+
+Corpus properties: zipf-ish vocabulary draw (real corpora are heavy-
+tailed — uniform vocab would understate groupBy skew), ~60 words/doc,
+1% planted near-duplicates so the dedup operators do real pair work at
+every size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.session import get_session
+
+VOCAB = 50_000
+WORDS = 60
+DIM = 64
+SEED = 20260814
+
+
+def _gen_docs(spark, n_docs: int, out: str) -> None:
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng([SEED, int(ids[0])])
+            # zipf-ish: word rank ~ floor(exp(u * ln(V))) — heavy-tailed
+            u = rng.random((len(ids), WORDS))
+            ranks = np.floor(np.exp(u * np.log(VOCAB))).astype(np.int64) % VOCAB
+            texts = [" ".join(f"w{r}" for r in row) for row in ranks]
+            # 1% near-duplicates of the previous doc (same prefix, new tail)
+            dup = rng.random(len(ids)) < 0.01
+            for j in np.flatnonzero(dup):
+                if j > 0:
+                    texts[j] = texts[j - 1].rsplit(" ", 3)[0] + " x1 x2 x3"
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "lang": np.where(ids % 10 < 7, "en", "de"),
+                    "source": [f"src{i % 50}" for i in ids],
+                    "n_chars": [len(t) for t in texts],
+                }
+            )
+
+    (
+        spark.range(n_docs).repartition(32).mapInPandas(
+            op, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .write.mode("overwrite").parquet(out)
+    )
+
+
+def _gen_embeddings(spark, n: int, out: str) -> None:
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng([SEED + 1, int(ids[0])])
+            m = rng.normal(size=(len(ids), DIM))
+            dup = rng.random(len(ids)) < 0.01
+            m[dup] = np.roll(m[dup], 1, axis=0) + 0.05 * m[dup]
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": [row.tolist() for row in m],
+                    "label": (ids % 5).astype(np.int32),
+                }
+            )
+
+    (
+        spark.range(n).repartition(32).mapInPandas(
+            op, "vec_id long, embedding array<double>, label int"
+        )
+        .write.mode("overwrite").parquet(out)
+    )
+
+
+def run_suite(spark, base: str) -> dict[str, float]:
+    from secure_agent_api_vector_search_spark.operators import dedup as D
+    from secure_agent_api_vector_search_spark.operators import packing as PK
+    from secure_agent_api_vector_search_spark.operators import textops as TX
+    from secure_agent_api_vector_search_spark.operators.semdedup import semantic_dedup
+    from secure_agent_api_vector_search_spark.operators.topk import topk_similar
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+
+    ops = {
+        "token_stats": lambda: TX.token_stats(docs),
+        "duplicate_ngram_stats": lambda: TX.duplicate_ngram_stats(docs),
+        "pack_sequences": lambda: PK.pack_sequences(docs, max_tokens=2048),
+        "minhash_near_dup": lambda: D.minhash_near_dup_pairs(docs, threshold=0.7),
+        "embedding_neardup_lsh": lambda: D.embedding_neardup_pairs_lsh(
+            emb, threshold=0.85, dim=DIM
+        ),
+        "semantic_dedup": lambda: semantic_dedup(emb, threshold=0.9),
+        "vector_topk_cosine": lambda: topk_similar(emb, qvec, k=10),
+    }
+    out: dict[str, float] = {}
+    for name, build in ops.items():
+        t0 = time.perf_counter()
+        n = build().write.format("noop").mode("overwrite").save() or 0
+        out[name] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def main() -> int:
+    sizes = [int(a) for a in sys.argv[1:]] or [5_000, 20_000, 80_000]
+    spark = get_session("scale_smoke", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    for n in sizes:
+        base = f"/tmp/scale_smoke/n{n}"
+        _gen_docs(spark, n, f"{base}/documents.parquet")
+        _gen_embeddings(spark, n, f"{base}/embeddings.parquet")
+        res = run_suite(spark, base)
+        print(json.dumps({"n_docs": n, "sec": res}), flush=True)
+        shutil.rmtree(base, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
