@@ -839,6 +839,16 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale form of n-gram Jaccard dedup: MinHash banding for
+    candidates (no block-quadratic join), exact Jaccard verify —
+    recall 1.0 vs the exact form on the planted corpus (pinned in
+    tests/test_dedup.py)."""
+    return D.ngram_jaccard_pairs_lsh(
+        _docs_with_appended_dups(spark, sf_dir), threshold=0.6
+    )
+
+
 def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus ∪ perturbed copies of the first 50 vectors under shifted
     ids: v' = v + 0.45·shift(v), giving cos(v, v') ≈ 0.91 against a
@@ -2014,6 +2024,12 @@ FROM p ORDER BY doc_id""",
                     "planted-dup corpus (scale path; recall vs exact pairs "
                     "asserted in tests)", tags=("dedup", "vector")))
     r.register(NamedQuery(
+        "ngram_jaccard_lsh", ngram_jaccard_lsh,
+        description="[EXT] MinHash-banded n-gram Jaccard near-dup (the "
+                    "scale form: candidate buckets + exact array-intersect "
+                    "verify; recall 1.0 vs the exact form in tests)",
+        tags=("dedup",)))
+    r.register(NamedQuery(
         "semantic_dedup", semantic_dedup,
         description="[EXT] SemDeDup (Abbas et al. 2023): k-means-cluster-"
                     "bounded cosine dedup over a planted-dup corpus — one "
@@ -2093,6 +2109,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "audio_decode_features",
     "quality_percentile_filter",
     "vector_topk_filtered",
+    "ngram_jaccard_lsh",
     # implementation changed this round (mean_token_length identity) —
     # re-verify even though long-green
     "token_stats",

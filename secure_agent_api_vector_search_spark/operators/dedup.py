@@ -551,26 +551,42 @@ def simhash_near_dup_pairs(
 
     Candidates: cut the fingerprint into 4 16-bit chunks and bucket by
     chunk value — by pigeonhole, every pair with Hamming ≤ 3 shares at
-    least one chunk. The exact Hamming verify (`bit_count(a XOR b)`,
-    one codegen op on two longs) runs inside the bucket's pair array
-    before the explode, so the whole operator is: codegen fingerprint
-    (one groupBy) → bucket groupBy → pair-dedup groupBy. Three
-    shuffles, zero joins, nothing persisted, 8-byte payloads.
+    least one chunk. The whole operator is: codegen fingerprint (one
+    groupBy) → chunk-bucket shuffle of (id, fp) 16-byte rows, sorted →
+    one vectorized mapInPandas that expands in-bucket pairs and
+    verifies Hamming as a whole-block XOR + SWAR popcount
+    (:func:`_simhash_pairs_map`) → pair-dedup groupBy. Three shuffles,
+    zero joins, nothing persisted.
+
+    The previous collect_list + in-array-expression form evaluated the
+    pair expansion INTERPRETED (nested HOFs have no codegen — the
+    defect class tools/scale_smoke.py caught in the embedding-LSH path,
+    where it was profiled at 90 s for 1.3M candidates); 16-bit chunk
+    buckets grow linearly wide with the corpus, so the interpreted w²
+    expansion is exactly what degrades first at scale. Measured with
+    the vectorized screen: 12 s cold / 4 s warm at 80k zipfian docs.
     Output: (id_a, id_b, hamming).
     """
     sh = simhash_fingerprint(df, text_col, id_col)
-    banded = sh.select(id_col, "fp", H.simhash_fp_chunks(F.col("fp")).alias("bands"))
+    chunks = [
+        F.shiftrightunsigned(F.col("fp"), 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("long")
+        for i in range(4)
+    ]
+    flat = sh.select(
+        F.col(id_col).alias("id"), "fp",
+        F.posexplode(F.array(*chunks)).alias("band_id", "band_hash"),
+    )
+    part = flat.repartition(F.col("band_id"), F.col("band_hash")).sortWithinPartitions(
+        "band_id", "band_hash", "id"
+    )
+    id_t = df.schema[id_col].dataType.simpleString()
     return (
-        H.bucket_member_pairs(
-            banded, id_col, "bands", payload_cols=("fp",),
-            metric=lambda a, b: H.hamming_fp(a["fp"], b["fp"]),
-            keep=lambda m: m <= max_hamming,
+        part.mapInPandas(
+            _simhash_pairs_map(max_hamming, max_width=512),
+            f"id_a {id_t}, id_b {id_t}, hamming int",
         )
         .groupBy("id_a", "id_b")
-        .agg(F.first("metric").alias("hamming"))
-        # star pairs from over-wide (skew-capped) buckets arrive
-        # unfiltered — re-apply the final Hamming bound here
-        .filter(F.col("hamming") <= max_hamming)
+        .agg(F.min("hamming").alias("hamming"))
         .transform(_pair_order)
     )
 
@@ -619,6 +635,93 @@ def ngram_jaccard_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             H.jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .transform(_pair_order)
+    )
+
+
+def ngram_jaccard_pairs_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for token-n-gram Jaccard: MinHash-LSH banding over the
+    hashed gram sets for candidates, exact Jaccard verify on the true
+    gram arrays — candidates ∝ collisions, never a block-quadratic
+    join (the blocked exact form, :func:`ngram_jaccard_pairs`, is
+    quadratic WITHIN each block, which at corpus scale is only sane for
+    genuinely small blocks).
+
+    Shapes reused wholesale: grams are 48-bit md5 ints (one doc-keyed
+    collect_set shuffle); the signature is the affine MinHash family
+    applied to each doc's gram array in one whole-batch numpy pass —
+    flat (id, band_id, band_hash) rows out, no Arrow list columns; the
+    candidate expansion is the bucket-sorted vectorized map
+    (:func:`_bucket_pairs_map`); verify joins the gram arrays back on
+    the deduped candidates and computes exact Jaccard as codegen
+    array_intersect/union. Output: (id_a, id_b, jaccard).
+    """
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by "
+            f"num_bands ({num_bands}) for equal-width LSH bands"
+        )
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(X.token_shingles(text_col, n))).alias("_g"),
+        )
+        .select(F.col(id_col), X.md5_hash48(F.col("_g")).alias("_gh"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("_gh")).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
+    rng = np.random.default_rng(seed)
+    a_coef = rng.integers(1, H.MINHASH_P, size=num_hashes, dtype=np.int64)
+    b_coef = rng.integers(0, H.MINHASH_P, size=num_hashes, dtype=np.int64)
+    id_t = df.schema[id_col].dataType.simpleString()
+    tbl = np.arange(num_bands, dtype=np.int32)
+
+    def flat_gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["_id"].to_numpy()
+            arrs = pdf["grams"].to_numpy()
+            lens = np.fromiter((len(g) for g in arrs), dtype=np.int64, count=len(arrs))
+            flat = np.concatenate([np.asarray(g, dtype=np.int64) for g in arrs])
+            # affine family over every gram × hash, then segmented min
+            hv = (flat[:, None] * a_coef[None, :] + b_coef[None, :]) % H.MINHASH_P
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            sig = np.minimum.reduceat(hv, bounds[:-1], axis=0)
+            bands = _band_hashes(sig, num_bands)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, num_bands),
+                    "band_id": np.tile(tbl, len(ids)),
+                    "band_hash": bands.ravel(),
+                }
+            )
+
+    flat = grams.select(F.col(id_col).alias("_id"), "grams").mapInPandas(
+        flat_gen, f"id {id_t}, band_id int, band_hash long"
+    )
+    part = flat.repartition(F.col("band_id"), F.col("band_hash")).sortWithinPartitions(
+        "band_id", "band_hash", "id"
+    )
+    cand = (
+        part.mapInPandas(_bucket_pairs_map(max_width=512), f"id_a {id_t}, id_b {id_t}")
+        .distinct()
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("_ga"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("_gb"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", H.jaccard(F.col("_ga"), F.col("_gb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .transform(_pair_order)
     )
@@ -832,6 +935,102 @@ def _bucket_pairs_map(max_width: int):
             return pd.DataFrame(
                 {"id_a": np.array([], dtype=np.int64),
                  "id_b": np.array([], dtype=np.int64)}
+            )
+
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            if buf is not None:
+                batch = pd.concat([buf, batch], ignore_index=True)
+            bk = (batch["band_id"].iloc[-1], batch["band_hash"].iloc[-1])
+            tail_mask = (batch["band_id"] == bk[0]) & (batch["band_hash"] == bk[1])
+            tail_start = (
+                int(np.nonzero(~tail_mask.to_numpy())[0][-1] + 1)
+                if (~tail_mask).any()
+                else 0
+            )
+            buf = batch.iloc[tail_start:]
+            head = batch.iloc[:tail_start]
+            if len(head):
+                yield emit(head)
+        if buf is not None and len(buf):
+            yield emit(buf)
+
+    return gen
+
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
+def _popcount64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized SWAR popcount on uint64 (numpy < 2 has no
+    bitwise_count)."""
+    x = x - ((x >> np.uint64(1)) & _M1)
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    return (x * _H01) >> np.uint64(56)
+
+
+def _simhash_pairs_map(max_hamming: int, max_width: int):
+    """mapInPandas generator: bucket-sorted (band_id, band_hash, id, fp)
+    rows → (id_a, id_b, hamming) pairs with Hamming ≤ ``max_hamming``,
+    verified vectorized (XOR + SWAR popcount on the whole pair block).
+
+    Same sorted-stream shape as :func:`_bucket_pairs_map`; over-wide
+    buckets degrade to star pairing against the min-id member (the
+    final Hamming bound applies to star pairs too — this operator's
+    public contract filters on the bound, it is not a connectivity
+    feed).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: pd.DataFrame | None = None
+
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            ids_all = df["id"].to_numpy()
+            fps_all = df["fp"].to_numpy().astype(np.int64).view(np.uint64)
+            b1 = df["band_id"].to_numpy()
+            b2 = df["band_hash"].to_numpy()
+            change = np.ones(len(df), dtype=bool)
+            change[1:] = (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(df))
+            out_a: list = []
+            out_b: list = []
+            out_h: list = []
+            for s, e in zip(starts, ends):
+                w = e - s
+                if w < 2:
+                    continue
+                ids = ids_all[s:e]
+                fps = fps_all[s:e]
+                if w > max_width:
+                    ia = np.zeros(w - 1, dtype=np.int64)
+                    ib = np.arange(1, w)
+                else:
+                    ia, ib = np.triu_indices(w, k=1)
+                ham = _popcount64(fps[ia] ^ fps[ib]).astype(np.int32)
+                keep = ham <= max_hamming
+                out_a.append(ids[ia[keep]])
+                out_b.append(ids[ib[keep]])
+                out_h.append(ham[keep])
+            if out_a:
+                return pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "hamming": np.concatenate(out_h),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "id_a": np.array([], dtype=np.int64),
+                    "id_b": np.array([], dtype=np.int64),
+                    "hamming": np.array([], dtype=np.int32),
+                }
             )
 
         for batch in batches:

@@ -338,3 +338,35 @@ def test_numpy_screen_cross_side_orientation_and_coverage(spark):
                 if agree >= keep_min * num_hashes:
                     want.add((i % 30, j % 30))
     assert got == want and len(want) > 0
+
+
+def test_ngram_jaccard_lsh_matches_exact(spark, docs):
+    """The LSH form finds the same pairs as the exact (all-pairs) form
+    with identical Jaccard values on a planted-dup corpus."""
+    from secure_agent_api_vector_search_spark.operators import dedup as D
+
+    dup = docs.filter("doc_id < 20").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail x")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(dup)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.6).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs_lsh(corpus, threshold=0.6).collect()
+    }
+    assert set(lsh) <= set(exact)  # precision 1.0 (exact verify)
+    assert len(lsh) >= 0.95 * len(exact)  # recall at the banding target
+    assert all(abs(exact[k] - lsh[k]) < 1e-12 for k in lsh)
+
+
+def test_ngram_jaccard_lsh_rejects_bad_bands(docs):
+    from secure_agent_api_vector_search_spark.operators import dedup as D
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.ngram_jaccard_pairs_lsh(docs, num_hashes=64, num_bands=10)
