@@ -819,6 +819,7 @@ def _embedding_lsh_buckets(
     seed: int,
     dim: int | None,
     flat: bool = False,
+    flat_side_col: str | None = None,
 ) -> DataFrame | None:
     """(id, vec) → (id, vec, bands) via the sign-LSH sketch — or, with
     ``flat=True``, exploded (id, band_id, band_hash) rows (the pairs
@@ -857,6 +858,7 @@ def _embedding_lsh_buckets(
         # column (profiled ~20s of the 24s sketch stage at 80k × 141
         # tables); here every output column is a flat numpy array.
         id_t = embeddings.schema[id_col].dataType.simpleString()
+        with_side = flat_side_col is not None
 
         def flat_gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             tbl = np.arange(num_tables, dtype=np.int32)
@@ -865,17 +867,25 @@ def _embedding_lsh_buckets(
                 m = np.vstack(pdf["_v"].to_numpy())
                 signs = (m @ planes.T) >= 0.0
                 hashes = signs.reshape(len(m), num_tables, num_planes) @ weights
-                yield pd.DataFrame(
-                    {
-                        "id": np.repeat(ids, num_tables),
-                        "band_id": np.tile(tbl, len(m)),
-                        "band_hash": hashes.ravel(),
-                    }
-                )
+                out = {
+                    "id": np.repeat(ids, num_tables),
+                    "band_id": np.tile(tbl, len(m)),
+                    "band_hash": hashes.ravel(),
+                }
+                if with_side:
+                    out["side"] = np.repeat(
+                        pdf["_side"].to_numpy().astype(np.int32), num_tables
+                    )
+                yield pd.DataFrame(out)
 
-        return rebalance_if_narrow(embeddings).select(
-            F.col(id_col).alias("_id"), vec.alias("_v")
-        ).mapInPandas(flat_gen, f"id {id_t}, band_id int, band_hash long")
+        cols = [F.col(id_col).alias("_id"), vec.alias("_v")]
+        schema = f"id {id_t}, band_id int, band_hash long"
+        if with_side:
+            cols.append(F.col(flat_side_col).alias("_side"))
+            schema += ", side int"
+        return rebalance_if_narrow(embeddings).select(*cols).mapInPandas(
+            flat_gen, schema
+        )
     sketched = rebalance_if_narrow(embeddings).select(
         F.col(id_col), vec.alias(vec_col), sketch(vec).alias("_sk")
     )
@@ -972,6 +982,78 @@ def _popcount64(x: "np.ndarray") -> "np.ndarray":
     x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
     x = (x + (x >> np.uint64(4))) & _M4
     return (x * _H01) >> np.uint64(56)
+
+
+def _cross_pairs_map(max_width: int):
+    """mapInPandas generator: bucket-sorted (band_id, band_hash, id,
+    side) rows → cross-side candidate pairs (id_a from side 0, id_b
+    from side 1), vectorized — the A×B analog of
+    :func:`_bucket_pairs_map`. Over-wide buckets degrade to star
+    pairing: min A member against every B member."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: pd.DataFrame | None = None
+
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            ids_all = df["id"].to_numpy()
+            sides_all = df["side"].to_numpy()
+            b1 = df["band_id"].to_numpy()
+            b2 = df["band_hash"].to_numpy()
+            change = np.ones(len(df), dtype=bool)
+            change[1:] = (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(df))
+            out_a: list = []
+            out_b: list = []
+            for s, e in zip(starts, ends):
+                w = e - s
+                if w < 2:
+                    continue
+                ids = ids_all[s:e]
+                sides = sides_all[s:e]
+                order = np.lexsort((ids, sides))
+                ids, sides = ids[order], sides[order]
+                n_a = int((sides == 0).sum())
+                if n_a == 0 or n_a == w:
+                    continue
+                if w > max_width:
+                    out_a.append(np.full(w - n_a, ids[0]))
+                    out_b.append(ids[n_a:])
+                else:
+                    ia, ib = np.meshgrid(
+                        np.arange(n_a), np.arange(n_a, w), indexing="ij"
+                    )
+                    out_a.append(ids[ia.ravel()])
+                    out_b.append(ids[ib.ravel()])
+            if out_a:
+                return pd.DataFrame(
+                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                )
+            return pd.DataFrame(
+                {"id_a": np.array([], dtype=np.int64),
+                 "id_b": np.array([], dtype=np.int64)}
+            )
+
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            if buf is not None:
+                batch = pd.concat([buf, batch], ignore_index=True)
+            bk = (batch["band_id"].iloc[-1], batch["band_hash"].iloc[-1])
+            tail_mask = (batch["band_id"] == bk[0]) & (batch["band_hash"] == bk[1])
+            tail_start = (
+                int(np.nonzero(~tail_mask.to_numpy())[0][-1] + 1)
+                if (~tail_mask).any()
+                else 0
+            )
+            buf = batch.iloc[tail_start:]
+            head = batch.iloc[:tail_start]
+            if len(head):
+                yield emit(head)
+        if buf is not None and len(buf):
+            yield emit(buf)
+
+    return gen
 
 
 def _simhash_pairs_map(max_hamming: int, max_width: int):
@@ -1189,16 +1271,17 @@ def embedding_similarity_join(
     """
     def tag(df: DataFrame, side: int) -> DataFrame:
         return df.select(
-            F.struct(F.lit(side).alias("side"), F.col(id_col).alias("id")).alias("sid"),
+            F.col(id_col),
+            F.lit(side).alias("_tag_side"),
             F.col(vec_col).cast("array<double>").alias(vec_col),
         )
 
     tagged = tag(dfA, 0).unionAll(tag(dfB, 1))
-    with_buckets = _embedding_lsh_buckets(
-        tagged, threshold, "sid", vec_col, num_planes, num_tables,
-        target_recall, seed, dim,
+    flat = _embedding_lsh_buckets(
+        tagged, threshold, id_col, vec_col, num_planes, num_tables,
+        target_recall, seed, dim, flat=True, flat_side_col="_tag_side",
     )
-    if with_buckets is None:
+    if flat is None:
         id_type = dfA.schema[id_col].dataType
         return dfA.sparkSession.createDataFrame(
             [],
@@ -1209,14 +1292,14 @@ def embedding_similarity_join(
             ]),
         )
     # id-only bucket shuffle + verify join, same reasoning as
-    # embedding_neardup_pairs_lsh (the tagged union still needs ~66
-    # tables at θ=0.85 — payloads must not ride the band explode)
+    # embedding_neardup_pairs_lsh; cross-side pairs expand in the
+    # bucket-sorted vectorized map (A block × B block only)
+    part = flat.repartition(F.col("band_id"), F.col("band_hash")).sortWithinPartitions(
+        "band_id", "band_hash", "side", "id"
+    )
+    id_t = dfA.schema[id_col].dataType.simpleString()
     cand = (
-        H.bucket_member_pairs(
-            with_buckets, "sid", "bands",
-            pair_keep=lambda x, y: x["_id"]["side"] != y["_id"]["side"],
-        )
-        .select(F.col("id_a.id").alias("id_a"), F.col("id_b.id").alias("id_b"))
+        part.mapInPandas(_cross_pairs_map(max_width=512), f"id_a {id_t}, id_b {id_t}")
         .distinct()
     )
     va = dfA.select(
