@@ -113,6 +113,8 @@ def run_suite(spark, base: str) -> dict[str, float]:
         "duplicate_ngram_stats": lambda: TX.duplicate_ngram_stats(docs),
         "pack_sequences": lambda: PK.pack_sequences(docs, max_tokens=2048),
         "minhash_near_dup": lambda: D.minhash_near_dup_pairs(docs, threshold=0.7),
+        "simhash_near_dup": lambda: D.simhash_near_dup_pairs(docs),
+        "ngram_jaccard_lsh": lambda: D.ngram_jaccard_pairs_lsh(docs, threshold=0.6),
         "embedding_neardup_lsh": lambda: D.embedding_neardup_pairs_lsh(
             emb, threshold=0.85, dim=DIM
         ),
