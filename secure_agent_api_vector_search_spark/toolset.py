@@ -1,0 +1,141 @@
+"""Agent tool-discovery surface (U4) — the engine-side equivalent of
+the reference's toolbox client + toolset config.
+
+Reference mapping: `agent/agent.py:6-17` loads the named toolset
+`customer_data_tools` from the secure API and hands the discovered
+tools to an LLM agent; `tools.yaml:12-44` declares each tool as
+(name, description, typed parameters, statement). The LLM orchestration
+itself (google-adk / gemini) is a declared non-goal (SURVEY §7) — what
+IS rebuilt here is everything below it, the part that makes the API
+"secure by construction":
+
+- **discovery**: ``load_toolset("customer_data_tools")`` returns typed
+  tool descriptors, including a JSON-Schema parameters block in the
+  shape LLM tool-calling APIs consume;
+- **typed invocation**: ``tool(spark, sf_dir, **params)`` validates
+  names, types, and requiredness BEFORE any plan is built — callers can
+  only run named tools with validated parameters, never raw SQL
+  (README.md:67, U5). Unknown tool, unknown param, missing param, or a
+  type mismatch each raise, mirroring the toolbox server's contract.
+
+Tools are bound to the same engine paths the named-query catalog uses:
+`find_similar_customer_records` → driver-side query embed + exact
+cosine top-k (tools.yaml:13-27); `get_record_by_id` → typed point
+lookup (tools.yaml:28-38).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PY_TYPES = {"string": str, "integer": int, "number": (int, float), "boolean": bool}
+
+
+@dataclass(frozen=True)
+class ToolParam:
+    name: str
+    type: str  # "string" | "integer" | "number" | "boolean"
+    description: str = ""
+    required: bool = True
+
+
+@dataclass(frozen=True)
+class Tool:
+    name: str
+    description: str
+    parameters: tuple[ToolParam, ...]
+    fn: Callable[..., DataFrame]
+
+    def json_schema(self) -> dict:
+        """The parameters block in LLM tool-calling shape."""
+        return {
+            "name": self.name,
+            "description": self.description,
+            "parameters": {
+                "type": "object",
+                "properties": {
+                    p.name: {"type": p.type, "description": p.description}
+                    for p in self.parameters
+                },
+                "required": [p.name for p in self.parameters if p.required],
+            },
+        }
+
+    def __call__(self, spark: SparkSession, sf_dir: str, **params) -> DataFrame:
+        declared = {p.name: p for p in self.parameters}
+        unknown = set(params) - set(declared)
+        if unknown:
+            raise TypeError(f"{self.name}: unknown parameter(s) {sorted(unknown)}")
+        missing = [p.name for p in self.parameters if p.required and p.name not in params]
+        if missing:
+            raise TypeError(f"{self.name}: missing required parameter(s) {missing}")
+        for name, value in params.items():
+            want = _PY_TYPES[declared[name].type]
+            if isinstance(value, bool) and declared[name].type != "boolean":
+                raise TypeError(f"{self.name}: {name} must be {declared[name].type}")
+            if not isinstance(value, want):
+                raise TypeError(
+                    f"{self.name}: {name} must be {declared[name].type}, "
+                    f"got {type(value).__name__}"
+                )
+        return self.fn(spark, sf_dir, **params)
+
+
+def _find_similar(spark: SparkSession, sf_dir: str, query_text: str, limit: int = 5) -> DataFrame:
+    from secure_agent_api_vector_search_spark.embedder import embed_text, embed_udf
+    from secure_agent_api_vector_search_spark.operators.topk import find_similar_records
+    from secure_agent_api_vector_search_spark.sources.tables import load_documents
+
+    from pyspark.sql import functions as F
+
+    docs = load_documents(spark, sf_dir)
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"), embed_udf(64)(F.col("text")).alias("embedding")
+    )
+    return find_similar_records(docs, emb, embed_text(query_text, 64), k=limit)
+
+
+def _get_record(spark: SparkSession, sf_dir: str, record_id: int) -> DataFrame:
+    from secure_agent_api_vector_search_spark.operators.lookup import get_record_by_id
+    from secure_agent_api_vector_search_spark.sources.tables import load_documents
+
+    return get_record_by_id(load_documents(spark, sf_dir), record_id)
+
+
+_TOOLSETS: dict[str, tuple[Tool, ...]] = {
+    "customer_data_tools": (
+        Tool(
+            name="find_similar_customer_records",
+            description="Semantic search over insurance policies and articles.",
+            parameters=(
+                ToolParam("query_text", "string", "natural-language search query"),
+                ToolParam("limit", "integer", "max results", required=False),
+            ),
+            fn=_find_similar,
+        ),
+        Tool(
+            name="get_record_by_id",
+            description="Retrieve a record by its unique ID.",
+            parameters=(ToolParam("record_id", "integer", "primary id"),),
+            fn=_get_record,
+        ),
+    ),
+}
+
+
+def load_toolset(name: str) -> tuple[Tool, ...]:
+    """Discovery: the engine-side ``ToolboxSyncClient.load_toolset``
+    (agent/agent.py:8). Unknown toolset names raise — there is no way
+    to reach undeclared functionality through this surface."""
+    if name not in _TOOLSETS:
+        raise KeyError(f"unknown toolset {name!r}; available: {sorted(_TOOLSETS)}")
+    return _TOOLSETS[name]
+
+
+def toolset_schemas(name: str) -> list[dict]:
+    """JSON-Schema descriptors for every tool in a toolset — what an
+    agent framework feeds to the model as its tool list."""
+    return [t.json_schema() for t in load_toolset(name)]

@@ -1,0 +1,59 @@
+"""U4 tool-discovery surface (toolset.py): discovery, JSON-Schema
+shape, typed invocation, and the zero-trust rejections."""
+
+from __future__ import annotations
+
+import pytest
+
+from secure_agent_api_vector_search_spark.toolset import (
+    load_toolset,
+    toolset_schemas,
+)
+
+
+def test_discovery_lists_reference_tools():
+    tools = load_toolset("customer_data_tools")
+    assert [t.name for t in tools] == [
+        "find_similar_customer_records",
+        "get_record_by_id",
+    ]
+    with pytest.raises(KeyError):
+        load_toolset("no_such_toolset")
+
+
+def test_schemas_are_llm_tool_shape():
+    schemas = toolset_schemas("customer_data_tools")
+    fs = schemas[0]
+    assert fs["name"] == "find_similar_customer_records"
+    assert fs["parameters"]["type"] == "object"
+    assert set(fs["parameters"]["properties"]) == {"query_text", "limit"}
+    assert fs["parameters"]["required"] == ["query_text"]
+    assert schemas[1]["parameters"]["required"] == ["record_id"]
+
+
+def test_semantic_search_tool_end_to_end(spark, sf_dir):
+    find, _ = load_toolset("customer_data_tools")
+    rows = find(spark, sf_dir, query_text="fast hash join", limit=3).collect()
+    assert 0 < len(rows) <= 3
+    assert {"doc_id", "text", "similarity"} <= set(rows[0].asDict())
+    sims = [r["similarity"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lookup_tool_end_to_end(spark, sf_dir):
+    _, get = load_toolset("customer_data_tools")
+    rows = get(spark, sf_dir, record_id=42).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 42
+    assert get(spark, sf_dir, record_id=10**12).count() == 0
+
+
+def test_typed_invocation_rejections(spark, sf_dir):
+    find, get = load_toolset("customer_data_tools")
+    with pytest.raises(TypeError, match="missing required"):
+        find(spark, sf_dir, limit=3)
+    with pytest.raises(TypeError, match="unknown parameter"):
+        find(spark, sf_dir, query_text="x", sql="DROP TABLE docs")
+    with pytest.raises(TypeError, match="must be integer"):
+        get(spark, sf_dir, record_id="42; DROP TABLE docs")
+    with pytest.raises(TypeError, match="must be integer"):
+        find(spark, sf_dir, query_text="x", limit=True)  # bool is not an int here
