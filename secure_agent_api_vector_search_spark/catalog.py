@@ -135,6 +135,13 @@ def vector_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vector_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: exact over-fetch (distributed) + greedy
+    MMR rerank on the driver over <= fetch_k rows by construction."""
+    emb = load_embeddings(spark, sf_dir)
+    return TK.topk_similar_mmr(emb, _query_vec(spark, sf_dir), k=10, fetch_k=50)
+
+
 def vector_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
     return TK.topk_similar(emb, _query_vec(spark, sf_dir), k=10, metric="l2",
@@ -1062,6 +1069,12 @@ ORDER BY t.similarity DESC, d.doc_id""",
                     "top-k (no post-filter recall loss)",
         tags=("vector", "reference")))
 
+    r.register(NamedQuery(
+        "vector_topk_mmr", vector_topk_mmr,
+        description="[EXT] MMR-diversified top-k (Carbonell-Goldstein): "
+                    "distributed exact over-fetch, driver-side greedy rerank "
+                    "bounded by fetch_k; diversity + determinism pinned in "
+                    "tests/test_topk_lookup.py", tags=("vector",)))
     r.register(NamedQuery(
         "vector_topk_l2", vector_topk_l2,
         oracle_sql=f"""
@@ -2110,6 +2123,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "quality_percentile_filter",
     "vector_topk_filtered",
     "ngram_jaccard_lsh",
+    "vector_topk_mmr",
     # implementation changed this round (mean_token_length identity) —
     # re-verify even though long-green
     "token_stats",

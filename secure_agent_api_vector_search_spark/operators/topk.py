@@ -152,6 +152,76 @@ def find_similar_records(
     )
 
 
+def topk_similar_mmr(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    fetch_k: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversified top-k via Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998): greedily pick the candidate maximizing
+    ``lam·sim(q, d) − (1−lam)·max_{s∈selected} sim(d, s)`` — the rerank
+    retrieval stacks run so the k results aren't k near-copies of the
+    same document.
+
+    Scale shape: the DISTRIBUTED part is the exact top-``fetch_k``
+    over-fetch (TakeOrderedAndProject — scan-speed at any corpus size);
+    the O(fetch_k²·dim) greedy rerank then runs on the driver over a
+    frame that is ≤ fetch_k rows BY CONSTRUCTION (the standard split:
+    rerank cost is independent of corpus size). Deterministic: ties
+    break to the lower id.
+
+    Output: (id, similarity, mmr_score, rank), rank 0..k-1 in selection
+    order.
+    """
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if fetch_k < k:
+        raise ValueError("fetch_k must be >= k")
+    cand = topk_similar(
+        embeddings, query_vec, k=fetch_k, id_col=id_col, vec_col=vec_col,
+        extra_cols=(vec_col,),
+    ).collect()
+    if not cand:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, similarity double, mmr_score double, rank long"
+        )
+    ids = np.array([r[id_col] for r in cand])
+    sims = np.array([r["similarity"] for r in cand], dtype=np.float64)
+    m = np.array([r[vec_col] for r in cand], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        unit = np.where(norms[:, None] > 0, m / norms[:, None], 0.0)
+    pair = unit @ unit.T
+    selected: list[int] = []
+    scores: list[float] = []
+    remaining = np.ones(len(ids), dtype=bool)
+    for _ in range(min(k, len(ids))):
+        if selected:
+            penalty = pair[:, selected].max(axis=1)
+        else:
+            penalty = np.zeros(len(ids))
+        mmr = lam * sims - (1.0 - lam) * penalty
+        mmr_masked = np.where(remaining, mmr, -np.inf)
+        # deterministic: highest score, then lowest id
+        best = np.lexsort((ids, -mmr_masked))[0]
+        selected.append(int(best))
+        scores.append(float(mmr[best]))
+        remaining[best] = False
+    rows = [
+        (int(ids[i]), float(sims[i]), scores[j], j)
+        for j, i in enumerate(selected)
+    ]
+    return embeddings.sparkSession.createDataFrame(
+        rows, f"{id_col} long, similarity double, mmr_score double, rank long"
+    )
+
+
 def topk_similar_filtered(
     documents: DataFrame,
     embeddings: DataFrame,

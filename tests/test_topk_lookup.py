@@ -152,3 +152,43 @@ def test_topk_filtered_matches_bruteforce_and_pushes_down(spark, sf_dir):
     # the metadata predicate reaches the documents parquet scan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_mmr_rerank_diversifies_and_is_deterministic(spark, sf_dir):
+    import numpy as np
+
+    from secure_agent_api_vector_search_spark.operators.topk import (
+        topk_similar,
+        topk_similar_mmr,
+    )
+    from secure_agent_api_vector_search_spark.sources.tables import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
+    # plant 5 near-copies of vec 0 so plain top-k returns a redundant head
+    dup = emb.filter("vec_id < 5").selectExpr(
+        "vec_id + 100000 AS vec_id",
+        "transform(embedding, x -> x * CAST(1.001 AS FLOAT)) AS embedding",
+        "label",
+    )
+    corpus = emb.unionByName(dup)
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+
+    plain = [r["vec_id"] for r in topk_similar(corpus, q, k=4).collect()]
+    assert set(plain) >= {0, 100000}  # the copy crowds the plain head
+
+    out = topk_similar_mmr(corpus, q, k=4, fetch_k=20, lam=0.5)
+    rows = out.collect()
+    assert [r["rank"] for r in rows] == [0, 1, 2, 3]
+    picked = [r["vec_id"] for r in rows]
+    assert picked[0] == 0  # first pick is pure relevance
+    assert 100000 not in picked  # the near-copy of an already-picked doc is displaced
+    # deterministic
+    assert picked == [r["vec_id"] for r in topk_similar_mmr(corpus, q, k=4, fetch_k=20, lam=0.5).collect()]
+    # lam=1 degenerates to plain top-k order
+    pure = [r["vec_id"] for r in topk_similar_mmr(corpus, q, k=4, fetch_k=20, lam=1.0).collect()]
+    assert pure == plain
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        topk_similar_mmr(corpus, q, k=10, fetch_k=5)
