@@ -370,3 +370,25 @@ def test_ngram_jaccard_lsh_rejects_bad_bands(docs):
 
     with _pytest.raises(ValueError):
         D.ngram_jaccard_pairs_lsh(docs, num_hashes=64, num_bands=10)
+
+
+def test_lsh_paths_have_no_interpreted_pair_expansion(docs, emb):
+    """Regression pin for the scale defects fixed in round 4: the LSH
+    candidate paths must expand pairs in Arrow-batched python stages
+    (MapInPandas / ArrowEval nodes), never via collect_list + nested
+    lambda-transform expressions (interpreted)."""
+    from secure_agent_api_vector_search_spark.operators import dedup as D
+
+    plans = {
+        "embedding": D.embedding_neardup_pairs_lsh(emb, threshold=0.85, dim=16),
+        "simhash": D.simhash_near_dup_pairs(docs),
+        "ngram_lsh": D.ngram_jaccard_pairs_lsh(docs),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, name
+        # the interpreted expansion's signature was collect_list of
+        # bucket-member structs fed to nested transforms; the gram sets
+        # legitimately use collect_set, so collect_list alone is the pin
+        # (scan-side per-token lambdas are bounded per doc and fine)
+        assert "collect_list" not in plan, name

@@ -78,3 +78,32 @@ def test_l2_distance_symmetry_and_triangle_with_zero(spark, a, b):
     want = math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
     assert abs(d_ab - want) < 1e-6 * max(1.0, want)
     assert d_ab <= n_a + n_b + 1e-6  # triangle inequality through 0
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=20, deadline=None)
+def test_pack_bucket_properties(token_counts, max_tokens):
+    """Pure-python next-fit packing invariants under random inputs:
+    every doc assigned once, budgets respected except singleton
+    overflow, positions contiguous."""
+    import pandas as pd
+
+    from secure_agent_api_vector_search_spark.operators.packing import _pack_bucket
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(token_counts)),
+            "n_tokens": token_counts,
+            "bucket": 0,
+        }
+    )
+    out = _pack_bucket(pdf, max_tokens)
+    assert sorted(out["doc_id"]) == list(range(len(token_counts)))
+    g = out.groupby("seq_id")
+    for seq_id, grp in g:
+        total = grp["n_tokens"].sum()
+        assert total <= max_tokens or len(grp) == 1
+        assert sorted(grp["pos_in_seq"]) == list(range(len(grp)))
