@@ -246,6 +246,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.events_sessionize(spark, sf_dir)
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.events_funnel(spark, sf_dir)
+
+
+def events_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.events_funnel_summary(spark, sf_dir)
+
+
 def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The applyInPandasWithState sessionizer run as a finite stream
     (replay the events table through the file source, drain, read the
@@ -1304,6 +1312,58 @@ GROUP BY k_bucket ORDER BY k_bucket""",
         tags=("events",)))
 
     r.register(NamedQuery(
+        "events_funnel", events_funnel,
+        oracle_sql="""
+WITH s0 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (
+  SELECT s0.user_id, s0.t0, MIN(epoch_us(e.ts)) AS t1
+  FROM s0 LEFT JOIN events e
+    ON e.user_id = s0.user_id AND e.event_type = 'click'
+   AND epoch_us(e.ts) >= s0.t0 AND epoch_us(e.ts) <= s0.t0 + 86400000000
+  GROUP BY s0.user_id, s0.t0),
+s2 AS (
+  SELECT s1.user_id, s1.t0, s1.t1, MIN(epoch_us(e.ts)) AS t2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) >= s1.t1 AND epoch_us(e.ts) <= s1.t0 + 86400000000
+  GROUP BY s1.user_id, s1.t0, s1.t1)
+SELECT user_id, t0 AS t_view_us, t1 AS t_click_us, t2 AS t_purchase_us,
+       CAST(1 + (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage,
+       (t2 IS NOT NULL) AS completed
+FROM s2 ORDER BY user_id""",
+        description="[EXT] ordered funnel (view->click->purchase, 24h "
+                    "first-touch window): chained user-keyed aggregations, "
+                    "microsecond-exact", tags=("events",)))
+    r.register(NamedQuery(
+        "events_funnel_summary", events_funnel_summary,
+        oracle_sql="""
+WITH s0 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (
+  SELECT s0.user_id, s0.t0, MIN(epoch_us(e.ts)) AS t1
+  FROM s0 LEFT JOIN events e
+    ON e.user_id = s0.user_id AND e.event_type = 'click'
+   AND epoch_us(e.ts) >= s0.t0 AND epoch_us(e.ts) <= s0.t0 + 86400000000
+  GROUP BY s0.user_id, s0.t0),
+s2 AS (
+  SELECT s1.user_id, s1.t0, s1.t1, MIN(epoch_us(e.ts)) AS t2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) >= s1.t1 AND epoch_us(e.ts) <= s1.t0 + 86400000000
+  GROUP BY s1.user_id, s1.t0, s1.t1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_entered,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS conversion
+FROM s2""",
+        description="[EXT] funnel rollup: stage counts + conversion",
+        tags=("events", "agg")))
+    r.register(NamedQuery(
         "events_sessionize", events_sessionize,
         oracle_sql="""
 SELECT user_id, COUNT(*) AS n_events, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions
@@ -2124,6 +2184,8 @@ CHECK_FIRST: tuple[str, ...] = (
     "vector_topk_filtered",
     "ngram_jaccard_lsh",
     "vector_topk_mmr",
+    "events_funnel",
+    "events_funnel_summary",
     # implementation changed this round (mean_token_length identity) —
     # re-verify even though long-green
     "token_stats",

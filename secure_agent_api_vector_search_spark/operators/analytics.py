@@ -344,6 +344,87 @@ def part_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_sec: int = 86_400,
+) -> DataFrame:
+    """Ordered funnel analysis (first-touch): a user enters at their
+    earliest ``steps[0]`` event; each later step is the earliest
+    matching event AT OR AFTER the previous step's time and within
+    ``window_sec`` of entry. Output per entered user:
+    (user_id, t_<step>_us ... as epoch-µs BIGINTs, stage, completed).
+
+    Scale shape: one chained aggregation per step, ALL keyed on
+    user_id — the per-step event filter prunes the scan (event_type
+    pushdown), and every exchange shares the same hash key, so the
+    funnel costs one logical shuffle of the entered-user set per step,
+    never a per-user sort or a self-join on the full event stream.
+    Timestamps compare in microseconds (unix_micros ↔ DuckDB epoch_us)
+    so the oracle can never disagree on a boundary.
+    """
+    return funnel_frame(load_table(spark, sf_dir, "events"), steps, window_sec)
+
+
+def funnel_frame(
+    e: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_sec: int = 86_400,
+) -> DataFrame:
+    """Core funnel plan over an injected events frame (see
+    :func:`events_funnel` for semantics and scale shape)."""
+    cur = (
+        e.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t0"))
+    )
+    deadline = F.col("t0") + F.lit(window_sec * 1_000_000)
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = e.filter(F.col("event_type") == step).select(
+            "user_id", F.unix_micros("ts").alias("_ts")
+        )
+        keys = ["user_id"] + [f"t{j}" for j in range(i)]
+        hit = F.when(
+            (F.col("_ts") >= F.col(f"t{i - 1}")) & (F.col("_ts") <= deadline),
+            F.col("_ts"),
+        )
+        cur = cur.join(nxt, "user_id", "left").groupBy(*keys).agg(
+            F.min(hit).alias(f"t{i}")
+        )
+    n = len(steps)
+    stage = F.lit(1)
+    for i in range(1, n):
+        stage = stage + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+    return cur.select(
+        "user_id",
+        *[F.col(f"t{i}").alias(f"t_{s}_us") for i, s in enumerate(steps)],
+        stage.cast("long").alias("stage"),
+        F.col(f"t{n - 1}").isNotNull().alias("completed"),
+    ).orderBy("user_id")
+
+
+def events_funnel_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_sec: int = 86_400,
+) -> DataFrame:
+    """One-row funnel rollup: users reaching each stage + conversion."""
+    per_user = events_funnel(spark, sf_dir, steps, window_sec)
+    n = len(steps)
+    aggs = [F.count("*").alias("n_entered")] + [
+        F.sum(F.col(f"t_{s}_us").isNotNull().cast("long")).alias(f"n_{s}")
+        for s in steps[1:]
+    ]
+    return per_user.agg(*aggs).select(
+        "*",
+        (
+            F.col(f"n_{steps[-1]}").cast("double") / F.col("n_entered")
+        ).alias("conversion"),
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: a session break is a gap > ``gap_minutes`` since
     the previous event of the same user; session count = 1 + breaks.

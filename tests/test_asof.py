@@ -71,3 +71,34 @@ def test_asof_multiple_right_cols_and_volume(spark, sf_dir):
         if prev is not None:
             assert r["event_id"] >= 0  # matched
         by_cust[r["o_custkey"]] = r
+
+
+def test_events_funnel_hand_values(spark):
+    """Controlled funnel: completion, window expiry, and out-of-order
+    steps each behave per the first-touch contract."""
+    from secure_agent_api_vector_search_spark.operators.analytics import funnel_frame
+
+    rows = [
+        # user 1: clean completion
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        # user 2: purchase BEFORE click -> not counted (order matters)
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 02:00:00", "purchase"),
+        (2, "2024-01-01 03:00:00", "click"),
+        # user 3: click outside the 4h window
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-01 05:00:00", "click"),
+        # user 4: never enters (no view)
+        (4, "2024-01-01 00:00:00", "click"),
+    ]
+    e = spark.createDataFrame(
+        [(i, u, ts, t) for i, (u, ts, t) in enumerate(rows)],
+        "event_id long, user_id long, ts string, event_type string",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    out = {r["user_id"]: r for r in funnel_frame(e, window_sec=4 * 3600).collect()}
+    assert set(out) == {1, 2, 3}  # user 4 never entered
+    assert out[1]["completed"] is True and out[1]["stage"] == 3
+    assert out[2]["stage"] == 2  # click found (in window), purchase not after click in window? 
+    assert out[3]["stage"] == 1 and out[3]["t_click_us"] is None
