@@ -73,12 +73,13 @@ HEADLINE = [
     "doc_quality",
     "hybrid_search",
     "embed_texts",
-    # round-4 additions: LLM-pipeline operators
+    # round-4 additions: LLM-pipeline operators + funnel
     "duplicate_ngram_stats",
     "semantic_dedup",
     "pack_sequences",
     "image_decode_features",
     "audio_decode_features",
+    "events_funnel",
 ]
 
 

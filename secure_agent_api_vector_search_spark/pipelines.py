@@ -237,6 +237,21 @@ def write_packed_shards(
     seqs.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
 
 
+def write_events_partitioned(events: DataFrame, path: str) -> None:
+    """Persist the event stream partitioned by event DATE — the layout
+    that makes every time-ranged query a partition-pruned scan (the
+    100 TB default for append-only logs: a day's queries touch a day's
+    directories, never the table). Readers keep the original ``ts``;
+    the derived ``event_date`` partition column is pruning metadata.
+    tests/test_pipelines.py asserts the pruned read plan."""
+    (
+        events.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     path: str,

@@ -173,3 +173,30 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lines")
+
+
+def test_events_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """Date-partitioned event layout: a date-ranged read plans
+    partition filters and scans only the matching directories."""
+    from secure_agent_api_vector_search_spark.pipelines import (
+        write_events_partitioned,
+    )
+    from secure_agent_api_vector_search_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_date")
+    write_events_partitioned(events, out)
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    one_day = back.filter(F.col("event_date") == F.lit("2024-01-02").cast("date"))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # the pruned scan reads a strict subset of the partition dirs
+    import os
+
+    n_dirs = len([d for d in os.listdir(out) if d.startswith("event_date=")])
+    assert n_dirs > 1
+    day_rows = one_day.count()
+    total = back.count()
+    if day_rows:
+        assert day_rows < total
