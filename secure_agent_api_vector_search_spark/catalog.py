@@ -142,6 +142,16 @@ def vector_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TK.topk_similar_mmr(emb, _query_vec(spark, sf_dir), k=10, fetch_k=50)
 
 
+def sq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 tier: byte-code approximate scan -> exact cosine re-rank."""
+    from secure_agent_api_vector_search_spark.operators import sq as SQ
+
+    emb = load_embeddings(spark, sf_dir)
+    params = SQ.build_sq(emb)
+    codes = SQ.encode_sq(emb, params)
+    return SQ.sq_topk_rerank(codes, emb, params, _query_vec(spark, sf_dir), k=10)
+
+
 def vector_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
     return TK.topk_similar(emb, _query_vec(spark, sf_dir), k=10, metric="l2",
@@ -1083,6 +1093,12 @@ ORDER BY t.similarity DESC, d.doc_id""",
                     "distributed exact over-fetch, driver-side greedy rerank "
                     "bounded by fetch_k; diversity + determinism pinned in "
                     "tests/test_topk_lookup.py", tags=("vector",)))
+    r.register(NamedQuery(
+        "sq_topk_rerank", sq_topk_rerank,
+        description="[EXT] SQ8 scalar quantization (8x compression, one "
+                    "byte per dimension): asymmetric byte-scan shortlist + "
+                    "exact re-rank; error/recall bounds in tests/test_sq.py",
+        tags=("vector", "index")))
     r.register(NamedQuery(
         "vector_topk_l2", vector_topk_l2,
         oracle_sql=f"""
@@ -2186,6 +2202,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "vector_topk_mmr",
     "events_funnel",
     "events_funnel_summary",
+    "sq_topk_rerank",
     # implementation changed this round (mean_token_length identity) —
     # re-verify even though long-green
     "token_stats",
