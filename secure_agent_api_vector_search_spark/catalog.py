@@ -135,6 +135,20 @@ def vector_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vector_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector search: exact top-3 nearest per language — the
+    per-tenant/per-category retrieval form; bounded group-keyed
+    combiner before the per-group window (operators/topk.py)."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "lang")
+    emb = load_embeddings(spark, sf_dir)
+    joined = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "lang", "vec_id", "embedding"
+    )
+    return TK.topk_similar_grouped(
+        joined, _query_vec(spark, sf_dir), group_col="lang", k=3
+    )
+
+
 def vector_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified retrieval: exact over-fetch (distributed) + greedy
     MMR rerank on the driver over <= fetch_k rows by construction."""
@@ -262,6 +276,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.events_funnel_summary(spark, sf_dir)
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.events_retention(spark, sf_dir)
 
 
 def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,6 +1106,25 @@ ORDER BY t.similarity DESC, d.doc_id""",
         tags=("vector", "reference")))
 
     r.register(NamedQuery(
+        "vector_topk_grouped", vector_topk_grouped,
+        oracle_sql=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT d.lang, e.vec_id, {_cos(E, 'q.qe')} AS similarity
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id CROSS JOIN q
+  WHERE e.embedding IS NOT NULL)
+SELECT lang, vec_id, similarity, rank FROM (
+  SELECT lang, vec_id, similarity,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY similarity DESC, vec_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 3 ORDER BY lang, rank""",
+        description="[EXT] grouped vector search: exact top-3 nearest per "
+                    "language — group-keyed bounded combiner before the "
+                    "per-group window (state <= |groups|*k)",
+        tags=("vector", "reference")))
+
+    r.register(NamedQuery(
         "vector_topk_mmr", vector_topk_mmr,
         description="[EXT] MMR-diversified top-k (Carbonell-Goldstein): "
                     "distributed exact over-fetch, driver-side greedy rerank "
@@ -1378,6 +1415,27 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_entered,
          / COUNT(*) AS conversion
 FROM s2""",
         description="[EXT] funnel rollup: stage counts + conversion",
+        tags=("events", "agg")))
+    r.register(NamedQuery(
+        "events_retention", events_retention,
+        oracle_sql="""
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT user_id, MIN(d) AS cohort FROM a GROUP BY user_id),
+r AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+  FROM a JOIN f ON a.user_id = f.user_id
+  WHERE date_diff('day', f.cohort, a.d) <= 7
+  GROUP BY 1, 2)
+SELECT r.cohort, r.day_offset, r.n_users, b.n_users AS cohort_size,
+       CAST(r.n_users AS DOUBLE) / b.n_users AS retention
+FROM r JOIN (SELECT cohort, n_users FROM r WHERE day_offset = 0) b
+  ON r.cohort = b.cohort
+ORDER BY r.cohort, r.day_offset""",
+        description="[EXT] cohort retention: first-event-date cohorts x "
+                    "day-offset active-user counts; distinct (user, day) "
+                    "collapse before any join, day-0 sizes broadcast",
         tags=("events", "agg")))
     r.register(NamedQuery(
         "events_sessionize", events_sessionize,
@@ -1690,22 +1748,28 @@ p AS (
   SELECT doc_id, n_tokens, bucket, rn,
          CAST(0 AS BIGINT) AS seq_assigned,
          CAST(CASE WHEN n_tokens >= 512 THEN 1 ELSE 0 END AS BIGINT) AS s_out,
-         CAST(CASE WHEN n_tokens >= 512 THEN 0 ELSE n_tokens END AS BIGINT) AS u_out
+         CAST(CASE WHEN n_tokens >= 512 THEN 0 ELSE n_tokens END AS BIGINT) AS u_out,
+         CAST(CASE WHEN n_tokens >= 512 THEN 0 ELSE 1 END AS BIGINT) AS c_out
   FROM d WHERE rn = 1
   UNION ALL
   SELECT d.doc_id, d.n_tokens, d.bucket, d.rn,
-         p.s_out + CASE WHEN p.u_out > 0 AND p.u_out + d.n_tokens > 512
+         p.s_out + CASE WHEN p.c_out > 0 AND p.u_out + d.n_tokens > 512
                         THEN 1 ELSE 0 END AS seq_assigned,
-         (p.s_out + CASE WHEN p.u_out > 0 AND p.u_out + d.n_tokens > 512
+         (p.s_out + CASE WHEN p.c_out > 0 AND p.u_out + d.n_tokens > 512
                          THEN 1 ELSE 0 END)
-         + CASE WHEN (CASE WHEN p.u_out > 0 AND p.u_out + d.n_tokens > 512
+         + CASE WHEN (CASE WHEN p.c_out > 0 AND p.u_out + d.n_tokens > 512
                            THEN 0 ELSE p.u_out END) + d.n_tokens >= 512
                 THEN 1 ELSE 0 END AS s_out,
-         CASE WHEN (CASE WHEN p.u_out > 0 AND p.u_out + d.n_tokens > 512
+         CASE WHEN (CASE WHEN p.c_out > 0 AND p.u_out + d.n_tokens > 512
                          THEN 0 ELSE p.u_out END) + d.n_tokens >= 512
               THEN 0
-              ELSE (CASE WHEN p.u_out > 0 AND p.u_out + d.n_tokens > 512
-                         THEN 0 ELSE p.u_out END) + d.n_tokens END AS u_out
+              ELSE (CASE WHEN p.c_out > 0 AND p.u_out + d.n_tokens > 512
+                         THEN 0 ELSE p.u_out END) + d.n_tokens END AS u_out,
+         CASE WHEN (CASE WHEN p.c_out > 0 AND p.u_out + d.n_tokens > 512
+                         THEN 0 ELSE p.u_out END) + d.n_tokens >= 512
+              THEN 0
+              ELSE (CASE WHEN p.c_out > 0 AND p.u_out + d.n_tokens > 512
+                         THEN 0 ELSE p.c_out END) + 1 END AS c_out
   FROM d JOIN p ON d.bucket = p.bucket AND d.rn = p.rn + 1)"""
 
     r.register(NamedQuery(
@@ -2190,6 +2254,8 @@ FROM m ORDER BY doc_id""",
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
     # new this round — never checked
+    "vector_topk_grouped",
+    "events_retention",
     "duplicate_ngram_stats",
     "semantic_dedup",
     "pack_sequences",

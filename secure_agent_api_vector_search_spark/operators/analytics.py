@@ -425,6 +425,63 @@ def events_funnel_summary(
     )
 
 
+def events_retention(
+    spark: SparkSession, sf_dir: str, max_offset_days: int = 7
+) -> DataFrame:
+    """Cohort retention analysis — the funnel's companion: users are
+    cohorted by the DATE of their first event; for each (cohort,
+    day_offset ≤ ``max_offset_days``) the output counts how many of
+    that cohort were active again ``day_offset`` days later, plus the
+    retention fraction vs the cohort's day-0 size.
+
+    Scale shape: the raw event stream collapses FIRST to distinct
+    (user_id, day) — map-side combinable, so the 100 TB event volume
+    reduces to |users|·|active days| before any join. First-seen is a
+    groupBy on the SAME user_id key (AQE reuses the hash partitioning),
+    the activity⋈first join is co-partitioned on user_id, and the final
+    rollup keys on (cohort, day_offset) — a tiny domain (days ×
+    max_offset). The day-0 size frame is |days| rows and explicitly
+    broadcast. No window over the raw stream, no self-join of events.
+
+    Output: (cohort DATE, day_offset INT, n_users, cohort_size,
+    retention) ordered by (cohort, day_offset).
+    """
+    return retention_frame(load_table(spark, sf_dir, "events"), max_offset_days)
+
+
+def retention_frame(e: DataFrame, max_offset_days: int = 7) -> DataFrame:
+    """Core retention plan over an injected events frame (see
+    :func:`events_retention` for semantics and scale shape)."""
+    activity = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = activity.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    ret = (
+        activity.join(first, "user_id")
+        .select(
+            "cohort",
+            F.datediff("d", "cohort").alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset") <= max_offset_days)
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    base = ret.filter(F.col("day_offset") == 0).select(
+        "cohort", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        ret.join(F.broadcast(base), "cohort")
+        .select(
+            "cohort",
+            "day_offset",
+            "n_users",
+            "cohort_size",
+            (F.col("n_users").cast("double") / F.col("cohort_size"))
+            .alias("retention"),
+        )
+        .orderBy("cohort", "day_offset")
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: a session break is a gap > ``gap_minutes`` since
     the previous event of the same user; session count = 1 + breaks.

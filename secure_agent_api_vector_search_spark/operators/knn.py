@@ -26,17 +26,20 @@ from pyspark.sql import functions as F
 from secure_agent_api_vector_search_spark.functions import vector as V
 
 
-def _local_topk_combiner(q_id: str, k: int):
+def _local_topk_combiner(q_id: str, k: int, ascending: bool = False):
     """mapInPandas partition combiner: keep the ≤k best
-    (similarity desc, neighbor_id asc) rows per q_id seen so far.
+    (similarity desc — or asc for distance metrics — neighbor_id asc)
+    rows per q_id seen so far.
 
     Spark has no bounded top-k aggregate — a collect_list+slice groupBy
     caps the OUTPUT but its partial buffers still carry every row across
     the exchange — so the pre-exchange reduction has to be imperative.
     State is bounded at |Q|·k rows plus one Arrow batch; ordering
-    matches the downstream window exactly (NaN-first like Spark's DESC)
-    so the combiner never changes the final answer, only the shuffle.
+    matches the downstream window exactly (NaN sorts as Spark's largest
+    value: first under DESC, last under ASC) so the combiner never
+    changes the final answer, only the shuffle.
     """
+    na_position = "last" if ascending else "first"
 
     def f(it):
         acc: pd.DataFrame | None = None
@@ -44,8 +47,8 @@ def _local_topk_combiner(q_id: str, k: int):
             cand = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
             cand = cand.sort_values(
                 [q_id, "similarity", "neighbor_id"],
-                ascending=[True, False, True],
-                na_position="first",  # Spark DESC ranks NaN above all values
+                ascending=[True, ascending, True],
+                na_position=na_position,
                 kind="mergesort",
             )
             acc = cand.groupby(q_id, sort=False).head(k)

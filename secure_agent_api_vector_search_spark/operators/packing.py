@@ -41,17 +41,24 @@ def _pack_bucket(pdf: pd.DataFrame, max_tokens: int) -> pd.DataFrame:
     bucket = int(pdf["bucket"].iloc[0])
     seq_local = 0
     used = 0
+    in_seq = 0  # docs in the open sequence — NOT derivable from `used`:
+    # zero-token docs occupy a sequence without consuming budget, and the
+    # overflow exception must apply only to a genuinely empty sequence
+    # (a singleton overflow), never to one already holding members
     seq_ids = []
     for n in pdf["n_tokens"]:
         n = int(n)
-        if used > 0 and used + n > max_tokens:
+        if in_seq > 0 and used + n > max_tokens:
             seq_local += 1
             used = 0
+            in_seq = 0
         seq_ids.append(bucket * _SEQ_STRIDE + seq_local)
         used += n
+        in_seq += 1
         if used >= max_tokens:
             seq_local += 1
             used = 0
+            in_seq = 0
     out = pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],

@@ -257,6 +257,80 @@ def topk_similar_filtered(
     )
 
 
+def topk_similar_grouped(
+    items: DataFrame,
+    query_vec: Sequence[float],
+    group_col: str,
+    k: int = 3,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_name: str = "similarity",
+) -> DataFrame:
+    """Grouped vector search: the exact top-``k`` rows nearest to
+    ``query_vec`` WITHIN EACH value of ``group_col`` (per-language /
+    per-tenant / per-source retrieval — "give me the 3 closest matches
+    in every category", the grouped-search feature of vector stores;
+    the reference's single-tenant tool is the one-group special case of
+    this, tools.yaml:22-27).
+
+    Plan shape: score with the same statically-tiered expression as
+    :func:`topk_similar` (unrolled codegen ≤256 dims, whole-batch numpy
+    above), then a partition-local bounded top-k combiner keyed on the
+    GROUP (state ≤ |groups|·k rows — knn.py's combiner with the group
+    as the query id), then the `row_number() OVER (PARTITION BY group)`
+    window for the exact answer. Without the combiner the window
+    exchange carries the whole scored corpus; with it, ≤ |groups|·k
+    rows per input partition move — `TakeOrderedAndProject` can't help
+    here (it is a single global limit), so the combiner IS the grouped
+    analogue of its per-partition heap. Null embeddings score null and
+    are excluded (same policy as topk_similar's default).
+
+    Output: (group_col, id_col, score, rank) with rank 1..k per group,
+    ordered by (group, rank).
+    """
+    from pyspark.sql import Window
+
+    from secure_agent_api_vector_search_spark.operators.knn import (
+        _local_topk_combiner,
+    )
+
+    dim = len(query_vec)
+    if dim > V.UNROLL_MAX_DIM:
+        score = V.np_query_scorer(query_vec, metric)(F.col(vec_col))
+        asc = metric == "l2"
+    else:
+        score, asc = _sim_col(metric, vec_col, [float(x) for x in query_vec], dim)
+    # null policy: not-yet-embedded rows are excluded by a filter on the
+    # VECTOR column (a plain IsNotNull pushed to the parquet scan) — a
+    # filter on the computed score would be pushed down too, but as a
+    # re-evaluation of the whole unrolled dot product inside the scan
+    # stage (observed in the plan). The cheap post-rank score-null belt
+    # below covers the residual (element-null arrays), touching only
+    # |groups|·k rows.
+    scored = items.filter(F.col(vec_col).isNotNull()).select(
+        F.col(group_col),
+        F.col(id_col).alias("neighbor_id"),
+        score.alias("similarity"),
+    )
+    reduced = scored.mapInPandas(
+        _local_topk_combiner(group_col, k, ascending=asc), schema=scored.schema
+    )
+    order = F.col("similarity").asc() if asc else F.col("similarity").desc()
+    w = Window.partitionBy(group_col).orderBy(order, F.col("neighbor_id").asc())
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & F.col("similarity").isNotNull())
+        .select(
+            group_col,
+            F.col("neighbor_id").alias(id_col),
+            F.col("similarity").alias(score_name),
+            "rank",
+        )
+        .orderBy(group_col, "rank")
+    )
+
+
 def similar_to_doc(
     documents: DataFrame,
     embeddings: DataFrame,

@@ -102,3 +102,39 @@ def test_events_funnel_hand_values(spark):
     assert out[1]["completed"] is True and out[1]["stage"] == 3
     assert out[2]["stage"] == 2  # click found (in window), purchase not after click in window? 
     assert out[3]["stage"] == 1 and out[3]["t_click_us"] is None
+
+
+def test_events_retention_hand_values(spark):
+    """Controlled cohorts: day-0 always present, offsets count distinct
+    users, retention is the fraction of the cohort's day-0 size."""
+    import pytest
+
+    from secure_agent_api_vector_search_spark.operators.analytics import retention_frame
+
+    rows = [
+        # cohort 2024-01-01: users 1,2. user 1 returns d+1 and d+3
+        # (twice on d+1 — must count once); user 2 never returns.
+        (1, "2024-01-01 08:00:00"),
+        (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-02 21:00:00"),
+        (1, "2024-01-04 10:00:00"),
+        (2, "2024-01-01 23:59:59"),
+        # cohort 2024-01-03: user 3, returns beyond max_offset -> dropped
+        (3, "2024-01-03 00:00:00"),
+        (3, "2024-01-20 00:00:00"),
+    ]
+    e = spark.createDataFrame(
+        [(i, u, ts) for i, (u, ts) in enumerate(rows)],
+        "event_id long, user_id long, ts string",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {(str(r["cohort"]), r["day_offset"]): r
+           for r in retention_frame(e, max_offset_days=7).collect()}
+    assert set(out) == {
+        ("2024-01-01", 0), ("2024-01-01", 1), ("2024-01-01", 3),
+        ("2024-01-03", 0),
+    }
+    assert out[("2024-01-01", 0)]["n_users"] == 2
+    assert out[("2024-01-01", 1)]["n_users"] == 1  # two events, one user-day
+    assert out[("2024-01-01", 1)]["retention"] == pytest.approx(0.5)
+    assert out[("2024-01-01", 3)]["cohort_size"] == 2
+    assert out[("2024-01-03", 0)]["retention"] == pytest.approx(1.0)

@@ -192,3 +192,66 @@ def test_mmr_rerank_diversifies_and_is_deterministic(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         topk_similar_mmr(corpus, q, k=10, fetch_k=5)
+
+
+def test_topk_grouped_matches_per_group_bruteforce(spark, docs, emb, qvec):
+    """Per-group exactness: the grouped operator returns exactly the
+    brute-force top-k within every language, ranks 1..k, ordered."""
+    from secure_agent_api_vector_search_spark.operators.topk import topk_similar_grouped
+
+    joined = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "lang", "vec_id", "embedding"
+    )
+    k = 3
+    got = topk_similar_grouped(joined, qvec, group_col="lang", k=k).collect()
+    by_lang: dict[str, list] = {}
+    for r in joined.collect():
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        want = brute_force_topk(rows, qvec, k)
+        mine = [r for r in got if r["lang"] == lang]
+        assert [r["vec_id"] for r in mine] == [i for i, _ in want]
+        assert [r["rank"] for r in mine] == list(range(1, len(want) + 1))
+        for r, (_, s) in zip(mine, want):
+            assert r["similarity"] == pytest.approx(s, rel=1e-9)
+    # output ordering: (group asc, rank asc)
+    keys = [(r["lang"], r["rank"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_topk_grouped_excludes_null_vectors(spark):
+    from secure_agent_api_vector_search_spark.operators.topk import topk_similar_grouped
+
+    rows = [
+        ("a", 1, [1.0, 0.0]),
+        ("a", 2, [0.9, 0.1]),
+        ("a", 3, None),
+        ("b", 4, [0.0, 1.0]),
+        ("b", 5, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "lang string, vec_id long, embedding array<double>"
+    )
+    out = topk_similar_grouped(df, [1.0, 0.0], group_col="lang", k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 4]  # nulls never returned
+    assert [r["rank"] for r in out] == [1, 2, 1]
+
+
+def test_topk_grouped_l2_ascending(spark):
+    """The distance metric flows through the combiner's ascending mode."""
+    from secure_agent_api_vector_search_spark.operators.topk import topk_similar_grouped
+
+    rows = [
+        ("a", 1, [0.0, 0.0]),
+        ("a", 2, [3.0, 4.0]),
+        ("a", 3, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "lang string, vec_id long, embedding array<double>"
+    )
+    out = topk_similar_grouped(
+        df, [0.0, 0.0], group_col="lang", k=2, metric="l2", score_name="l2_dist"
+    ).collect()
+    assert [r["vec_id"] for r in out] == [1, 3]
+    assert out[0]["l2_dist"] == pytest.approx(0.0)
+    assert out[1]["l2_dist"] == pytest.approx(1.0)
