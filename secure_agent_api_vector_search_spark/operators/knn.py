@@ -84,7 +84,13 @@ def knn_join(
     top-k), cutting the exchange from |Q|·|corpus| scored rows to at
     most |Q|·k per partition.
     """
-    joined = corpus.crossJoin(F.broadcast(queries))
+    # not-yet-embedded corpus rows are not candidates (same exclude
+    # policy as topk_similar): without this scan-level filter a null
+    # vector scores null → NaN in the combiner, which sorts FIRST under
+    # DESC and can evict a genuine candidate, while the downstream
+    # window (desc = NULLS LAST) would rank the null row behind — the
+    # combiner must never disagree with the window it feeds
+    joined = corpus.filter(F.col(c_vec).isNotNull()).crossJoin(F.broadcast(queries))
     if exclude_self:
         joined = joined.filter(F.col(c_id) != F.col(q_id))
     # bare names (unique after the cross join) keep the unrolled

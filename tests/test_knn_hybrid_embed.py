@@ -196,3 +196,22 @@ def test_multimodal_real_decoder_is_explicit_stub(docs):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_knn_join_null_corpus_vectors_never_evict_candidates(spark):
+    """A not-yet-embedded corpus row (null vector) must neither appear
+    as a neighbor nor crowd a genuine candidate out of the combiner's
+    bounded per-partition state."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, None),  # backfill race: present but unembedded
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).repartition(1)  # one partition -> nulls share the combiner state
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "q_id long, q_vec array<double>")
+    out = K.knn_join(q, corpus, k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 4]
+    assert all(r["similarity"] is not None for r in out)
