@@ -255,3 +255,32 @@ def test_topk_grouped_l2_ascending(spark):
     assert [r["vec_id"] for r in out] == [1, 3]
     assert out[0]["l2_dist"] == pytest.approx(0.0)
     assert out[1]["l2_dist"] == pytest.approx(1.0)
+
+
+def test_topk_grouped_plan_shape(spark, sf_dir):
+    """Pin the grouped plan: the bounded combiner feeds the per-group
+    window, and the null exclusion reaches the parquet scan as a plain
+    IsNotNull — never as a pushed-down re-evaluation of the score
+    expression (observed regression when filtering on the computed
+    similarity column)."""
+    from secure_agent_api_vector_search_spark.operators.topk import topk_similar_grouped
+    from secure_agent_api_vector_search_spark.sources.tables import (
+        load_documents,
+        load_embeddings,
+    )
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "lang")
+    emb = load_embeddings(spark, sf_dir)
+    joined = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "lang", "vec_id", "embedding"
+    )
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    out = topk_similar_grouped(joined, q, group_col="lang", k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert plan.index("Window") < plan.index("MapInPandas")
+    # every Filter line stays tiny — a leaked score re-evaluation is a
+    # multi-KB unrolled expression
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert len(line) < 500, line[:200]
