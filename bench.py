@@ -80,6 +80,8 @@ HEADLINE = [
     "image_decode_features",
     "audio_decode_features",
     "events_funnel",
+    "vector_topk_grouped",
+    "events_retention",
 ]
 
 
