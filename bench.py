@@ -82,6 +82,8 @@ HEADLINE = [
     "events_funnel",
     "vector_topk_grouped",
     "events_retention",
+    "events_engagement",
+    "top_terms_by_lang",
 ]
 
 

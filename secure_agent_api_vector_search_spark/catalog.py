@@ -282,6 +282,14 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.events_retention(spark, sf_dir)
 
 
+def events_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.events_engagement(spark, sf_dir)
+
+
+def top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.top_terms_by_lang(load_documents(spark, sf_dir))
+
+
 def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The applyInPandasWithState sessionizer run as a finite stream
     (replay the events table through the file source, drain, read the
@@ -1438,6 +1446,24 @@ ORDER BY r.cohort, r.day_offset""",
                     "collapse before any join, day-0 sizes broadcast",
         tags=("events", "agg")))
     r.register(NamedQuery(
+        "events_engagement", events_engagement,
+        oracle_sql="""
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+days AS (SELECT DISTINCT d FROM a),
+dau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM a GROUP BY d),
+mau AS (
+  SELECT x.d, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS mau
+  FROM days x JOIN a ON a.d <= x.d AND a.d > x.d - INTERVAL 28 DAY
+  GROUP BY x.d)
+SELECT dau.d AS day, dau.dau, mau.mau,
+       CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+FROM dau JOIN mau ON dau.d = mau.d ORDER BY day""",
+        description="[EXT] DAU / trailing-28d MAU / stickiness panel: "
+                    "distinct user-day collapse, broadcast day frame x "
+                    "bounded range expansion (<= 28 rows per user-day)",
+        tags=("events", "agg")))
+    r.register(NamedQuery(
         "events_sessionize", events_sessionize,
         oracle_sql="""
 SELECT user_id, COUNT(*) AS n_events, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions
@@ -1967,6 +1993,29 @@ FROM documents GROUP BY lang ORDER BY lang""",
         description="[EXT] per-language corpus profile", tags=("text", "agg")))
 
     r.register(NamedQuery(
+        "top_terms_by_lang", top_terms_by_lang,
+        oracle_sql="""
+WITH t AS (
+  SELECT d.lang, d.doc_id, u.term
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(term)),
+c AS (
+  SELECT lang, term,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM t GROUP BY lang, term)
+SELECT lang, term, n_occurrences, n_docs, rank FROM (
+  SELECT lang, term, n_occurrences, n_docs,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY n_occurrences DESC, term) AS INT) AS rank
+  FROM c)
+WHERE rank <= 5 ORDER BY lang, rank""",
+        description="[EXT] per-language vocabulary head: top-5 terms with "
+                    "occurrence + doc-frequency counts; vocabulary-sized "
+                    "shuffle (map-side combine), bounded combiner before "
+                    "the per-lang rank window",
+        tags=("text", "agg")))
+
+    r.register(NamedQuery(
         "lang_id_eval", lang_id_eval,
         oracle_sql=f"""
 WITH scored AS (
@@ -2256,6 +2305,8 @@ CHECK_FIRST: tuple[str, ...] = (
     # new this round — never checked
     "vector_topk_grouped",
     "events_retention",
+    "events_engagement",
+    "top_terms_by_lang",
     "duplicate_ngram_stats",
     "semantic_dedup",
     "pack_sequences",

@@ -482,6 +482,54 @@ def retention_frame(e: DataFrame, max_offset_days: int = 7) -> DataFrame:
     )
 
 
+def events_engagement(
+    spark: SparkSession, sf_dir: str, window_days: int = 28
+) -> DataFrame:
+    """Daily engagement panel: DAU, trailing-``window_days`` MAU, and
+    the DAU/MAU stickiness ratio per active day.
+
+    Scale shape: events collapse FIRST to distinct (user_id, day) —
+    map-side combinable, same reduction as :func:`events_retention`.
+    The trailing window is then a join of the TINY distinct-day frame
+    (|days| rows — explicitly broadcast) against the user-day activity
+    with a half-open date-range predicate: each activity row expands to
+    at most ``window_days`` output days, so the MAU count-distinct
+    shuffles ≤ window_days·|user-days| rows — bounded by the window
+    constant, never quadratic, and no per-day rescan of raw events.
+
+    Output: (day DATE, dau, mau, stickiness) ordered by day.
+    """
+    return engagement_frame(load_table(spark, sf_dir, "events"), window_days)
+
+
+def engagement_frame(e: DataFrame, window_days: int = 28) -> DataFrame:
+    """Core engagement plan over an injected events frame (see
+    :func:`events_engagement` for semantics and scale shape)."""
+    act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = act.select("d").distinct()
+    dau = act.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    x = days.select(F.col("d").alias("day"))
+    window_hits = F.broadcast(x).join(
+        act,
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") > F.date_sub(F.col("day"), window_days)),
+    )
+    mau = window_hits.groupBy("day").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.withColumnRenamed("d", "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: a session break is a gap > ``gap_minutes`` since
     the previous event of the same user; session count = 1 + breaks.

@@ -279,3 +279,60 @@ def corpus_stats_approx(documents: DataFrame, rsd: float = 0.02) -> DataFrame:
             F.col("_q")[2].alias("tokens_p99"),
         )
     )
+
+
+def top_terms_by_lang(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Per-language vocabulary head: the ``n`` most frequent whitespace
+    terms in each language, with occurrence and document-frequency
+    counts — the first thing anyone profiles in a new training corpus
+    (tokenizer sanity, boilerplate detection, language drift).
+
+    Scale shape: the exploded token stream reduces map-side — the
+    (lang, term) count and the (lang, term, doc_id) distinct for doc
+    frequency both partial-aggregate before their exchange, so the
+    shuffle carries the corpus VOCABULARY, not the token stream. The
+    per-language head then goes through the same bounded top-k
+    combiner as knn/grouped search (counts as the score, term as the
+    tiebreak), so the rank window's exchange is ≤ |langs|·n rows per
+    partition instead of the whole vocabulary sorted through one
+    partition per language.
+
+    Output: (lang, term, n_occurrences, n_docs, rank), rank 1..n.
+    """
+    from pyspark.sql import Window
+
+    from secure_agent_api_vector_search_spark.operators.knn import (
+        _local_topk_combiner,
+    )
+
+    toks = documents.select(
+        "lang", "doc_id", F.explode(X.tokens("text")).alias("term")
+    )
+    counts = toks.groupBy("lang", "term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    scored = counts.select(
+        "lang",
+        F.col("term").alias("neighbor_id"),
+        F.col("n_occurrences").alias("similarity"),
+        "n_docs",
+    )
+    reduced = scored.mapInPandas(
+        _local_topk_combiner("lang", n), schema=scored.schema
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(
+            "lang",
+            F.col("neighbor_id").alias("term"),
+            F.col("similarity").alias("n_occurrences"),
+            "n_docs",
+            "rank",
+        )
+        .orderBy("lang", "rank")
+    )

@@ -138,3 +138,31 @@ def test_events_retention_hand_values(spark):
     assert out[("2024-01-01", 1)]["retention"] == pytest.approx(0.5)
     assert out[("2024-01-01", 3)]["cohort_size"] == 2
     assert out[("2024-01-03", 0)]["retention"] == pytest.approx(1.0)
+
+
+def test_events_engagement_window_boundary(spark):
+    """The trailing window is half-open (day-27 .. day]: a visit
+    exactly window_days before is OUT, day-(window-1) is IN; DAU counts
+    distinct users per day and stickiness is dau/mau."""
+    import pytest
+
+    from secure_agent_api_vector_search_spark.operators.analytics import engagement_frame
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 11:00:00"),
+        (1, "2024-01-29 09:00:00"),  # 28 days after Jan 1 -> Jan 1 out of window
+        (2, "2024-01-28 09:00:00"),  # 27 days after Jan 1 -> Jan 1 in window
+    ]
+    e = spark.createDataFrame(
+        [(i, u, ts) for i, (u, ts) in enumerate(rows)],
+        "event_id long, user_id long, ts string",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {str(r["day"]): r for r in engagement_frame(e, window_days=28).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-28", "2024-01-29"}
+    assert (out["2024-01-01"]["dau"], out["2024-01-01"]["mau"]) == (2, 2)
+    # Jan 28 sees Jan 1 (27 days back): both users in the window
+    assert (out["2024-01-28"]["dau"], out["2024-01-28"]["mau"]) == (1, 2)
+    # Jan 29: Jan 1 aged out; window holds user 1 (Jan 29) + user 2 (Jan 28)
+    assert (out["2024-01-29"]["dau"], out["2024-01-29"]["mau"]) == (1, 2)
+    assert out["2024-01-28"]["stickiness"] == pytest.approx(0.5)

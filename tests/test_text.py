@@ -187,3 +187,28 @@ def test_duplicate_ngram_stats_rejects_bad_n(spark):
     df = spark.range(1).selectExpr("id AS doc_id", "'x' AS text")
     with _pytest.raises(ValueError):
         TX.duplicate_ngram_stats(df, n=1)
+
+
+def test_top_terms_by_lang_hand_values(spark):
+    """Counts, doc-frequency, deterministic tie-break (term asc), and
+    the per-language head cut."""
+    import pytest
+
+    from secure_agent_api_vector_search_spark.operators.textops import top_terms_by_lang
+
+    rows = [
+        (1, "a a b", "en"),
+        (2, "a c", "en"),
+        (3, "z z z", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = top_terms_by_lang(docs, n=2).collect()
+    en = [r for r in out if r["lang"] == "en"]
+    fr = [r for r in out if r["lang"] == "fr"]
+    # en: a x3 (2 docs), then b/c tie at 1 -> b wins on term asc
+    assert [(r["term"], r["n_occurrences"], r["n_docs"], r["rank"]) for r in en] == [
+        ("a", 3, 2, 1), ("b", 1, 1, 2)
+    ]
+    assert [(r["term"], r["n_occurrences"], r["n_docs"], r["rank"]) for r in fr] == [
+        ("z", 3, 1, 1)
+    ]
