@@ -893,8 +893,9 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale form of n-gram Jaccard dedup: MinHash banding for
     candidates (no block-quadratic join), exact Jaccard verify —
-    recall 1.0 vs the exact form on the planted corpus (pinned in
-    tests/test_dedup.py)."""
+    precision 1.0 with bit-identical Jaccard on found pairs; recall
+    ≥0.95 overall with every planted dup recovered (pinned in
+    tests/test_dedup.py::test_ngram_jaccard_lsh_matches_exact)."""
     return D.ngram_jaccard_pairs_lsh(
         _docs_with_appended_dups(spark, sf_dir), threshold=0.6
     )
@@ -2229,7 +2230,8 @@ FROM p ORDER BY doc_id""",
         "ngram_jaccard_lsh", ngram_jaccard_lsh,
         description="[EXT] MinHash-banded n-gram Jaccard near-dup (the "
                     "scale form: candidate buckets + exact array-intersect "
-                    "verify; recall 1.0 vs the exact form in tests)",
+                    "verify; precision 1.0, recall >=0.95 + all planted "
+                    "dups recovered in tests)",
         tags=("dedup",)))
     r.register(NamedQuery(
         "semantic_dedup", semantic_dedup,

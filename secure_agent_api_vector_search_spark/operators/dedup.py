@@ -693,6 +693,11 @@ def ngram_jaccard_pairs_lsh(
             arrs = pdf["grams"].to_numpy()
             lens = np.fromiter((len(g) for g in arrs), dtype=np.int64, count=len(arrs))
             flat = np.concatenate([np.asarray(g, dtype=np.int64) for g in arrs])
+            # reduce the 48-bit gram hashes into the field FIRST (matching
+            # hashing.py's signature stage): 2^48 × 2^31 coefficients would
+            # overflow int64 and silently wrap, leaving the universal-affine
+            # collision guarantees behind
+            flat = flat % H.MINHASH_P
             # affine family over every gram × hash, then segmented min
             hv = (flat[:, None] * a_coef[None, :] + b_coef[None, :]) % H.MINHASH_P
             bounds = np.concatenate(([0], np.cumsum(lens)))

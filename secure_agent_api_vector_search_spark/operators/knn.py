@@ -34,21 +34,28 @@ def _local_topk_combiner(q_id: str, k: int, ascending: bool = False):
     Spark has no bounded top-k aggregate — a collect_list+slice groupBy
     caps the OUTPUT but its partial buffers still carry every row across
     the exchange — so the pre-exchange reduction has to be imperative.
-    State is bounded at |Q|·k rows plus one Arrow batch; ordering
-    matches the downstream window exactly (NaN sorts as Spark's largest
-    value: first under DESC, last under ASC) so the combiner never
-    changes the final answer, only the shuffle.
+    State is bounded at |Q|·k rows plus one Arrow batch.
+
+    Null/NaN scores (an element-null array survives the vector-level
+    IsNotNull scan filter and scores NULL → NaN in Arrow) are dropped
+    HERE, not ranked: pandas would sort NaN wherever na_position says
+    while the Spark window it feeds puts NULL the other way, so a kept
+    NaN could evict a genuine candidate the window then never sees.
+    Un-rankable rows can never be a top-k answer, and every scored row
+    passes through this combiner, so dropping them here means the
+    downstream window only ever sees rankable rows.
     """
-    na_position = "last" if ascending else "first"
 
     def f(it):
         acc: pd.DataFrame | None = None
         for pdf in it:
+            pdf = pdf.dropna(subset=["similarity"])
+            if not len(pdf):
+                continue
             cand = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
             cand = cand.sort_values(
                 [q_id, "similarity", "neighbor_id"],
                 ascending=[True, ascending, True],
-                na_position=na_position,
                 kind="mergesort",
             )
             acc = cand.groupby(q_id, sort=False).head(k)

@@ -100,7 +100,12 @@ def encode_sq(
             yield pd.Series([buf[i * w:(i + 1) * w] for i in range(len(codes))])
 
     vec = F.col(vec_col).cast("array<double>")
-    return embeddings.select(F.col(id_col), enc(vec).alias("code"))
+    # Null vectors (pre-backfill rows, SURVEY §1.2) are excluded here just
+    # like build_sq / topk / knn do — np.vstack over a batch with None
+    # would raise, and a null row can never be a search hit anyway.
+    return embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), enc(vec).alias("code")
+    )
 
 
 def sq_topk(
@@ -128,7 +133,8 @@ def sq_topk(
             yield pd.Series(const + m @ tq)
 
     return (
-        codes.select(F.col(id_col), score(F.col("code")).alias("approx_dot"))
+        codes.filter(F.col("code").isNotNull())
+        .select(F.col(id_col), score(F.col("code")).alias("approx_dot"))
         .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
         .limit(k)
     )

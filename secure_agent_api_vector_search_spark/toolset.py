@@ -84,7 +84,7 @@ class Tool:
         return self.fn(spark, sf_dir, **params)
 
 
-def _find_similar(spark: SparkSession, sf_dir: str, query_text: str, limit: int = 5) -> DataFrame:
+def _find_similar(spark: SparkSession, sf_dir: str, query_text: str, limit: int) -> DataFrame:
     from secure_agent_api_vector_search_spark.embedder import embed_text, embed_udf
     from secure_agent_api_vector_search_spark.operators.topk import find_similar_records
     from secure_agent_api_vector_search_spark.sources.tables import load_documents
@@ -98,11 +98,25 @@ def _find_similar(spark: SparkSession, sf_dir: str, query_text: str, limit: int 
     return find_similar_records(docs, emb, embed_text(query_text, 64), k=limit)
 
 
-def _get_record(spark: SparkSession, sf_dir: str, record_id: int) -> DataFrame:
-    from secure_agent_api_vector_search_spark.operators.lookup import get_record_by_id
+def _get_record(spark: SparkSession, sf_dir: str, record_id: str) -> DataFrame:
+    """record_id is a STRING, matching the reference contract
+    (tools.yaml:34-35 declares ``type: string`` — ids there are
+    VARCHAR(25) like ``POL-10326103``). The testdata documents table
+    keys on a bigint doc_id, so the string is cast internally; a
+    non-numeric id binds like any other unmatched VARCHAR value —
+    0 rows, never an error and never interpolated SQL (U5)."""
+    from secure_agent_api_vector_search_spark.operators.lookup import (
+        LOOKUP_COLUMNS,
+        get_record_by_id,
+    )
     from secure_agent_api_vector_search_spark.sources.tables import load_documents
 
-    return get_record_by_id(load_documents(spark, sf_dir), record_id)
+    docs = load_documents(spark, sf_dir)
+    try:
+        key = int(record_id)
+    except ValueError:
+        return docs.select(*LOOKUP_COLUMNS).limit(0)
+    return get_record_by_id(docs, key)
 
 
 _TOOLSETS: dict[str, tuple[Tool, ...]] = {
@@ -111,15 +125,19 @@ _TOOLSETS: dict[str, tuple[Tool, ...]] = {
             name="find_similar_customer_records",
             description="Semantic search over insurance policies and articles.",
             parameters=(
+                # both parameters are REQUIRED, as in the reference: the
+                # toolbox config (tools.yaml:18-21) declares them with no
+                # optionality and the statement binds both $1 and $2
                 ToolParam("query_text", "string", "natural-language search query"),
-                ToolParam("limit", "integer", "max results", required=False),
+                ToolParam("limit", "integer", "max results"),
             ),
             fn=_find_similar,
         ),
         Tool(
             name="get_record_by_id",
             description="Retrieve a record by its unique ID.",
-            parameters=(ToolParam("record_id", "integer", "primary id"),),
+            # type STRING per tools.yaml:34-35 (reference ids are VARCHAR)
+            parameters=(ToolParam("record_id", "string", "primary id"),),
             fn=_get_record,
         ),
     ),

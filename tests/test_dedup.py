@@ -361,6 +361,10 @@ def test_ngram_jaccard_lsh_matches_exact(spark, docs):
     }
     assert set(lsh) <= set(exact)  # precision 1.0 (exact verify)
     assert len(lsh) >= 0.95 * len(exact)  # recall at the banding target
+    # every PLANTED near-dup (the +100000 tail-appended twins) must be
+    # recovered — this pins the recall story the catalog advertises
+    planted = {k for k in exact if k[0] >= 100000 or k[1] >= 100000}
+    assert planted and planted <= set(lsh)
     assert all(abs(exact[k] - lsh[k]) < 1e-12 for k in lsh)
 
 

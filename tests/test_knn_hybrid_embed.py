@@ -215,3 +215,42 @@ def test_knn_join_null_corpus_vectors_never_evict_candidates(spark):
     out = K.knn_join(q, corpus, k=3).collect()
     assert [r["neighbor_id"] for r in out] == [1, 2, 4]
     assert all(r["similarity"] is not None for r in out)
+
+
+def test_knn_join_null_element_scores_never_evict_candidates(spark):
+    """An array with a null ELEMENT passes the vector-level IsNotNull
+    scan filter but scores NULL -> NaN inside the Arrow combiner; the
+    combiner must drop it (pandas would sort NaN first under DESC and
+    evict a genuine candidate the downstream window never gets back)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [None, 1.0]),  # element-null: survives IsNotNull, scores NULL
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).repartition(1)
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "q_id long, q_vec array<double>")
+    out = K.knn_join(q, corpus, k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 4]
+    assert all(r["similarity"] is not None for r in out)
+
+
+def test_grouped_topk_null_element_never_evicts(spark):
+    """Same residual in topk_similar_grouped: the shared combiner holds
+    only rankable rows, so a null-element vector cannot occupy a head
+    slot that belongs to a genuine candidate."""
+    from secure_agent_api_vector_search_spark.operators import topk as TK
+
+    items = spark.createDataFrame(
+        [
+            ("g", 1, [1.0, 0.0]),
+            ("g", 2, [0.9, 0.1]),
+            ("g", 3, [None, 1.0]),
+            ("g", 4, [0.0, 1.0]),
+        ],
+        "grp string, vec_id long, embedding array<double>",
+    ).repartition(1)
+    out = TK.topk_similar_grouped(items, [1.0, 0.0], k=3, group_col="grp").collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 4]

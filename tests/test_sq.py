@@ -69,3 +69,23 @@ def test_build_sq_rejects_empty(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         SQ.build_sq(df)
+
+
+def test_encode_sq_skips_null_vectors(spark, emb, params):
+    """Not-yet-embedded rows (null vector, SURVEY §1.2 backfill state)
+    are excluded at encode time — same null policy as every other
+    vector operator — instead of crashing the Arrow batch."""
+    nulls = spark.createDataFrame(
+        [(99901, None), (99902, None)], "vec_id long, embedding array<double>"
+    )
+    mixed = emb.select("vec_id", "embedding").limit(20).unionByName(nulls)
+    codes = SQ.encode_sq(mixed, params)
+    assert codes.count() == 20
+    assert codes.filter("code is null").count() == 0
+    # and the search path tolerates a null code row defensively
+    q = [float(x) for x in emb.filter("vec_id = 7").head()["embedding"]]
+    withnull = codes.unionByName(
+        spark.createDataFrame([(99903, None)], "vec_id long, code binary")
+    )
+    got = {r["vec_id"] for r in SQ.sq_topk(withnull, params, q, k=5).collect()}
+    assert 99903 not in got and len(got) == 5

@@ -27,8 +27,12 @@ def test_schemas_are_llm_tool_shape():
     assert fs["name"] == "find_similar_customer_records"
     assert fs["parameters"]["type"] == "object"
     assert set(fs["parameters"]["properties"]) == {"query_text", "limit"}
-    assert fs["parameters"]["required"] == ["query_text"]
+    # both declared required, matching tools.yaml:18-21 (no optionality
+    # in the reference config; the statement binds $1 AND $2)
+    assert fs["parameters"]["required"] == ["query_text", "limit"]
     assert schemas[1]["parameters"]["required"] == ["record_id"]
+    # record_id is a STRING parameter (tools.yaml:34-35)
+    assert schemas[1]["parameters"]["properties"]["record_id"]["type"] == "string"
 
 
 def test_semantic_search_tool_end_to_end(spark, sf_dir):
@@ -42,18 +46,23 @@ def test_semantic_search_tool_end_to_end(spark, sf_dir):
 
 def test_lookup_tool_end_to_end(spark, sf_dir):
     _, get = load_toolset("customer_data_tools")
-    rows = get(spark, sf_dir, record_id=42).collect()
+    rows = get(spark, sf_dir, record_id="42").collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 42
-    assert get(spark, sf_dir, record_id=10**12).count() == 0
+    assert get(spark, sf_dir, record_id=str(10**12)).count() == 0
+    # a hostile string binds as a value, never as SQL: 0 rows, no error
+    # (the reference's VARCHAR id has the same injection-safe semantics)
+    assert get(spark, sf_dir, record_id="42; DROP TABLE docs").count() == 0
 
 
 def test_typed_invocation_rejections(spark, sf_dir):
     find, get = load_toolset("customer_data_tools")
     with pytest.raises(TypeError, match="missing required"):
         find(spark, sf_dir, limit=3)
+    with pytest.raises(TypeError, match="missing required"):
+        find(spark, sf_dir, query_text="x")  # limit is required, as in tools.yaml
     with pytest.raises(TypeError, match="unknown parameter"):
         find(spark, sf_dir, query_text="x", sql="DROP TABLE docs")
-    with pytest.raises(TypeError, match="must be integer"):
-        get(spark, sf_dir, record_id="42; DROP TABLE docs")
+    with pytest.raises(TypeError, match="must be string"):
+        get(spark, sf_dir, record_id=42)  # record_id is a string parameter
     with pytest.raises(TypeError, match="must be integer"):
         find(spark, sf_dir, query_text="x", limit=True)  # bool is not an int here
