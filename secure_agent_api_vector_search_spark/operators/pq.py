@@ -190,7 +190,13 @@ def pq_topk_rerank(
     sl = pq_topk(codes, codebook, query_vec, k=shortlist, id_col=id_col).select(id_col)
     q = [float(v) for v in query_vec]
     vec = F.col(vec_col).cast("array<double>")
-    qn = float(np.dot(q, q))
+    # sequential left-fold, NOT np.dot: numpy's pairwise summation can
+    # differ from the codegen fold (and DuckDB's list_dot_product) by an
+    # ulp, which breaks the exact q==e cancellation (l2sq of the query's
+    # own row must be exactly 0.0, bit-matching the oracle)
+    qn = 0.0
+    for v in q:
+        qn += v * v
     dim = len(q)
     from secure_agent_api_vector_search_spark.functions import vector as V
 
