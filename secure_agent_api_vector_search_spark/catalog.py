@@ -1218,15 +1218,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode path: deterministic netpbm payloads → parse
-    header + raster with numpy → dimensions/luminance/thumbnail digest."""
-    docs = load_documents(spark, sf_dir)
+    header + raster with numpy → dimensions/luminance/thumbnail digest.
+    rebalance first: both stages are Python map stages, and a 1-2-split
+    parquet scan would pin them to 1-2 cores."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
     return M.image_features(M.synthetic_image_payloads(docs)).orderBy("doc_id")
 
 
 def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode path: deterministic PCM WAV payloads → stdlib
-    wave decode → rate/duration/RMS/activity windows."""
-    docs = load_documents(spark, sf_dir)
+    """REAL audio decode path: deterministic PCM WAV payloads →
+    whole-batch vectorized PCM feature pass (header walk + reduceat;
+    operators/multimodal.py::_audio_feature_rows) →
+    rate/duration/RMS/activity windows. rebalanced for the same reason
+    as the image path."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
     return M.audio_features(M.synthetic_wav_payloads(docs)).orderBy("doc_id")
 
 

@@ -202,14 +202,30 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
-    """Inverse of :func:`decode_wav` for int16 PCM (test fixture)."""
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as f:
-        f.setnchannels(samples.shape[1])
-        f.setsampwidth(2)
-        f.setframerate(rate)
-        f.writeframes(samples.astype(np.int16).tobytes())
-    return buf.getvalue()
+    """Inverse of :func:`decode_wav` for int16 PCM. Writes the canonical
+    44-byte RIFF header directly — byte-identical to the stdlib ``wave``
+    writer's output (roundtrip pinned in tests) but without a
+    BytesIO+object per call, which matters when a synthesis/transcode
+    stage emits payloads per Arrow batch."""
+    ch = samples.shape[1]
+    data = samples.astype(np.int16).tobytes()
+    return b"".join(
+        (
+            b"RIFF",
+            (36 + len(data)).to_bytes(4, "little"),
+            b"WAVEfmt ",
+            (16).to_bytes(4, "little"),
+            (1).to_bytes(2, "little"),            # PCM
+            ch.to_bytes(2, "little"),
+            rate.to_bytes(4, "little"),
+            (rate * ch * 2).to_bytes(4, "little"),  # byte rate
+            (ch * 2).to_bytes(2, "little"),         # block align
+            (16).to_bytes(2, "little"),             # bits per sample
+            b"data",
+            len(data).to_bytes(4, "little"),
+            data,
+        )
+    )
 
 
 def synthetic_image_payloads(documents: DataFrame) -> DataFrame:
@@ -266,6 +282,155 @@ AUDIO_FEATURE_SCHEMA = (
     "duration_sec double, rms double, n_active_windows int"
 )
 
+_PCM_DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
+
+
+def _parse_wav_header(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """Cheap RIFF chunk walk (no stdlib ``wave`` object, no frame copy):
+    returns (rate, channels, sample_width_bytes, data_offset, data_len)
+    for plain PCM, or None when the payload needs the slow-path decoder
+    (compressed/extensible formats, truncated headers)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    rate = ch = width = -1
+    pos, n = 12, len(payload)
+    data_off = data_len = -1
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if cid == b"fmt " and size >= 16:
+            fmt = int.from_bytes(payload[pos + 8:pos + 10], "little")
+            if fmt != 1:  # not plain PCM — let stdlib wave judge it
+                return None
+            ch = int.from_bytes(payload[pos + 10:pos + 12], "little")
+            rate = int.from_bytes(payload[pos + 12:pos + 16], "little")
+            width = int.from_bytes(payload[pos + 22:pos + 24], "little") // 8
+        elif cid == b"data":
+            data_off, data_len = pos + 8, min(size, n - pos - 8)
+        pos += 8 + size + (size & 1)
+    if min(rate, ch, width, data_off) < 0 or ch == 0 or width not in _PCM_DTYPES:
+        return None
+    return rate, ch, width, data_off, data_len
+
+
+def _audio_feature_rows(
+    pdf: pd.DataFrame, window: int, activity_rms: float
+) -> pd.DataFrame:
+    """Whole-batch audio feature pass (the 100 TB hot path): one cheap
+    header parse per payload, then ONE concatenated numpy pipeline per
+    (dtype, channels) group — squared-sample sums via ``reduceat`` at
+    segment boundaries, so RMS and the activity envelope never loop
+    per row. Per-segment sums touch only that segment's samples, so
+    results don't depend on batch composition. Payloads the fast header
+    walk can't classify fall back to the stdlib decoder row-by-row."""
+    out_rate = np.zeros(len(pdf), dtype=np.int64)
+    out_n = np.zeros(len(pdf), dtype=np.int64)
+    out_ch = np.zeros(len(pdf), dtype=np.int64)
+    out_rms = np.zeros(len(pdf), dtype=np.float64)
+    out_act = np.zeros(len(pdf), dtype=np.int64)
+
+    payloads = [bytes(b) for b in pdf["payload"]]
+    groups: dict[tuple[int, int], list[int]] = {}
+    headers: list[tuple[int, int, int, int, int] | None] = []
+    for i, b in enumerate(payloads):
+        h = _parse_wav_header(b)
+        headers.append(h)
+        if h is None:
+            rate, x = decode_wav(b)  # slow path: stdlib wave
+            mono = x.astype(np.float64).mean(axis=1)
+            nf = len(mono)
+            out_rate[i], out_n[i], out_ch[i] = rate, nf, x.shape[1]
+            out_rms[i] = float(np.sqrt(np.mean(mono**2))) if nf else 0.0
+            nwin = nf // window
+            if nwin:
+                fr = mono[: nwin * window].reshape(nwin, window)
+                out_act[i] = int(
+                    (np.sqrt(np.mean(fr**2, axis=1)) >= activity_rms).sum()
+                )
+        else:
+            groups.setdefault((h[2], h[1]), []).append(i)
+
+    thresh_sq = float(activity_rms) ** 2 * window
+    for (width, ch), idxs in groups.items():
+        dtype = _PCM_DTYPES[width]
+        segs = []
+        n_frames = np.empty(len(idxs), dtype=np.int64)
+        for j, i in enumerate(idxs):
+            rate, _ch, _w, off, dlen = headers[i]
+            usable = (dlen // (width * ch)) * ch  # whole frames only
+            segs.append(
+                np.frombuffer(payloads[i], dtype=dtype, count=usable, offset=off)
+            )
+            n_frames[j] = usable // ch
+            out_rate[i], out_n[i], out_ch[i] = rate, n_frames[j], ch
+        flat = np.concatenate(segs) if segs else np.empty(0, dtype=dtype)
+        # every segment holds whole frames, so the group-wide reshape
+        # keeps frame boundaries aligned across segments
+        mono = flat.astype(np.float64).reshape(-1, ch).mean(axis=1)
+        sq = mono * mono
+        starts = np.concatenate(([0], np.cumsum(n_frames)))[:-1]
+        nz = n_frames > 0
+        if nz.any():
+            seg_sums = np.zeros(len(idxs), dtype=np.float64)
+            # reduceat needs strictly valid indices: compute on the
+            # non-empty segments and scatter back
+            valid_starts = starts[nz]
+            sums = np.add.reduceat(sq, valid_starts) if len(sq) else np.array([])
+            seg_sums[nz] = sums
+            for j, i in enumerate(idxs):
+                out_rms[i] = (
+                    float(np.sqrt(seg_sums[j] / n_frames[j])) if n_frames[j] else 0.0
+                )
+        # activity windows: one reduceat over the window starts of ALL
+        # segments; a sentinel start at each segment's tail keeps the
+        # remainder out of the last window
+        nwin = n_frames // window
+        if nwin.sum() > 0:
+            win_starts, owner, is_win = [], [], []
+            for j in range(len(idxs)):
+                if nwin[j]:
+                    ws = starts[j] + window * np.arange(nwin[j], dtype=np.int64)
+                    win_starts.append(ws)
+                    owner.append(np.full(nwin[j], j, dtype=np.int64))
+                    is_win.append(np.ones(nwin[j], dtype=bool))
+                    tail = starts[j] + nwin[j] * window
+                    if tail < starts[j] + n_frames[j]:
+                        win_starts.append(np.array([tail], dtype=np.int64))
+                        owner.append(np.array([j], dtype=np.int64))
+                        is_win.append(np.array([False]))
+                elif n_frames[j]:
+                    # frames but no full window: a sentinel at the segment
+                    # START terminates the previous segment's last interval,
+                    # so these samples never leak into a neighbor's window
+                    win_starts.append(np.array([starts[j]], dtype=np.int64))
+                    owner.append(np.array([j], dtype=np.int64))
+                    is_win.append(np.array([False]))
+            ws = np.concatenate(win_starts)
+            own = np.concatenate(owner)
+            real = np.concatenate(is_win)
+            order = np.argsort(ws, kind="stable")
+            ws, own, real = ws[order], own[order], real[order]
+            wsums = np.add.reduceat(sq, ws)
+            active_mask = real & (wsums >= thresh_sq)
+            counts = np.bincount(own[active_mask], minlength=len(idxs))
+            for j, i in enumerate(idxs):
+                out_act[i] = int(counts[j])
+
+    rates = out_rate.astype(np.float64)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "sample_rate": out_rate,
+            "n_samples": out_n,
+            "n_channels": out_ch,
+            "duration_sec": np.divide(
+                out_n, rates, out=np.zeros(len(pdf)), where=rates > 0
+            ),
+            "rms": out_rms,
+            "n_active_windows": out_act,
+        }
+    )
+
 
 def audio_features(
     with_payload: DataFrame, window: int = 1024, activity_rms: float = 100.0
@@ -273,32 +438,12 @@ def audio_features(
     """REAL audio decode → features via mapInPandas: rate/duration/RMS
     plus an energy-envelope frame-sample (count of ``window``-sample
     frames whose RMS clears ``activity_rms`` — the voice-activity
-    screen of an audio curation pipeline)."""
+    screen of an audio curation pipeline). PCM payloads take the
+    whole-batch vectorized pass (:func:`_audio_feature_rows`); anything
+    the cheap header walk can't classify uses the stdlib decoder."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, x = decode_wav(bytes(payload))
-                mono = x.astype(np.float64).mean(axis=1)
-                n = len(mono)
-                rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
-                nwin = n // window
-                active = 0
-                if nwin:
-                    frames = mono[: nwin * window].reshape(nwin, window)
-                    wrms = np.sqrt(np.mean(frames**2, axis=1))
-                    active = int((wrms >= activity_rms).sum())
-                rows.append(
-                    (doc_id, rate, n, x.shape[1], n / rate if rate else 0.0,
-                     rms, active)
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "sample_rate", "n_samples", "n_channels",
-                    "duration_sec", "rms", "n_active_windows",
-                ],
-            )
+            yield _audio_feature_rows(pdf, window, activity_rms)
 
     return with_payload.mapInPandas(op, schema=AUDIO_FEATURE_SCHEMA)

@@ -85,3 +85,63 @@ def test_audio_features_corpus(spark, docs):
     out = M.audio_features(payloads).collect()
     assert len(out) == 20
     assert all(r["rms"] > 0 and r["duration_sec"] > 0 for r in out)
+
+
+def test_audio_features_vectorized_parity_mixed_batch(spark):
+    """The whole-batch reduceat pass must agree with the per-row stdlib
+    reference on a deliberately adversarial single batch: stereo, 8-bit,
+    a window-exact segment followed by a frames-but-no-window segment
+    (the reduceat boundary-leak case), and an empty-data payload."""
+    import pandas as pd
+
+    rate, window = 8000, 64
+    rng = np.random.default_rng(7)
+
+    def tone16(n, ch):
+        return (2000 * rng.standard_normal((n, ch))).astype(np.int16)
+
+    payloads = [
+        M.encode_wav(tone16(3 * window, 1), rate),        # aligned, no tail
+        M.encode_wav(tone16(window // 2, 1), rate),        # frames, no window
+        M.encode_wav(tone16(5 * window + 7, 2), rate),     # stereo with tail
+        M.encode_wav(tone16(0, 1), rate),                  # empty data chunk
+    ]
+    # an 8-bit PCM payload (uint8 samples — different dtype group)
+    buf8 = np.asarray(rng.integers(0, 255, size=(2 * window + 3, 1)), dtype=np.uint8)
+    import io as _io
+    import wave as _wave
+
+    b = _io.BytesIO()
+    with _wave.open(b, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(1)
+        f.setframerate(rate)
+        f.writeframes(buf8.tobytes())
+    payloads.append(b.getvalue())
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(len(payloads))), "payload": payloads})
+    ).coalesce(1)  # ONE batch: all segments share the concatenated pass
+    got = {r["doc_id"]: r for r in M.audio_features(df, window=window).collect()}
+
+    for i, payload in enumerate(payloads):
+        r, x = M.decode_wav(payload)
+        mono = x.astype(np.float64).mean(axis=1) if len(x) else np.empty(0)
+        n = len(mono)
+        rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+        nwin = n // window
+        act = 0
+        if nwin:
+            fr = mono[: nwin * window].reshape(nwin, window)
+            act = int((np.sqrt(np.mean(fr**2, axis=1)) >= 100.0).sum())
+        g = got[i]
+        assert g["sample_rate"] == r and g["n_samples"] == n
+        assert g["n_channels"] == x.shape[1]
+        assert g["rms"] == pytest.approx(rms, rel=1e-12)
+        assert g["n_active_windows"] == act, f"doc {i}"
+
+
+def test_wav_header_fast_path_rejects_non_pcm():
+    """Truncated / non-RIFF payloads return None (slow path decides)."""
+    assert M._parse_wav_header(b"nope") is None
+    assert M._parse_wav_header(b"RIFF" + b"\x00" * 64) is None
