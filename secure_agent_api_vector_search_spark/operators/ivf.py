@@ -40,18 +40,31 @@ from pyspark.sql import functions as F
 
 @dataclass
 class IvfIndex:
-    """In-memory handle: assigned corpus + centroid table."""
+    """In-memory handle: assigned corpus + centroid table.
+
+    ``metric`` is the ROUTING metric the centroids were trained under
+    ("l2" or "cosine") — scoring metric is chosen per query at probe
+    time (cosine is scale-invariant, so cosine scoring over any routing
+    is well-defined; the recall question is whether routing agrees with
+    it, see :func:`_fit_centroids`)."""
 
     assigned: DataFrame          # corpus columns + list_id
     centroids: list[list[float]]  # list_id -> centroid vector
     id_col: str = "vec_id"
     vec_col: str = "embedding"
+    metric: str = "l2"
 
 
 def _fit_centroids(
-    embeddings: DataFrame, vec_col: str, n_lists: int, seed: int = 42, sample_cap: int = 262_144
+    embeddings: DataFrame,
+    vec_col: str,
+    n_lists: int,
+    seed: int = 42,
+    sample_cap: int = 262_144,
+    metric: str = "l2",
 ) -> list[list[float]]:
-    """Coarse-quantizer training: k-means on a bounded driver sample.
+    """Coarse-quantizer training: k-means on a bounded driver sample,
+    with a DISTRIBUTED escape hatch above the sample budget.
 
     This is the standard IVF recipe (what faiss does): centroid quality
     needs ~100·k training points, not the full corpus, so a ≤256k-row
@@ -61,22 +74,74 @@ def _fit_centroids(
     distributed, and it is a shuffle-free map. A distributed MLlib
     KMeans fit costs ~2 Spark jobs per iteration and is strictly slower
     below ~10M training rows.
+
+    Escape hatch: the ~100·k rule breaks the cap at k ≳ 2,600 (the √n
+    sizing reaches that around n ≈ 7M vectors) — when
+    ``n_lists * 100 > sample_cap``, the fit switches to
+    `pyspark.ml.clustering.KMeans` over the FULL corpus (k-means||
+    seeding, no driver collect), so training quality no longer depends
+    on a driver-sized sample. Train/assign parity holds either way:
+    MLlib only supplies the centers; every assignment still goes through
+    the one BLAS map in :func:`_nearest_lists_udf`, identical math for
+    both fit paths.
+
+    ``metric="cosine"`` trains on UNIT-normalized vectors and returns
+    UNIT centroids (spherical k-means up to the final projection). With
+    all-unit centroids, plain L2 assignment/ranking of a raw vector x is
+    exactly cosine order — argmin ‖x−c‖² = argmax x·c when ‖c‖ ≡ 1 — so
+    the probe/assign code needs no metric branch and an UNNORMALIZED
+    corpus routes correctly. This closes the reference's V6 trap from
+    the other side: its ivfflat index is built `vector_l2_ops`
+    (sql/05_vector_index.sql:4) while its query scores cosine
+    (tools.yaml:26), so routing silently disagrees with scoring.
     """
     import numpy as np
 
     from secure_agent_api_vector_search_spark.functions.kmeans import lloyd
+    from secure_agent_api_vector_search_spark.functions.vector import normalize
 
-    n = embeddings.count()
-    frac = min(1.0, sample_cap / max(n, 1))
-    sample = embeddings if frac >= 1.0 else embeddings.sample(fraction=frac, seed=seed)
-    x = np.array(
-        [r[0] for r in sample.select(F.col(vec_col).cast("array<double>")).collect()]
+    vecs = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias(vec_col)
     )
-    # O(k·n) k-means++ seeding + chunked Lloyd (functions/kmeans.py) —
-    # keeps the √n list sizing honest: k≈10k on the 256k-cap sample
-    # seeds in seconds, not the hours of the naive O(k²·n) loop.
-    c = lloyd(x, n_lists, np.random.default_rng(seed), iters=20)
+    if metric == "cosine":
+        # zero-norm vectors normalize to NULL — no direction, nothing to train on
+        vecs = vecs.select(normalize(vec_col).alias(vec_col)).filter(
+            F.col(vec_col).isNotNull()
+        )
+    elif metric != "l2":
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
+
+    if n_lists * 100 > sample_cap:
+        c = _fit_centroids_distributed(vecs, vec_col, n_lists, seed)
+    else:
+        n = vecs.count()
+        frac = min(1.0, sample_cap / max(n, 1))
+        sample = vecs if frac >= 1.0 else vecs.sample(fraction=frac, seed=seed)
+        x = np.array([r[0] for r in sample.collect()])
+        # O(k·n) k-means++ seeding + chunked Lloyd (functions/kmeans.py) —
+        # keeps the √n list sizing honest: k≈10k on the 256k-cap sample
+        # seeds in seconds, not the hours of the naive O(k²·n) loop.
+        c = lloyd(x, n_lists, np.random.default_rng(seed), iters=20)
+
+    if metric == "cosine":
+        norms = np.linalg.norm(c, axis=1)
+        norms[norms == 0.0] = 1.0
+        c = c / norms[:, None]
     return [[float(v) for v in row] for row in c]
+
+
+def _fit_centroids_distributed(
+    vecs: DataFrame, vec_col: str, n_lists: int, seed: int
+) -> "np.ndarray":
+    """MLlib k-means|| fit over the full corpus — the above-the-cap
+    path of :func:`_fit_centroids`. Nothing but the k×d centroid matrix
+    ever reaches the driver."""
+    from pyspark.ml.clustering import KMeans as MlKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vecs.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = MlKMeans(k=n_lists, seed=seed, maxIter=20, tol=1e-4).fit(feats)
+    return np.asarray(model.clusterCenters(), dtype=np.float64)
 
 
 def _nearest_lists_udf(centroids: list[list[float]], nprobe: int):
@@ -136,30 +201,43 @@ def build_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    metric: str = "l2",
 ) -> IvfIndex:
     """Fit + assign. ``n_lists`` defaults to √n (pgvector's own sizing
-    guidance; the reference hardcodes 100 for its corpus)."""
+    guidance; the reference hardcodes 100 for its corpus).
+
+    ``metric="cosine"`` makes routing cosine-consistent (unit centroids,
+    see :func:`_fit_centroids`) — pass it whenever queries score cosine
+    over a corpus that is not unit-normalized; the default "l2" mirrors
+    the reference's `vector_l2_ops` build."""
     if n_lists is None:
         n_lists = max(2, int(math.sqrt(embeddings.count())))
-    centroids = _fit_centroids(embeddings, vec_col, n_lists, seed=seed)
-    return IvfIndex(assign_lists(embeddings, centroids, vec_col), centroids, id_col, vec_col)
+    centroids = _fit_centroids(embeddings, vec_col, n_lists, seed=seed, metric=metric)
+    return IvfIndex(
+        assign_lists(embeddings, centroids, vec_col), centroids, id_col, vec_col, metric
+    )
 
 
 def write_ivf(index: IvfIndex, path: str) -> None:
     """Persist the index: corpus partitioned BY LIST (so probing is
-    partition pruning on disk) + centroids as one small parquet."""
+    partition pruning on disk) + centroids as one small parquet (which
+    also carries the routing metric, so a reader probes the same way
+    the builder routed)."""
     index.assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
     spark = index.assigned.sparkSession
-    rows = [(i, c) for i, c in enumerate(index.centroids)]
-    spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/centroids")
+    rows = [(i, c, index.metric) for i, c in enumerate(index.centroids)]
+    spark.createDataFrame(
+        rows, "list_id int, centroid array<double>, metric string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def read_ivf(spark: SparkSession, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> IvfIndex:
     assigned = spark.read.parquet(f"{path}/lists")
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
-    return IvfIndex(assigned, [list(r["centroid"]) for r in cent_rows], id_col, vec_col)
+    cent = spark.read.parquet(f"{path}/centroids")
+    # pre-metric layouts (no `metric` column) were always l2-routed
+    metric = "l2" if "metric" not in cent.columns else cent.first()["metric"]
+    cent_rows = cent.orderBy("list_id").collect()
+    return IvfIndex(assigned, [list(r["centroid"]) for r in cent_rows], id_col, vec_col, metric)
 
 
 def rebuild_ivf(
@@ -169,6 +247,7 @@ def rebuild_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    metric: str | None = None,
 ) -> IvfIndex:
     """Compaction: re-train centroids over the CURRENT corpus (base
     build + everything streamed in since) and rewrite the lists layout.
@@ -190,10 +269,74 @@ def rebuild_ivf(
     # read from (write-over-read is undefined otherwise)
     corpus.persist()
     corpus.count()
-    index = build_ivf(corpus, n_lists=n_lists, vec_col=vec_col, id_col=id_col, seed=seed)
+    index = build_ivf(
+        corpus,
+        n_lists=n_lists,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+        metric=old.metric if metric is None else metric,
+    )
     write_ivf(index, path)
     corpus.unpersist()
     return read_ivf(spark, path, id_col, vec_col)
+
+
+def list_balance_stats(index: IvfIndex) -> dict:
+    """Index-health metric for the maintenance loop: per-list sizes
+    reduced to one driver-sized summary (one distributed groupBy over
+    8-byte keys; only `n_lists` aggregate rows ever leave the cluster).
+
+    ``skew`` = max_list / mean_list over NON-EMPTY lists (1.0 = perfectly
+    balanced; pgvector's ivfflat degrades the same way under drifted
+    writes — this is the measurement its REINDEX guidance assumes you
+    eyeball). ``empty_lists`` counts trained centroids that own no rows —
+    probes aimed there scan nothing, a recall-for-free loss."""
+    sizes = index.assigned.groupBy("list_id").count()
+    row = sizes.agg(
+        F.count("*").alias("nonempty"),
+        F.max("count").alias("max_list"),
+        F.avg("count").alias("mean_list"),
+        F.sum("count").alias("n_rows"),
+    ).first()
+    nonempty = int(row["nonempty"] or 0)
+    mean = float(row["mean_list"] or 0.0)
+    return {
+        "n_lists": len(index.centroids),
+        "empty_lists": len(index.centroids) - nonempty,
+        "n_rows": int(row["n_rows"] or 0),
+        "max_list": int(row["max_list"] or 0),
+        "mean_list": mean,
+        "skew": (float(row["max_list"]) / mean) if mean > 0 else 0.0,
+    }
+
+
+def rebuild_if_skewed(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 4.0,
+    n_lists: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[IvfIndex, bool]:
+    """The IVF maintenance job: measure list skew, re-cluster only when
+    it crosses ``threshold``. Returns (index, rebuilt?).
+
+    This is what keeps :func:`streaming.ingest.start_indexed_ingest`
+    honest at scale — streamed appends assign against FROZEN centroids,
+    so a drifting ingest distribution piles rows into a few lists
+    (ballooning probe cost) and leaves new-region structure split across
+    stale Voronoi cells (recall loss at low nprobe). Run this on the
+    compaction cadence (pgvector ivfflat's "REINDEX after heavy writes",
+    sql/05_vector_index.sql's index has the identical failure mode);
+    below threshold it costs ONE count-aggregate job and touches
+    nothing."""
+    index = read_ivf(spark, path, id_col, vec_col)
+    stats = list_balance_stats(index)
+    if stats["skew"] <= threshold:
+        return index, False
+    return rebuild_ivf(spark, path, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed), True
 
 
 def _rank_lists(centroids: list[list[float]], query_vec: Sequence[float]) -> list[int]:
