@@ -73,6 +73,7 @@ HEADLINE = [
     "doc_quality",
     "hybrid_search",
     "embed_texts",
+    # --- SHARED31 boundary: everything above is the round-1..3 set ---
     # round-4 additions: LLM-pipeline operators + funnel
     "duplicate_ngram_stats",
     "semantic_dedup",
@@ -85,6 +86,12 @@ HEADLINE = [
     "events_engagement",
     "top_terms_by_lang",
 ]
+
+# The cross-round comparison set: the 31 queries every round since r1 has
+# benched. BASELINE comparisons and round-over-round deltas use THESE
+# subtotals; the full-set total keeps growing as operators are added, so
+# it is not a comparable number on its own.
+SHARED31 = HEADLINE[:31]
 
 
 def _lsh_diagnostics(spark, sf_dir: str) -> dict:
@@ -208,6 +215,8 @@ def main() -> int:
         "queries": cold,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "shared31_total": round(sum(cold.get(q, 0.0) for q in SHARED31), 3),
+        "shared31_warm_total": round(sum(warm.get(q, 0.0) for q in SHARED31), 3),
         "errors": errors,
         "lsh_diagnostics": _lsh_diagnostics(spark, sf_dir),
         "dim768": _dim768_probe(spark, sf_dir),
