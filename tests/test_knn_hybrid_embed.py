@@ -21,6 +21,7 @@ def test_knn_join_self_is_rank_one(emb):
     for r in got:
         by_q.setdefault(r["q_id"], []).append(r)
     for q_id, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])  # output order is unspecified
         assert rows[0]["rank"] == 1
         assert rows[0]["neighbor_id"] == q_id  # the vector itself
         assert rows[0]["similarity"] == pytest.approx(1.0)
@@ -63,8 +64,9 @@ def test_knn_join_combiner_bounds_window_exchange(spark, emb):
     ).count()
     assert reduced_rows <= 5 * 3 * max(n_parts, 1) < 5 * n_corpus
 
-    # answer parity with the unreduced window form
-    got = [(r["q_id"], r["rank"], r["neighbor_id"]) for r in out.collect()]
+    # answer parity with the unreduced window form (sorted client-side:
+    # operator output order is unspecified)
+    got = sorted((r["q_id"], r["rank"], r["neighbor_id"]) for r in out.collect())
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(
@@ -81,10 +83,9 @@ def test_knn_join_combiner_bounds_window_exchange(spark, emb):
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .orderBy("q_id", "rank")
         .collect()
     )
-    assert got == [(r["q_id"], r["rank"], r["neighbor_id"]) for r in ref]
+    assert got == sorted((r["q_id"], r["rank"], r["neighbor_id"]) for r in ref)
 
 
 def test_knn_classify_tiny(spark):
@@ -212,7 +213,7 @@ def test_knn_join_null_corpus_vectors_never_evict_candidates(spark):
         "vec_id long, embedding array<double>",
     ).repartition(1)  # one partition -> nulls share the combiner state
     q = spark.createDataFrame([(0, [1.0, 0.0])], "q_id long, q_vec array<double>")
-    out = K.knn_join(q, corpus, k=3).collect()
+    out = sorted(K.knn_join(q, corpus, k=3).collect(), key=lambda r: r["rank"])
     assert [r["neighbor_id"] for r in out] == [1, 2, 4]
     assert all(r["similarity"] is not None for r in out)
 
@@ -232,7 +233,7 @@ def test_knn_join_null_element_scores_never_evict_candidates(spark):
         "vec_id long, embedding array<double>",
     ).repartition(1)
     q = spark.createDataFrame([(0, [1.0, 0.0])], "q_id long, q_vec array<double>")
-    out = K.knn_join(q, corpus, k=3).collect()
+    out = sorted(K.knn_join(q, corpus, k=3).collect(), key=lambda r: r["rank"])
     assert [r["neighbor_id"] for r in out] == [1, 2, 4]
     assert all(r["similarity"] is not None for r in out)
 
