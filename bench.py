@@ -85,6 +85,9 @@ HEADLINE = [
     "events_retention",
     "events_engagement",
     "top_terms_by_lang",
+    # round-5 additions: incremental-ingest dedup + deterministic epoch shuffle
+    "dedup_incremental",
+    "epoch_shuffle",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

@@ -421,6 +421,28 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_groups_normalized(_docs_with_noisy_dups(spark, sf_dir)).orderBy("keeper_id")
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py::dedup_incremental):
+    even-id documents are the already-curated corpus; the arriving batch
+    is the odd-id documents ∪ case/punct-perturbed copies of seen docs
+    (cross-corpus dups) ∪ verbatim re-id'd copies of batch docs
+    (within-batch dups). Survivors are the odd originals minus any
+    pre-existing cross-parity normalized collisions — the oracle replays
+    the identical anti-join + keep-min-id pipeline."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    cross_dups = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
+        "lang", "source",
+    )
+    within_dups = docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "text", "lang", "source"
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionAll(cross_dups).unionAll(within_dups)
+    return D.dedup_incremental(batch, seen).select("doc_id", "lang", "source")
+
+
 def _normalized_chain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-id pairs CHAINED within each normalized-fingerprint
     group of the noisy-dup corpus: a group {3, 200003, 400003} yields
@@ -635,6 +657,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.dataset_split(load_documents(spark, sf_dir))
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.epoch_shuffle(load_documents(spark, sf_dir), n_shards=32)
 
 
 def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1797,6 +1823,34 @@ FROM all_docs GROUP BY fp HAVING COUNT(*) > 1 ORDER BY keeper_id""",
         tags=("dedup",)))
 
     r.register(NamedQuery(
+        "dedup_incremental", dedup_incremental,
+        oracle_sql=f"""
+WITH base AS (SELECT doc_id, text, lang, source FROM documents),
+batch AS (
+  SELECT doc_id, text, lang, source FROM base WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, upper(text) || ' !!!' AS text, lang, source
+  FROM base WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id, text, lang, source
+  FROM base WHERE doc_id % 4 = 1),
+fp AS (SELECT *, md5({_NORM_TEXT.format(t='text')}) AS fp FROM batch),
+fresh AS (
+  SELECT * FROM fp
+  WHERE fp NOT IN (SELECT md5({_NORM_TEXT.format(t='text')})
+                   FROM base WHERE doc_id % 2 = 0))
+SELECT f.doc_id, f.lang, f.source
+FROM fresh f
+JOIN (SELECT fp, MIN(doc_id) AS m FROM fresh GROUP BY fp) k
+  ON f.fp = k.fp AND f.doc_id = k.m
+ORDER BY f.doc_id""",
+        description="[EXT] incremental dedup: anti-join the arriving batch "
+                    "against the curated corpus's normalized fingerprints, "
+                    "then keep-min-id within the batch — O(batch) steady-state "
+                    "cost, the day-to-day 100 TB ingest shape",
+        tags=("dedup",)))
+
+    r.register(NamedQuery(
         "dedup_components_keep_first", dedup_components_keep_first,
         oracle_sql=f"""
 WITH all_docs AS (
@@ -2104,6 +2158,23 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id""",
         description="[EXT] deterministic train/val/test split (stable md5 key hash; "
                     "membership invariant under corpus growth)",
+        tags=("curation",)))
+
+    r.register(NamedQuery(
+        "epoch_shuffle", epoch_shuffle,
+        oracle_sql="""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'epoch-0'), 1, 15)) AS BIGINT) AS order_hash
+  FROM documents)
+SELECT doc_id, order_hash, CAST(order_hash % 32 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY order_hash % 32
+                               ORDER BY order_hash, doc_id) AS INT) AS pos
+FROM h ORDER BY shard, pos""",
+        description="[EXT] deterministic epoch shuffle: stable-hash global "
+                    "training order as (shard, pos) — reproducible across "
+                    "retries, one hash exchange + within-shard sort, no "
+                    "global sort",
         tags=("curation",)))
 
     r.register(NamedQuery(
@@ -2587,6 +2658,9 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
+    # round-5 session-2 additions — never checked
+    "dedup_incremental",
+    "epoch_shuffle",
     # round-5 exactness-limit gates — never checked, each carries a NEW
     # oracle for a previously rows-only family
     "ivf_topk_fullprobe",

@@ -196,3 +196,44 @@ def contamination_check(
         )
         .orderBy(id_col)
     )
+
+
+def epoch_shuffle(
+    documents: DataFrame,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    seed: str = "epoch-0",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every
+    document a (shard, pos) for one training epoch.
+
+    Training pipelines need a REPRODUCIBLE global shuffle per epoch —
+    `orderBy(rand())` is neither reproducible across retries nor
+    restartable mid-epoch, and a true global sort of 100 TB is an
+    all-data range exchange. This is the standard alternative: a stable
+    hash of (key, epoch seed) IS the shuffle order. Every property a
+    trainer needs follows: the order is a pure function of (key, seed),
+    so any failed shard re-derives identically; a different ``seed``
+    value gives an independent permutation per epoch; readers stream
+    shard files in pos order with no coordination.
+
+    Plan shape: one hash exchange on ``shard`` + a within-shard sort
+    (exactly the `repartition(n).sortWithinPartitions` write layout) —
+    NO global sort, no sampling job. The hash is the cross-engine
+    md5-60bit recipe shared with :func:`dataset_split`, so the full
+    assignment (hash, shard, pos) is oracle-checked.
+
+    Output: (id, order_hash, shard, pos), pos = 1..|shard| dense within
+    each shard. Note pos is NOT growth-invariant (inserting a document
+    shifts later positions within its shard — inherent to any dense
+    epoch order); shard and order_hash are.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    hashed = documents.select(F.col(id_col), h.alias("order_hash")).withColumn(
+        "shard", (F.col("order_hash") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("order_hash", id_col)
+    return hashed.withColumn("pos", F.row_number().over(w))

@@ -1323,3 +1323,35 @@ def embedding_similarity_join(
         .filter(F.col("cosine") >= threshold)
         .transform(_pair_order)
     )
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup: keep the NEW-batch rows that are not
+    (normalized-text) duplicates of the already-curated corpus, nor of
+    an earlier row in the batch itself (keep-min-id, the same policy as
+    :func:`dedup_exact` / dedup_normalized).
+
+    This is the shape a 100 TB pipeline actually runs day to day:
+    re-deduplicating the whole corpus per ingest batch is O(corpus);
+    checking the batch against a materialized fingerprint table is
+    O(batch). The ``seen`` side only ever contributes 16-byte md5
+    fingerprints to the anti-join — at scale it is a pre-computed
+    fingerprint table (not the documents), and bucketing it by ``fp``
+    makes the anti-join shuffle-free on the corpus side, so steady-state
+    cost is proportional to the CHANGE rate, not the table size (the
+    same argument as pipelines.merge_upsert). Both stages are plain
+    shuffled joins on fixed-width keys; no collect anywhere.
+
+    Output: the surviving batch rows (original columns).
+    """
+    fp = F.md5(X.normalized_text(text_col))
+    seen_fp = seen.select(fp.alias("fp")).distinct()
+    tagged = batch.withColumn("fp", fp)
+    fresh = tagged.join(seen_fp, "fp", "left_anti")
+    keepers = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keepers, ["fp", id_col], "left_semi").drop("fp")

@@ -113,3 +113,42 @@ def test_quality_percentile_filter_keeps_per_group_fraction(docs):
         if r["max_dropped"] is not None:
             assert r["min_kept"] >= r["max_dropped"]
     out.unpersist()
+
+
+def test_epoch_shuffle_deterministic_and_dense(docs, spark):
+    from secure_agent_api_vector_search_spark.operators.curation import epoch_shuffle
+
+    a = epoch_shuffle(docs, n_shards=8).collect()
+    b = epoch_shuffle(docs, n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # pure function of (key, seed)
+    assert len(a) == docs.count()
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))  # dense 1..|shard|
+
+
+def test_epoch_shuffle_seed_changes_order_but_not_membership(docs):
+    from secure_agent_api_vector_search_spark.operators.curation import epoch_shuffle
+
+    e0 = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_shuffle(docs, n_shards=8).collect()}
+    e1 = {r["doc_id"]: (r["shard"], r["pos"])
+          for r in epoch_shuffle(docs, n_shards=8, seed="epoch-1").collect()}
+    assert set(e0) == set(e1)                     # same corpus, both epochs
+    assert e0 != e1                               # a different permutation
+
+
+def test_epoch_shuffle_hash_and_shard_growth_invariant(docs):
+    """order_hash/shard of an existing doc never change when the corpus
+    grows (only dense positions shift) — restartable incremental epochs."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators.curation import epoch_shuffle
+
+    full = {r["doc_id"]: (r["order_hash"], r["shard"])
+            for r in epoch_shuffle(docs, n_shards=8).collect()}
+    half = {r["doc_id"]: (r["order_hash"], r["shard"])
+            for r in epoch_shuffle(docs.filter(F.col("doc_id") % 2 == 0), n_shards=8).collect()}
+    assert all(full[k] == v for k, v in half.items())

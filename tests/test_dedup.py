@@ -396,3 +396,38 @@ def test_lsh_paths_have_no_interpreted_pair_expansion(docs, emb):
         # legitimately use collect_set, so collect_list alone is the pin
         # (scan-side per-token lambdas are bounded per doc and fine)
         assert "collect_list" not in plan, name
+
+
+def test_dedup_incremental_drops_seen_and_batch_dups(spark):
+    from secure_agent_api_vector_search_spark.operators.dedup import dedup_incremental
+
+    seen = spark.createDataFrame(
+        [(0, "The quick brown fox."), (2, "Lorem ipsum dolor sit amet.")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the QUICK brown fox!!"),   # normalized dup of seen doc 0
+            (11, "A genuinely new document"),
+            (12, "a genuinely NEW document"),  # within-batch dup of 11
+            (13, "Another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_incremental(batch, seen).collect())
+    assert kept == [11, 13]
+
+
+def test_dedup_incremental_idempotent_after_absorbing_batch(spark):
+    """Once the kept batch is folded into `seen`, re-running the same
+    batch yields nothing — the steady-state ingest invariant."""
+    from secure_agent_api_vector_search_spark.operators.dedup import dedup_incremental
+
+    seen = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(5, "gamma delta"), (6, "ALPHA beta")], "doc_id long, text string"
+    )
+    kept = dedup_incremental(batch, seen)
+    assert [r["doc_id"] for r in kept.collect()] == [5]
+    grown = seen.unionByName(kept)
+    assert dedup_incremental(batch, grown).count() == 0
