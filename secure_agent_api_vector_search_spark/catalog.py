@@ -785,7 +785,7 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_bpe_tokens"),
         TX.X.token_count("text").cast("long").alias("n_ws_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 FLAGSHIP_QUERY_TEXT = "water damage mitigation procedures for flooded basements"
@@ -1231,7 +1231,7 @@ def embed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 9
         ).alias("emb_l1"),
-    ).orderBy("doc_id")
+    )
 
 
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,7 +1248,9 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebalance first: both stages are Python map stages, and a 1-2-split
     parquet scan would pin them to 1-2 cores."""
     docs = rebalance_if_narrow(load_documents(spark, sf_dir))
-    return M.image_features(M.synthetic_image_payloads(docs)).orderBy("doc_id")
+    # no trailing orderBy: a global sort after a map-only decode plan
+    # re-executes the decode UDF in the range-sampling pass (2x decode)
+    return M.image_features(M.synthetic_image_payloads(docs))
 
 
 def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1258,7 +1260,7 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate/duration/RMS/activity windows. rebalanced for the same reason
     as the image path."""
     docs = rebalance_if_narrow(load_documents(spark, sf_dir))
-    return M.audio_features(M.synthetic_wav_payloads(docs)).orderBy("doc_id")
+    return M.audio_features(M.synthetic_wav_payloads(docs))
 
 
 # ---------------------------------------------------------------------------

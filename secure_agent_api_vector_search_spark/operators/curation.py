@@ -109,7 +109,7 @@ def pii_redact(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
         F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
         redacted.alias("redacted_text"),
-    ).orderBy(id_col)
+    )
 
 
 def dataset_split(
@@ -145,7 +145,7 @@ def dataset_split(
     )
     return documents.select(
         id_col, bucket, split.alias("split")
-    ).orderBy(id_col)
+    )
 
 
 def contamination_check(

