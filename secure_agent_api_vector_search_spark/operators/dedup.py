@@ -1355,3 +1355,54 @@ def dedup_incremental(
     fresh = tagged.join(seen_fp, "fp", "left_anti")
     keepers = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
     return fresh.join(keepers, ["fp", id_col], "left_semi").drop("fp")
+
+
+def minhash_incremental(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: the MinHash completion of
+    :func:`dedup_incremental` — keep the batch rows whose Jaccard
+    against every already-curated document AND every kept earlier batch
+    row stays below ``threshold``.
+
+    Two stages, both reusing the vectorized banding machinery:
+    (1) cross screen — :func:`minhash_similarity_join` (batch × seen)
+    finds batch docs with a verified near-dup in the corpus; they are
+    anti-joined away. (2) within-batch — :func:`minhash_near_dup_pairs`
+    over the survivors, resolved to components with keep-min-id
+    (components.keep_first), so a batch that carries its own dup
+    cluster keeps exactly one representative.
+
+    Scale note: this composition recomputes the ``seen`` side's
+    shingles/signatures per call, which is the right call up to
+    moderate corpus sizes (one map pass, no shuffle). The 100 TB
+    steady-state form materializes the seen feature frame once
+    (id, shingles, signature, bands — write the `feats` projection to a
+    parquet table bucketed by band hash) and rebinds stage (1) to it,
+    making per-batch cost O(batch) + one band-key shuffle; the pair
+    pipeline downstream is identical. Same-parameter discipline
+    applies: ``shingle_k/num_hashes/num_bands/seed`` must match the
+    values the state was built with — signatures are only comparable
+    within one hash family.
+    """
+    from secure_agent_api_vector_search_spark.operators.components import keep_first
+
+    cross = minhash_similarity_join(
+        batch, seen, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, num_bands=num_bands, threshold=threshold, seed=seed,
+    )
+    hits = cross.select(F.col("id_a").alias(id_col)).distinct()
+    fresh = batch.join(hits, id_col, "left_anti")
+    within = minhash_near_dup_pairs(
+        fresh, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, num_bands=num_bands, threshold=threshold, seed=seed,
+    )
+    return keep_first(fresh, within.select("id_a", "id_b"), id_col=id_col)

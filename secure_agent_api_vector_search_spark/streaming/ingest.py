@@ -91,6 +91,50 @@ def start_dedup_ingest(
     )
 
 
+def start_fingerprint_dedup_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    dim: int = 64,
+) -> StreamingQuery:
+    """Streaming ingest deduplicating on CONTENT, not id: the streaming
+    completion of operators/dedup.py::dedup_incremental.
+
+    `start_dedup_ingest` keys its state on doc_id, which misses the
+    commonest real duplicate — the same document re-crawled under a NEW
+    id (mirrors, trackers, repost). Here the dedup key is the 16-byte
+    md5 of the normalized text (case/punct/whitespace-folded, the same
+    fingerprint the batch incremental dedup uses), so a re-crawl is
+    dropped regardless of its id. State is one fingerprint per distinct
+    document, checkpointed; no watermark — content dedup state must
+    never age out (a month-later re-crawl is STILL a duplicate), and at
+    100 TB the RocksDB state backend holds the 16-byte keys on disk.
+    Dedup runs BEFORE the embed stage, so duplicate payloads never
+    reach the Python workers.
+    """
+    from secure_agent_api_vector_search_spark.functions import text as X
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+    deduped = (
+        stream.withColumn("_fp", F.md5(X.normalized_text("text")))
+        .dropDuplicates(["_fp"])
+        .drop("_fp")
+    )
+    embedded = embed_documents(deduped, dim)
+    return (
+        embedded.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def start_indexed_ingest(
     spark: SparkSession,
     in_dir: str,

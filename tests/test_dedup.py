@@ -431,3 +431,46 @@ def test_dedup_incremental_idempotent_after_absorbing_batch(spark):
     assert [r["doc_id"] for r in kept.collect()] == [5]
     grown = seen.unionByName(kept)
     assert dedup_incremental(batch, grown).count() == 0
+
+
+def test_minhash_incremental_keeps_only_novel_content(spark):
+    from secure_agent_api_vector_search_spark.operators.dedup import minhash_incremental
+
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "in spain falls mainly on the plain and the cat sat on the mat")
+    other = ("colorless green ideas sleep furiously under a bright cold "
+            "april sky as the clocks were striking thirteen in the tower")
+    third = ("we hold these truths to be self evident that all documents "
+            "deserve exactly one representative in the training corpus")
+    seen = spark.createDataFrame(
+        [(0, base), (2, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base.replace("lazy", "sleepy")),   # near-dup of seen 0
+            (11, third),                            # novel cluster, keeper
+            (12, third.replace("exactly", "precisely")),  # near-dup of 11
+            (13, "completely different tiny payload with enough words to "
+                 "shingle into a genuinely distinct signature vector here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in minhash_incremental(batch, seen).collect())
+    assert kept == [11, 13]
+
+
+def test_minhash_incremental_idempotent_after_absorbing_batch(spark):
+    from secure_agent_api_vector_search_spark.operators.dedup import minhash_incremental
+
+    text_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    text_b = ("one two three four five six seven eight nine ten eleven "
+              "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+    seen = spark.createDataFrame([(0, text_a)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(5, text_b), (6, text_a + " extra tail")], "doc_id long, text string"
+    )
+    kept = minhash_incremental(batch, seen)
+    assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [5]
+    grown = seen.unionByName(kept.select("doc_id", "text"))
+    assert minhash_incremental(batch, grown).count() == 0

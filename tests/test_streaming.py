@@ -358,3 +358,40 @@ def test_merge_upsert_ingest_updates_in_place(spark, docs, tmp_path):
     for k in untouched:
         assert after[k]["text"] == before[k]["text"]
         assert after[k]["embedding"] == before[k]["embedding"]
+
+
+def test_fingerprint_dedup_ingest_drops_recrawls_under_new_ids(spark, docs, tmp_path):
+    """Content dedup: the same document re-crawled under a NEW doc_id
+    (and with case/punct noise) must be dropped; state persists across
+    micro-batches."""
+    from secure_agent_api_vector_search_spark.streaming.ingest import (
+        start_fingerprint_dedup_ingest,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    first = docs.filter(F.col("doc_id") < 10).select(*cols)
+    # second delivery: 5 genuinely new docs + re-crawls of 0-4 under new
+    # ids with case/punctuation noise (normalized-identical content)
+    recrawl = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    second = docs.filter(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") < 15)
+    ).select(*cols).unionByName(recrawl)
+
+    first.write.mode("append").parquet(in_dir)
+    q = start_fingerprint_dedup_ingest(spark, in_dir, out_dir, ckpt, dim=16)
+    try:
+        _wait(q)
+        second.write.mode("append").parquet(in_dir)
+        _wait(q)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_dir)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == list(range(15))              # every re-crawl dropped
+    assert "embedding" in out.columns
