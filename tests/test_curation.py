@@ -152,3 +152,13 @@ def test_epoch_shuffle_hash_and_shard_growth_invariant(docs):
     half = {r["doc_id"]: (r["order_hash"], r["shard"])
             for r in epoch_shuffle(docs.filter(F.col("doc_id") % 2 == 0), n_shards=8).collect()}
     assert all(full[k] == v for k, v in half.items())
+
+
+def test_epoch_shuffle_plan_one_hash_exchange_no_range_sort(docs):
+    """The epoch order must come from ONE hash exchange + within-shard
+    sort — never a global range sort (whose sampling pass would rescan)."""
+    from secure_agent_api_vector_search_spark.operators.curation import epoch_shuffle
+
+    plan = epoch_shuffle(docs, n_shards=8)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.lower().count("exchange") == 1

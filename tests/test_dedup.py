@@ -474,3 +474,15 @@ def test_minhash_incremental_idempotent_after_absorbing_batch(spark):
     assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [5]
     grown = seen.unionByName(kept.select("doc_id", "text"))
     assert minhash_incremental(batch, grown).count() == 0
+
+
+def test_dedup_incremental_plan_is_anti_join_no_global_sort(spark, docs):
+    from secure_agent_api_vector_search_spark.operators.dedup import dedup_incremental
+    from pyspark.sql import functions as F
+
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    plan = dedup_incremental(batch, seen)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "rangepartitioning" not in plan.lower()
