@@ -340,13 +340,19 @@ def rebuild_if_skewed(
 
 
 def _rank_lists(centroids: list[list[float]], query_vec: Sequence[float]) -> list[int]:
-    """Driver-side centroid ranking by L2 — O(lists · dim), trivial."""
-    q = [float(x) for x in query_vec]
+    """Driver-side centroid ranking by L2 — one numpy matvec.
 
-    def d2(c: list[float]) -> float:
-        return sum((a - b) * (a - b) for a, b in zip(c, q))
-
-    return sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))
+    O(lists · dim) either way, but at the √n sizing this module
+    advertises (lists ≈ 10k for 100M vectors at dim 768) the
+    pure-Python sum-of-squares loop is ~10⁷ interpreted float ops PER
+    QUERY — seconds of driver time on the per-query hot path — vs
+    single-digit milliseconds as a BLAS matvec. Stable argsort keeps
+    the (distance, list_id) tiebreak identical to the executor ranker
+    (:func:`_nearest_lists_udf`)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    d = np.einsum("ij,ij->i", c, c) - 2.0 * (c @ q)  # + ||q||², constant
+    return [int(i) for i in np.argsort(d, kind="stable")]
 
 
 def ivf_search(
