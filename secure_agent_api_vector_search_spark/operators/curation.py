@@ -237,3 +237,34 @@ def epoch_shuffle(
     )
     w = Window.partitionBy("shard").orderBy("order_hash", id_col)
     return hashed.withColumn("pos", F.row_number().over(w))
+
+
+def write_epoch_shards(
+    documents: DataFrame,
+    path: str,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    seed: str = "epoch-0",
+) -> None:
+    """Materialize one epoch's training order as the on-disk layout a
+    data loader streams: `path/shard=K/` holds shard K's documents in
+    ascending ``pos`` order.
+
+    Plan: :func:`epoch_shuffle` assigns (shard, pos); the payload joins
+    back on the id; `repartition(n, shard)` co-locates each shard in
+    one task (equal shard values hash identically, so a shard never
+    splits across files) and `sortWithinPartitions` lays rows down in
+    epoch order — parquet preserves within-file row order, so a reader
+    consuming each shard directory's files sequentially sees exactly
+    the epoch permutation. Total cost: two hash exchanges (shuffle +
+    join) and local sorts; no global sort at any width.
+    """
+    order = epoch_shuffle(documents, n_shards=n_shards, id_col=id_col, seed=seed)
+    (
+        documents.join(order, id_col)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

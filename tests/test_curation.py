@@ -162,3 +162,36 @@ def test_epoch_shuffle_plan_one_hash_exchange_no_range_sort(docs):
     plan = epoch_shuffle(docs, n_shards=8)._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
     assert plan.lower().count("exchange") == 1
+
+
+def test_write_epoch_shards_layout_and_order(docs, spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        epoch_shuffle,
+        write_epoch_shards,
+    )
+
+    path = str(tmp_path / "epoch0")
+    write_epoch_shards(docs, path, n_shards=4)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert len(dirs) == 4
+    expect = {
+        (r["doc_id"]): (r["shard"], r["pos"])
+        for r in epoch_shuffle(docs, n_shards=4).collect()
+    }
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    for shard_dir in dirs:
+        k = int(shard_dir.split("=")[1])
+        files = [f for f in os.listdir(f"{path}/{shard_dir}") if f.endswith(".parquet")]
+        assert len(files) == 1  # a shard never splits across files
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{path}/{shard_dir}/{files[0]}", columns=["doc_id", "pos"])
+        ids, poss = t.column("doc_id").to_pylist(), t.column("pos").to_pylist()
+        assert poss == sorted(poss) == list(range(1, len(poss) + 1))
+        for d, p in zip(ids, poss):
+            assert expect[d] == (k, p)  # file order IS the epoch order
