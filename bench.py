@@ -85,9 +85,11 @@ HEADLINE = [
     "events_retention",
     "events_engagement",
     "top_terms_by_lang",
-    # round-5 additions: incremental-ingest dedup + deterministic epoch shuffle
+    # round-5 additions: incremental-ingest dedup, deterministic epoch
+    # shuffle, reciprocal-rank-fusion hybrid search
     "dedup_incremental",
     "epoch_shuffle",
+    "rrf_search",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

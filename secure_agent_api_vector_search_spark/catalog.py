@@ -682,6 +682,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return HY.bm25_search(load_documents(spark, sf_dir), ["spark", "vector"], k=10)
 
 
+def rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return HY.rrf_search(
+        load_documents(spark, sf_dir), load_embeddings(spark, sf_dir),
+        ["spark", "vector"], _query_vec(spark, sf_dir), k=10, depth=50,
+    )
+
+
 def orders_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each order of a low-key customer, the latest event of the
     matching user at or before the order date (backward as-of join).
@@ -2329,6 +2336,53 @@ ORDER BY score DESC, doc_id LIMIT 10""",
         tags=("text", "search")))
 
     r.register(NamedQuery(
+        "rrf_search", rrf_search,
+        oracle_sql=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+vtop AS (
+  SELECT e.vec_id AS doc_id, ROUND({_cos(E, 'q.qe')}, 9) AS similarity
+  FROM embeddings e CROSS JOIN q
+  ORDER BY {_cos(E, 'q.qe')} DESC, e.vec_id LIMIT 50),
+v AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY similarity DESC, doc_id) AS INT) AS r_vec
+      FROM vtop),
+d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         CAST(len(list_filter(list_transform(string_split(text, ' '), x -> lower(x)),
+                              t -> t = 'spark')) AS DOUBLE) AS tf0,
+         CAST(len(list_filter(list_transform(string_split(text, ' '), x -> lower(x)),
+                              t -> t = 'vector')) AS DOUBLE) AS tf1
+  FROM documents),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+  FROM d),
+btop AS (
+  SELECT doc_id,
+         ROUND(ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                 * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+               9) AS score
+  FROM d CROSS JOIN s
+  WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT 50),
+b AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_kw
+      FROM btop)
+SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id, b.r_kw, v.r_vec,
+       ROUND(COALESCE(1.0 / (60 + b.r_kw), 0) + COALESCE(1.0 / (60 + v.r_vec), 0), 9)
+         AS rrf_score
+FROM b FULL JOIN v ON b.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+        description="[EXT] reciprocal-rank fusion of the BM25 and exact "
+                    "vector top-depth lists (Cormack 2009): calibration-free "
+                    "hybrid ranking, fused over <= depth rows per branch",
+        tags=("vector", "text", "search")))
+
+    r.register(NamedQuery(
         "orders_asof_event", orders_asof_event,
         oracle_sql="""
 WITH e AS (SELECT user_id, ts, MAX(event_id) AS event_id FROM events GROUP BY user_id, ts),
@@ -2663,6 +2717,7 @@ CHECK_FIRST: tuple[str, ...] = (
     # round-5 session-2 additions — never checked
     "dedup_incremental",
     "epoch_shuffle",
+    "rrf_search",
     # round-5 exactness-limit gates — never checked, each carries a NEW
     # oracle for a previously rows-only family
     "ivf_topk_fullprobe",

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from secure_agent_api_vector_search_spark.functions import vector as V
@@ -115,3 +115,56 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rrf_search(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: Sequence[str],
+    query_vec,
+    k: int = 10,
+    depth: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of a BM25 list and an exact vector top-k
+    list: score(d) = Σ_lists 1/(rrf_k + rank_list(d)).
+
+    RRF is the standard hybrid recipe (Cormack et al. 2009; what
+    pgvector's hybrid-search guidance and most engines ship) because it
+    needs NO score calibration — ranks are scale-free, so a BM25 log
+    score and a [-1,1] cosine fuse without tuned weights (the weighted
+    alternative is :func:`hybrid_search`).
+
+    Plan shape: each branch is the already-bounded top-``depth`` query
+    (BM25 scan + tiny stats broadcast; TakeOrderedAndProject vector
+    scan); the single-partition rank windows and the full-outer fusion
+    join run over ≤ depth rows each — driver-scale by construction,
+    whatever the corpus size. Ranks are ints on both engines and
+    1/(rrf_k+rank) is exact IEEE division of small ints, so the fused
+    ordering is engine-independent (oracle-checked end to end).
+
+    Output: (doc_id, r_kw, r_vec, rrf_score) top-k by fused score;
+    rank columns stay null when a document appears in only one list.
+    """
+    from secure_agent_api_vector_search_spark.operators.topk import topk_similar
+
+    bm = bm25_search(documents, query_terms, k=depth, id_col=id_col)
+    vec = topk_similar(embeddings, query_vec, k=depth, id_col="vec_id").select(
+        F.col("vec_id").alias(id_col), F.round("similarity", 9).alias("similarity")
+    )
+    wb = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    wv = Window.orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+    b = bm.withColumn("r_kw", F.row_number().over(wb)).select(id_col, "r_kw")
+    v = vec.withColumn("r_vec", F.row_number().over(wv)).select(id_col, "r_vec")
+    fused = b.join(v, id_col, "full_outer").select(
+        id_col,
+        "r_kw",
+        "r_vec",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("r_kw")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("r_vec")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)

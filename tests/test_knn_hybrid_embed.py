@@ -255,3 +255,31 @@ def test_grouped_topk_null_element_never_evicts(spark):
     ).repartition(1)
     out = TK.topk_similar_grouped(items, [1.0, 0.0], k=3, group_col="grp").collect()
     assert [r["vec_id"] for r in out] == [1, 2, 4]
+
+
+def test_rrf_fusion_hand_computed(spark):
+    """3-doc corpus where the fused winner tops NEITHER single list:
+    doc 2 is rank 2 in both lists and beats each list's rank-1 loner."""
+    from secure_agent_api_vector_search_spark.operators.hybrid import rrf_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark spark"),       # BM25 rank 1, no vec rank
+            (2, "spark words close to query"),    # rank 2 in both
+            (3, "unrelated filler text entirely"),  # vec rank 1 only
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.9, 0.4358898943540674]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = rrf_search(docs, emb, ["spark"], [1.0, 0.0], k=3, depth=2).collect()
+    assert [r["doc_id"] for r in rows] == [2, 1, 3]
+    r2 = rows[0]
+    assert (r2["r_kw"], r2["r_vec"]) == (2, 2)
+    assert r2["rrf_score"] == pytest.approx(2 / 62, abs=1e-9)
+    # loners carry a null rank for the missing list
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["r_vec"] is None and by_id[3]["r_kw"] is None
+    assert by_id[1]["rrf_score"] == pytest.approx(1 / 61, abs=1e-9)
