@@ -255,3 +255,32 @@ def ivfpq_topk(
         probed_codes, embeddings, codebook, query_vec,
         k=k, shortlist=shortlist, id_col=id_col, vec_col=vec_col,
     )
+
+
+def write_pq(codebook: PqCodebook, codes: DataFrame, path: str) -> None:
+    """Persist a PQ index: encoded corpus (`{path}/codes`, the 8-byte-
+    per-vector scan table) + the m×ksub×dsub codeword tensor as one
+    small parquet — encode once, serve queries from the compressed
+    layout without re-training (mirrors write_ivf's layout split).
+    Sub-quantizer geometry rides in the codebook rows (j, k, codeword),
+    so a reader reconstructs the tensor without a side schema."""
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    spark = codes.sparkSession
+    rows = [
+        (j, k, [float(v) for v in codeword])
+        for j, book in enumerate(codebook.codebooks)
+        for k, codeword in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, codeword array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def read_pq(spark, path: str) -> tuple[PqCodebook, DataFrame]:
+    codes = spark.read.parquet(f"{path}/codes")
+    rows = spark.read.parquet(f"{path}/codebook").orderBy("sub", "code").collect()
+    m = max(r["sub"] for r in rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["sub"]].append(list(r["codeword"]))
+    return PqCodebook(books, m, len(books[0][0])), codes

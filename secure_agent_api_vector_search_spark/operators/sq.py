@@ -170,3 +170,21 @@ def sq_topk_rerank(
             ),
         )
     )
+
+
+def write_sq(params: SqParams, codes: DataFrame, path: str) -> None:
+    """Persist an SQ8 index: byte-code corpus (`{path}/codes`) + the
+    per-dimension affine parameters as one small parquet — the
+    encode-once/serve-many layout (same split as write_ivf/write_pq)."""
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    spark = codes.sparkSession
+    rows = [(i, float(mn), float(sc)) for i, (mn, sc) in enumerate(zip(params.mins, params.scales))]
+    spark.createDataFrame(rows, "dim int, min double, scale double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def read_sq(spark, path: str) -> tuple[SqParams, DataFrame]:
+    codes = spark.read.parquet(f"{path}/codes")
+    rows = spark.read.parquet(f"{path}/params").orderBy("dim").collect()
+    return SqParams([r["min"] for r in rows], [r["scale"] for r in rows]), codes

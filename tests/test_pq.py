@@ -89,3 +89,21 @@ def test_ivfpq_full_probe_equals_pq(book_and_codes, emb):
            [(r["vec_id"], r["l2sq"]) for r in plain.collect()]
     part = PQ.ivfpq_topk(index, codes, emb, book, q, k=5, nprobe=2).collect()
     assert len(part) == 5 and part[0]["l2sq"] == pytest.approx(0.0)
+
+
+def test_pq_write_read_roundtrip_serves_identical_answers(spark, emb, tmp_path):
+    """Encode-once/serve-many: a reloaded PQ index must return the
+    bit-identical ADC top-k the in-memory one does."""
+    from pyspark.sql import functions as F
+
+    cb = PQ.build_pq(emb, m=8, ksub=16, seed=42)
+    codes = PQ.encode_pq(emb, cb)
+    path = str(tmp_path / "pq_idx")
+    PQ.write_pq(cb, codes, path)
+    cb2, codes2 = PQ.read_pq(spark, path)
+    assert cb2.m == cb.m and cb2.dsub == cb.dsub
+    assert cb2.codebooks == cb.codebooks
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    a = [(r["vec_id"], r["approx_l2sq"]) for r in PQ.pq_topk(codes, cb, q, k=10).collect()]
+    b = [(r["vec_id"], r["approx_l2sq"]) for r in PQ.pq_topk(codes2, cb2, q, k=10).collect()]
+    assert a == b

@@ -89,3 +89,20 @@ def test_encode_sq_skips_null_vectors(spark, emb, params):
     )
     got = {r["vec_id"] for r in SQ.sq_topk(withnull, params, q, k=5).collect()}
     assert 99903 not in got and len(got) == 5
+
+
+def test_sq_write_read_roundtrip_serves_identical_answers(spark, emb, tmp_path):
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators import sq as S
+
+    params = S.build_sq(emb)
+    codes = S.encode_sq(emb, params)
+    path = str(tmp_path / "sq_idx")
+    S.write_sq(params, codes, path)
+    p2, codes2 = S.read_sq(spark, path)
+    assert p2.mins == params.mins and p2.scales == params.scales
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    a = [(r["vec_id"], r["approx_dot"]) for r in S.sq_topk(codes, params, q, k=10).collect()]
+    b = [(r["vec_id"], r["approx_dot"]) for r in S.sq_topk(codes2, p2, q, k=10).collect()]
+    assert a == b
