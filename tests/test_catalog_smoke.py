@@ -43,3 +43,28 @@ def test_rebalance_if_narrow(spark, tmp_path):
     assert out.count() == 100
     wide = spark.range(1000).repartition(64)
     assert rebalance_if_narrow(wide) is wide  # no-op above the threshold
+
+
+MAP_ONLY_UNSORTED = (
+    # per-document outputs of map-only pipelines: a trailing global sort
+    # would re-execute the whole scan/UDF in its sampling pass (the
+    # round-5 de-sorting; see operators/textops.py module docstring)
+    "token_stats",
+    "doc_quality",
+    "doc_fingerprints",
+    "doc_winnow_fingerprints",
+    "pii_redact",
+    "dataset_split",
+    "token_counts_bpe",
+    "embed_texts",
+    "multimodal_features",
+    "image_decode_features",
+    "audio_decode_features",
+)
+
+
+@pytest.mark.parametrize("name", MAP_ONLY_UNSORTED)
+def test_map_only_queries_never_range_sort(spark, sf_dir, name):
+    df = REGISTRY.queries[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), name
