@@ -1003,6 +1003,21 @@ def embedding_lsh_vs_exact_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_diff(exact, lsh, "cosine")
 
 
+def textjoin_lsh_vs_exact_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-frame MinHash text join vs the exact inverted-shingle-index
+    join on the same perturbed-query corpus as `text_similarity_join`:
+    identical byte-shingle Jaccard expression on both sides, so the
+    symmetric difference must be empty."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    qdocs = docs.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" trailing audit note")).alias("text"),
+    )
+    exact = D.text_jaccard_join_exact(qdocs, docs, threshold=0.5)
+    lsh = D.minhash_similarity_join(qdocs, docs, threshold=0.5)
+    return _pair_diff(exact, lsh, "jaccard")
+
+
 def corpus_stats_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard gate for the sketch summary (`corpus_stats_approx`): emits
     the sketch query's EXACT columns verbatim plus bound-check booleans
@@ -2652,6 +2667,13 @@ FROM top ORDER BY rank""",
                     "pairs equal the exact pair scan (empty diff)",
         tags=("dedup", "vector", "gate")))
     r.register(NamedQuery(
+        "textjoin_lsh_vs_exact_diff", textjoin_lsh_vs_exact_diff,
+        oracle_sql=_DIFF_SCHEMA_ORACLE.format(score="jaccard"),
+        description="[EXT] LSH-vs-exact gate: the two-frame MinHash text "
+                    "join equals the exact inverted-shingle-index join "
+                    "(empty diff, bit-identical Jaccard both sides)",
+        tags=("dedup", "join", "gate")))
+    r.register(NamedQuery(
         "corpus_stats_gate", corpus_stats_gate,
         oracle_sql="""
 SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
@@ -2718,6 +2740,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "dedup_incremental",
     "epoch_shuffle",
     "rrf_search",
+    "textjoin_lsh_vs_exact_diff",
     # round-5 exactness-limit gates — never checked, each carries a NEW
     # oracle for a previously rows-only family
     "ivf_topk_fullprobe",

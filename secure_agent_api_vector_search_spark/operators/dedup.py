@@ -1406,3 +1406,65 @@ def minhash_incremental(
         num_hashes=num_hashes, num_bands=num_bands, threshold=threshold, seed=seed,
     )
     return keep_first(fresh, within.select("id_a", "id_b"), id_col=id_col)
+
+
+def text_jaccard_join_exact(
+    dfA: DataFrame,
+    dfB: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+    via: str = "cross",
+) -> DataFrame:
+    """Exact two-frame text Jaccard join — the ground-truth twin of
+    :func:`minhash_similarity_join`.
+
+    The verify uses the SAME int64-packed byte-shingle sets and the
+    same H.jaccard expression as the MinHash join, so scores are
+    bit-identical across the two forms (what the empty-diff gate
+    compares).
+
+    Candidate generation — ``via``:
+    - ``"cross"`` (default): broadcast A × B, one codegen'd jaccard per
+      pair. Exact and FAST when |A|·|B| is bounded (the more-selective
+      side broadcast) — common byte-shingles like `" the "` make the
+      inverted-index intermediate Σ_shingle |A-post|·|B-post| ORDERS
+      larger than |A|·|B| on natural text, so the cross product is the
+      cheaper exact plan until A stops fitting a broadcast.
+    - ``"index"``: inverted shingle index (a pair with jaccard > 0 must
+      share a shingle, so the equality join is exhaustive for any
+      positive threshold) — no cross product, the exact plan when both
+      sides are large AND shingles are selective (near-unique grams).
+
+    Output: (id_a, id_b, jaccard), id_a from A, id_b from B.
+    """
+    sig = _shingle_sig_udf(shingle_k, 1, seed, 0)
+
+    def feats(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        return (
+            rebalance_if_narrow(df)
+            .select(F.col(id_col).alias(out_id), sig(F.col(text_col)).alias("_f"))
+            .select(out_id, F.col("_f.shingles").alias(out_sh))
+            .filter(F.col(out_sh).isNotNull())
+        )
+
+    fa = feats(dfA, "id_a", "sh_a")
+    fb = feats(dfB, "id_b", "sh_b")
+    if via == "cross":
+        joined = fb.crossJoin(F.broadcast(fa))
+    elif via == "index":
+        cand = (
+            fa.select("id_a", F.explode("sh_a").alias("_s"))
+            .join(fb.select("id_b", F.explode("sh_b").alias("_s")), "_s")
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        joined = cand.join(fa, "id_a").join(fb, "id_b")
+    else:
+        raise ValueError(f"via must be 'cross' or 'index', got {via!r}")
+    pairs = joined.select(
+        "id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+    return _pair_order(pairs)

@@ -486,3 +486,24 @@ def test_dedup_incremental_plan_is_anti_join_no_global_sort(spark, docs):
     assert "LeftAnti" in plan
     assert "LeftSemi" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_text_jaccard_join_exact_cross_equals_index(spark, docs):
+    """The two exact candidate strategies must produce identical pair
+    sets with identical Jaccard values — 'cross' is a plan choice, not
+    a semantics choice."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        text_jaccard_join_exact,
+    )
+
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 60)
+    qdocs = base.filter(F.col("doc_id") < 15).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" tail note")).alias("text")
+    )
+    cross = text_jaccard_join_exact(qdocs, base, threshold=0.5, via="cross").collect()
+    index = text_jaccard_join_exact(qdocs, base, threshold=0.5, via="index").collect()
+    assert sorted(map(tuple, cross)) == sorted(map(tuple, index))
+    got = {(r["id_a"], r["id_b"]) for r in cross}
+    assert {(i, i) for i in range(15)} <= got  # every query recovers its source

@@ -98,6 +98,7 @@ def _gen_embeddings(spark, n: int, out: str) -> None:
 
 
 def run_suite(spark, base: str) -> dict[str, float]:
+    from secure_agent_api_vector_search_spark.operators import curation as CU
     from secure_agent_api_vector_search_spark.operators import dedup as D
     from secure_agent_api_vector_search_spark.operators import packing as PK
     from secure_agent_api_vector_search_spark.operators import textops as TX
@@ -120,6 +121,15 @@ def run_suite(spark, base: str) -> dict[str, float]:
         ),
         "semantic_dedup": lambda: semantic_dedup(emb, threshold=0.9),
         "vector_topk_cosine": lambda: topk_similar(emb, qvec, k=10),
+        # round-5 incremental/ordering ops: batch = 10% of the corpus
+        # arriving against the other 90% — cost should track the batch
+        # (plus one corpus fingerprint map), staying well below the
+        # from-scratch dedup ops above
+        "dedup_incremental": lambda: D.dedup_incremental(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+        ),
+        "epoch_shuffle": lambda: CU.epoch_shuffle(docs, n_shards=64),
     }
     out: dict[str, float] = {}
     for name, build in ops.items():
