@@ -1018,6 +1018,21 @@ def textjoin_lsh_vs_exact_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_diff(exact, lsh, "jaccard")
 
 
+def simhash_vs_exact_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-banded SimHash vs the exact all-pairs Hamming join on the
+    same corpus as `simhash_near_dup`: recall is pigeonhole-guaranteed
+    (Hamming ≤ 3 cannot touch all 4 chunks) and the verify is exact, so
+    the symmetric difference is provably empty at gate scale."""
+    corpus = _docs_with_exact_dups(spark, sf_dir)
+    exact = D.simhash_pairs_exact(corpus, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("double")
+    )
+    banded = D.simhash_near_dup_pairs(corpus, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("double")
+    )
+    return _pair_diff(exact, banded, "hamming")
+
+
 def corpus_stats_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard gate for the sketch summary (`corpus_stats_approx`): emits
     the sketch query's EXACT columns verbatim plus bound-check booleans
@@ -2674,6 +2689,13 @@ FROM top ORDER BY rank""",
                     "(empty diff, bit-identical Jaccard both sides)",
         tags=("dedup", "join", "gate")))
     r.register(NamedQuery(
+        "simhash_vs_exact_diff", simhash_vs_exact_diff,
+        oracle_sql=_DIFF_SCHEMA_ORACLE.format(score="hamming"),
+        description="[EXT] banding-vs-exact gate: chunk-banded SimHash "
+                    "pairs equal the exact all-pairs Hamming join — recall "
+                    "pigeonhole-guaranteed, empty diff",
+        tags=("dedup", "gate")))
+    r.register(NamedQuery(
         "corpus_stats_gate", corpus_stats_gate,
         oracle_sql="""
 SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
@@ -2741,6 +2763,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "epoch_shuffle",
     "rrf_search",
     "textjoin_lsh_vs_exact_diff",
+    "simhash_vs_exact_diff",
     # round-5 exactness-limit gates — never checked, each carries a NEW
     # oracle for a previously rows-only family
     "ivf_topk_fullprobe",

@@ -1468,3 +1468,36 @@ def text_jaccard_join_exact(
         "id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
     return _pair_order(pairs)
+
+
+def simhash_pairs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Exact all-pairs SimHash Hamming join — the ground-truth twin of
+    :func:`simhash_near_dup_pairs`. One broadcast cross product over
+    the 16-byte fingerprint table with a codegen XOR+bit_count filter;
+    quadratic by construction (the chunk-banded form exists precisely
+    to avoid this at scale), but the banded form's recall is
+    PIGEONHOLE-guaranteed at max_hamming < n_chunks (a pair differing
+    in ≤3 bits cannot touch all 4 16-bit chunks), so the two forms'
+    pair sets are provably identical wherever bucket widths stay under
+    the star-pairing cap — what the empty-diff gate checks.
+
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    sh = simhash_fingerprint(df, text_col, id_col)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("fp").alias("_fa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("fp").alias("_fb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return _pair_order(pairs)

@@ -507,3 +507,26 @@ def test_text_jaccard_join_exact_cross_equals_index(spark, docs):
     assert sorted(map(tuple, cross)) == sorted(map(tuple, index))
     got = {(r["id_a"], r["id_b"]) for r in cross}
     assert {(i, i) for i in range(15)} <= got  # every query recovers its source
+
+
+def test_simhash_exact_twin_matches_banded(spark, docs):
+    """Pigeonhole identity: Hamming <= 3 over 4 chunks means the banded
+    candidate pass cannot miss a pair — banded == exact all-pairs."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_pairs_exact,
+    )
+
+    corpus = docs.select("doc_id", "text").filter(F.col("doc_id") < 80).unionAll(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 7000).alias("doc_id"), "text"
+        )
+    )
+    exact = {(r["id_a"], r["id_b"], r["hamming"])
+             for r in simhash_pairs_exact(corpus).collect()}
+    banded = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in simhash_near_dup_pairs(corpus).collect()}
+    assert exact == banded
+    assert len(exact) >= 20  # the planted verbatim copies are Hamming 0
