@@ -1018,6 +1018,22 @@ def textjoin_lsh_vs_exact_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_diff(exact, lsh, "jaccard")
 
 
+def minhash_vs_exact_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash near-dup vs the exact all-pairs byte-shingle
+    Jaccard on the same normalized noisy corpus as `minhash_near_dup`:
+    every true pair sits at J ≥ 0.93 (measured), where 16-band/4-row
+    recall is ≈1–0.25¹⁶ — the empty diff is deterministic for the fixed
+    seed and corpus, same basis as the other LSH gates."""
+    docs = rebalance_if_narrow(_docs_with_noisy_dups(spark, sf_dir)).select(
+        "doc_id", TX.X.normalized_text("text").alias("text")
+    )
+    exact = D.text_jaccard_join_exact(docs, docs, threshold=0.5).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    lsh = D.minhash_near_dup_pairs(docs, threshold=0.5)
+    return _pair_diff(exact, lsh, "jaccard")
+
+
 def simhash_vs_exact_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-banded SimHash vs the exact all-pairs Hamming join on the
     same corpus as `simhash_near_dup`: recall is pigeonhole-guaranteed
@@ -2689,6 +2705,14 @@ FROM top ORDER BY rank""",
                     "(empty diff, bit-identical Jaccard both sides)",
         tags=("dedup", "join", "gate")))
     r.register(NamedQuery(
+        "minhash_vs_exact_diff", minhash_vs_exact_diff,
+        oracle_sql=_DIFF_SCHEMA_ORACLE.format(score="jaccard"),
+        description="[EXT] banding-vs-exact gate: single-frame MinHash "
+                    "near-dup pairs equal the exact all-pairs shingle "
+                    "Jaccard (empty diff; true pairs sit far above the "
+                    "banding margin)",
+        tags=("dedup", "gate")))
+    r.register(NamedQuery(
         "simhash_vs_exact_diff", simhash_vs_exact_diff,
         oracle_sql=_DIFF_SCHEMA_ORACLE.format(score="hamming"),
         description="[EXT] banding-vs-exact gate: chunk-banded SimHash "
@@ -2764,6 +2788,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "rrf_search",
     "textjoin_lsh_vs_exact_diff",
     "simhash_vs_exact_diff",
+    "minhash_vs_exact_diff",
     # round-5 exactness-limit gates — never checked, each carries a NEW
     # oracle for a previously rows-only family
     "ivf_topk_fullprobe",
