@@ -156,6 +156,16 @@ def vector_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TK.topk_similar_mmr(emb, _query_vec(spark, sf_dir), k=10, fetch_k=50)
 
 
+def mmr_exact_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR exactness-limit gate: at λ=1 the diversity penalty carries
+    weight 0, so greedy selection IS the exact cosine top-k in rank
+    order (`mmr = 1·sim − 0·penalty`, same tiebreak) — the identity
+    tests/test_topk_lookup.py pins, promoted to a DuckDB-checked row
+    (same pattern as ivf_topk_fullprobe)."""
+    emb = load_embeddings(spark, sf_dir)
+    return TK.topk_similar_mmr(emb, _query_vec(spark, sf_dir), k=10, fetch_k=50, lam=1.0)
+
+
 def sq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 tier: byte-code approximate scan -> exact cosine re-rank."""
     from secure_agent_api_vector_search_spark.operators import sq as SQ
@@ -2705,6 +2715,20 @@ FROM top ORDER BY rank""",
                     "(empty diff, bit-identical Jaccard both sides)",
         tags=("dedup", "join", "gate")))
     r.register(NamedQuery(
+        "mmr_exact_limit", mmr_exact_limit,
+        oracle_sql=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT e.vec_id, {_cos(E, 'q.qe')} AS similarity
+  FROM embeddings e CROSS JOIN q
+  ORDER BY similarity DESC, e.vec_id LIMIT 10)
+SELECT vec_id, similarity, similarity AS mmr_score,
+       CAST(row_number() OVER (ORDER BY similarity DESC, vec_id) - 1 AS BIGINT) AS "rank"
+FROM top ORDER BY "rank" """,
+        description="[EXT] MMR exactness-limit gate: lambda=1 selection "
+                    "equals the exact cosine top-k in rank order",
+        tags=("vector", "gate")))
+    r.register(NamedQuery(
         "minhash_vs_exact_diff", minhash_vs_exact_diff,
         oracle_sql=_DIFF_SCHEMA_ORACLE.format(score="jaccard"),
         description="[EXT] banding-vs-exact gate: single-frame MinHash "
@@ -2789,6 +2813,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "textjoin_lsh_vs_exact_diff",
     "simhash_vs_exact_diff",
     "minhash_vs_exact_diff",
+    "mmr_exact_limit",
     # round-5 exactness-limit gates — never checked, each carries a NEW
     # oracle for a previously rows-only family
     "ivf_topk_fullprobe",
