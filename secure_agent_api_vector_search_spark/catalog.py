@@ -2806,7 +2806,9 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
-    # round-5 session-2 additions — never checked
+    # --- never-checked round-5 entries (16): new operators + the
+    # exactness-limit / empty-diff gates that put the ANN & LSH family
+    # on the hard gate ---
     "dedup_incremental",
     "epoch_shuffle",
     "rrf_search",
@@ -2814,8 +2816,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "simhash_vs_exact_diff",
     "minhash_vs_exact_diff",
     "mmr_exact_limit",
-    # round-5 exactness-limit gates — never checked, each carries a NEW
-    # oracle for a previously rows-only family
     "ivf_topk_fullprobe",
     "knn_join_ivf_fullprobe",
     "pq_rerank_exact_limit",
@@ -2823,53 +2823,50 @@ CHECK_FIRST: tuple[str, ...] = (
     "simjoin_lsh_vs_exact_diff",
     "embedding_lsh_vs_exact_diff",
     "corpus_stats_gate",
-    # oracle ADDED this round to previously rows-only entries — the new
-    # SQL twin needs its first hash-match row
     "sq_topk_rerank",
     "ngram_jaccard_dedup",
-    # no CORRECTNESS row in round 4 (driver checks only the first 50 of
-    # the registration order) — rotate every one of them in so the
-    # r4+r5 window covers all entries
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_customers_by_revenue",
-    "part_type_stats",
-    "orders_window_top3",
-    "revenue_by_region",
-    "events_hourly",
+    # --- implementation touched in round 5 (13): combiner null policy,
+    # minhash mod-P, kNN orderBy removal, map-only de-sorting — re-verify
+    # even where round 1-4 rows are green ---
+    "knn_join",
+    "knn_classify",
+    "vector_topk_grouped",
+    "minhash_near_dup",
+    "token_stats",
+    "doc_quality",
+    "doc_fingerprints",
+    "pii_redact",
+    "dataset_split",
+    "token_counts_bpe",
+    "embed_texts",
+    "multimodal_features",
+    "orders_asof_event",
+    # --- oldest-coverage rotation (21): entries whose last green row is
+    # round 1-3 (the round-4 window missed them); the 9 simple
+    # relational entries left past position 50 (q3/q5, top_customers,
+    # revenue_by_region, semi/anti joins, setops, pivot, Q17) all hold
+    # green rows from rounds 1-3 and were untouched since ---
+    "sessionize_streaming",
     "events_json_stats",
     "events_sessionize",
-    "sessionize_streaming",
-    "orders_semi_late_lines",
-    "customers_without_orders",
-    "brand_setops",
+    "events_hourly",
+    "orders_window_top3",
     "price_quantiles_by_brand",
-    "region_priority_pivot",
-    "part_small_qty_revenue",
     "events_interval_join",
+    "part_type_stats",
     "dedup_exact_keep_first",
     "dedup_normalized",
     "dedup_components_keep_first",
-    "doc_fingerprints",
     "corpus_token_totals",
-    "doc_quality",
     "doc_repetition",
     "per_source_cap",
-    "pii_redact",
     "contamination_check",
-    "dataset_split",
     "corpus_curation",
     "lang_profile",
     "lang_id_eval",
     "hybrid_search",
     "bm25_search",
-    "orders_asof_event",
-    # implementation touched this round (combiner null policy / SQ null
-    # filter / minhash mod-P) — re-verify even though green in r4
-    "knn_join",
-    "knn_classify",
-    "vector_topk_grouped",
-    "minhash_near_dup",
+    "quality_percentile_filter",
 )
 
 
