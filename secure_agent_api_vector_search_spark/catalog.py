@@ -920,6 +920,21 @@ def ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return I.ivf_search(index, _query_vec(spark, sf_dir), k=10, nprobe=16)
 
 
+def ivf_filtered_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-ANN exactness limit: probe pruning × metadata predicate
+    at nprobe = n_lists ≡ the exact top-k over the filtered corpus (the
+    identity tests/test_ivf.py::test_filtered_ivf_full_probe... asserts,
+    promoted to the hard gate) — pins that the predicate composes with
+    list pruning without recall loss at the exact limit."""
+    index = _IVF_CACHE.get(sf_dir)
+    if index is None:
+        index = I.build_ivf(load_embeddings(spark, sf_dir), n_lists=16, seed=42)
+        _IVF_CACHE[sf_dir] = index
+    return I.ivf_search_filtered(
+        index, _query_vec(spark, sf_dir), "label = 1", k=10, nprobe=16
+    )
+
+
 def knn_join_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-routed kNN join at nprobe = n_lists: each query joins every
     list, so the routed join degenerates to the exact batch kNN and the
@@ -2656,6 +2671,17 @@ ORDER BY similarity DESC, e.vec_id LIMIT 10""",
                     "tests/test_ivf.py asserts, now on the hard gate)",
         tags=("vector", "index", "gate")))
     r.register(NamedQuery(
+        "ivf_filtered_fullprobe", ivf_filtered_fullprobe,
+        oracle_sql=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_cos(E, 'q.qe')} AS similarity
+FROM embeddings e CROSS JOIN q
+WHERE e.label = 1
+ORDER BY similarity DESC, e.vec_id LIMIT 10""",
+        description="[EXT] filtered-ANN exactness-limit gate: full probe × "
+                    "predicate equals the exact filtered top-k",
+        tags=("vector", "index", "gate")))
+    r.register(NamedQuery(
         "knn_join_ivf_fullprobe", knn_join_ivf_fullprobe,
         oracle_sql=f"""
 WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -2817,6 +2843,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "minhash_vs_exact_diff",
     "mmr_exact_limit",
     "ivf_topk_fullprobe",
+    "ivf_filtered_fullprobe",
     "knn_join_ivf_fullprobe",
     "pq_rerank_exact_limit",
     "ngram_lsh_vs_exact_diff",
@@ -2866,7 +2893,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "lang_id_eval",
     "hybrid_search",
     "bm25_search",
-    "quality_percentile_filter",
 )
 
 
