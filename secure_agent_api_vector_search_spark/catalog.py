@@ -209,6 +209,18 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.knn_join(queries, emb, k=3, dim=DIM)
 
 
+def knn_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-matched batch kNN: each query's neighbors restricted to
+    corpus rows sharing its `label` — the within-language/tenant/shard
+    form. The cross product becomes a broadcast equi-join on the group
+    key (candidates |Q|·|group|, no extra shuffle)."""
+    emb = load_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), "label"
+    )
+    return K.knn_join(queries, emb, k=3, dim=DIM, match_col="label")
+
+
 def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -1490,6 +1502,21 @@ SELECT * FROM (
 WHERE "rank" <= 3 ORDER BY q_id, "rank" """,
         description="[EXT] batch kNN join: broadcast query set × corpus, "
                     "window top-k per query", tags=("vector", "join")))
+
+    r.register(NamedQuery(
+        "knn_join_grouped", knn_join_grouped,
+        oracle_sql=f"""
+WITH q AS (SELECT vec_id AS q_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5)
+SELECT q_id, neighbor_id, similarity, "rank" FROM (
+  SELECT q.q_id, e.vec_id AS neighbor_id, {_cos(E, 'q.qe')} AS similarity,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY {_cos(E, 'q.qe')} DESC, e.vec_id) AS "rank"
+  FROM embeddings e JOIN q ON e.label = q.q_label)
+WHERE "rank" <= 3""",
+        description="[EXT] group-matched batch kNN: neighbors restricted to "
+                    "the query's group (broadcast equi-join on the group key "
+                    "instead of a cross product)", tags=("vector", "join")))
 
     r.register(NamedQuery(
         "knn_classify", knn_classify,
@@ -2838,6 +2865,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "dedup_incremental",
     "epoch_shuffle",
     "rrf_search",
+    "knn_join_grouped",
     "textjoin_lsh_vs_exact_diff",
     "simhash_vs_exact_diff",
     "minhash_vs_exact_diff",
@@ -2890,7 +2918,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "contamination_check",
     "corpus_curation",
     "lang_profile",
-    "lang_id_eval",
     "hybrid_search",
     "bm25_search",
 )

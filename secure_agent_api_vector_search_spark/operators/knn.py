@@ -75,8 +75,16 @@ def knn_join(
     c_vec: str = "embedding",
     exclude_self: bool = False,
     dim: int | None = None,
+    match_col: str | None = None,
 ) -> DataFrame:
     """For each query row, the k most-cosine-similar corpus rows.
+
+    ``match_col``: restrict each query's neighbors to corpus rows with
+    an EQUAL value in this column (both frames must carry it) — the
+    group-matched form a pipeline needs for "nearest neighbors within
+    the same language / tenant / shard". The cross product becomes a
+    broadcast hash equi-join, so candidates drop from |Q|·|corpus| to
+    |Q|·|group| with zero extra shuffle.
 
     Output: (q_id, neighbor_id, similarity, rank), rank 1..k,
     deterministic tiebreak on neighbor id; ROW ORDER is unspecified
@@ -102,7 +110,11 @@ def knn_join(
     # DESC and can evict a genuine candidate, while the downstream
     # window (desc = NULLS LAST) would rank the null row behind — the
     # combiner must never disagree with the window it feeds
-    joined = corpus.filter(F.col(c_vec).isNotNull()).crossJoin(F.broadcast(queries))
+    base = corpus.filter(F.col(c_vec).isNotNull())
+    if match_col is None:
+        joined = base.crossJoin(F.broadcast(queries))
+    else:
+        joined = base.join(F.broadcast(queries), match_col)
     if exclude_self:
         joined = joined.filter(F.col(c_id) != F.col(q_id))
     # bare names (unique after the cross join) keep the unrolled

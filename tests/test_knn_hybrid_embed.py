@@ -283,3 +283,23 @@ def test_rrf_fusion_hand_computed(spark):
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[1]["r_vec"] is None and by_id[3]["r_kw"] is None
     assert by_id[1]["rrf_score"] == pytest.approx(1 / 61, abs=1e-9)
+
+
+def test_knn_join_grouped_stays_in_group(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "en"),
+            (2, [0.9, 0.1], "en"),
+            (3, [0.99, 0.01], "de"),   # closest overall, wrong group
+            (4, [0.0, 1.0], "en"),
+        ],
+        "vec_id long, embedding array<double>, lang string",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0], "en")], "q_id long, q_vec array<double>, lang string"
+    )
+    out = sorted(
+        K.knn_join(q, corpus, k=2, match_col="lang").collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["neighbor_id"] for r in out] == [1, 2]  # 3 excluded by group
