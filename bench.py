@@ -161,11 +161,29 @@ def _dim768_probe(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         q = embed_text("standard procedure for mitigating water damage", 768)
         n = topk_similar(emb, q, k=10, id_col="doc_id").count()
+        exact_sec = round(time.perf_counter() - t0, 3)
+        # the ANN path at the reference's width: one-time index build
+        # (k-means + assign) reported separately from the per-query probe
+        from secure_agent_api_vector_search_spark.operators.ivf import (
+            build_ivf,
+            ivf_search,
+        )
+
+        t0 = time.perf_counter()
+        index = build_ivf(emb, n_lists=16, id_col="doc_id", seed=42)
+        index.assigned.cache().count()
+        build_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n_ivf = ivf_search(index, q, k=10, nprobe=4).count()
         out = {
             "corpus_embed_768_sec": embed_sec,
-            "topk_cosine_768_sec": round(time.perf_counter() - t0, 3),
+            "topk_cosine_768_sec": exact_sec,
+            "ivf_build_768_sec": build_sec,
+            "ivf_probe_768_sec": round(time.perf_counter() - t0, 3),
             "rows": n,
+            "rows_ivf": n_ivf,
         }
+        index.assigned.unpersist()
         emb.unpersist()
         return out
     except Exception as exc:

@@ -209,6 +209,26 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.knn_join(queries, emb, k=3, dim=DIM)
 
 
+def embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill-health monitor: how much of the document corpus has a
+    serving-ready embedding (non-null, correct width). The one-row
+    summary every embedding pipeline pages on — a stalled backfill job
+    shows up here before it shows up as silent recall loss (null
+    vectors are excluded from every search path by policy, SURVEY
+    §1.2). One broadcast-able left join + one aggregate."""
+    docs = load_documents(spark, sf_dir).select("doc_id")
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", F.size("embedding").alias("_w")
+    )
+    joined = docs.join(emb, docs["doc_id"] == emb["vec_id"], "left")
+    return joined.agg(
+        F.count("*").alias("n_docs"),
+        F.count("_w").alias("n_embedded"),
+        F.sum(F.when(F.col("_w") == DIM, 1).otherwise(0)).cast("long").alias("n_full_width"),
+        F.round(F.count("_w") / F.count("*"), 9).alias("coverage_frac"),
+    )
+
+
 def knn_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-matched batch kNN: each query's neighbors restricted to
     corpus rows sharing its `label` — the within-language/tenant/shard
@@ -1503,6 +1523,18 @@ WHERE "rank" <= 3 ORDER BY q_id, "rank" """,
         description="[EXT] batch kNN join: broadcast query set × corpus, "
                     "window top-k per query", tags=("vector", "join")))
 
+    r.register(NamedQuery(
+        "embedding_coverage", embedding_coverage,
+        oracle_sql=f"""
+SELECT COUNT(*) AS n_docs,
+       COUNT(len(e.embedding)) AS n_embedded,
+       CAST(SUM(CASE WHEN len(e.embedding) = {DIM} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_width,
+       ROUND(CAST(COUNT(len(e.embedding)) AS DOUBLE) / COUNT(*), 9) AS coverage_frac
+FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id""",
+        description="[EXT] embedding-backfill coverage monitor: one-row "
+                    "corpus health summary (docs vs serving-ready vectors)",
+        tags=("ops", "vector")))
     r.register(NamedQuery(
         "knn_join_grouped", knn_join_grouped,
         oracle_sql=f"""
