@@ -2898,6 +2898,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "epoch_shuffle",
     "rrf_search",
     "knn_join_grouped",
+    "embedding_coverage",
     "textjoin_lsh_vs_exact_diff",
     "simhash_vs_exact_diff",
     "minhash_vs_exact_diff",
@@ -2949,7 +2950,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "per_source_cap",
     "contamination_check",
     "corpus_curation",
-    "lang_profile",
     "hybrid_search",
     "bm25_search",
 )
