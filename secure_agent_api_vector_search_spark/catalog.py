@@ -1110,7 +1110,8 @@ def corpus_stats_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard gate for the sketch summary (`corpus_stats_approx`): emits
     the sketch query's EXACT columns verbatim plus bound-check booleans
     for the sketch columns — HLL++ distinct within 5·rsd of the exact
-    distinct count, quantile sketch ordered and inside the observed
+    distinct count (= the literal 0.10 below at the rsd=0.02 the sketch
+    query uses), quantile sketch ordered and inside the observed
     range. Every output column is deterministic, so DuckDB pins the
     whole row (the sketch VALUES stay rows-only in corpus_stats_approx;
     their error bounds are also pytest-pinned in tests/test_text.py)."""

@@ -1381,31 +1381,86 @@ def minhash_incremental(
     (components.keep_first), so a batch that carries its own dup
     cluster keeps exactly one representative.
 
-    Scale note: this composition recomputes the ``seen`` side's
-    shingles/signatures per call, which is the right call up to
-    moderate corpus sizes (one map pass, no shuffle). The 100 TB
-    steady-state form materializes the seen feature frame once
-    (id, shingles, signature, bands — write the `feats` projection to a
-    parquet table bucketed by band hash) and rebinds stage (1) to it,
-    making per-batch cost O(batch) + one band-key shuffle; the pair
-    pipeline downstream is identical. Same-parameter discipline
-    applies: ``shingle_k/num_hashes/num_bands/seed`` must match the
-    values the state was built with — signatures are only comparable
-    within one hash family.
+    Scale notes: the batch's shingle/signature pass runs ONCE and both
+    stages bind to it (stage 2 semi-joins the cached feature frame down
+    to the survivors); the ``seen`` side is re-featurized per call,
+    which is the right call up to moderate corpus sizes (one map pass,
+    no shuffle). The 100 TB steady-state form materializes the seen
+    feature frame once (write the feats projection to a parquet table
+    bucketed by band hash) and rebinds stage (1) to it, making
+    per-batch cost O(batch) + one band-key shuffle. Same-parameter
+    discipline applies: ``shingle_k/num_hashes/num_bands/seed`` must
+    match the values the state was built with — signatures are only
+    comparable within one hash family. The RESULT is returned
+    persisted and materialized (so the intermediate feature frames can
+    be unpersisted here instead of leaking per call); callers owning a
+    long-lived session may `.unpersist()` it when done.
     """
+    from pyspark import StorageLevel
+
     from secure_agent_api_vector_search_spark.operators.components import keep_first
 
-    cross = minhash_similarity_join(
-        batch, seen, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
-        num_hashes=num_hashes, num_bands=num_bands, threshold=threshold, seed=seed,
-    )
-    hits = cross.select(F.col("id_a").alias(id_col)).distinct()
-    fresh = batch.join(hits, id_col, "left_anti")
-    within = minhash_near_dup_pairs(
-        fresh, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
-        num_hashes=num_hashes, num_bands=num_bands, threshold=threshold, seed=seed,
-    )
-    return keep_first(fresh, within.select("id_a", "id_b"), id_col=id_col)
+    sig = _shingle_sig_udf(shingle_k, num_hashes, seed, num_bands)
+
+    def feats(df: DataFrame, side: int) -> DataFrame:
+        return (
+            rebalance_if_narrow(df)
+            .select(F.col(id_col), sig(F.col(text_col)).alias("_f"))
+            .select(
+                F.col(id_col).alias("id"),
+                F.lit(side).alias("side"),
+                F.col("_f.shingles").alias("shingles"),
+                F.col("_f.signature").alias("signature"),
+                F.col("_f.bands").alias("bands"),
+            )
+        )
+
+    fb = feats(batch, 0).persist(StorageLevel.MEMORY_AND_DISK)
+    fs = feats(seen, 1).persist(StorageLevel.MEMORY_AND_DISK)
+    fb.count(), fs.count()  # one eager pass each; both stages consume
+    try:
+        b_ok = fb.filter(F.col("shingles").isNotNull())
+        s_ok = fs.filter(F.col("shingles").isNotNull())
+        margin = 3.0 * math.sqrt(0.25 / num_hashes)
+        keep_min = threshold - margin
+
+        # stage 1: batch × seen cross screen + exact-Jaccard verify
+        screened = minhash_candidate_pairs(
+            b_ok.unionAll(s_ok), "id", num_hashes, num_bands, keep_min=keep_min
+        )
+        sh_a = b_ok.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        sh_b = s_ok.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        hits = (
+            screened.join(sh_a, "id_a").join(sh_b, "id_b")
+            .filter(H.jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+        )
+        fresh = batch.join(hits, id_col, "left_anti")
+
+        # stage 2: within-batch pairs over the SURVIVORS, rebinding the
+        # already-computed batch features (no second shingle pass)
+        f_fresh = b_ok.drop("side").join(
+            fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+        screened_w = minhash_candidate_pairs(
+            f_fresh, "id", num_hashes, num_bands, keep_min=keep_min
+        )
+        wh_a = f_fresh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        wh_b = f_fresh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        within = (
+            screened_w.join(wh_a, "id_a").join(wh_b, "id_b")
+            .filter(H.jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+            .select("id_a", "id_b")
+        )
+        out = keep_first(fresh, within, id_col=id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        out.count()  # materialize before the feature frames go away
+        return out
+    finally:
+        fb.unpersist()
+        fs.unpersist()
 
 
 def text_jaccard_join_exact(
@@ -1440,6 +1495,11 @@ def text_jaccard_join_exact(
 
     Output: (id_a, id_b, jaccard), id_a from A, id_b from B.
     """
+    if threshold <= 0.0:
+        # the index path's exhaustiveness proof (shared shingle ⇒
+        # candidate) only holds for positive thresholds; at 0 the two
+        # strategies would diverge on zero-overlap pairs
+        raise ValueError("threshold must be > 0")
     sig = _shingle_sig_udf(shingle_k, 1, seed, 0)
 
     def feats(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:

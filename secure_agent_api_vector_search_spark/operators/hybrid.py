@@ -126,9 +126,16 @@ def rrf_search(
     depth: int = 50,
     rrf_k: int = 60,
     id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
 ) -> DataFrame:
     """Reciprocal-rank fusion of a BM25 list and an exact vector top-k
     list: score(d) = Σ_lists 1/(rrf_k + rank_list(d)).
+
+    ``id_col`` names the document key on the BM25/documents side AND in
+    the fused output; ``vec_id_col`` names the embeddings frame's key
+    (the two frames share an id space but not necessarily a column
+    name — the testdata keys documents on doc_id and embeddings on
+    vec_id).
 
     RRF is the standard hybrid recipe (Cormack et al. 2009; what
     pgvector's hybrid-search guidance and most engines ship) because it
@@ -150,8 +157,8 @@ def rrf_search(
     from secure_agent_api_vector_search_spark.operators.topk import topk_similar
 
     bm = bm25_search(documents, query_terms, k=depth, id_col=id_col)
-    vec = topk_similar(embeddings, query_vec, k=depth, id_col="vec_id").select(
-        F.col("vec_id").alias(id_col), F.round("similarity", 9).alias("similarity")
+    vec = topk_similar(embeddings, query_vec, k=depth, id_col=vec_id_col).select(
+        F.col(vec_id_col).alias(id_col), F.round("similarity", 9).alias("similarity")
     )
     wb = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     wv = Window.orderBy(F.col("similarity").desc(), F.col(id_col).asc())

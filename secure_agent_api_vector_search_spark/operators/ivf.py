@@ -248,6 +248,7 @@ def rebuild_ivf(
     vec_col: str = "embedding",
     seed: int = 42,
     metric: str | None = None,
+    index: IvfIndex | None = None,
 ) -> IvfIndex:
     """Compaction: re-train centroids over the CURRENT corpus (base
     build + everything streamed in since) and rewrite the lists layout.
@@ -263,7 +264,9 @@ def rebuild_ivf(
     snapshot (collect-free — only the KMeans sample ever reaches the
     driver).
     """
-    old = read_ivf(spark, path, id_col, vec_col)
+    # ``index``: pass an already-loaded handle (rebuild_if_skewed just
+    # read one) to skip a redundant centroid collect + lists listing
+    old = read_ivf(spark, path, id_col, vec_col) if index is None else index
     corpus = old.assigned.drop("list_id")
     # materialize the snapshot before overwriting the directory it was
     # read from (write-over-read is undefined otherwise)
@@ -336,7 +339,11 @@ def rebuild_if_skewed(
     stats = list_balance_stats(index)
     if stats["skew"] <= threshold:
         return index, False
-    return rebuild_ivf(spark, path, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed), True
+    rebuilt = rebuild_ivf(
+        spark, path, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
+        seed=seed, index=index,
+    )
+    return rebuilt, True
 
 
 def _rank_lists(centroids: list[list[float]], query_vec: Sequence[float]) -> list[int]:

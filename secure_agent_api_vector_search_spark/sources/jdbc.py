@@ -101,6 +101,10 @@ def register_jdbc_views(
     ``tables``: view-name → dbtable mapping, or a list when the names
     coincide.
     """
+    if isinstance(tables, str):
+        # a bare string would iterate character-by-character and try to
+        # load a table per letter — fail here, not at the database
+        raise TypeError("tables must be a dict or a list of names, not a string")
     mapping = {t: t for t in tables} if not isinstance(tables, dict) else tables
     for view, dbtable in mapping.items():
         load_jdbc(spark, url, dbtable, **kw).createOrReplaceTempView(view)

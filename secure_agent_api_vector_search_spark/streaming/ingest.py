@@ -99,37 +99,74 @@ def start_fingerprint_dedup_ingest(
     dim: int = 64,
 ) -> StreamingQuery:
     """Streaming ingest deduplicating on CONTENT, not id: the streaming
-    completion of operators/dedup.py::dedup_incremental.
+    completion of operators/dedup.py::dedup_incremental, with the SAME
+    keep-min-id policy.
 
     `start_dedup_ingest` keys its state on doc_id, which misses the
     commonest real duplicate — the same document re-crawled under a NEW
     id (mirrors, trackers, repost). Here the dedup key is the 16-byte
-    md5 of the normalized text (case/punct/whitespace-folded, the same
-    fingerprint the batch incremental dedup uses), so a re-crawl is
-    dropped regardless of its id. State is one fingerprint per distinct
-    document, checkpointed; no watermark — content dedup state must
-    never age out (a month-later re-crawl is STILL a duplicate), and at
-    100 TB the RocksDB state backend holds the 16-byte keys on disk.
-    Dedup runs BEFORE the embed stage, so duplicate payloads never
-    reach the Python workers.
+    md5 of the normalized text (case/punct/whitespace-folded). A
+    streaming `dropDuplicates` on that key would ALMOST work, but it
+    keeps an arbitrary in-batch representative (partition-order
+    dependent), so a replay could emit a different row than the batch
+    operator on identical input. Instead each micro-batch runs the
+    dedup_incremental recipe through foreachBatch: batch-local
+    keep-MIN-id per fingerprint, then an anti-join against the durable
+    fingerprint LEDGER of all PRIOR epochs (`{out_dir}/_fp_ledger`,
+    16 bytes per distinct document — the same artifact the batch
+    operator's scale note calls for). Both the survivors and the
+    ledger delta land under `_epoch_id` partitions with dynamic
+    overwrite, and the ledger read excludes the current epoch, so a
+    replayed epoch re-derives byte-identical output — effectively
+    exactly-once AND deterministic. Content state never ages out (a
+    month-later re-crawl is STILL a duplicate). Dedup runs BEFORE the
+    embed stage, so duplicate payloads never reach the Python workers.
     """
+    from pyspark.sql import Window
+
     from secure_agent_api_vector_search_spark.functions import text as X
 
+    ledger_dir = f"{out_dir}/_fp_ledger"
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(in_dir)
     )
-    deduped = (
-        stream.withColumn("_fp", F.md5(X.normalized_text("text")))
-        .dropDuplicates(["_fp"])
-        .drop("_fp")
-    )
-    embedded = embed_documents(deduped, dim)
+
+    def _epoch_overwrite(df: DataFrame, path: str, epoch_id: int) -> None:
+        (
+            df.withColumn("_epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch_id")
+            .parquet(path)
+        )
+
+    def _dedup(batch_df: DataFrame, epoch_id: int) -> None:
+        tagged = batch_df.withColumn("_fp", F.md5(X.normalized_text("text")))
+        w = Window.partitionBy("_fp").orderBy("doc_id")
+        local = (
+            tagged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            seen = (
+                spark.read.parquet(ledger_dir)
+                .filter(F.col("_epoch_id") < int(epoch_id))
+                .select("_fp")
+            )
+            fresh = local.join(seen, "_fp", "left_anti")
+        except Exception:  # first epoch: no ledger yet
+            fresh = local
+        fresh = fresh.persist()
+        _epoch_overwrite(embed_documents(fresh.drop("_fp"), dim), out_dir, epoch_id)
+        _epoch_overwrite(fresh.select("_fp"), ledger_dir, epoch_id)
+        fresh.unpersist()
+
     return (
-        embedded.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_dedup)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

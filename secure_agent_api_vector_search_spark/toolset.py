@@ -102,9 +102,15 @@ def _get_record(spark: SparkSession, sf_dir: str, record_id: str) -> DataFrame:
     """record_id is a STRING, matching the reference contract
     (tools.yaml:34-35 declares ``type: string`` — ids there are
     VARCHAR(25) like ``POL-10326103``). The testdata documents table
-    keys on a bigint doc_id, so the string is cast internally; a
-    non-numeric id binds like any other unmatched VARCHAR value —
+    keys on a bigint doc_id, so the string is cast internally with
+    VARCHAR-equality semantics: only the CANONICAL decimal rendering of
+    an id matches (``"42"`` — not ``"042"``, ``" 42 "``, ``"+42"``, or
+    Unicode digits, all of which ``int()`` would silently normalize but
+    a reference-side ``record_id = $1`` string compare would not). Any
+    non-canonical id binds like any other unmatched VARCHAR value —
     0 rows, never an error and never interpolated SQL (U5)."""
+    import re
+
     from secure_agent_api_vector_search_spark.operators.lookup import (
         LOOKUP_COLUMNS,
         get_record_by_id,
@@ -112,11 +118,9 @@ def _get_record(spark: SparkSession, sf_dir: str, record_id: str) -> DataFrame:
     from secure_agent_api_vector_search_spark.sources.tables import load_documents
 
     docs = load_documents(spark, sf_dir)
-    try:
-        key = int(record_id)
-    except ValueError:
+    if re.fullmatch(r"0|[1-9][0-9]*", record_id) is None:
         return docs.select(*LOOKUP_COLUMNS).limit(0)
-    return get_record_by_id(docs, key)
+    return get_record_by_id(docs, int(record_id))
 
 
 _TOOLSETS: dict[str, tuple[Tool, ...]] = {

@@ -530,3 +530,15 @@ def test_simhash_exact_twin_matches_banded(spark, docs):
               for r in simhash_near_dup_pairs(corpus).collect()}
     assert exact == banded
     assert len(exact) >= 20  # the planted verbatim copies are Hamming 0
+
+
+def test_text_jaccard_join_exact_rejects_nonpositive_threshold(spark, docs):
+    import pytest as _pytest
+
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        text_jaccard_join_exact,
+    )
+
+    small = docs.select("doc_id", "text").limit(3)
+    with _pytest.raises(ValueError, match="threshold"):
+        text_jaccard_join_exact(small, small, threshold=0.0)

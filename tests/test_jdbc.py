@@ -90,3 +90,8 @@ def test_register_jdbc_views_drop_in(spark, derby_url):
     n = spark.sql("select count(*) n from fed_records where id >= 90").first()["n"]
     assert n == 10
     spark.catalog.dropTempView("fed_records")
+
+
+def test_register_views_rejects_bare_string(spark):
+    with pytest.raises(TypeError, match="not a string"):
+        J.register_jdbc_views(spark, "jdbc:x", "documents")

@@ -370,7 +370,13 @@ def test_fingerprint_dedup_ingest_drops_recrawls_under_new_ids(spark, docs, tmp_
 
     in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     cols = ("doc_id", "text", "lang", "source", "n_chars")
-    first = docs.filter(F.col("doc_id") < 10).select(*cols)
+    # first delivery ALSO carries a same-batch re-id'd copy of doc 0:
+    # the keeper must be the MIN id (the batch operator's policy), not
+    # an arbitrary partition-order pick
+    inbatch_dup = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 800000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    first = docs.filter(F.col("doc_id") < 10).select(*cols).unionByName(inbatch_dup)
     # second delivery: 5 genuinely new docs + re-crawls of 0-4 under new
     # ids with case/punctuation noise (normalized-identical content)
     recrawl = docs.filter(F.col("doc_id") < 5).select(
@@ -393,5 +399,5 @@ def test_fingerprint_dedup_ingest_drops_recrawls_under_new_ids(spark, docs, tmp_
 
     out = spark.read.parquet(out_dir)
     ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
-    assert ids == list(range(15))              # every re-crawl dropped
+    assert ids == list(range(15))              # every re-crawl dropped, min-id kept
     assert "embedding" in out.columns

@@ -66,3 +66,14 @@ def test_typed_invocation_rejections(spark, sf_dir):
         get(spark, sf_dir, record_id=42)  # record_id is a string parameter
     with pytest.raises(TypeError, match="must be integer"):
         find(spark, sf_dir, query_text="x", limit=True)  # bool is not an int here
+
+
+def test_record_id_requires_canonical_decimal_rendering(spark, sf_dir):
+    """VARCHAR-equality semantics: '042', ' 42 ', '+42' must NOT match
+    doc 42 (a reference-side string bind would not), only '42' does."""
+    from secure_agent_api_vector_search_spark.toolset import load_toolset
+
+    tool = {t.name: t for t in load_toolset("customer_data_tools")}["get_record_by_id"]
+    assert tool(spark, sf_dir, record_id="42").count() == 1
+    for bad in ("042", " 42 ", "+42", "4_2", ""):
+        assert tool(spark, sf_dir, record_id=bad).count() == 0
