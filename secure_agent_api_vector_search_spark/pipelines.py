@@ -287,3 +287,121 @@ def write_bucketed(
 def bucketed_tables(spark: SparkSession, left: str, right: str) -> tuple[DataFrame, DataFrame]:
     """Read two same-bucketed tables for a shuffle-free equi-join."""
     return spark.table(left), spark.table(right)
+
+
+def curate_corpus(
+    spark: SparkSession,
+    raw_jsonl: str,
+    out_dir: str,
+    eval_max_id: int = 20,
+    min_tokens: int = 10,
+    min_quality: float = 0.5,
+    max_contamination: float = 0.5,
+    near_dup_threshold: float = 0.5,
+    n_shards: int = 32,
+    epoch_seed: str = "epoch-0",
+) -> dict:
+    """The end-to-end training-corpus curation job, raw dump → training
+    shards — every stage an operator this engine already gates:
+
+        raw JSONL (ingest_formats: PERMISSIVE + quarantine)
+          → quality gate (token floor + composite score, textops)
+          → exact/normalized dedup (keep-min-id, dedup.dedup_exact
+            on normalized fingerprints)
+          → near-dup collapse (MinHash-LSH pairs → connected
+            components keep-one, the scale path)
+          → benchmark decontamination (8-gram overlap vs the eval
+            split, curation.contamination_check)
+          → deterministic split (curation.dataset_split)
+          → train split materialized as epoch shards
+            (curation.write_epoch_shards)
+
+    Stage ORDER is the load-bearing design: quality gating first
+    (cheap scan predicates drop rows before anything pays for them),
+    exact dedup before near-dup (LSH candidate volume scales with
+    corpus size), decontamination after dedup (one representative per
+    group is all that needs checking). Every stage is a distributed
+    plan from the gated operator set; the only driver-side values are
+    the returned stage counts.
+
+    Returns a stage-count audit dict — the "where did my data go"
+    record a 100 TB curation run must produce (quarantined / gated /
+    dedup-dropped / contaminated counts, plus per-split sizes).
+    Rejected-stage outputs land under ``{out_dir}/rejects/<stage>`` so
+    every dropped row stays queryable.
+    """
+    from pyspark.sql import Window
+
+    from secure_agent_api_vector_search_spark.functions import text as X
+    from secure_agent_api_vector_search_spark.operators import dedup as D
+    from secure_agent_api_vector_search_spark.operators.components import keep_first
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        contamination_check,
+        dataset_split,
+        write_epoch_shards,
+    )
+    from secure_agent_api_vector_search_spark.sources.ingest_formats import (
+        load_jsonl_documents,
+    )
+
+    counts: dict[str, int] = {}
+    docs, quarantine = load_jsonl_documents(spark, raw_jsonl)
+    docs = docs.persist()
+    counts["ingested"] = docs.count()
+    counts["quarantined"] = quarantine.count()
+    quarantine.write.mode("overwrite").parquet(f"{out_dir}/rejects/parse")
+
+    gated = docs.filter(
+        (X.token_count("text") >= min_tokens)
+        & (X.quality_score("text") >= min_quality)
+    ).persist()
+    counts["after_quality"] = gated.count()
+    docs.join(gated.select("doc_id"), "doc_id", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/rejects/quality")
+
+    # exact/normalized dedup: keep-min-id per normalized fingerprint
+    w = Window.partitionBy(F.md5(X.normalized_text("text")))
+    exact_kept = (
+        gated.withColumn("_keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .drop("_keeper")
+    )
+
+    # near-dup collapse at scale: banded MinHash pairs → components
+    norm = exact_kept.select("doc_id", X.normalized_text("text").alias("text"))
+    pairs = D.minhash_near_dup_pairs(norm, threshold=near_dup_threshold)
+    deduped = keep_first(exact_kept, pairs.select("id_a", "id_b"), id_col="doc_id")
+    deduped = deduped.persist()
+    counts["after_dedup"] = deduped.count()
+    gated.join(deduped.select("doc_id"), "doc_id", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/rejects/dedup")
+
+    # benchmark decontamination: drop training docs with heavy eval overlap
+    overlap = contamination_check(deduped, eval_max_id=eval_max_id)
+    dirty = overlap.filter(F.col("hit_frac") > max_contamination).select("doc_id")
+    clean = deduped.filter(F.col("doc_id") >= eval_max_id).join(
+        dirty, "doc_id", "left_anti"
+    )
+    clean = clean.persist()
+    counts["after_decontamination"] = clean.count()
+    deduped.join(clean.select("doc_id"), "doc_id", "left_anti").filter(
+        F.col("doc_id") >= eval_max_id
+    ).write.mode("overwrite").parquet(f"{out_dir}/rejects/contamination")
+
+    split = clean.join(dataset_split(clean).select("doc_id", "split"), "doc_id")
+    for name in ("train", "val", "test"):
+        part = split.filter(F.col("split") == name).drop("split")
+        counts[f"split_{name}"] = part.count()
+        if name == "train":
+            write_epoch_shards(
+                part, f"{out_dir}/train_shards", n_shards=n_shards,
+                seed=epoch_seed,
+            )
+        else:
+            part.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+
+    for frame in (docs, gated, deduped, clean):
+        frame.unpersist()
+    return counts

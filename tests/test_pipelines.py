@@ -200,3 +200,58 @@ def test_events_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     total = back.count()
     if day_rows:
         assert day_rows < total
+
+
+def test_curate_corpus_end_to_end(spark, docs, tmp_path):
+    """The full raw-dump → training-shards pipeline: stage counts are
+    consistent, every dropped row lands in a queryable reject path, and
+    the train split materializes as ordered epoch shards."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.pipelines import curate_corpus
+
+    raw = tmp_path / "raw.jsonl"
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    sample = [
+        {k: r[k] for k in cols} for r in docs.filter(F.col("doc_id") < 120).collect()
+    ]
+    # plant: a normalized dup, a verbatim dup, and an undecodable line
+    dup_src = next(s for s in sample if s["doc_id"] == 30)
+    sample.append({**dup_src, "doc_id": 700000,
+                   "text": dup_src["text"].upper() + " !!!"})
+    sample.append({**dup_src, "doc_id": 700001})
+    lines = [_json.dumps(s) for s in sample] + ['{"doc_id": 99, "text": "bro']
+    raw.write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "curated")
+    counts = curate_corpus(spark, str(raw), out, n_shards=4, min_quality=0.25)
+
+    assert counts["ingested"] == len(sample)
+    assert counts["quarantined"] == 1
+    assert counts["after_quality"] <= counts["ingested"]
+    assert counts["after_dedup"] <= counts["after_quality"]
+    # both planted dups of doc 30 collapsed (keep-min-id keeps 30)
+    assert counts["after_dedup"] <= counts["after_quality"] - 2
+    assert counts["after_decontamination"] <= counts["after_dedup"]
+    n_splits = sum(counts[f"split_{s}"] for s in ("train", "val", "test"))
+    assert n_splits == counts["after_decontamination"]
+
+    # audit trail: rejects exist and stage arithmetic closes
+    dropped_q = spark.read.parquet(f"{out}/rejects/quality").count()
+    assert dropped_q == counts["ingested"] - counts["after_quality"]
+    dropped_d = spark.read.parquet(f"{out}/rejects/dedup").count()
+    assert dropped_d == counts["after_quality"] - counts["after_dedup"]
+
+    # train shards: ordered layout, planted dup ids absent everywhere
+    shards = [d for d in os.listdir(f"{out}/train_shards") if d.startswith("shard=")]
+    assert len(shards) == 4
+    train = spark.read.parquet(f"{out}/train_shards")
+    assert train.count() == counts["split_train"]
+    all_kept = set()
+    for part in ("train_shards", "val", "test"):
+        all_kept |= {r["doc_id"] for r in
+                     spark.read.parquet(f"{out}/{part}").select("doc_id").collect()}
+    assert 700000 not in all_kept and 700001 not in all_kept
