@@ -2892,7 +2892,7 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
-    # --- never-checked round-5 entries (16): new operators + the
+    # --- never-checked round-5 entries (19): new operators + the
     # exactness-limit / empty-diff gates that put the ANN & LSH family
     # on the hard gate ---
     "dedup_incremental",
@@ -2930,7 +2930,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "embed_texts",
     "multimodal_features",
     "orders_asof_event",
-    # --- oldest-coverage rotation (21): entries whose last green row is
+    # --- oldest-coverage rotation (18): entries whose last green row is
     # round 1-3 (the round-4 window missed them); the 9 simple
     # relational entries left past position 50 (q3/q5, top_customers,
     # revenue_by_region, semi/anti joins, setops, pivot, Q17) all hold

@@ -409,6 +409,46 @@ def minhash_near_dup_pairs(
     return _pair_order(pairs)
 
 
+def _minhash_side_feats(df, sig, text_col: str, id_col: str, side: int):
+    """Side-tagged (id, side, shingles, signature, bands) feature frame —
+    the shared input shape of the two-frame screen."""
+    return (
+        rebalance_if_narrow(df)
+        .select(F.col(id_col), sig(F.col(text_col)).alias("_f"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.lit(side).alias("side"),
+            F.col("_f.shingles").alias("shingles"),
+            F.col("_f.signature").alias("signature"),
+            F.col("_f.bands").alias("bands"),
+        )
+    )
+
+
+def _cross_screen_verify(
+    a_ok, b_ok, num_hashes: int, num_bands: int, threshold: float
+):
+    """Side-tagged band screen + exact-Jaccard verify — the ONE home for
+    the screen margin and verify policy, shared by
+    :func:`minhash_similarity_join` and :func:`minhash_incremental` (the
+    LSH gates check this exact pipeline; a second copy could silently
+    diverge). Inputs are already-null-filtered feature frames; output is
+    (id_a, id_b, jaccard) with id_a from the side-0 frame."""
+    margin = 3.0 * math.sqrt(0.25 / num_hashes)
+    screened = minhash_candidate_pairs(
+        a_ok.unionAll(b_ok), "id", num_hashes, num_bands,
+        keep_min=threshold - margin,
+    )
+    sh_a = a_ok.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = b_ok.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        screened.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_similarity_join(
     dfA: DataFrame,
     dfB: DataFrame,
@@ -439,40 +479,16 @@ def minhash_similarity_join(
     """
     sig = _shingle_sig_udf(shingle_k, num_hashes, seed, num_bands)
 
-    def feats(df: DataFrame, side: int) -> DataFrame:
-        return (
-            rebalance_if_narrow(df)
-            .select(F.col(id_col), sig(F.col(text_col)).alias("_f"))
-            .select(
-                F.col(id_col).alias("id"),
-                F.lit(side).alias("side"),
-                F.col("_f.shingles").alias("shingles"),
-                F.col("_f.signature").alias("signature"),
-                F.col("_f.bands").alias("bands"),
-            )
-        )
-
     from pyspark import StorageLevel
 
-    fa = feats(dfA, 0).persist(StorageLevel.MEMORY_AND_DISK)
-    fb = feats(dfB, 1).persist(StorageLevel.MEMORY_AND_DISK)
+    fa = _minhash_side_feats(dfA, sig, text_col, id_col, 0).persist(StorageLevel.MEMORY_AND_DISK)
+    fb = _minhash_side_feats(dfB, sig, text_col, id_col, 1).persist(StorageLevel.MEMORY_AND_DISK)
     fa.count(), fb.count()  # one eager pass each: banding + verify both consume
     fa_ok = fa.filter(F.col("shingles").isNotNull())
     fb_ok = fb.filter(F.col("shingles").isNotNull())
-    margin = 3.0 * math.sqrt(0.25 / num_hashes)
-    screened = minhash_candidate_pairs(
-        fa_ok.unionAll(fb_ok), "id", num_hashes, num_bands,
-        keep_min=threshold - margin,
-    )
-    sh_a = fa_ok.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = fb_ok.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        screened.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select("id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .transform(_pair_order)
-    )
+    return _cross_screen_verify(
+        fa_ok, fb_ok, num_hashes, num_bands, threshold
+    ).transform(_pair_order)
 
 
 def minhash_bucket_stats(
@@ -1402,37 +1418,23 @@ def minhash_incremental(
 
     sig = _shingle_sig_udf(shingle_k, num_hashes, seed, num_bands)
 
-    def feats(df: DataFrame, side: int) -> DataFrame:
-        return (
-            rebalance_if_narrow(df)
-            .select(F.col(id_col), sig(F.col(text_col)).alias("_f"))
-            .select(
-                F.col(id_col).alias("id"),
-                F.lit(side).alias("side"),
-                F.col("_f.shingles").alias("shingles"),
-                F.col("_f.signature").alias("signature"),
-                F.col("_f.bands").alias("bands"),
-            )
-        )
-
-    fb = feats(batch, 0).persist(StorageLevel.MEMORY_AND_DISK)
-    fs = feats(seen, 1).persist(StorageLevel.MEMORY_AND_DISK)
-    fb.count(), fs.count()  # one eager pass each; both stages consume
+    fb = _minhash_side_feats(batch, sig, text_col, id_col, 0).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    fs = _minhash_side_feats(seen, sig, text_col, id_col, 1).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     try:
+        fb.count(), fs.count()  # one eager pass each; both stages consume
         b_ok = fb.filter(F.col("shingles").isNotNull())
         s_ok = fs.filter(F.col("shingles").isNotNull())
         margin = 3.0 * math.sqrt(0.25 / num_hashes)
         keep_min = threshold - margin
 
-        # stage 1: batch × seen cross screen + exact-Jaccard verify
-        screened = minhash_candidate_pairs(
-            b_ok.unionAll(s_ok), "id", num_hashes, num_bands, keep_min=keep_min
-        )
-        sh_a = b_ok.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-        sh_b = s_ok.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        # stage 1: batch × seen — the SAME screen+verify pipeline the
+        # similarity join (and its gates) run
         hits = (
-            screened.join(sh_a, "id_a").join(sh_b, "id_b")
-            .filter(H.jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+            _cross_screen_verify(b_ok, s_ok, num_hashes, num_bands, threshold)
             .select(F.col("id_a").alias(id_col))
             .distinct()
         )

@@ -347,6 +347,7 @@ def curate_corpus(
     counts: dict[str, int] = {}
     docs, quarantine = load_jsonl_documents(spark, raw_jsonl)
     docs = docs.persist()
+    quarantine = quarantine.persist()  # counted AND written: one parse
     counts["ingested"] = docs.count()
     counts["quarantined"] = quarantine.count()
     quarantine.write.mode("overwrite").parquet(f"{out_dir}/rejects/parse")
@@ -378,19 +379,29 @@ def curate_corpus(
         "overwrite"
     ).parquet(f"{out_dir}/rejects/dedup")
 
+    # the eval slice (doc_id < eval_max_id) is RESERVED, not dropped:
+    # it is the benchmark the decontamination pass protects, so it
+    # leaves the training pipeline here — written and counted so the
+    # stage arithmetic closes (after_dedup = eval_reserved +
+    # contaminated + after_decontamination)
+    eval_reserved = deduped.filter(F.col("doc_id") < eval_max_id)
+    counts["eval_reserved"] = eval_reserved.count()
+    eval_reserved.write.mode("overwrite").parquet(f"{out_dir}/eval_reserved")
+
     # benchmark decontamination: drop training docs with heavy eval overlap
     overlap = contamination_check(deduped, eval_max_id=eval_max_id)
     dirty = overlap.filter(F.col("hit_frac") > max_contamination).select("doc_id")
-    clean = deduped.filter(F.col("doc_id") >= eval_max_id).join(
-        dirty, "doc_id", "left_anti"
-    )
+    train_pool = deduped.filter(F.col("doc_id") >= eval_max_id)
+    clean = train_pool.join(dirty, "doc_id", "left_anti")
     clean = clean.persist()
     counts["after_decontamination"] = clean.count()
-    deduped.join(clean.select("doc_id"), "doc_id", "left_anti").filter(
-        F.col("doc_id") >= eval_max_id
-    ).write.mode("overwrite").parquet(f"{out_dir}/rejects/contamination")
+    train_pool.join(clean.select("doc_id"), "doc_id", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/rejects/contamination")
 
-    split = clean.join(dataset_split(clean).select("doc_id", "split"), "doc_id")
+    split = clean.join(
+        dataset_split(clean).select("doc_id", "split"), "doc_id"
+    ).persist()  # consumed by three count+write passes
     for name in ("train", "val", "test"):
         part = split.filter(F.col("split") == name).drop("split")
         counts[f"split_{name}"] = part.count()
@@ -402,6 +413,6 @@ def curate_corpus(
         else:
             part.write.mode("overwrite").parquet(f"{out_dir}/{name}")
 
-    for frame in (docs, gated, deduped, clean):
+    for frame in (docs, quarantine, gated, deduped, clean, split):
         frame.unpersist()
     return counts

@@ -23,6 +23,20 @@ from secure_agent_api_vector_search_spark.embedder import embed_udf
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
+def _epoch_overwrite(df: DataFrame, path: str, epoch_id: int) -> None:
+    """Epoch-partitioned dynamic-overwrite write: the idempotence key of
+    every foreachBatch sink in this module — a replayed epoch rewrites
+    its own ``_epoch_id`` partition instead of appending duplicates."""
+    (
+        df.withColumn("_epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch_id")
+        .parquet(path)
+    )
+
+
+
 def embed_documents(docs: DataFrame, dim: int = 64) -> DataFrame:
     """Attach embeddings to a (batch or streaming) documents frame —
     the incremental form of the reference's one-shot UPDATE backfill."""
@@ -133,16 +147,11 @@ def start_fingerprint_dedup_ingest(
         .parquet(in_dir)
     )
 
-    def _epoch_overwrite(df: DataFrame, path: str, epoch_id: int) -> None:
-        (
-            df.withColumn("_epoch_id", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch_id")
-            .parquet(path)
-        )
-
     def _dedup(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        if batch_df.isEmpty():
+            return
         tagged = batch_df.withColumn("_fp", F.md5(X.normalized_text("text")))
         w = Window.partitionBy("_fp").orderBy("doc_id")
         local = (
@@ -150,14 +159,23 @@ def start_fingerprint_dedup_ingest(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        # explicit schema: an all-duplicates epoch leaves the ledger dir
+        # with zero part files, which would fail schema INFERENCE and —
+        # under a broad except — silently disable dedup forever. With
+        # the schema given, an empty dir reads as an empty frame; only
+        # a genuinely missing path (first epoch) raises, and ONLY
+        # AnalysisException is treated as that case — any other read
+        # failure must surface, not silently re-admit duplicates.
         try:
             seen = (
-                spark.read.parquet(ledger_dir)
+                spark.read.schema("_fp string, _epoch_id int")
+                .parquet(ledger_dir)
                 .filter(F.col("_epoch_id") < int(epoch_id))
                 .select("_fp")
             )
+            seen.head(1)
             fresh = local.join(seen, "_fp", "left_anti")
-        except Exception:  # first epoch: no ledger yet
+        except AnalysisException:  # first epoch: no ledger yet
             fresh = local
         fresh = fresh.persist()
         _epoch_overwrite(embed_documents(fresh.drop("_fp"), dim), out_dir, epoch_id)
@@ -273,15 +291,6 @@ def start_curated_ingest(
         .option("maxFilesPerTrigger", 8)
         .parquet(in_dir)
     )
-
-    def _epoch_overwrite(df: DataFrame, path: str, epoch_id: int) -> None:
-        (
-            df.withColumn("_epoch_id", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch_id")
-            .parquet(path)
-        )
 
     def _route(batch_df: DataFrame, epoch_id: int) -> None:
         uni = (

@@ -118,7 +118,14 @@ def _get_record(spark: SparkSession, sf_dir: str, record_id: str) -> DataFrame:
     from secure_agent_api_vector_search_spark.sources.tables import load_documents
 
     docs = load_documents(spark, sf_dir)
-    if re.fullmatch(r"0|[1-9][0-9]*", record_id) is None:
+    # canonical decimal AND inside int64 — a 20+-digit numeral is valid
+    # for the reference's VARCHAR(25) ids but can never equal a bigint
+    # key, so it binds 0 rows instead of overflowing F.lit (U5: never
+    # an error)
+    if (
+        re.fullmatch(r"0|[1-9][0-9]*", record_id) is None
+        or int(record_id) > 0x7FFFFFFFFFFFFFFF
+    ):
         return docs.select(*LOOKUP_COLUMNS).limit(0)
     return get_record_by_id(docs, int(record_id))
 

@@ -238,6 +238,11 @@ def test_curate_corpus_end_to_end(spark, docs, tmp_path):
     assert counts["after_decontamination"] <= counts["after_dedup"]
     n_splits = sum(counts[f"split_{s}"] for s in ("train", "val", "test"))
     assert n_splits == counts["after_decontamination"]
+    # full closure: dedup survivors = eval slice + contaminated + clean
+    dropped_c = spark.read.parquet(f"{out}/rejects/contamination").count()
+    assert (counts["eval_reserved"] + dropped_c + counts["after_decontamination"]
+            == counts["after_dedup"])
+    assert spark.read.parquet(f"{out}/eval_reserved").count() == counts["eval_reserved"]
 
     # audit trail: rejects exist and stage arithmetic closes
     dropped_q = spark.read.parquet(f"{out}/rejects/quality").count()
