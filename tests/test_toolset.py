@@ -77,3 +77,13 @@ def test_record_id_requires_canonical_decimal_rendering(spark, sf_dir):
     assert tool(spark, sf_dir, record_id="42").count() == 1
     for bad in ("042", " 42 ", "+42", "4_2", ""):
         assert tool(spark, sf_dir, record_id=bad).count() == 0
+
+
+def test_record_id_beyond_int64_binds_zero_rows_not_error(spark, sf_dir):
+    """A canonical 20+-digit numeral is a legal VARCHAR(25) id but can
+    never equal a bigint key — it must bind 0 rows, never raise (U5)."""
+    from secure_agent_api_vector_search_spark.toolset import load_toolset
+
+    tool = {t.name: t for t in load_toolset("customer_data_tools")}["get_record_by_id"]
+    assert tool(spark, sf_dir, record_id="12345678901234567890").count() == 0
+    assert tool(spark, sf_dir, record_id=str(2**63 - 1)).count() == 0  # max int64: valid, no match
