@@ -107,3 +107,51 @@ def test_pack_bucket_properties(token_counts, max_tokens):
         total = grp["n_tokens"].sum()
         assert total <= max_tokens or len(grp) == 1
         assert sorted(grp["pos_in_seq"]) == list(range(len(grp)))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from(
+            ["alpha beta gamma delta", "epsilon zeta eta theta",
+             "ALPHA beta GAMMA delta!!", "one two three four five"])),
+        min_size=1, max_size=8, unique_by=lambda t: t[0],
+    )
+)
+def test_dedup_incremental_with_empty_seen_is_plain_keep_min(spark, rows):
+    """Property: against an EMPTY corpus, incremental dedup degenerates
+    to plain normalized keep-min-id dedup of the batch."""
+    from secure_agent_api_vector_search_spark.functions import text as X
+    from secure_agent_api_vector_search_spark.operators.dedup import dedup_incremental
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    seen = spark.createDataFrame([], "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in dedup_incremental(batch, seen).collect())
+    groups: dict[str, int] = {}
+    for doc_id, text in rows:
+        key = " ".join("".join(c for c in text.lower() if c.isalnum() or c == " ").split())
+        groups[key] = min(groups.get(key, doc_id), doc_id)
+    assert got == sorted(groups.values())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 10**9), min_size=1, max_size=40, unique=True),
+    st.integers(2, 6),
+)
+def test_epoch_shuffle_partitions_ids_with_dense_positions(spark, ids, n_shards):
+    """Property: every id appears exactly once, shards are in range,
+    and positions are dense 1..|shard| within each shard — for ANY id
+    set and shard count."""
+    from secure_agent_api_vector_search_spark.operators.curation import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = epoch_shuffle(df, n_shards=n_shards).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < n_shards
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
