@@ -90,6 +90,8 @@ HEADLINE = [
     "dedup_incremental",
     "epoch_shuffle",
     "rrf_search",
+    "knn_join_grouped",
+    "embedding_coverage",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has
