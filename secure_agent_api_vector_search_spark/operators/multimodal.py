@@ -88,8 +88,9 @@ def extract_features(with_payload: DataFrame, decode_stub: bool = True) -> DataF
 
 
 def multimodal_features(documents: DataFrame) -> DataFrame:
-    """End-to-end: attach payloads → extract features. Deterministic,
-    so it gets a (rows-only) driver check and full pytest coverage."""
+    """End-to-end: attach payloads → extract features. Deterministic
+    (sha256-derived stub features), so the driver's DuckDB oracle
+    recomputes the full row; pytest covers the decode plumbing."""
     return extract_features(attach_binary_payload(documents))
 
 

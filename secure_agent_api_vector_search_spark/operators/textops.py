@@ -90,8 +90,10 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
 
 
 def doc_winnow_fingerprints(documents: DataFrame, window: int = 8) -> DataFrame:
-    """Winnowing fingerprints (rolling-hash min-sampling) — Spark-only
-    (xxhash64), rows-only correctness check.
+    """Winnowing fingerprints (rolling-hash min-sampling), fully
+    oracle-checked: the token hash is md5-48 (functions/text.py), so
+    DuckDB recomputes the complete fingerprint including the window
+    mins.
 
     The raw fingerprint is `array<bigint>`; external row-hash gates
     can't canonicalize list cells, so the projection digests it to a
