@@ -401,3 +401,55 @@ def test_fingerprint_dedup_ingest_drops_recrawls_under_new_ids(spark, docs, tmp_
     ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert ids == list(range(15))              # every re-crawl dropped, min-id kept
     assert "embedding" in out.columns
+
+
+def test_streamed_drift_triggers_skew_rebuild(spark, docs, tmp_path):
+    """The full maintenance loop, end to end: drifted documents streamed
+    through start_indexed_ingest pile into few frozen lists; the
+    rebuild_if_skewed job detects the skew and re-clusters, restoring
+    balance — the literal 'streamed-append lists must trigger it'
+    contract."""
+    from secure_agent_api_vector_search_spark.operators.ivf import (
+        build_ivf,
+        list_balance_stats,
+        read_ivf,
+        rebuild_if_skewed,
+        write_ivf,
+    )
+    from secure_agent_api_vector_search_spark.streaming.ingest import (
+        start_indexed_ingest,
+    )
+
+    in_dir, idx, ckpt = (str(tmp_path / d) for d in ("in", "idx", "ckpt"))
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+
+    initial = embed_documents(docs.filter(F.col("doc_id") < 100).select(*cols), dim=16)
+    write_ivf(build_ivf(initial, n_lists=4, id_col="doc_id"), idx)
+    assert not rebuild_if_skewed(spark, idx, threshold=3.0, id_col="doc_id")[1]
+
+    # drifted ingest: 300 near-copies of ONE document embed to nearly
+    # the same vector, so the frozen assignment funnels them into a
+    # single list
+    seed_text = docs.filter(F.col("doc_id") == 7).select("text").head()[0]
+    drift = spark.createDataFrame(
+        [(10_000 + i, seed_text + f" v{i}", "en", "drift", len(seed_text))
+         for i in range(300)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    drift.write.mode("append").parquet(in_dir)
+    q = start_indexed_ingest(spark, in_dir, idx, ckpt, dim=16)
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+
+    stale = list_balance_stats(read_ivf(spark, idx, id_col="doc_id"))
+    assert stale["n_rows"] == 400
+    assert stale["skew"] > 3.0                 # the drift is visible
+
+    rebuilt, did = rebuild_if_skewed(spark, idx, threshold=3.0, n_lists=4,
+                                     id_col="doc_id")
+    assert did
+    after = list_balance_stats(rebuilt)
+    assert after["n_rows"] == 400
+    assert after["skew"] < stale["skew"]

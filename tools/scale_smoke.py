@@ -129,6 +129,11 @@ def run_suite(spark, base: str) -> dict[str, float]:
             docs.filter(F.col("doc_id") % 10 == 0),
             docs.filter(F.col("doc_id") % 10 != 0),
         ),
+        "minhash_incremental": lambda: D.minhash_incremental(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+            threshold=0.7,
+        ),
         "epoch_shuffle": lambda: CU.epoch_shuffle(docs, n_shards=64),
     }
     out: dict[str, float] = {}
