@@ -303,3 +303,22 @@ def test_knn_join_grouped_stays_in_group(spark):
         key=lambda r: r["rank"],
     )
     assert [r["neighbor_id"] for r in out] == [1, 2]  # 3 excluded by group
+
+
+def test_rrf_search_honors_custom_id_columns(spark):
+    """The fusion id contract: id_col names the documents side and the
+    output; vec_id_col names the embeddings frame's key."""
+    from secure_agent_api_vector_search_spark.operators.hybrid import rrf_search
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark"), (2, "nothing here")], "post_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "embedding_key long, embedding array<double>"
+    )
+    rows = rrf_search(
+        docs, emb, ["spark"], [1.0, 0.0], k=2, depth=2,
+        id_col="post_id", vec_id_col="embedding_key",
+    ).collect()
+    assert rows and rows[0]["post_id"] == 1   # top in both lists
+    assert "post_id" in rows[0].asDict()
