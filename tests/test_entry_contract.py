@@ -91,3 +91,17 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert _key(srows, scols) == _key(drows, dcols)
+
+
+def test_bench_headline_is_subset_of_queries():
+    """Every benched name must be a registered query (a rename in the
+    catalog must not silently break the bench harness) and the SHARED31
+    cross-round subset must stay exactly the first 31 entries."""
+    import bench
+    from __spark_entry__ import queries
+
+    qs = queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert missing == []
+    assert bench.SHARED31 == bench.HEADLINE[:31]
+    assert len(bench.SHARED31) == 31
