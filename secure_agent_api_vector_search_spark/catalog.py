@@ -371,7 +371,6 @@ def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", "n_sessions")
-        .orderBy("user_id")
     )
 
 
@@ -424,7 +423,6 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(14,2)")).alias("_sv"),
         )
         .select("a_id", "n_purchases", F.col("_sv").cast("double").alias("sum_value"))
-        .orderBy("a_id")
     )
 
 
@@ -441,7 +439,7 @@ def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.dedup_groups_exact(_docs_with_exact_dups(spark, sf_dir)).orderBy("keeper_id")
+    return D.dedup_groups_exact(_docs_with_exact_dups(spark, sf_dir))
 
 
 def _docs_with_noisy_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,7 +458,7 @@ def _docs_with_noisy_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.dedup_groups_normalized(_docs_with_noisy_dups(spark, sf_dir)).orderBy("keeper_id")
+    return D.dedup_groups_normalized(_docs_with_noisy_dups(spark, sf_dir))
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,11 +518,7 @@ def dedup_components_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping (operators/components.py)."""
     docs = _docs_with_noisy_dups(spark, sf_dir)
     pairs = _normalized_chain_pairs(spark, sf_dir)
-    return (
-        CC.keep_first(docs, pairs, id_col="doc_id")
-        .select("doc_id")
-        .orderBy("doc_id")
-    )
+    return CC.keep_first(docs, pairs, id_col="doc_id").select("doc_id")
 
 
 def dedup_near_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,10 +530,8 @@ def dedup_near_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_noisy_dups(spark, sf_dir)
     norm = docs.select("doc_id", TX.X.normalized_text("text").alias("text"))
     pairs = D.minhash_near_dup_pairs(norm, threshold=0.5)
-    return (
-        CC.keep_first(docs, pairs.select("id_a", "id_b"), id_col="doc_id")
-        .select("doc_id")
-        .orderBy("doc_id")
+    return CC.keep_first(docs, pairs.select("id_a", "id_b"), id_col="doc_id").select(
+        "doc_id"
     )
 
 
@@ -573,7 +565,6 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated.withColumn("_keeper", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("_keeper"))
         .select("doc_id", "lang", "n_tokens", "quality")
-        .orderBy("doc_id")
     )
 
 
@@ -647,7 +638,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_tokens=512,
         n_buckets=32,
         bucket_expr=F.pmod(F.col("doc_id"), F.lit(32)),
-    ).orderBy("doc_id")
+    )
 
 
 def pack_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -173,7 +173,6 @@ def orders_window_top3(spark: SparkSession, sf_dir: str, max_custkey: int = 100)
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -401,7 +400,7 @@ def funnel_frame(
         *[F.col(f"t{i}").alias(f"t_{s}_us") for i, s in enumerate(steps)],
         stage.cast("long").alias("stage"),
         F.col(f"t{n - 1}").isNotNull().alias("completed"),
-    ).orderBy("user_id")
+    )
 
 
 def events_funnel_summary(
@@ -545,5 +544,4 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
         e.withColumn("brk", is_break)
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"), (F.sum("brk") + 1).alias("n_sessions"))
-        .orderBy("user_id")
     )

@@ -38,15 +38,16 @@ def per_source_cap(
     cardinality is high in web corpora (domains), so partitions stay
     narrow; a single mega-domain is exactly the case the cap bounds —
     the sort inside an over-cap partition is O(domain size), and AQE
-    skew-split handles the shuffle side. No collect, no global sort
-    (the final orderBy is presentation-only for the gate).
+    skew-split handles the shuffle side. No collect, no global sort —
+    the output stays in window-partition order (source cardinality is
+    O(corpus) for web domains, so a trailing presentation sort would be
+    a corpus-sized range exchange; the gate hash is order-insensitive).
     """
     w = Window.partitionBy(source_col).orderBy(F.desc("n_chars"), id_col)
     return (
         documents.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= cap)
         .select(id_col, source_col, "n_chars", F.col("rk").cast("long").alias("rk"))
-        .orderBy(id_col)
     )
 
 
@@ -81,7 +82,6 @@ def quality_percentile_filter(
         .withColumn("q_pctile", F.percent_rank().over(w))
         .filter(F.col("q_pctile") >= min_pct)
         .select(id_col, group_col, "quality", "q_pctile")
-        .orderBy(id_col)
     )
 
 
@@ -91,9 +91,9 @@ def pii_redact(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     and the patterns are mutually non-overlapping by construction, so
     counts are stable under the rewrite.
 
-    One scan, zero shuffles (the trailing orderBy is gate
-    presentation): regexp_count/regexp_replace are codegen'd JVM
-    expressions — this runs at scan speed over 100 TB.
+    One scan, zero shuffles, no trailing sort: regexp_count /
+    regexp_replace are codegen'd JVM expressions — this runs at scan
+    speed over 100 TB.
     """
     t = F.col("text")
     redacted = F.regexp_replace(
@@ -194,7 +194,6 @@ def contamination_check(
             F.col("n_hit").cast("long").alias("n_hit"),
             (F.col("n_hit").cast("double") / F.col("n_grams")).alias("hit_frac"),
         )
-        .orderBy(id_col)
     )
 
 

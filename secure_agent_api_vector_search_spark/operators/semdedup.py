@@ -121,7 +121,12 @@ def semantic_dedup(
         F.lit(True).alias("keep"),
         F.lit(None).cast("long").alias("dup_of"),
     )
-    return screened.unionByName(nulls).orderBy(id_col)
+    # No trailing orderBy: output is one row per input row, so a
+    # presentation sort would be a corpus-sized range exchange (sampling
+    # pass + global sort) purely for display. The driver's value-hash is
+    # order-insensitive; callers that need ordered output sort the small
+    # slice they display.
+    return screened.unionByName(nulls)
 
 
 def semantic_dedup_keep(

@@ -176,7 +176,6 @@ def doc_repetition(documents: DataFrame) -> DataFrame:
                 & (top_bigram_frac <= 0.08)
             ).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -250,7 +249,6 @@ def duplicate_ngram_stats(
             frac.alias("dup_ngram_frac"),
             (frac <= max_frac).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 

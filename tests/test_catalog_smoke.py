@@ -68,3 +68,34 @@ def test_map_only_queries_never_range_sort(spark, sf_dir, name):
     df = REGISTRY.queries[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower(), name
+
+
+PER_ROW_UNSORTED = (
+    # one-row-per-input (or O(corpus)-row) outputs of SHUFFLE-FED plans:
+    # a trailing presentation orderBy here is a corpus-sized range
+    # exchange (sampling pass + global sort) purely for display. The
+    # round-6 purge removed them (the gate's value-hash is
+    # order-insensitive); this pin keeps every per-row output sort-free.
+    "doc_repetition",
+    "duplicate_ngram_stats",
+    "semantic_dedup",
+    "dedup_exact_keep_first",
+    "dedup_normalized",
+    "dedup_components_keep_first",
+    "dedup_near_keep_first",
+    "corpus_curation",
+    "pack_sequences",
+    "per_source_cap",
+    "quality_percentile_filter",
+    "events_funnel",
+    "events_sessionize",
+    "events_interval_join",
+    "orders_window_top3",
+)
+
+
+@pytest.mark.parametrize("name", PER_ROW_UNSORTED)
+def test_per_row_outputs_never_range_sort(spark, sf_dir, name):
+    df = REGISTRY.queries[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), name
