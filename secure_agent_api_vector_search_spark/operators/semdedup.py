@@ -19,6 +19,35 @@ exists anywhere in the plan, so the operator survives a 100× scale-up
 by raising k (clusters shrink as k grows; cost is n²/k total work
 spread over k independent tasks).
 
+Skew hardening (``max_cluster_size`` — the 100 TB seam): web-scale
+embedding spaces have dominant modes, and one hot cluster holding 5%
+of the corpus would arrive as ONE applyInPandas group and OOM that
+task. When any cluster exceeds the cap (one count aggregate checks;
+an unskewed corpus pays nothing else and keeps the exact unhardened
+plan), two bounded repairs run, mirroring ivf.rebuild_if_skewed /
+dedup.lsh_planes_for adaptive sizing:
+
+1. **Exact-vector collapse inside hot clusters.** Rows of an oversized
+   cluster are grouped on a 128-bit md5 vector fingerprint; only the
+   min-id representative of each identity group is screened, members
+   inherit its outcome by an id-only join. This is provably equivalent
+   to the full greedy screen: a dropped row never affects the kept
+   set, and an identical twin of row r matches exactly the kept rows r
+   matches, so its first kept witness is r itself (if r is kept) or
+   r's witness (if r was dropped). Crawl duplicate storms — the
+   dominant real-world hot-mode cause — flatten to one row here.
+2. **Recursive sub-cluster split.** Each still-oversized cluster gets
+   a bounded-sample k-means fit (``_fit_centroids`` — driver memory is
+   capped regardless of cluster width) targeting ~cap/2-row cells, and
+   one whole-batch numpy argmin reassignment map over only the
+   oversized rows; repeated up to ``split_rounds`` times. Screen task
+   memory is thereby bounded at cap·dim, independent of corpus skew.
+
+Splitting adds sub-cluster boundaries, so a near-dup pair straddling a
+new boundary survives — the same inherent approximation SemDeDup
+already accepts at cluster boundaries (paper §3); planted-duplicate
+recall under the cap is pinned in tests/test_semdedup.py.
+
 Known approximation (inherent to SemDeDup, documented in the paper):
 near-duplicate pairs that straddle a cluster boundary are not
 compared and both survive. The planted-duplicate tests pin the
@@ -30,6 +59,8 @@ seeded rows, sql/03_seed_data.sql) — this is north-star §2.10 surface.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -84,6 +115,97 @@ def _screen_cluster(pdf: pd.DataFrame, threshold: float, id_col: str) -> pd.Data
     )
 
 
+def _harden_skew(
+    assigned: DataFrame,
+    cap: int,
+    seed: int,
+    rounds: int,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Bound every cluster of ``assigned`` (id, cluster_id, _vec) at
+    ``cap`` rows. Returns (bounded assignment, members) where members
+    is the (id, _rep) frame of exact-duplicate rows collapsed out of
+    hot clusters (None when the corpus is unskewed — in that case the
+    input is returned untouched and only one count aggregate ran).
+    """
+    assigned = assigned.persist()
+    over = (
+        assigned.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > cap)
+        .collect()
+    )
+    if not over:
+        return assigned, None
+    big_ids = [int(r["cluster_id"]) for r in over]
+    big = assigned.filter(F.col("cluster_id").isin(big_ids))
+    rest = assigned.filter(~F.col("cluster_id").isin(big_ids))
+    # 1. exact-vector collapse inside the hot clusters (16-byte-keyed
+    # grouping exchange restricted to the oversized rows; greedy-
+    # equivalent — see module docstring).
+    fp = F.md5(F.to_json(F.col("_vec")))
+    slim = big.select(F.col(id_col), fp.alias("_vfp"))
+    rep_ids = slim.groupBy("_vfp").agg(F.min(id_col).alias("_rep"))
+    pairs = slim.join(rep_ids, "_vfp")
+    members = pairs.filter(F.col(id_col) != F.col("_rep")).select(
+        F.col(id_col), F.col("_rep")
+    )
+    reps = big.join(
+        pairs.filter(F.col(id_col) == F.col("_rep")).select(id_col), id_col
+    )
+    current = rest.unionByName(reps).persist()
+    current.count()
+    assigned.unpersist()
+    spark = current.sparkSession
+    # 2. recursive sub-cluster split of whatever is still over cap.
+    for rnd in range(rounds):
+        over = (
+            current.groupBy("cluster_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > cap)
+            .collect()
+        )
+        if not over:
+            break
+        max_id = current.agg(F.max("cluster_id")).first()[0]
+        big_ids = [int(r["cluster_id"]) for r in over]
+        big = current.filter(F.col("cluster_id").isin(big_ids))
+        rest = current.filter(~F.col("cluster_id").isin(big_ids))
+        sub: dict[int, tuple[np.ndarray, int]] = {}
+        next_id = int(max_id) + 1
+        for r in over:
+            cid, size = int(r["cluster_id"]), int(r["n"])
+            k = max(2, min(int(math.ceil(size / max(cap // 2, 1))), 256))
+            cents = _fit_centroids(
+                big.filter(F.col("cluster_id") == cid).select("_vec"),
+                "_vec",
+                k,
+                seed=seed + 1000 * (rnd + 1) + cid,
+            )
+            sub[cid] = (np.asarray(cents, dtype=np.float64), next_id)
+            next_id += k
+        bc = spark.sparkContext.broadcast(sub)
+
+        @F.pandas_udf("int")
+        def reassign(cid_s: pd.Series, vec_s: pd.Series) -> pd.Series:
+            table = bc.value
+            out = np.empty(len(cid_s), dtype=np.int64)
+            for i, (cid, v) in enumerate(zip(cid_s.to_numpy(), vec_s.to_numpy())):
+                mat, base = table[int(cid)]
+                x = np.asarray(v, dtype=np.float64)
+                d = np.einsum("ij,ij->i", mat, mat) - 2.0 * (mat @ x)
+                out[i] = base + int(np.argmin(d))  # ties → lowest sub id
+            return pd.Series(out).astype("int32")
+
+        merged = rest.unionByName(
+            big.withColumn("cluster_id", reassign("cluster_id", "_vec"))
+        ).persist()
+        merged.count()
+        current.unpersist()
+        current = merged
+    return current, members
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -91,6 +213,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_cluster_size: int | None = 8192,
+    split_rounds: int = 3,
 ) -> DataFrame:
     """SemDeDup: cluster-bounded cosine near-duplicate removal.
 
@@ -99,9 +223,11 @@ def semantic_dedup(
     (lower-id) kept row in the same cluster, ``dup_of`` that witness's
     id. Rows with null vectors are kept (nothing to compare) with a
     null cluster.
-    """
-    import math
 
+    ``max_cluster_size`` bounds the width of any screened cluster (the
+    per-task memory cap — see module docstring; ``None`` disables the
+    guard and reproduces the unhardened lazy single-pass plan).
+    """
     if n_clusters is None:
         n_clusters = max(2, int(math.sqrt(embeddings.count())))
     nonnull = embeddings.filter(F.col(vec_col).isNotNull())
@@ -111,10 +237,35 @@ def semantic_dedup(
         F.col("list_id").alias("cluster_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
     )
+    members = None
+    if max_cluster_size is not None:
+        assigned, members = _harden_skew(
+            assigned, max_cluster_size, seed, split_rounds, id_col
+        )
     schema = _OUT_SCHEMA.format(id=id_col)
     screened = assigned.groupBy("cluster_id").applyInPandas(
         lambda pdf: _screen_cluster(pdf, threshold, id_col), schema
     )
+    out = screened
+    if members is not None:
+        # collapsed members inherit their representative's outcome
+        # (id-only join): rep kept → member is a dup of rep; rep
+        # dropped → member shares rep's witness.
+        rep_out = screened.select(
+            F.col(id_col).alias("_rep"),
+            F.col("cluster_id").alias("_rc"),
+            F.col("keep").alias("_rk"),
+            F.col("dup_of").alias("_rd"),
+        )
+        member_out = members.join(rep_out, "_rep").select(
+            F.col(id_col),
+            F.col("_rc").alias("cluster_id"),
+            F.lit(False).alias("keep"),
+            F.when(F.col("_rk"), F.col("_rep"))
+            .otherwise(F.col("_rd"))
+            .alias("dup_of"),
+        )
+        out = out.unionByName(member_out)
     nulls = embeddings.filter(F.col(vec_col).isNull()).select(
         F.col(id_col),
         F.lit(None).cast("int").alias("cluster_id"),
@@ -126,7 +277,7 @@ def semantic_dedup(
     # pass + global sort) purely for display. The driver's value-hash is
     # order-insensitive; callers that need ordered output sort the small
     # slice they display.
-    return screened.unionByName(nulls)
+    return out.unionByName(nulls)
 
 
 def semantic_dedup_keep(
@@ -136,11 +287,18 @@ def semantic_dedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_cluster_size: int | None = 8192,
 ) -> DataFrame:
     """The filtered form: the surviving rows of ``embeddings`` (all
     original columns), i.e. the training set after semantic dedup."""
     marks = semantic_dedup(
-        embeddings, threshold, n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+        embeddings,
+        threshold,
+        n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        max_cluster_size=max_cluster_size,
     )
     return embeddings.join(
         marks.filter("keep").select(id_col), id_col, "inner"
