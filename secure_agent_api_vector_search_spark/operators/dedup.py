@@ -1365,12 +1365,20 @@ def dedup_incremental(
 
     Output: the surviving batch rows (original columns).
     """
+    # underscore-prefixed working column (same convention as the
+    # streaming twin): a batch frame that already carries a column named
+    # plain "fp" must not be silently overwritten and dropped
+    if "_fp" in batch.columns:
+        raise ValueError(
+            "dedup_incremental: batch already has a column named '_fp' "
+            "(reserved working column)"
+        )
     fp = F.md5(X.normalized_text(text_col))
-    seen_fp = seen.select(fp.alias("fp")).distinct()
-    tagged = batch.withColumn("fp", fp)
-    fresh = tagged.join(seen_fp, "fp", "left_anti")
-    keepers = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    return fresh.join(keepers, ["fp", id_col], "left_semi").drop("fp")
+    seen_fp = seen.select(fp.alias("_fp")).distinct()
+    tagged = batch.withColumn("_fp", fp)
+    fresh = tagged.join(seen_fp, "_fp", "left_anti")
+    keepers = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keepers, ["_fp", id_col], "left_semi").drop("_fp")
 
 
 def minhash_incremental(

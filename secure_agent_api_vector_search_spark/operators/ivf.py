@@ -234,9 +234,17 @@ def write_ivf(index: IvfIndex, path: str) -> None:
 def read_ivf(spark: SparkSession, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> IvfIndex:
     assigned = spark.read.parquet(f"{path}/lists")
     cent = spark.read.parquet(f"{path}/centroids")
-    # pre-metric layouts (no `metric` column) were always l2-routed
-    metric = "l2" if "metric" not in cent.columns else cent.first()["metric"]
+    # one collect (not first() + collect — no extra driver job), with a
+    # descriptive error instead of an opaque NoneType crash when the
+    # centroids table is empty or truncated
     cent_rows = cent.orderBy("list_id").collect()
+    if not cent_rows:
+        raise ValueError(
+            f"corrupt IVF index at {path!r}: centroids table is empty "
+            "(was the index build interrupted?)"
+        )
+    # pre-metric layouts (no `metric` column) were always l2-routed
+    metric = "l2" if "metric" not in cent.columns else cent_rows[0]["metric"]
     return IvfIndex(assigned, [list(r["centroid"]) for r in cent_rows], id_col, vec_col, metric)
 
 
@@ -258,21 +266,20 @@ def rebuild_ivf(
     centroids): run it when ingest volume or distribution drift has
     degraded list balance — the same cadence guidance as pgvector's
     "reindex after heavy writes" for the reference's ivfflat
-    (sql/05_vector_index.sql). The rewrite goes through a temp-read
-    barrier: ``assigned`` must be fully materialized before the
-    overwrite starts, so the new layout is written from a consistent
-    snapshot (collect-free — only the KMeans sample ever reaches the
-    driver).
+    (sql/05_vector_index.sql). The rewrite never writes over a
+    directory it is reading: the new layout lands in a temp sibling
+    (`{path}/_rebuild_tmp`) while the live index stays intact — so a
+    lost cache partition or task retry re-reads a CONSISTENT source —
+    and the swap is two filesystem renames (atomic on HDFS-like stores;
+    a reader racing the swap fails cleanly and retries, it can never
+    see half-rewritten data). Collect-free: only the KMeans sample ever
+    reaches the driver.
     """
     # ``index``: pass an already-loaded handle (rebuild_if_skewed just
     # read one) to skip a redundant centroid collect + lists listing
     old = read_ivf(spark, path, id_col, vec_col) if index is None else index
     corpus = old.assigned.drop("list_id")
-    # materialize the snapshot before overwriting the directory it was
-    # read from (write-over-read is undefined otherwise)
-    corpus.persist()
-    corpus.count()
-    index = build_ivf(
+    new_index = build_ivf(
         corpus,
         n_lists=n_lists,
         vec_col=vec_col,
@@ -280,9 +287,34 @@ def rebuild_ivf(
         seed=seed,
         metric=old.metric if metric is None else metric,
     )
-    write_ivf(index, path)
-    corpus.unpersist()
+    tmp = f"{path}/_rebuild_tmp"
+    write_ivf(new_index, tmp)  # reads live dirs, writes the sibling
+    for sub in ("lists", "centroids"):
+        _fs_swap(spark, f"{tmp}/{sub}", f"{path}/{sub}")
+    _fs_delete(spark, tmp)
     return read_ivf(spark, path, id_col, vec_col)
+
+
+def _fs_swap(spark: SparkSession, src: str, dst: str) -> None:
+    """Replace ``dst`` with ``src`` via the Hadoop FileSystem API —
+    delete + rename, each atomic on HDFS-compatible stores (and plain
+    POSIX renames on local FS). Used by :func:`rebuild_ivf` so the live
+    index is never a partially rewritten directory."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src_p = jvm.org.apache.hadoop.fs.Path(src)
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = dst_p.getFileSystem(conf)
+    if fs.exists(dst_p):
+        fs.delete(dst_p, True)
+    if not fs.rename(src_p, dst_p):
+        raise IOError(f"index swap failed: rename {src!r} -> {dst!r}")
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
 
 
 def list_balance_stats(index: IvfIndex) -> dict:

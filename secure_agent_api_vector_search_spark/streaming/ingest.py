@@ -113,8 +113,13 @@ def start_fingerprint_dedup_ingest(
     dim: int = 64,
 ) -> StreamingQuery:
     """Streaming ingest deduplicating on CONTENT, not id: the streaming
-    completion of operators/dedup.py::dedup_incremental, with the SAME
-    keep-min-id policy.
+    completion of operators/dedup.py::dedup_incremental. Keep-min-id
+    holds WITHIN a micro-batch; ACROSS epochs the policy is first-epoch-
+    wins — once content is admitted to the ledger, a later epoch
+    delivering a smaller doc_id for the same content cannot displace
+    the earlier representative (inherent to an append-only ledger), so
+    a streamed corpus can differ from a one-shot batch dedup of the
+    same rows when a lower-id duplicate arrives in a later epoch.
 
     `start_dedup_ingest` keys its state on doc_id, which misses the
     commonest real duplicate — the same document re-crawled under a NEW
