@@ -1,0 +1,108 @@
+"""HTTP tool gateway (gateway.py): the served form of U4 — discovery →
+typed call → rows over a real socket, and the zero-trust rejections
+mapped to HTTP codes. Mirrors the reference's Toolbox wire surface
+(GET /api/toolset/{name}, POST /api/tool/{name}/invoke —
+agent/agent.py:6-8 discovers tools.yaml:1-44 this way)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from secure_agent_api_vector_search_spark.gateway import ToolGateway
+
+
+@pytest.fixture(scope="module")
+def gateway(spark, sf_dir):
+    with ToolGateway(spark, sf_dir) as gw:
+        yield gw
+
+
+def _get(url: str) -> tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(url, timeout=60) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as exc:
+        return exc.code, json.loads(exc.read())
+
+
+def _post(url: str, payload) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as exc:
+        return exc.code, json.loads(exc.read())
+
+
+def test_discovery_over_socket(gateway):
+    code, manifest = _get(f"{gateway.url}/api/toolset/customer_data_tools")
+    assert code == 200
+    assert set(manifest["tools"]) == {
+        "find_similar_customer_records",
+        "get_record_by_id",
+    }
+    # the manifest carries the same JSON-Schema the in-process surface
+    # exports — an agent framework can feed it straight to a model
+    fs = manifest["tools"]["find_similar_customer_records"]
+    assert fs["parameters"]["required"] == ["query_text", "limit"]
+
+
+def test_unknown_toolset_and_tool_are_404(gateway):
+    code, body = _get(f"{gateway.url}/api/toolset/nope")
+    assert code == 404 and "nope" in body["error"]
+    code, body = _post(f"{gateway.url}/api/tool/drop_table/invoke", {})
+    assert code == 404 and "drop_table" in body["error"]
+
+
+def test_typed_invocation_returns_rows(gateway):
+    code, body = _post(
+        f"{gateway.url}/api/tool/get_record_by_id/invoke", {"record_id": "7"}
+    )
+    assert code == 200
+    assert body["rowCount"] == 1
+    assert body["result"][0]["doc_id"] == 7
+
+
+def test_semantic_search_over_socket(gateway):
+    code, body = _post(
+        f"{gateway.url}/api/tool/find_similar_customer_records/invoke",
+        {"query_text": "fast hash join", "limit": 3},
+    )
+    assert code == 200
+    assert body["rowCount"] == 3
+    assert {"doc_id", "similarity"} <= set(body["result"][0])
+
+
+def test_zero_trust_rejections_are_400(gateway):
+    base = f"{gateway.url}/api/tool/get_record_by_id/invoke"
+    # wrong type (U5: integer where the contract says VARCHAR)
+    code, body = _post(base, {"record_id": 7})
+    assert code == 400 and "must be string" in body["error"]
+    # unknown parameter
+    code, body = _post(base, {"record_id": "7", "sql": "DROP TABLE x"})
+    assert code == 400 and "unknown parameter" in body["error"]
+    # missing required parameter
+    code, body = _post(base, {})
+    assert code == 400 and "missing required" in body["error"]
+    # non-object body
+    code, body = _post(base, ["not", "an", "object"])
+    assert code == 400 and "JSON object" in body["error"]
+
+
+def test_non_canonical_id_binds_zero_rows_not_error(gateway):
+    # "042" is a valid VARCHAR value that equals no stored id — the
+    # gateway returns an empty result, never an error (U5 semantics
+    # preserved through the HTTP layer)
+    code, body = _post(
+        f"{gateway.url}/api/tool/get_record_by_id/invoke", {"record_id": "042"}
+    )
+    assert code == 200 and body["rowCount"] == 0
