@@ -145,3 +145,36 @@ def test_wav_header_fast_path_rejects_non_pcm():
     """Truncated / non-RIFF payloads return None (slow path decides)."""
     assert M._parse_wav_header(b"nope") is None
     assert M._parse_wav_header(b"RIFF" + b"\x00" * 64) is None
+
+
+def test_decode_plans_are_single_pass(spark, sf_dir):
+    """Executed-plan pin for the two decode queries (the regression
+    class behind the r5 image_decode bench scare — which calm-box
+    profiling attributed to co-tenant noise: warm 0.8-1.2 s, matching
+    SURVEY §6). Wall time is not assertable on a shared box; the plan
+    shape is: column-pruned scan -> ONE rebalance exchange -> exactly
+    two Python map stages (payload gen + feature extract). Any extra
+    exchange (a reintroduced presentation sort re-executes the decode
+    in the range-sampling pass = 2x decode) or a third Python stage
+    breaks this pin before it costs bench seconds."""
+    from secure_agent_api_vector_search_spark import catalog as C
+    from secure_agent_api_vector_search_spark.sources.tables import load_documents
+
+    n_docs = load_documents(spark, sf_dir).count()
+    for fn in (C.image_decode_features, C.audio_decode_features):
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 2, fn.__name__
+        assert plan.count("Exchange") == 1, fn.__name__
+        assert "rangepartitioning" not in plan.lower(), fn.__name__
+        # the scan must prune to the two generator inputs, not read the
+        # whole documents schema for a decode over payloads. When the
+        # session fixtures have cached documents, Spark substitutes the
+        # InMemoryRelation for the parquet scan — pruning then shows as
+        # the cache read's output column list instead of ReadSchema.
+        assert (
+            "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+            or "InMemoryTableScan [doc_id" in plan
+        ), fn.__name__
+        # one feature row per document: the decode runs once per payload
+        assert df.count() == n_docs, fn.__name__
