@@ -260,10 +260,16 @@ def _recall_probe(spark, sf_dir: str, n_queries: int = 8, k: int = 10) -> dict:
 
         out: dict[str, float] = {"n_queries": len(qrows), "k": k}
 
-        # IVF at the benched configuration (vectorized sweep, one nprobe)
+        # IVF at the benched configuration plus the nprobe tradeoff
+        # curve (one vectorized sweep; the benched ivf_topk uses
+        # nprobe=4 of 16 lists — on the iid-random test corpus, the
+        # hardest regime for IVF, the curve shows what the knob buys)
         index = I.build_ivf(emb, n_lists=16, seed=42)
-        row = ivf_recall_sweep(index, qdf, emb, k=k, nprobes=(4,)).collect()[0]
-        out["ivf_nprobe4"] = round(float(row["recall_at_k"]), 4)
+        sweep = ivf_recall_sweep(index, qdf, emb, k=k, nprobes=(1, 2, 4, 8)).collect()
+        out["ivf_nprobe_sweep"] = {
+            str(r["nprobe"]): round(float(r["recall_at_k"]), 4) for r in sweep
+        }
+        out["ivf_nprobe4"] = out["ivf_nprobe_sweep"]["4"]
 
         # PQ / SQ: driver loop over the sampled queries
         book = PQ.build_pq(emb, m=8, ksub=32, seed=42)

@@ -696,6 +696,27 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.epoch_shuffle(load_documents(spark, sf_dir), n_shards=32)
 
 
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window splitter (~60-token test docs → ~3
+    chunks/doc at 32/8, so the multi-chunk + tail-suppression paths
+    both run on the gate)."""
+    return TX.chunk_documents(
+        load_documents(spark, sf_dir), chunk_size=32, overlap=8
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-spec sampling over the 20 testdata sources: keep src0
+    whole, downsample src1/src2/src3, everything else at the 5%
+    default — all membership md5-deterministic, so the exact kept set
+    is oracle-checked."""
+    return CU.stratified_sample(
+        load_documents(spark, sf_dir),
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        default=0.05,
+    )
+
+
 def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.lang_profile(load_documents(spark, sf_dir))
 
@@ -2289,6 +2310,46 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id""",
         description="[EXT] deterministic train/val/test split (stable md5 key hash; "
                     "membership invariant under corpus growth)",
+        tags=("curation",)))
+
+    r.register(NamedQuery(
+        "chunk_documents", chunk_documents,
+        oracle_sql="""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks, len(str_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, CAST(n AS BIGINT) - 1, 24)) AS start_token
+  FROM t
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_token) - 1 AS INT) AS chunk_id,
+       start_token,
+       CAST(len(toks[start_token + 1 : start_token + 32]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[start_token + 1 : start_token + 32], ' ') AS chunk_text
+FROM s WHERE start_token = 0 OR start_token + 8 < n
+ORDER BY doc_id, chunk_id""",
+        description="[EXT] overlapping token-window document chunking "
+                    "(chunk 32 / overlap 8): the RAG / training "
+                    "unit-of-retrieval splitter; map-only explode, zero "
+                    "shuffles, tail chunks contained in their predecessor "
+                    "suppressed",
+        tags=("text", "curation")))
+
+    r.register(NamedQuery(
+        "stratified_sample", stratified_sample,
+        oracle_sql="""
+SELECT *
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'sample-v1'), 1, 15)) AS BIGINT) % 10000
+      < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                    WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000
+                    ELSE 500 END
+ORDER BY doc_id""",
+        description="[EXT] deterministic per-source mixture sampling "
+                    "(md5 stable-key membership: grown corpora never flip "
+                    "existing rows, DuckDB reproduces the exact kept set)",
         tags=("curation",)))
 
     r.register(NamedQuery(

@@ -148,6 +148,45 @@ def dataset_split(
     )
 
 
+def stratified_sample(
+    documents: DataFrame,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep each row with its
+    stratum's fraction — the data-mixture lever (downsample crawl,
+    keep curated sources whole) applied as a FILTER, not a shuffle.
+
+    Unlike ``df.sampleBy`` (RNG per task — resample on every retry,
+    repartition, or re-run), membership depends ONLY on (key, seed)
+    via the shared md5-60bit recipe (:func:`dataset_split`): a grown
+    corpus never flips an existing row's membership, any subset
+    reproduces the same decisions, and DuckDB recomputes the exact
+    kept set, so the sample itself sits on the hard oracle gate.
+    Strata absent from ``fractions`` fall back to ``default`` (0.0 =
+    drop — an explicit mixture spec drops unknown sources rather than
+    silently passing them through).
+
+    One scan, zero shuffles, no UDFs; the fractions dict becomes an
+    inline CASE expression (bounded: one branch per declared stratum).
+    Output: the sampled rows, all original columns.
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0, 1], got {v}")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    frac = F.lit(int(default * 10000))
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, int(v * 10000)).otherwise(frac)
+    return documents.filter((h % 10000) < frac)
+
+
 def contamination_check(
     documents: DataFrame,
     eval_max_id: int = 20,

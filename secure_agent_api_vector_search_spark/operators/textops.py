@@ -78,6 +78,67 @@ def lang_id_eval(documents: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(
+    documents: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    unit-of-retrieval / unit-of-training splitter every RAG and
+    pretraining pipeline runs before embedding or packing ([EXT],
+    SURVEY.md §2.10; the reference embeds whole rows only,
+    sql/04_embeddings.sql:5-7 — chunking is what makes that viable
+    beyond 50-row corpora).
+
+    Chunk starts step by ``chunk_size - overlap``; a start past the
+    first is emitted only while ``start + overlap < n_tokens``, so a
+    would-be tail chunk fully contained in its predecessor's window is
+    never produced (no duplicate training text), yet every token
+    belongs to ≥ 1 chunk.
+
+    Output: (doc_id, chunk_id, start_token, n_chunk_tokens,
+    chunk_text) — one row per chunk, chunk_id dense from 0 in token
+    order. Map-only: tokenize → inline start sequence → filtered
+    explode → slice; one scan, zero shuffles, no UDFs (the 100 TB
+    shape — chunking is embarrassingly parallel and must stay that
+    way). Whitespace tokens (single-space split, functions/text.py)
+    keep every value DuckDB-recomputable.
+    """
+    if chunk_size <= overlap:
+        raise ValueError(f"chunk_size {chunk_size} must exceed overlap {overlap}")
+    stride = chunk_size - overlap
+    toks = X.tokens(text_col)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s + overlap < n),
+    )
+    return (
+        documents.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_toks"), starts.alias("_starts"))
+        .select(
+            F.col(id_col),
+            F.posexplode("_starts").alias("chunk_id", "start_token"),
+            F.col("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.col("start_token").cast("long").alias("start_token"),
+            F.slice("_toks", F.col("start_token") + 1, chunk_size).alias("_chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            "start_token",
+            F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Per-document content fingerprints: exact md5, normalized md5,
     bag-of-tokens md5 (all oracle-mirrorable)."""

@@ -195,3 +195,42 @@ def test_write_epoch_shards_layout_and_order(docs, spark, tmp_path):
         assert poss == sorted(poss) == list(range(1, len(poss) + 1))
         for d, p in zip(ids, poss):
             assert expect[d] == (k, p)  # file order IS the epoch order
+
+
+def test_stratified_sample_deterministic_and_stable_under_growth(spark):
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    rows = [(i, f"doc {i}", "src0" if i % 3 == 0 else "src1") for i in range(600)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    fr = {"src0": 1.0, "src1": 0.3}
+    kept = {r["doc_id"] for r in stratified_sample(docs, fr).collect()}
+    # src0 kept whole; src1 roughly at fraction (md5-uniform, 400 rows)
+    assert all(i in kept for i in range(0, 600, 3))
+    n_src1 = sum(1 for i in kept if i % 3 != 0)
+    assert 80 <= n_src1 <= 160  # 0.3 * 400 = 120 expected
+    # growth invariance: the first half of the corpus reproduces the
+    # identical membership decisions (the property sampleBy lacks)
+    half = {r["doc_id"] for r in stratified_sample(docs.filter("doc_id < 300"), fr).collect()}
+    assert half == {i for i in kept if i < 300}
+    # re-run: bit-identical
+    assert kept == {r["doc_id"] for r in stratified_sample(docs, fr).collect()}
+
+
+def test_stratified_sample_default_and_validation(spark):
+    import pytest
+
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    rows = [(i, "t", "unknown") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # default 0.0: undeclared strata are dropped, not passed through
+    assert stratified_sample(docs, {"src0": 1.0}).count() == 0
+    # explicit default keeps ~ the requested fraction
+    n = stratified_sample(docs, {"src0": 1.0}, default=0.5).count()
+    assert 150 <= n <= 250
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"src0": 1.5})

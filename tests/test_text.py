@@ -212,3 +212,53 @@ def test_top_terms_by_lang_hand_values(spark):
     assert [(r["term"], r["n_occurrences"], r["n_docs"], r["rank"]) for r in fr] == [
         ("z", 3, 1, 1)
     ]
+
+
+def test_chunk_documents_semantics(spark):
+    """Chunk 5 / overlap 2 (stride 3) over known token counts: starts,
+    coverage, tail suppression, dense chunk ids, reconstruction."""
+    from secure_agent_api_vector_search_spark.operators.textops import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(11))),  # starts 0,3,6; 9 has 9+2>=11
+        (2, "a b c"),                               # single chunk, shorter than size
+        (3, "x"),                                   # one token
+        (4, None),                                  # null text: no chunks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, chunk_size=5, overlap=2)
+    got = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+
+    # doc 1: stride 3 -> candidate starts 0,3,6,9; 9 suppressed (9+2 >= 11)
+    assert sorted(k for k in got if k[0] == 1) == [(1, 0), (1, 1), (1, 2)]
+    assert [got[(1, i)]["start_token"] for i in range(3)] == [0, 3, 6]
+    assert got[(1, 0)]["chunk_text"] == "t0 t1 t2 t3 t4"
+    assert got[(1, 2)]["chunk_text"] == "t6 t7 t8 t9 t10"
+    assert got[(1, 2)]["n_chunk_tokens"] == 5
+    # every token of doc 1 appears in >= 1 chunk
+    covered = set()
+    for i in range(3):
+        s = got[(1, i)]["start_token"]
+        covered |= set(range(s, s + got[(1, i)]["n_chunk_tokens"]))
+    assert covered == set(range(11))
+    # short docs: exactly one whole-doc chunk
+    assert got[(2, 0)]["chunk_text"] == "a b c" and got[(2, 0)]["n_chunk_tokens"] == 3
+    assert got[(3, 0)]["chunk_text"] == "x"
+    assert not any(k[0] == 4 for k in got)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=8, overlap=8)
+
+
+def test_chunk_documents_is_map_only(docs):
+    """The 100 TB shape pin: tokenize -> explode -> slice with ZERO
+    exchanges — chunking must stay embarrassingly parallel."""
+    from secure_agent_api_vector_search_spark.operators.textops import chunk_documents
+
+    plan = (
+        chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "Generate posexplode" in plan

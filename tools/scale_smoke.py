@@ -97,6 +97,34 @@ def _gen_embeddings(spark, n: int, out: str) -> None:
     )
 
 
+def _gen_embeddings_hot(spark, n: int, out: str, hot_frac: float = 0.5) -> None:
+    """Embedding corpus with a planted dominant mode: ``hot_frac`` of
+    all rows are tight perturbations of ONE fixed center (pairwise
+    cosine ≈ 1 — a crawl-duplicate-storm-shaped hot cluster), the rest
+    iid gaussian. This is the skew regime semantic_dedup's
+    max_cluster_size guard exists for: unguarded, the hot mode arrives
+    as a single applyInPandas group of hot_frac·n rows."""
+    center = np.random.default_rng(SEED + 7).normal(size=DIM)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng([SEED + 7, int(ids[0])])
+            m = rng.normal(size=(len(ids), DIM))
+            hot = rng.random(len(ids)) < hot_frac
+            m[hot] = center + 0.01 * m[hot]
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [row.tolist() for row in m]}
+            )
+
+    (
+        spark.range(n).repartition(32).mapInPandas(
+            op, "vec_id long, embedding array<double>"
+        )
+        .write.mode("overwrite").parquet(out)
+    )
+
+
 def run_suite(spark, base: str) -> dict[str, float]:
     from secure_agent_api_vector_search_spark.operators import curation as CU
     from secure_agent_api_vector_search_spark.operators import dedup as D
@@ -108,6 +136,15 @@ def run_suite(spark, base: str) -> dict[str, float]:
     docs = spark.read.parquet(f"{base}/documents.parquet")
     emb = spark.read.parquet(f"{base}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+
+    def _knn_grouped(corpus, mod: int):
+        from secure_agent_api_vector_search_spark.operators.knn import knn_join
+
+        c = corpus.withColumn("g", (F.col("vec_id") % mod).cast("int"))
+        qs = c.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), "g"
+        )
+        return knn_join(qs, c, k=3, dim=DIM, match_col="g")
 
     ops = {
         "token_stats": lambda: TX.token_stats(docs),
@@ -135,6 +172,17 @@ def run_suite(spark, base: str) -> dict[str, float]:
             threshold=0.7,
         ),
         "epoch_shuffle": lambda: CU.epoch_shuffle(docs, n_shards=64),
+        # skew axis: 50% of the corpus in ONE embedding mode — the
+        # max_cluster_size guard must keep this ~linear (an unguarded
+        # screen is O((hot_frac·n)²) in one task and OOMs at scale)
+        "semantic_dedup_hot": lambda: semantic_dedup(
+            spark.read.parquet(f"{base}/embeddings_hot.parquet"), threshold=0.9
+        ),
+        # group-shape axis for the group-matched kNN join: candidates
+        # are |Q|·|group|, so few-huge-groups is the heavy shape; both
+        # must grow ~linearly in corpus size (no pairwise blowup)
+        "knn_join_grouped_many_small": lambda: _knn_grouped(emb, 1000),
+        "knn_join_grouped_few_huge": lambda: _knn_grouped(emb, 3),
     }
     out: dict[str, float] = {}
     for name, build in ops.items():
@@ -151,6 +199,7 @@ def main() -> int:
         base = f"/tmp/scale_smoke/n{n}"
         _gen_docs(spark, n, f"{base}/documents.parquet")
         _gen_embeddings(spark, n, f"{base}/embeddings.parquet")
+        _gen_embeddings_hot(spark, n, f"{base}/embeddings_hot.parquet")
         res = run_suite(spark, base)
         print(json.dumps({"n_docs": n, "sec": res}), flush=True)
         shutil.rmtree(base, ignore_errors=True)
