@@ -106,6 +106,9 @@ HEADLINE = [
     "rrf_search",
     "knn_join_grouped",
     "embedding_coverage",
+    # round-6 additions: chunking + mixture sampling
+    "chunk_documents",
+    "stratified_sample",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

@@ -2978,6 +2978,14 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
+    # brand-new in round 6, never driver-checked (2) — the window's
+    # never-checked-first rule puts them ahead of everything; to keep
+    # the window at 50, revenue_cube (grouping-sets machinery shared
+    # with in-window revenue_rollup) and vector_topk_dot (scorer shared
+    # with in-window cosine/l2 forms) rotate out — both stay on the
+    # local 89-oracle full gate every round.
+    "chunk_documents",
+    "stratified_sample",
     # --- round-6 rebuild. The round-6 window must show ZERO err rows
     # (VERDICT r5 item 5): every rows-only entry (LSH/ANN forms whose
     # exactness twins are IN the window, decode/semdedup ops with pytest
@@ -3010,7 +3018,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "point_lookup",
     "vector_topk_cosine",
     "vector_topk_l2",
-    "vector_topk_dot",
     "vector_topk_filtered",
     "find_similar_records",
     "find_similar_by_text",
@@ -3034,7 +3041,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "top_customers_by_revenue",
     "revenue_by_region",
     "revenue_rollup",
-    "revenue_cube",
     "orders_semi_late_lines",
     "customers_without_orders",
     "brand_setops",
