@@ -91,6 +91,9 @@ PER_ROW_UNSORTED = (
     "events_sessionize",
     "events_interval_join",
     "orders_window_top3",
+    "duplicated_spans",
+    "exact_substring_stats",
+    "strip_dup_spans",
 )
 
 

@@ -1,0 +1,117 @@
+"""ExactSubstr span-dedup family (operators/substr.py): planted-corpus
+span correctness, the keeper-retention strip contract, and the
+invariants the rows-only strip op rests on."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from secure_agent_api_vector_search_spark.operators import substr as S
+
+ROWS = [
+    (0, "a b c d e f g h i j"),        # shares run a..f with 1 and 3
+    (1, "x y a b c d e f q r s t"),
+    (2, "unique tokens only here nothing shared zzz qqq"),
+    (3, "x y a b c d e f q r s t"),    # exact duplicate of 1
+    (4, "m n o p q"),                  # 5 tokens -> one gram, unshared
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(ROWS, ["doc_id", "text"]).cache()
+
+
+def test_spans_planted(corpus):
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+        for r in S.duplicated_spans(corpus, k=5).collect()
+    }
+    # doc 0: grams 'a b c d e' and 'b c d e f' shared -> tokens 0..5
+    # docs 1/3: every gram shared (exact dup) -> whole doc one span
+    assert got == {
+        (0, 0, 5, 6, 2),
+        (1, 0, 11, 12, 8),
+        (3, 0, 11, 12, 8),
+    }
+
+
+def test_stats_cover_every_doc_and_keep_flag(corpus):
+    rows = {r.doc_id: r for r in S.exact_substring_stats(corpus, k=5).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    # zero-span docs must carry zeros and keep=True (not NULL)
+    assert rows[2].n_spans == 0 and rows[2].dup_tokens == 0
+    assert rows[2].dup_token_frac == 0.0 and rows[2].keep is True
+    assert rows[4].keep is True
+    # fully-duplicated doc: frac 1.0, dropped by the 0.30 default
+    assert rows[1].dup_token_frac == 1.0 and rows[1].keep is False
+    assert rows[0].dup_tokens == 6 and rows[0].n_tokens == 10
+
+
+def test_min_docs_three_ignores_pairs(corpus):
+    # run a..f appears in docs 0,1,3 -> 'a b c d e'/'b c d e f' survive
+    # min_docs=3; grams private to the 1/3 pair (x y a.., ..q r s t) do not
+    spans = S.duplicated_spans(corpus, k=5, min_docs=3)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()}
+    assert got == {(0, 0, 5), (1, 2, 7), (3, 2, 7)}
+
+
+def test_adjacent_windows_merge_one_span(spark):
+    # two duplicated 3-gram occurrences at pos 0 and pos 3 (adjacent,
+    # not overlapping) in a doc whose middle gram is NOT duplicated:
+    # must merge into one contiguous span 0..5
+    df = spark.createDataFrame(
+        [
+            (0, "p q r s t u W"),
+            (1, "p q r zz ww"),
+            (2, "s t u kk jj"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in S.duplicated_spans(df, k=3).collect()
+        if r.doc_id == 0
+    }
+    assert spans == {(0, 0, 5)}
+
+
+def test_strip_keeper_retention_and_untouched_bit_identity(corpus):
+    out = {r.doc_id: r.text for r in S.strip_dup_spans(corpus, k=5).collect()}
+    # untouched docs: bit-identical passthrough
+    assert out[2] == ROWS[2][1]
+    assert out[4] == ROWS[4][1]
+    # doc 0 is keeper for the a..f grams -> retains its text unchanged
+    assert out[0] == ROWS[0][1]
+    # doc 1 keeps what it canonically owns (grams shared only with 3),
+    # loses the run whose canonical copy is doc 0
+    assert out[1] == "x y q r s t"
+    # doc 3 (exact dup, never a keeper) is fully stripped
+    assert out[3] == ""
+
+
+def test_strip_converges_no_cross_doc_dups_remain(corpus):
+    stripped = S.strip_dup_spans(corpus, k=5)
+    again = S.duplicated_spans(
+        stripped.filter(F.col("text") != ""), k=5
+    )
+    assert again.count() == 0
+
+
+def test_whitespace_normalization_matches_tokenizer(spark):
+    # doubled spaces must not shift positions (house tokenizer
+    # normalizes runs of spaces before splitting)
+    df = spark.createDataFrame(
+        [(0, "a  b c d   e f"), (1, "a b c d e zz")], ["doc_id", "text"]
+    )
+    spans = {(r.doc_id, r.span_start, r.span_end) for r in S.duplicated_spans(df, k=5).collect()}
+    assert spans == {(0, 0, 4), (1, 0, 4)}
+
+
+def test_param_validation(corpus):
+    with pytest.raises(ValueError):
+        S.duplicated_spans(corpus, k=1)
+    with pytest.raises(ValueError):
+        S.duplicated_spans(corpus, min_docs=1)
