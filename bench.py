@@ -106,9 +106,15 @@ HEADLINE = [
     "rrf_search",
     "knn_join_grouped",
     "embedding_coverage",
-    # round-6 additions: chunking + mixture sampling
+    # round-6 additions: chunking + mixture sampling + span-level
+    # exact-substring dedup
     "chunk_documents",
     "stratified_sample",
+    "duplicated_spans",
+    "strip_dup_spans",
+    "mixture_upsample",
+    "lm_likelihood_buckets",
+    "hard_negatives",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

@@ -306,3 +306,148 @@ def write_epoch_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def mixture_upsample(
+    documents: DataFrame,
+    weights: dict[str, float],
+    default: float = 1.0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "upsample-v1",
+) -> DataFrame:
+    """Deterministic mixture sampling WITH repetition: realize a data
+    mixture whose per-source weight may exceed 1 (curated sources seen
+     2-3x per epoch, crawl downsampled — the LLaMA-style mixture
+    table). Every input row yields ``floor(w)`` copies plus one more
+    when its stable hash clears ``frac(w)`` — so a source with weight
+    2.3 contributes each doc twice and a deterministic 30% of docs a
+    third time, and expected output mass is exactly ``w`` per source.
+
+    Membership uses the shared md5-60bit stable-key recipe
+    (:func:`dataset_split`): re-runs, retries, and corpus growth never
+    change any row's copy count, any subset reproduces its decisions,
+    and the oracle recomputes the exact output. Output: all original
+    columns plus ``copy`` (1-based) — (doc_id, copy) is the unit the
+    epoch shuffle places, so repeated copies scatter across shards
+    instead of sitting adjacent.
+
+    One scan, zero shuffles, no RNG; the weights dict becomes an
+    inline CASE. ``F.sequence(1, 0)`` counts DOWN (functions/text.py
+    ``_windows`` gotcha), so zero-copy rows take an explicit empty
+    array instead of a degenerate sequence.
+    """
+    for k, v in weights.items():
+        if v < 0.0:
+            raise ValueError(f"weight for stratum {k!r} must be >= 0, got {v}")
+    if default < 0.0:
+        raise ValueError(f"default weight must be >= 0, got {default}")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    w_bp = F.lit(int(round(default * 10000)))
+    for k, v in sorted(weights.items()):
+        w_bp = F.when(F.col(strata_col) == k, int(round(v * 10000))).otherwise(w_bp)
+    n_copies = (
+        (w_bp / 10000).cast("bigint")
+        + F.when((h % 10000) < (w_bp % 10000), F.lit(1)).otherwise(F.lit(0))
+    ).alias("_n_copies")
+    return (
+        documents.withColumn("_n_copies", n_copies)
+        .withColumn(
+            "copy",
+            F.explode(
+                F.when(
+                    F.col("_n_copies") >= 1,
+                    F.sequence(F.lit(1).cast("bigint"), F.col("_n_copies")),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ),
+        )
+        .drop("_n_copies")
+    )
+
+
+def lm_likelihood_buckets(
+    documents: DataFrame,
+    lm_source: str = "src0",
+    strata_col: str = "source",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al.
+    2019, arXiv:1911.00359 §4.3): train a unigram LM on a trusted
+    subset (``strata_col == lm_source`` — CCNet uses Wikipedia), score
+    every document, and split each language into head / middle /
+    tail thirds by per-language score percentile.
+
+    The score is the add-one-smoothed MEAN TOKEN PROBABILITY under the
+    unigram LM: sum_i (c(w_i)+1) / (n * (T+V)) with T total tokens and
+    V distinct tokens in the LM subset; OOV tokens contribute the
+     1/(T+V) floor. A geometric mean (true perplexity) needs ln(), and
+    libm ln is not correctly-rounded — cross-engine bit determinism
+    (the hard-gate contract) would hang on last-ulp luck. The mean
+    probability is RATIONAL: exact integer sums on both engines, one
+    IEEE division at the end, bit-identical everywhere, and it orders
+    documents by the same common-vs-rare-vocabulary signal the bucket
+    split needs. (A real neural LM drops in as an Arrow-batched
+    pandas_udf replacing the score column; the bucketing machinery is
+    unchanged — same seam as embedder.py's EndpointEmbedder.)
+
+    Scale shape: LM counts are one token-keyed aggregate over the
+    TRUSTED SUBSET only (small by construction); scoring joins the
+    token stream against that count table (broadcast when it fits,
+    AQE otherwise) and re-aggregates by doc — integer sums, map-side
+    combinable. The percentile is a per-language window, the
+    quality_percentile_filter shape, never a global sort.
+
+    Output: (doc_id, <group_col>, n_tokens, n_oov, lm_score,
+    lm_pctile, bucket).
+    """
+    ws = F.split(F.regexp_replace(F.trim(F.col(text_col)), " +", " "), " ")
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col), F.explode(ws).alias("tok")
+    )
+    lm_toks = (
+        documents.filter(F.col(strata_col) == lm_source)
+        .select(F.explode(ws).alias("tok"))
+    )
+    counts = lm_toks.groupBy("tok").agg(F.count("*").alias("c"))
+    denom = counts.agg(
+        (F.sum("c") + F.count("*")).cast("bigint").alias("t_plus_v")
+    )
+    per_doc = (
+        toks.join(F.broadcast(counts), "tok", "left")
+        .groupBy("doc_id", group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            (F.sum(F.coalesce(F.col("c"), F.lit(0))) + F.count("*"))
+            .cast("bigint")
+            .alias("_num"),
+        )
+        .crossJoin(F.broadcast(denom))
+    )
+    score = F.col("_num").cast("double") / (
+        F.col("n_tokens") * F.col("t_plus_v")
+    ).cast("double")
+    w = Window.partitionBy(group_col).orderBy(F.desc("lm_score"), F.col("doc_id"))
+    return (
+        per_doc.withColumn("lm_score", score)
+        .withColumn("lm_pctile", F.percent_rank().over(w))
+        .select(
+            "doc_id",
+            group_col,
+            "n_tokens",
+            "n_oov",
+            "lm_score",
+            "lm_pctile",
+            F.when(F.col("lm_pctile") < 1.0 / 3.0, "head")
+            .when(F.col("lm_pctile") < 2.0 / 3.0, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

@@ -253,3 +253,50 @@ def ivf_recall_sweep(
     return spark.createDataFrame(
         frames, "nprobe int, recall_at_k double, n_queries long"
     ).orderBy("nprobe")
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    q_group: str = "q_group",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    group_col: str = "group",
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for
+    each query, the ``k`` most-similar corpus rows from a DIFFERENT
+    group — same-group rows are presumed positives (same source /
+    document family / near-dup cluster) and excluded, so what remains
+    is exactly the high-similarity-but-wrong set a dual-encoder needs
+    as negatives (the in-batch-negatives upgrade of DPR, Karpukhin et
+    al. 2020, arXiv:2004.04906 §3.2).
+
+    Same physical shape as :func:`knn_join` (broadcast query set,
+    scan-speed scoring, per-partition bounded top-k combiner before
+    one exact row_number window) with the group INEQUALITY applied at
+    the scored stream — candidates shrink, never grow, so every scale
+    argument of knn_join carries over. The combiner's candidate-
+    containment argument is unaffected: the filter is a per-row
+    predicate evaluated identically everywhere.
+
+    Output: (q_id, neighbor_id, similarity, rank), rank 1..k over the
+    out-of-group corpus, deterministic tiebreak on neighbor id, row
+    order unspecified (the rank column carries the ordering).
+    """
+    base = corpus.filter(F.col(c_vec).isNotNull())
+    joined = base.crossJoin(F.broadcast(queries)).filter(
+        (F.col(group_col) != F.col(q_group)) & (F.col(c_id) != F.col(q_id))
+    )
+    sim = V.cosine_similarity(c_vec, q_vec, dim)
+    scored = joined.select(
+        F.col(q_id), F.col(c_id).alias("neighbor_id"), sim.alias("similarity")
+    )
+    reduced = scored.mapInPandas(_local_topk_combiner(q_id, k), schema=scored.schema)
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc()
+    )
+    return reduced.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 LOOKUP_COLUMNS = ("doc_id", "lang", "source", "n_chars", "text")
 
 
-def get_record_by_id(documents: DataFrame, record_id: int) -> DataFrame:
-    """0-or-1 row by primary id. Typed parameter (never string-spliced
-    SQL) preserves the reference's injection-safety property
-    (tools.yaml:33-35, U5)."""
+def get_record_by_id(documents: DataFrame, record_id: int | str) -> DataFrame:
+    """0-or-1 row by primary id. The reference contract is VARCHAR
+    (tools.yaml:33-35); the toolset wrapper (toolset.py) passes the
+    canonical-decimal-validated string through, and an int is accepted
+    for direct API use. Typed parameter (never string-spliced SQL)
+    preserves the reference's injection-safety property (U5)."""
     return documents.filter(F.col("doc_id") == F.lit(record_id)).select(*LOOKUP_COLUMNS)

@@ -234,3 +234,91 @@ def test_stratified_sample_default_and_validation(spark):
     assert 150 <= n <= 250
     with pytest.raises(ValueError):
         stratified_sample(docs, {"src0": 1.5})
+
+
+def test_mixture_upsample_copy_counts(spark):
+    from secure_agent_api_vector_search_spark.operators.curation import mixture_upsample
+
+    df = spark.createDataFrame(
+        [(i, "t", "src_a" if i < 10 else "src_b") for i in range(40)],
+        ["doc_id", "text", "source"],
+    )
+    out = mixture_upsample(df, {"src_a": 3.0, "src_b": 0.0}, default=1.0)
+    rows = out.collect()
+    # integer weight: every src_a row exactly 3 copies, numbered 1..3
+    a = [r for r in rows if r.source == "src_a"]
+    assert len(a) == 30
+    by_doc = {}
+    for r in a:
+        by_doc.setdefault(r.doc_id, []).append(r.copy)
+    assert all(sorted(v) == [1, 2, 3] for v in by_doc.values())
+    # zero weight: dropped entirely
+    assert not [r for r in rows if r.source == "src_b"]
+
+
+def test_mixture_upsample_fractional_deterministic_and_mass(spark):
+    from secure_agent_api_vector_search_spark.operators.curation import mixture_upsample
+
+    df = spark.createDataFrame(
+        [(i, "t", "s") for i in range(1000)], ["doc_id", "text", "source"]
+    )
+    out1 = sorted((r.doc_id, r.copy) for r in mixture_upsample(df, {"s": 1.5}).collect())
+    out2 = sorted((r.doc_id, r.copy) for r in mixture_upsample(df, {"s": 1.5}).collect())
+    assert out1 == out2  # stable-hash: no RNG, rerun-identical
+    # expected mass 1.5x, hash-uniform: allow a generous band
+    assert 1400 <= len(out1) <= 1600
+    # every row has at least its floor copy
+    assert len({d for d, _ in out1}) == 1000
+
+
+def test_mixture_upsample_validation(spark):
+    from secure_agent_api_vector_search_spark.operators.curation import mixture_upsample
+
+    df = spark.createDataFrame([(1, "t", "s")], ["doc_id", "text", "source"])
+    with pytest.raises(ValueError):
+        mixture_upsample(df, {"s": -0.1})
+    with pytest.raises(ValueError):
+        mixture_upsample(df, {}, default=-1.0)
+
+
+def test_lm_likelihood_buckets_planted(spark):
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        lm_likelihood_buckets,
+    )
+
+    # LM subset (src0) speaks 'aa bb cc'; doc 10 is pure in-vocab,
+    # doc 11 half OOV, doc 12 fully OOV -> likelihood strictly ordered
+    rows = [
+        (0, "aa bb cc aa bb aa", "en", "src0"),
+        (1, "aa aa bb cc cc bb", "en", "src0"),
+        (10, "aa bb aa bb", "en", "crawl"),
+        (11, "aa bb zz zz", "en", "crawl"),
+        (12, "zz yy xx ww", "en", "crawl"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {r.doc_id: r for r in lm_likelihood_buckets(df).collect()}
+    assert set(out) == {0, 1, 10, 11, 12}
+    assert out[10].n_oov == 0 and out[11].n_oov == 2 and out[12].n_oov == 4
+    assert out[10].lm_score > out[11].lm_score > out[12].lm_score
+    # per-language percentile: most-likely doc has pctile 0.0, least 1.0
+    assert out[12].lm_pctile == 1.0 and out[12].bucket == "tail"
+    assert min(r.lm_pctile for r in out.values()) == 0.0
+    # deterministic across reruns (no RNG anywhere)
+    again = {r.doc_id: r.lm_score for r in lm_likelihood_buckets(df).collect()}
+    assert all(again[d] == out[d].lm_score for d in again)
+
+
+def test_lm_likelihood_score_is_exact_rational(spark):
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        lm_likelihood_buckets,
+    )
+
+    # hand-computed: LM = 'aa bb' (T=2, V=2, tv=4); doc 5 = 'aa zz':
+    # score = ((1+1) + (0+1)) / (2 * 4) = 3/8
+    df = spark.createDataFrame(
+        [(0, "aa bb", "en", "src0"), (5, "aa zz", "en", "crawl")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    out = {r.doc_id: r for r in lm_likelihood_buckets(df).collect()}
+    assert out[5].lm_score == 3.0 / 8.0
+    assert out[0].lm_score == (2 + 2) / (2 * 4)  # (c(aa)+1)+(c(bb)+1)=4

@@ -322,3 +322,57 @@ def test_rrf_search_honors_custom_id_columns(spark):
     ).collect()
     assert rows and rows[0]["post_id"] == 1   # top in both lists
     assert "post_id" in rows[0].asDict()
+
+
+def test_hard_negatives_excludes_own_group_and_self(spark):
+    from secure_agent_api_vector_search_spark.operators.knn import hard_negatives
+
+    # group g0: vectors near +x; g1 near -x; g2 mixed
+    rows = [
+        (0, [1.0, 0.0], "g0"), (1, [0.9, 0.1], "g0"),
+        (2, [-1.0, 0.0], "g1"), (3, [-0.9, 0.1], "g1"),
+        (4, [0.8, 0.2], "g2"), (5, [0.0, 1.0], "g2"),
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding", "group"])
+    queries = corpus.filter("vec_id = 0").selectExpr(
+        "vec_id as q_id", "embedding as q_vec", "group as q_group"
+    )
+    out = hard_negatives(queries, corpus, k=3, group_col="group", dim=2)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    # own-group vec 1 (most similar overall) MUST be absent; so is self;
+    # vec 3 (cos -0.994) outranks vec 2 (cos -1.0)
+    assert [n for n, _ in got] == [4, 5, 3]
+    assert [r for _, r in got] == [1, 2, 3]
+
+
+def test_hard_negatives_matches_bruteforce(emb, docs):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators.knn import hard_negatives
+
+    corpus = emb.select("vec_id", "embedding").join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    )
+    queries = corpus.filter("vec_id < 4").selectExpr(
+        "vec_id as q_id", "embedding as q_vec", "source as q_group"
+    )
+    out = hard_negatives(queries, corpus, k=3, group_col="source", dim=64)
+    got = {
+        (r.q_id, r.rank): r.neighbor_id for r in out.collect()
+    }
+    rows = corpus.collect()
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.source) for r in rows}
+    for q in range(4):
+        qv, qsrc = vecs[q]
+        scored = sorted(
+            (
+                (float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), cid)
+                for cid, (v, src) in vecs.items()
+                if src != qsrc and cid != q
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (_, cid) in enumerate(scored[:3], start=1):
+            assert got[(q, rank)] == cid

@@ -129,6 +129,7 @@ def run_suite(spark, base: str) -> dict[str, float]:
     from secure_agent_api_vector_search_spark.operators import curation as CU
     from secure_agent_api_vector_search_spark.operators import dedup as D
     from secure_agent_api_vector_search_spark.operators import packing as PK
+    from secure_agent_api_vector_search_spark.operators import substr as SB
     from secure_agent_api_vector_search_spark.operators import textops as TX
     from secure_agent_api_vector_search_spark.operators.semdedup import semantic_dedup
     from secure_agent_api_vector_search_spark.operators.topk import topk_similar
@@ -183,6 +184,12 @@ def run_suite(spark, base: str) -> dict[str, float]:
         # must grow ~linearly in corpus size (no pairwise blowup)
         "knn_join_grouped_many_small": lambda: _knn_grouped(emb, 1000),
         "knn_join_grouped_few_huge": lambda: _knn_grouped(emb, 3),
+        # span-level ExactSubstr (round 6): gram traffic is one hashed
+        # occurrence row per token — must grow ~linearly; the planted 1%
+        # near-dups plus zipfy boilerplate grams give the doc-frequency
+        # aggregate real hot keys at every size
+        "duplicated_spans": lambda: SB.duplicated_spans(docs, k=5),
+        "strip_dup_spans": lambda: SB.strip_dup_spans(docs, k=5),
     }
     out: dict[str, float] = {}
     for name, build in ops.items():
