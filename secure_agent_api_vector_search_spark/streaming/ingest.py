@@ -388,3 +388,96 @@ def start_merge_upsert_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_neardup_dedup_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    dim: int = 64,
+    threshold: float = 0.7,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+) -> StreamingQuery:
+    """Streaming NEAR-duplicate ingest: the MinHash completion of
+    :func:`start_fingerprint_dedup_ingest`. The fingerprint surface
+    only catches byte-identical (normalized) re-crawls; real streams
+    deliver near-copies — boilerplate drift, appended trackers, small
+    edits — that hash differently but Jaccard-match. Each micro-batch
+    runs :func:`operators.dedup.minhash_incremental` against the
+    ADMITTED CORPUS of all prior epochs: batch docs with a verified
+    near-dup already admitted are dropped, the batch's own near-dup
+    clusters collapse to their min-id representative, and survivors
+    land embedded under ``_epoch_id`` partitions.
+
+    Determinism/replay contract (same as the fingerprint surface):
+    keep-min-id holds WITHIN a micro-batch; ACROSS epochs the policy
+    is first-epoch-wins (an admitted representative is never displaced
+    by a later lower-id near-copy — inherent to an append-only
+    corpus). The seen-side read excludes the current epoch, and the
+    sink is an epoch-partitioned dynamic overwrite, so a replayed
+    epoch re-derives byte-identical output.
+
+    Scale shape: the admitted corpus is re-featurized per epoch — one
+    map pass, no shuffle, the right trade up to moderate corpus sizes
+    (minhash_incremental's docstring spells out the 100 TB
+    steady-state: persist the seen feature frame as a band-hash-
+    bucketed table and rebind stage 1 to it, making per-batch cost
+    O(batch) + one band-key shuffle). Same hash-family discipline:
+    ``shingle_k/num_hashes/num_bands/seed`` must stay constant for the
+    life of ``out_dir`` — signatures are only comparable within one
+    family.
+    """
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        minhash_incremental,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+    seen_schema = DOCS_SCHEMA + ", embedding array<float>, _epoch_id int"
+
+    def _dedup(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        if batch_df.isEmpty():
+            return
+        # explicit schema: an all-duplicates epoch leaves out_dir with
+        # an empty partition — inference would fail and a broad except
+        # would silently disable dedup (the fingerprint surface's
+        # lesson); only a genuinely missing path raises.
+        try:
+            seen = (
+                spark.read.schema(seen_schema)
+                .parquet(out_dir)
+                .filter(F.col("_epoch_id") < int(epoch_id))
+                .select("doc_id", "text")
+            )
+            seen.head(1)
+        except AnalysisException:  # first epoch: nothing admitted yet
+            seen = spark.createDataFrame([], DOCS_SCHEMA).select("doc_id", "text")
+        fresh = minhash_incremental(
+            batch_df,
+            seen,
+            shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+            threshold=threshold,
+            seed=seed,
+        )
+        try:
+            _epoch_overwrite(embed_documents(fresh, dim), out_dir, epoch_id)
+        finally:
+            fresh.unpersist()
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_dedup)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

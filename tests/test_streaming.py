@@ -453,3 +453,52 @@ def test_streamed_drift_triggers_skew_rebuild(spark, docs, tmp_path):
     after = list_balance_stats(rebuilt)
     assert after["n_rows"] == 400
     assert after["skew"] < stale["skew"]
+
+
+def test_neardup_dedup_ingest_drops_near_copies_across_epochs(spark, docs, tmp_path):
+    """Streaming MinHash dedup: a near-copy (tail edited, not just
+    normalization noise) delivered in a LATER epoch under a new id must
+    be dropped; genuinely new docs pass; within-batch near-dup clusters
+    keep the min id."""
+    from secure_agent_api_vector_search_spark.streaming.ingest import (
+        start_neardup_dedup_ingest,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    base = docs.filter(F.col("doc_id") < 10).select(*cols)
+    # same-batch near-copy of doc 0: last word swapped -> high Jaccard,
+    # different fingerprint; keeper must be min id (0)
+    inbatch = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    first = base.unionByName(inbatch)
+    # epoch 2: 5 new docs + near-copies of docs 0-2 under new ids
+    recrawl = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    second = docs.filter(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") < 15)
+    ).select(*cols).unionByName(recrawl)
+
+    first.write.mode("append").parquet(in_dir)
+    q = start_neardup_dedup_ingest(spark, in_dir, out_dir, ckpt, dim=16)
+    try:
+        _wait(q)
+        second.write.mode("append").parquet(in_dir)
+        _wait(q)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_dir)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # every synthetic near-copy dropped, min ids kept — and doc 12 is
+    # a PLANTED near-dup of doc 8 in the sf0.001 testdata itself
+    # (Jaccard 0.985, verified by minhash_near_dup_pairs), so the
+    # cross-epoch screen rightly rejects it too
+    assert ids == [i for i in range(15) if i != 12]
+    assert "embedding" in out.columns
