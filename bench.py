@@ -115,6 +115,7 @@ HEADLINE = [
     "mixture_upsample",
     "lm_likelihood_buckets",
     "hard_negatives",
+    "source_drift_tvd",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

@@ -745,6 +745,10 @@ def lm_likelihood_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.lm_likelihood_buckets(load_documents(spark, sf_dir))
 
 
+def source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.source_drift_tvd(load_documents(spark, sf_dir))
+
+
 def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. ExactSubstr span finder at k=5 on the ~60-token test
     docs (same k as the Gopher fraction stat, so every gate doc with a
@@ -2471,6 +2475,34 @@ FROM p ORDER BY doc_id""",
                     "tail percentile thirds",
         tags=("text", "curation")))
 
+    r.register(NamedQuery(
+        "source_drift_tvd", source_drift_tvd,
+        oracle_sql="""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+st AS (SELECT source, tok, COUNT(*) AS a FROM toks GROUP BY source, tok),
+ct AS (SELECT tok, COUNT(*) AS b FROM toks GROUP BY tok),
+ns AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n_tokens FROM st GROUP BY source),
+mm AS (SELECT CAST(SUM(b) AS BIGINT) AS m FROM ct),
+j AS (
+  SELECT st.source, ns.n_tokens, mm.m,
+         SUM(ABS(CAST(st.a AS HUGEINT) * mm.m - CAST(ct.b AS HUGEINT) * ns.n_tokens)) AS s1,
+         CAST(SUM(ct.b) AS BIGINT) AS b_s
+  FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN mm
+  GROUP BY st.source, ns.n_tokens, mm.m)
+SELECT source, n_tokens,
+       CAST(s1 + CAST(n_tokens AS HUGEINT) * (m - b_s) AS DOUBLE)
+         / CAST(CAST(2 AS HUGEINT) * n_tokens * m AS DOUBLE) AS tvd
+FROM j ORDER BY source""",
+        description="[EXT] mixture drift monitor: per-source total-variation "
+                    "distance vs the corpus unigram distribution — rational "
+                    "arithmetic end to end (integer cross products, one IEEE "
+                    "division), absent-token mass folded algebraically so no "
+                    "sources x vocab cross product exists",
+        tags=("curation", "ops")))
+
     _SPAN_BASE = """
 WITH w AS (
   SELECT doc_id,
@@ -3191,21 +3223,23 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
-    # brand-new in round 6, never driver-checked (7) — the window's
+    # brand-new in round 6, never driver-checked (8) — the window's
     # never-checked-first rule puts them ahead of everything; to keep
-    # the window at 50, seven rotate out, each leaving an in-window
+    # the window at 50, eight rotate out, each leaving an in-window
     # sibling on the same machinery: revenue_cube (grouping sets, with
     # revenue_rollup), vector_topk_dot + vector_topk_l2 +
     # vector_topk_filtered + similar_to_doc (scorer/top-k machinery
     # shared with vector_topk_cosine + find_similar_records),
     # events_funnel_summary (aggregate over in-window events_funnel),
-    # token_budget_by_lang (sibling token_budget_sample). All stay on
-    # the local full gate every round.
+    # token_budget_by_lang (sibling token_budget_sample),
+    # pack_sequence_stats (sibling pack_sequences). All stay on the
+    # local full gate every round.
     "duplicated_spans",
     "exact_substring_stats",
     "mixture_upsample",
     "lm_likelihood_buckets",
     "hard_negatives",
+    "source_drift_tvd",
     "chunk_documents",
     "stratified_sample",
     # --- round-6 rebuild. The round-6 window must show ZERO err rows
@@ -3249,7 +3283,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "lang_id_eval",
     "top_terms_by_lang",
     "token_budget_sample",
-    "pack_sequence_stats",
     "events_retention",
     "events_engagement",
     "q1_pricing_summary",

@@ -451,3 +451,64 @@ def lm_likelihood_buckets(
             .alias("bucket"),
         )
     )
+
+
+def source_drift_tvd(
+    documents: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture drift monitor: per-source total-variation distance
+    between the source's unigram distribution and the whole-corpus
+    distribution — the "is this slice still the same kind of text"
+    check a mixture pipeline pages on (a crawl source whose TVD jumps
+    between snapshots changed under you; a source near 0 adds no
+    diversity). TVD is used instead of KL for the same reason
+    :func:`lm_likelihood_buckets` avoids perplexity: KL needs ln()
+    and libm ln is not correctly-rounded, while TVD stays RATIONAL —
+    0.5 * sum_i |a_i/n_s - b_i/m| with integer counts a (source) and
+    b (corpus) becomes sum_i |a_i*m - b_i*n_s| / (2*n_s*m): exact
+    integer arithmetic end to end, one IEEE division at the end,
+    bit-identical cross-engine.
+
+    Tokens the source lacks need no materialized (source, token) rows:
+    their contribution folds to n_s*(m - B_s) with B_s the corpus
+    count mass of the source's own vocabulary — so the plan never
+    builds the |sources| x |vocab| cross product.
+
+    Scale shape: one (source, token) aggregate and one token-keyed
+    corpus aggregate, joined on the token (combiner-safe, AQE-
+    splittable hot stop-words), then a per-source fold. Products run
+    as DECIMAL(38,0) — at web scale (counts ~1e12) the int64 product
+    would wrap, the decimal does not.
+
+    Output: (source, n_tokens, tvd), tvd in [0, 1].
+    """
+    ws = F.split(F.regexp_replace(F.trim(F.col(text_col)), " +", " "), " ")
+    toks = documents.select(F.col(strata_col).alias("source"), F.explode(ws).alias("tok"))
+    src_tok = toks.groupBy("source", "tok").agg(F.count("*").alias("a"))
+    corpus_tok = toks.groupBy("tok").agg(F.count("*").alias("b"))
+    n_s = src_tok.groupBy("source").agg(F.sum("a").cast("bigint").alias("n_tokens"))
+    m = corpus_tok.agg(F.sum("b").cast("bigint").alias("m"))
+    dec = "decimal(38,0)"
+    joined = (
+        src_tok.join(corpus_tok, "tok")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(m))
+    )
+    per_src = joined.groupBy("source", "n_tokens", "m").agg(
+        F.sum(
+            F.abs(
+                F.col("a").cast(dec) * F.col("m").cast(dec)
+                - F.col("b").cast(dec) * F.col("n_tokens").cast(dec)
+            )
+        ).alias("s1"),
+        F.sum("b").cast("bigint").alias("b_s"),
+    )
+    tvd = (
+        F.col("s1")
+        + F.col("n_tokens").cast(dec) * (F.col("m") - F.col("b_s")).cast(dec)
+    ).cast("double") / (
+        F.lit(2).cast(dec) * F.col("n_tokens").cast(dec) * F.col("m").cast(dec)
+    ).cast("double")
+    return per_src.select("source", "n_tokens", tvd.alias("tvd"))

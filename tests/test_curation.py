@@ -322,3 +322,42 @@ def test_lm_likelihood_score_is_exact_rational(spark):
     out = {r.doc_id: r for r in lm_likelihood_buckets(df).collect()}
     assert out[5].lm_score == 3.0 / 8.0
     assert out[0].lm_score == (2 + 2) / (2 * 4)  # (c(aa)+1)+(c(bb)+1)=4
+
+
+def test_source_drift_tvd_hand_computed(spark):
+    from secure_agent_api_vector_search_spark.operators.curation import source_drift_tvd
+
+    # corpus: 'a a b' (s1) + 'a b b b' (s2); m=7, corpus counts a=3, b=4
+    # s1: n=3, dist (a:2/3, b:1/3); corpus (3/7, 4/7)
+    # tvd = 0.5*(|2/3-3/7| + |1/3-4/7|) = 0.5*(5/21 + 5/21) = 5/21
+    df = spark.createDataFrame(
+        [(0, "a a b", "s1"), (1, "a b b b", "s2")], ["doc_id", "text", "source"]
+    )
+    out = {r.source: r for r in source_drift_tvd(df).collect()}
+    assert out["s1"].n_tokens == 3 and out["s2"].n_tokens == 4
+    assert abs(out["s1"].tvd - 5.0 / 21.0) < 1e-15
+    # s2: 0.5*(|1/4-3/7| + |3/4-4/7|) = 0.5*(5/28 + 5/28) = 5/28
+    assert abs(out["s2"].tvd - 5.0 / 28.0) < 1e-15
+
+
+def test_source_drift_tvd_identical_source_is_zero(spark):
+    from secure_agent_api_vector_search_spark.operators.curation import source_drift_tvd
+
+    # one source == the corpus -> tvd exactly 0.0 (rational arithmetic:
+    # no float dust)
+    df = spark.createDataFrame([(0, "x y z x", "only")], ["doc_id", "text", "source"])
+    rows = source_drift_tvd(df).collect()
+    assert len(rows) == 1 and rows[0].tvd == 0.0
+
+
+def test_source_drift_tvd_disjoint_vocab_is_one(spark):
+    from secure_agent_api_vector_search_spark.operators.curation import source_drift_tvd
+
+    # a source with vocabulary fully disjoint from the rest drifts
+    # toward 1 as the rest dominates: tvd = 1 - n_s/m
+    df = spark.createDataFrame(
+        [(0, "p q r s t u v w", "big"), (1, "zz zz", "odd")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r.source: r for r in source_drift_tvd(df).collect()}
+    assert abs(out["odd"].tvd - (1.0 - 2.0 / 10.0)) < 1e-15
