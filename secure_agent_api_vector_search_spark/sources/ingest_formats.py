@@ -92,3 +92,30 @@ def load_csv_documents(
         .csv(path)
     )
     return _split_quarantine(raw)
+
+
+def load_orc_documents(spark: SparkSession, path: str) -> DataFrame:
+    """ORC → documents. The fourth source leg: ORC is the other
+    columnar interchange format big-data estates hand over (Hive/Trino
+    exports). Columnar + typed means there is no corrupt-LINE concept
+    to quarantine — decode failures are file-level and must surface,
+    not be swallowed — so this returns one frame, schema-projected to
+    the documents contract (extra columns dropped, column order
+    normalized). Predicate pushdown and column pruning work as for
+    parquet; one scan, no shuffle."""
+    return (
+        spark.read.schema(T.StructType(DOCS_FIELDS))
+        .orc(path)
+        .select(*[f.name for f in DOCS_FIELDS])
+    )
+
+
+def write_orc_documents(df: DataFrame, path: str) -> None:
+    """documents → ORC (zstd): the export half of the round trip, for
+    handing curated corpora back to ORC-native estates."""
+    (
+        df.select(*[f.name for f in DOCS_FIELDS])
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .orc(path)
+    )

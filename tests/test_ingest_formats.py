@@ -65,3 +65,36 @@ def test_jsonl_roundtrip_feeds_the_operator_surface(spark, docs, tmp_path):
     stats = token_stats(loaded)
     assert stats.count() == 20
     assert set(stats.columns) == {"doc_id", "n_tokens", "n_distinct_tokens", "mean_token_len"}
+
+
+def test_orc_round_trip_and_projection(spark, docs, tmp_path):
+    from secure_agent_api_vector_search_spark.sources.ingest_formats import (
+        load_orc_documents,
+        write_orc_documents,
+    )
+
+    path = str(tmp_path / "docs_orc")
+    sample = docs.limit(20)
+    write_orc_documents(sample, path)
+    back = load_orc_documents(spark, path)
+    a = sorted(tuple(r) for r in sample.select("doc_id", "text", "lang", "source", "n_chars").collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+    # schema projection: extra columns in the file are dropped on read
+    sample.withColumn("extra", sample.doc_id * 2).write.mode("overwrite").orc(path)
+    again = load_orc_documents(spark, path)
+    assert again.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def test_orc_predicate_pushdown(spark, docs, tmp_path):
+    from secure_agent_api_vector_search_spark.sources.ingest_formats import (
+        load_orc_documents,
+        write_orc_documents,
+    )
+
+    path = str(tmp_path / "docs_orc_pd")
+    write_orc_documents(docs.limit(50), path)
+    df = load_orc_documents(spark, path).filter("doc_id = 7").select("doc_id", "lang")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan
+    assert df.count() == 1
