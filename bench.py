@@ -116,6 +116,7 @@ HEADLINE = [
     "lm_likelihood_buckets",
     "hard_negatives",
     "source_drift_tvd",
+    "split_leakage_check",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

@@ -749,6 +749,10 @@ def source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.source_drift_tvd(load_documents(spark, sf_dir))
 
 
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.split_leakage_check(load_documents(spark, sf_dir))
+
+
 def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. ExactSubstr span finder at k=5 on the ~60-token test
     docs (same k as the Gopher fraction stat, so every gate doc with a
@@ -2476,6 +2480,42 @@ FROM p ORDER BY doc_id""",
         tags=("text", "curation")))
 
     r.register(NamedQuery(
+        "split_leakage_check", split_leakage_check,
+        oracle_sql="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 12))
+              AS BIGINT) AS gh
+  FROM w, UNNEST(range(1, GREATEST(len(ws) - 2, 0) + 1)) AS t(i)
+  WHERE len(ws) >= 3),
+s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
+  FROM inter i JOIN s sa ON sa.doc_id = i.id_a JOIN s sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.6),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'train'
+              WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 15)) AS BIGINT) % 10000 < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT p.id_a, p.id_b, p.jaccard, a.split AS split_a, b.split AS split_b
+FROM pairs p JOIN sp a ON a.doc_id = p.id_a JOIN sp b ON b.doc_id = p.id_b
+WHERE a.split <> b.split ORDER BY id_a, id_b""",
+        description="[EXT] train/test leakage audit: exact n-gram Jaccard "
+                    "near-dup pairs that CROSS the md5-stable split boundary "
+                    "(unblocked on purpose — leaks cross lang/source blocks); "
+                    "composition of two gated pieces (dataset_split x "
+                    "ngram_jaccard_pairs)",
+        tags=("curation", "dedup")))
+
+    r.register(NamedQuery(
         "source_drift_tvd", source_drift_tvd,
         oracle_sql="""
 WITH toks AS (
@@ -3223,23 +3263,25 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
-    # brand-new in round 6, never driver-checked (8) — the window's
+    # brand-new in round 6, never driver-checked (9) — the window's
     # never-checked-first rule puts them ahead of everything; to keep
-    # the window at 50, eight rotate out, each leaving an in-window
+    # the window at 50, nine rotate out, each leaving an in-window
     # sibling on the same machinery: revenue_cube (grouping sets, with
     # revenue_rollup), vector_topk_dot + vector_topk_l2 +
     # vector_topk_filtered + similar_to_doc (scorer/top-k machinery
     # shared with vector_topk_cosine + find_similar_records),
     # events_funnel_summary (aggregate over in-window events_funnel),
     # token_budget_by_lang (sibling token_budget_sample),
-    # pack_sequence_stats (sibling pack_sequences). All stay on the
-    # local full gate every round.
+    # pack_sequence_stats (sibling pack_sequences), neardup_pairs_cosine
+    # (exact-cosine pair machinery shared with similarity_join_exact).
+    # All stay on the local full gate every round.
     "duplicated_spans",
     "exact_substring_stats",
     "mixture_upsample",
     "lm_likelihood_buckets",
     "hard_negatives",
     "source_drift_tvd",
+    "split_leakage_check",
     "chunk_documents",
     "stratified_sample",
     # --- round-6 rebuild. The round-6 window must show ZERO err rows
@@ -3276,7 +3318,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "find_similar_records",
     "find_similar_by_text",
     "embedding_stats",
-    "neardup_pairs_cosine",
     "similarity_join_exact",
     "doc_winnow_fingerprints",
     "lang_profile",

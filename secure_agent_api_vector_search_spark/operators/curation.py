@@ -512,3 +512,62 @@ def source_drift_tvd(
         F.lit(2).cast(dec) * F.col("n_tokens").cast(dec) * F.col("m").cast(dec)
     ).cast("double")
     return per_src.select("source", "n_tokens", tvd.alias("tvd"))
+
+
+def split_leakage_check(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    block_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs that CROSS the
+    dataset-split boundary. :func:`contamination_check` asks "does a
+    training doc contain eval n-grams"; this asks the complementary
+    question a benchmark-integrity review actually starts from — "is
+    any held-out document a near-copy of a training document" (the
+    leakage mode Lee et al. 2022 §6.2 show inflates eval scores).
+
+    Composition of two already-gated pieces, so the audit inherits
+    their determinism: the stable-md5 :func:`dataset_split` (same
+    ``seed`` ⇒ the split audited here IS the split the pipeline
+    shipped) and exact blocked token-n-gram Jaccard
+    (operators/dedup.py::ngram_jaccard_pairs). Pairs with
+    ``split_a == split_b`` are benign (plain in-split duplication,
+    dedup's jurisdiction) and excluded.
+
+    ``block_col`` defaults to None (all-pairs exact): leaks cross
+    language/source boundaries — a translated or re-crawled near-copy
+    lands in another block, and blocking would hide exactly the pairs
+    the audit exists to find (on the test corpus, ALL cross-split
+    leaks are cross-lang). Scale note: the exact pair join is the
+    gate-scale form; at corpus scale swap the pair source for
+    ngram_jaccard_pairs_lsh / minhash_similarity_join (same output
+    contract) and keep the split join — the audit is O(pairs), the
+    pair generation is the scaling decision.
+
+    Output: (id_a, id_b, jaccard, split_a, split_b).
+    """
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    splits = dataset_split(documents, id_col=id_col, seed=seed).select(
+        id_col, "split"
+    )
+    pairs = ngram_jaccard_pairs(
+        documents, id_col=id_col, n=n, threshold=threshold, block_col=block_col
+    )
+    return (
+        pairs.join(
+            splits.select(F.col(id_col).alias("id_a"), F.col("split").alias("split_a")),
+            "id_a",
+        )
+        .join(
+            splits.select(F.col(id_col).alias("id_b"), F.col("split").alias("split_b")),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )

@@ -361,3 +361,32 @@ def test_source_drift_tvd_disjoint_vocab_is_one(spark):
     )
     out = {r.source: r for r in source_drift_tvd(df).collect()}
     assert abs(out["odd"].tvd - (1.0 - 2.0 / 10.0)) < 1e-15
+
+
+def test_split_leakage_check_finds_planted_cross_split_pair(spark):
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        dataset_split,
+        split_leakage_check,
+    )
+
+    # find two ids the deterministic split puts in DIFFERENT splits,
+    # and two it puts in the SAME split (no hardcoded hash values)
+    ids = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    sp = {r.doc_id: r.split for r in dataset_split(ids).collect()}
+    train = [i for i in sp if sp[i] == "train"]
+    test = [i for i in sp if sp[i] == "test"]
+    a, b = train[0], test[0]          # planted LEAK (cross-split near-dup)
+    c, d = train[1], train[2]         # benign in-split near-dup
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (a, base), (b, base + " mu"),
+        (c, base + " pi rho"), (d, base + " pi rho nu"),
+        (train[3], "totally different words nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = split_leakage_check(df, threshold=0.5)
+    got = {(r.id_a, r.id_b): (r.split_a, r.split_b) for r in out.collect()}
+    key = (min(a, b), max(a, b))
+    assert key in got and set(got[key]) == {"train", "test"}
+    # the in-split pair must NOT be reported
+    assert (min(c, d), max(c, d)) not in got
