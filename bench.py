@@ -117,6 +117,7 @@ HEADLINE = [
     "hard_negatives",
     "source_drift_tvd",
     "split_leakage_check",
+    "events_hourly_anomaly",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

@@ -333,6 +333,10 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.events_json_stats(spark, sf_dir)
 
 
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.events_hourly_anomaly(spark, sf_dir)
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.events_sessionize(spark, sf_dir)
 
@@ -1801,6 +1805,38 @@ SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n,
 FROM events GROUP BY hour, event_type ORDER BY hour, event_type""",
         description="[EXT] tumbling-hour rollup (batch twin of streaming/events.py)",
         tags=("events", "agg")))
+
+    r.register(NamedQuery(
+        "events_hourly_anomaly", events_hourly_anomaly,
+        oracle_sql="""
+WITH hourly AS (
+  SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n
+  FROM events GROUP BY hour, event_type),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS h,
+         CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS q
+  FROM hourly GROUP BY event_type)
+SELECT hour, hourly.event_type, CAST(n AS BIGINT) AS n,
+       CAST(s AS DOUBLE) / CAST(h AS DOUBLE) AS mean_n,
+       CASE WHEN h > 1 AND SQRT(CAST(h * q - s * s AS DOUBLE)
+                                / CAST(h * (h - 1) AS DOUBLE)) > 0.0
+            THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(h AS DOUBLE))
+                 / SQRT(CAST(h * q - s * s AS DOUBLE)
+                        / CAST(h * (h - 1) AS DOUBLE))
+            ELSE 0.0 END AS z,
+       ABS(CASE WHEN h > 1 AND SQRT(CAST(h * q - s * s AS DOUBLE)
+                                    / CAST(h * (h - 1) AS DOUBLE)) > 0.0
+                THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(h AS DOUBLE))
+                     / SQRT(CAST(h * q - s * s AS DOUBLE)
+                            / CAST(h * (h - 1) AS DOUBLE))
+                ELSE 0.0 END) > 2.0 AS is_anomaly
+FROM hourly JOIN st ON hourly.event_type = st.event_type
+ORDER BY hour, hourly.event_type""",
+        description="[EXT] hourly volume-anomaly detector: z-score of each "
+                    "(hour, type) count vs the type's hourly mean, derived "
+                    "from exact integer sums (H, S, Q) so the only float "
+                    "steps are IEEE divisions and one correctly-rounded sqrt",
+        tags=("events", "agg", "ops")))
 
     r.register(NamedQuery(
         "events_json_stats", events_json_stats,
@@ -3273,8 +3309,10 @@ CHECK_FIRST: tuple[str, ...] = (
     # events_funnel_summary (aggregate over in-window events_funnel),
     # token_budget_by_lang (sibling token_budget_sample),
     # pack_sequence_stats (sibling pack_sequences), neardup_pairs_cosine
-    # (exact-cosine pair machinery shared with similarity_join_exact).
-    # All stay on the local full gate every round.
+    # (exact-cosine pair machinery shared with similarity_join_exact),
+    # events_engagement (distinct user-day collapse shared with
+    # in-window events_retention). All stay on the local full gate
+    # every round.
     "duplicated_spans",
     "exact_substring_stats",
     "mixture_upsample",
@@ -3282,6 +3320,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "hard_negatives",
     "source_drift_tvd",
     "split_leakage_check",
+    "events_hourly_anomaly",
     "chunk_documents",
     "stratified_sample",
     # --- round-6 rebuild. The round-6 window must show ZERO err rows
@@ -3325,7 +3364,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "top_terms_by_lang",
     "token_budget_sample",
     "events_retention",
-    "events_engagement",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

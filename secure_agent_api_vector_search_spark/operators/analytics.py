@@ -545,3 +545,55 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"), (F.sum("brk") + 1).alias("n_sessions"))
     )
+
+
+def events_hourly_anomaly(
+    spark: SparkSession, sf_dir: str, z_thresh: float = 2.0
+) -> DataFrame:
+    """Volume-anomaly detector over the hourly event rollup: flag
+    (hour, event_type) cells whose count sits more than ``z_thresh``
+    sample standard deviations from that type's hourly mean — the
+    first-line ops alarm ("clicks fell off a cliff at 14:00") computed
+    batch-side; the streaming twin is the same arithmetic over the
+    windowed_counts sink.
+
+    Determinism contract (hard-gate): mean and std are derived from
+    EXACT integer sums (H hours, S = sum of counts, Q = sum of squared
+    counts) — var = (H*Q - S^2) / (H*(H-1)) — so the only floating
+    steps are final IEEE divisions and one sqrt (correctly rounded by
+    IEEE-754, unlike ln — same reasoning as lm_likelihood_buckets).
+    stddev_samp over doubles would be aggregation-order-dependent;
+    this formulation is not.
+
+    Scale shape: one hour-keyed aggregate (map-side combinable), one
+    tiny per-type stats frame broadcast back. Zero-variance types
+    (constant traffic) get z = 0, never NaN.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("h"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
+    )
+    joined = hourly.join(F.broadcast(stats), "event_type")
+    mean_n = F.col("s").cast("double") / F.col("h").cast("double")
+    var = (
+        (F.col("h") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("h") * (F.col("h") - 1)).cast("double")
+    )
+    std = F.sqrt(var)
+    z = F.when(
+        (F.col("h") > 1) & (std > 0.0),
+        (F.col("n").cast("double") - mean_n) / std,
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "hour",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        mean_n.alias("mean_n"),
+        z.alias("z"),
+        (F.abs(z) > z_thresh).alias("is_anomaly"),
+    )

@@ -166,3 +166,37 @@ def test_events_engagement_window_boundary(spark):
     # Jan 29: Jan 1 aged out; window holds user 1 (Jan 29) + user 2 (Jan 28)
     assert (out["2024-01-29"]["dau"], out["2024-01-29"]["mau"]) == (1, 2)
     assert out["2024-01-28"]["stickiness"] == pytest.approx(0.5)
+
+
+def test_events_hourly_anomaly_planted_spike(spark, tmp_path):
+    """A planted 10x traffic spike in one hour must be the ONLY
+    anomalous cell for its type, and constant-traffic types must get
+    z=0 (never NaN)."""
+    import datetime as dt
+
+    from secure_agent_api_vector_search_spark.operators.analytics import (
+        events_hourly_anomaly,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    uid = 0
+    for h in range(24):
+        # 'click': 5/hour steady, except hour 12 carries 50
+        for i in range(50 if h == 12 else 5):
+            rows.append((uid, "click", base + dt.timedelta(hours=h, seconds=i), 1.0, "{}"))
+            uid += 1
+        # 'view': perfectly constant 3/hour -> zero variance
+        for i in range(3):
+            rows.append((uid, "view", base + dt.timedelta(hours=h, seconds=i), 1.0, "{}"))
+            uid += 1
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "value", "props"])
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+    out = events_hourly_anomaly(spark, str(tmp_path))
+    got = {(r.hour, r.event_type): r for r in out.collect()}
+    anomalies = [k for k, r in got.items() if r.is_anomaly]
+    assert anomalies == [("2026-01-01 12", "click")]
+    assert got[("2026-01-01 12", "click")].z > 4.0
+    # constant type: z exactly 0, no NaN
+    assert all(r.z == 0.0 for k, r in got.items() if k[1] == "view")
