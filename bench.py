@@ -118,6 +118,8 @@ HEADLINE = [
     "source_drift_tvd",
     "split_leakage_check",
     "events_hourly_anomaly",
+    "build_vocab",
+    "tokenize_to_ids",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

@@ -757,6 +757,18 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.split_leakage_check(load_documents(spark, sf_dir))
 
 
+def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.build_vocab(load_documents(spark, sf_dir), size=200)
+
+
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode with a deliberately SMALL vocab (20, vs the corpus's ~31
+    distinct words) so the OOV=0 path is exercised on a real share of
+    tokens at the gate."""
+    docs = load_documents(spark, sf_dir)
+    return TX.tokenize_to_ids(docs, TX.build_vocab(docs, size=20))
+
+
 def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. ExactSubstr span finder at k=5 on the ~60-token test
     docs (same k as the Gopher fraction stat, so every gate doc with a
@@ -2516,6 +2528,49 @@ FROM p ORDER BY doc_id""",
         tags=("text", "curation")))
 
     r.register(NamedQuery(
+        "build_vocab", build_vocab,
+        oracle_sql="""
+WITH c AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS count
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok),
+top AS (SELECT * FROM c ORDER BY count DESC, tok ASC LIMIT 200)
+SELECT tok, CAST(row_number() OVER (ORDER BY count DESC, tok ASC) AS INT) AS tok_id,
+       count
+FROM top ORDER BY tok_id""",
+        description="[EXT] frequency vocabulary: top-N tokens by "
+                    "(count DESC, token ASC), contiguous 1-based ids (0 = "
+                    "OOV); selection is distributed bounded top-k "
+                    "(TakeOrderedAndProject), the rank window sees only N "
+                    "rows",
+        tags=("text", "curation")))
+
+    r.register(NamedQuery(
+        "tokenize_to_ids", tokenize_to_ids,
+        oracle_sql="""
+WITH c AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS count
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok),
+v AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY count DESC, tok ASC) AS INT) AS tok_id
+  FROM (SELECT * FROM c ORDER BY count DESC, tok ASC LIMIT 20)),
+t AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(range(1, len(ws) + 1)) AS u(i))
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       array_agg(CAST(COALESCE(v.tok_id, 0) AS INT) ORDER BY t.pos) AS ids
+FROM t LEFT JOIN v USING (tok)
+GROUP BY t.doc_id ORDER BY t.doc_id""",
+        description="[EXT] word-level tokenization to id sequences (order "
+                    "preserved, OOV=0) against the deterministic top-50 "
+                    "vocab — the loader-facing encode step; a subword "
+                    "tokenizer drops in behind the same contract as a "
+                    "pandas_udf",
+        tags=("text", "curation")))
+
+    r.register(NamedQuery(
         "split_leakage_check", split_leakage_check,
         oracle_sql="""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -3311,8 +3366,10 @@ CHECK_FIRST: tuple[str, ...] = (
     # pack_sequence_stats (sibling pack_sequences), neardup_pairs_cosine
     # (exact-cosine pair machinery shared with similarity_join_exact),
     # events_engagement (distinct user-day collapse shared with
-    # in-window events_retention). All stay on the local full gate
-    # every round.
+    # in-window events_retention), lang_id_eval (language-ID machinery
+    # shared with in-window lang_profile), top_customers_by_revenue
+    # (relational agg family: q1/q3/q5/revenue_by_region in window).
+    # All stay on the local full gate every round.
     "duplicated_spans",
     "exact_substring_stats",
     "mixture_upsample",
@@ -3321,6 +3378,8 @@ CHECK_FIRST: tuple[str, ...] = (
     "source_drift_tvd",
     "split_leakage_check",
     "events_hourly_anomaly",
+    "build_vocab",
+    "tokenize_to_ids",
     "chunk_documents",
     "stratified_sample",
     # --- round-6 rebuild. The round-6 window must show ZERO err rows
@@ -3360,14 +3419,12 @@ CHECK_FIRST: tuple[str, ...] = (
     "similarity_join_exact",
     "doc_winnow_fingerprints",
     "lang_profile",
-    "lang_id_eval",
     "top_terms_by_lang",
     "token_budget_sample",
     "events_retention",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "top_customers_by_revenue",
     "revenue_by_region",
     "revenue_rollup",
     "orders_semi_late_lines",

@@ -521,6 +521,7 @@ def split_leakage_check(
     block_col: str | None = None,
     id_col: str = "doc_id",
     seed: str = "split-v1",
+    via: str = "lsh",
 ) -> DataFrame:
     """Train/test LEAKAGE audit: near-duplicate pairs that CROSS the
     dataset-split boundary. :func:`contamination_check` asks "does a
@@ -537,28 +538,48 @@ def split_leakage_check(
     ``split_a == split_b`` are benign (plain in-split duplication,
     dedup's jurisdiction) and excluded.
 
-    ``block_col`` defaults to None (all-pairs exact): leaks cross
-    language/source boundaries — a translated or re-crawled near-copy
-    lands in another block, and blocking would hide exactly the pairs
-    the audit exists to find (on the test corpus, ALL cross-split
-    leaks are cross-lang). Scale note: the exact pair join is the
-    gate-scale form; at corpus scale swap the pair source for
-    ngram_jaccard_pairs_lsh / minhash_similarity_join (same output
-    contract) and keep the split join — the audit is O(pairs), the
-    pair generation is the scaling decision.
+    ``block_col`` defaults to None: leaks cross language/source
+    boundaries — a translated or re-crawled near-copy lands in
+    another block, and blocking would hide exactly the pairs the
+    audit exists to find (on the test corpus, ALL cross-split leaks
+    are cross-lang).
+
+    ``via`` picks the pair source; both compute EXACT Jaccard on the
+    SAME md5-48 token-gram sets, so found-pair values are
+    bit-identical across forms:
+    - ``"lsh"`` (default): ngram_jaccard_pairs_lsh — MinHash-banded
+      candidates, exact verify; the scale form (unblocked all-pairs is
+      quadratic — measured 149 s vs ~4 s at 5k docs). Banding recall
+      at the near-identical similarities leakage exhibits (>= 0.9) is
+      ~1 - (1-0.9^4)^16 ≈ 1-10^-7, which is why the hard gate can
+      compare it against the exact-oracle pair set (the
+      minhash_near_dup gate discipline).
+    - ``"exact"``: all-pairs via ngram_jaccard_pairs, for gate-scale
+      ground truth and the agreement test.
+    The audit itself is O(pairs) either way.
 
     Output: (id_a, id_b, jaccard, split_a, split_b).
     """
     from secure_agent_api_vector_search_spark.operators.dedup import (
         ngram_jaccard_pairs,
+        ngram_jaccard_pairs_lsh,
     )
 
     splits = dataset_split(documents, id_col=id_col, seed=seed).select(
         id_col, "split"
     )
-    pairs = ngram_jaccard_pairs(
-        documents, id_col=id_col, n=n, threshold=threshold, block_col=block_col
-    )
+    if via == "lsh":
+        if block_col is not None:
+            raise ValueError("block_col is only supported with via='exact'")
+        pairs = ngram_jaccard_pairs_lsh(
+            documents, id_col=id_col, n=n, threshold=threshold
+        )
+    elif via == "exact":
+        pairs = ngram_jaccard_pairs(
+            documents, id_col=id_col, n=n, threshold=threshold, block_col=block_col
+        )
+    else:
+        raise ValueError(f"via must be 'lsh' or 'exact', got {via!r}")
     return (
         pairs.join(
             splits.select(F.col(id_col).alias("id_a"), F.col("split").alias("split_a")),

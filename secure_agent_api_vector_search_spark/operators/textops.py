@@ -404,3 +404,87 @@ def top_terms_by_lang(documents: DataFrame, n: int = 5) -> DataFrame:
         )
         .orderBy("lang", "rank")
     )
+
+
+def build_vocab(
+    documents: DataFrame,
+    size: int = 1000,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency vocabulary for tokenization: the top-``size`` tokens
+    by (count DESC, token ASC), 1-based contiguous ids — id 0 is
+    reserved for OOV (:func:`tokenize_to_ids`). The deterministic
+    total order makes the id assignment reproducible and
+    oracle-checkable; ``min_count`` drops the hapax tail first.
+
+    Scale shape: one token-keyed count aggregate (map-side
+    combinable), then the top-``size`` selection runs as
+    TakeOrderedAndProject (distributed bounded top-k — NO global
+    sort); the rank window only ever sees the ``size``-row result.
+
+    Output: (tok, tok_id, count).
+    """
+    from pyspark.sql import Window
+
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    counts = (
+        documents.select(F.explode(X.tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    top = counts.orderBy(F.desc("count"), F.asc("tok")).limit(size)
+    w = Window.orderBy(F.desc("count"), F.asc("tok"))
+    return top.select(
+        "tok", F.row_number().over(w).cast("int").alias("tok_id"), "count"
+    )
+
+
+def tokenize_to_ids(
+    documents: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document as its vocabulary-id sequence (order
+    preserved, OOV → 0) — the map a training pipeline ships to the
+    loader after :func:`build_vocab`. A real subword tokenizer drops
+    in behind the same contract as an Arrow-batched pandas_udf (the
+    embedder.py seam); this exact word-level form is the oracle-able
+    reference implementation.
+
+    Scale shape: positions explode once, the vocabulary joins in
+    (broadcast — a bounded-``size`` frame by construction), and one
+    doc-keyed shuffle reassembles the ordered sequence
+    (collect_list of (pos, id) → array_sort → project: array_sort on
+    structs orders by the leading field, so the sequence order is the
+    token order, not collection order).
+
+    Output: (doc_id, n_tokens, ids array<int>).
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(X.tokens(text_col)).alias("pos", "tok"),
+    )
+    joined = toks.join(F.broadcast(vocab.select("tok", "tok_id")), "tok", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos").alias("pos"),
+                        F.coalesce(F.col("tok_id"), F.lit(0)).cast("int").alias("id"),
+                    )
+                )
+            ).alias("_seq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.transform(F.col("_seq"), lambda s: s["id"]).alias("ids"),
+        )
+    )

@@ -390,3 +390,25 @@ def test_split_leakage_check_finds_planted_cross_split_pair(spark):
     assert key in got and set(got[key]) == {"train", "test"}
     # the in-split pair must NOT be reported
     assert (min(c, d), max(c, d)) not in got
+
+
+def test_split_leakage_lsh_matches_exact(spark, docs):
+    """The benched LSH form and the exact all-pairs form must agree on
+    the full sf test corpus — same pairs, bit-identical jaccard."""
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        split_leakage_check,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): (r.jaccard, r.split_a, r.split_b)
+        for r in split_leakage_check(docs, via="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): (r.jaccard, r.split_a, r.split_b)
+        for r in split_leakage_check(docs, via="lsh").collect()
+    }
+    assert exact == lsh
+    with pytest.raises(ValueError):
+        split_leakage_check(docs, via="nope")
+    with pytest.raises(ValueError):
+        split_leakage_check(docs, via="lsh", block_col="lang")

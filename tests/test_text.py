@@ -262,3 +262,34 @@ def test_chunk_documents_is_map_only(docs):
     )
     assert "Exchange" not in plan
     assert "Generate explode" in plan or "Generate posexplode" in plan
+
+
+def test_build_vocab_deterministic_ranking(spark):
+    from secure_agent_api_vector_search_spark.operators.textops import build_vocab
+
+    df = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a d d")], ["doc_id", "text"]
+    )
+    # counts: a=3, b=3, d=2, c=1; ties broken by token ASC
+    rows = {r.tok: (r.tok_id, r["count"]) for r in build_vocab(df, size=3).collect()}
+    assert rows == {"a": (1, 3), "b": (2, 3), "d": (3, 2)}  # c cut by size
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_vocab(df, size=0)
+
+
+def test_tokenize_to_ids_order_and_oov(spark):
+    from secure_agent_api_vector_search_spark.operators.textops import (
+        build_vocab,
+        tokenize_to_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a d d"), (2, "zz a")], ["doc_id", "text"]
+    )
+    vocab = build_vocab(df, size=3)  # a=1 b=2 d=3; c, zz OOV
+    out = {r.doc_id: (r.n_tokens, r.ids) for r in tokenize_to_ids(df, vocab).collect()}
+    assert out[0] == (6, [2, 2, 2, 1, 1, 0])  # order preserved, c -> 0
+    assert out[1] == (3, [1, 3, 3])
+    assert out[2] == (2, [0, 1])  # zz -> OOV
