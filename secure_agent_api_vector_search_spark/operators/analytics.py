@@ -563,7 +563,11 @@ def events_hourly_anomaly(
     steps are final IEEE divisions and one sqrt (correctly rounded by
     IEEE-754, unlike ln — same reasoning as lm_likelihood_buckets).
     stddev_samp over doubles would be aggregation-order-dependent;
-    this formulation is not.
+    this formulation is not. The squared terms (n*n, H*Q, S*S) run as
+    DECIMAL(38,0): at web-scale traffic (S beyond ~3e9) the int64
+    products would silently wrap, forcing every z to 0 and muting the
+    alarm exactly when traffic is largest — the same guard
+    source_drift_tvd carries.
 
     Scale shape: one hour-keyed aggregate (map-side combinable), one
     tiny per-type stats frame broadcast back. Zero-variance types
@@ -573,15 +577,19 @@ def events_hourly_anomaly(
     hourly = e.groupBy(
         F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), "event_type"
     ).agg(F.count("*").alias("n"))
+    dec = "decimal(38,0)"
     stats = hourly.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("h"),
         F.sum("n").cast("bigint").alias("s"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
+        F.sum(F.col("n").cast(dec) * F.col("n").cast(dec)).alias("q"),
     )
     joined = hourly.join(F.broadcast(stats), "event_type")
     mean_n = F.col("s").cast("double") / F.col("h").cast("double")
     var = (
-        (F.col("h") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+        (
+            F.col("h").cast(dec) * F.col("q")
+            - F.col("s").cast(dec) * F.col("s").cast(dec)
+        ).cast("double")
         / (F.col("h") * (F.col("h") - 1)).cast("double")
     )
     std = F.sqrt(var)

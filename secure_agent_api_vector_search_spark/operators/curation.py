@@ -396,11 +396,14 @@ def lm_likelihood_buckets(
     unchanged — same seam as embedder.py's EndpointEmbedder.)
 
     Scale shape: LM counts are one token-keyed aggregate over the
-    TRUSTED SUBSET only (small by construction); scoring joins the
-    token stream against that count table (broadcast when it fits,
-    AQE otherwise) and re-aggregates by doc — integer sums, map-side
-    combinable. The percentile is a per-language window, the
-    quality_percentile_filter shape, never a global sort.
+    TRUSTED SUBSET only; scoring joins the token stream against that
+    count table (no broadcast hint — AQE picks broadcast vs shuffle
+    from the measured size, since a CCNet-grade trusted subset has a
+    Wikipedia-sized vocabulary) and re-aggregates by doc — integer
+    sums, map-side combinable. The percentile is a per-language
+    window, the quality_percentile_filter shape, never a global sort.
+    An EMPTY trusted subset raises immediately (one bounded probe job)
+    instead of bucketing every document on NULL scores.
 
     Output: (doc_id, <group_col>, n_tokens, n_oov, lm_score,
     lm_pctile, bucket).
@@ -414,11 +417,24 @@ def lm_likelihood_buckets(
         .select(F.explode(ws).alias("tok"))
     )
     counts = lm_toks.groupBy("tok").agg(F.count("*").alias("c"))
+    if counts.limit(1).count() == 0:
+        # an absent trusted subset (typo'd lm_source, slice without it)
+        # would otherwise yield NULL scores for every doc while the
+        # percentile still assigns head/middle/tail by doc_id tiebreak
+        # — garbage buckets with no error anywhere downstream
+        raise ValueError(
+            f"lm_likelihood_buckets: no rows with {strata_col} == "
+            f"{lm_source!r}; the trusted LM subset is empty"
+        )
     denom = counts.agg(
         (F.sum("c") + F.count("*")).cast("bigint").alias("t_plus_v")
     )
+    # no broadcast hint on the count join: the trusted-subset
+    # vocabulary can be huge at deploy scale (CCNet trains on full
+    # Wikipedia) — let AQE pick broadcast vs shuffle from the
+    # measured size (denom stays broadcast: one row)
     per_doc = (
-        toks.join(F.broadcast(counts), "tok", "left")
+        toks.join(counts, "tok", "left")
         .groupBy("doc_id", group_col)
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
@@ -571,6 +587,19 @@ def split_leakage_check(
     if via == "lsh":
         if block_col is not None:
             raise ValueError("block_col is only supported with via='exact'")
+        # banding recall at the requested threshold with the default
+        # 16x4 family: 1-(1-t^4)^16. The audit's whole job is
+        # completeness — below ~0.55 the collision probability
+        # collapses (t=0.4 -> 0.48 recall) and the LSH form silently
+        # under-reports; refuse rather than return a half-blind audit.
+        recall = 1.0 - (1.0 - threshold**4) ** 16
+        if recall < 0.85:
+            raise ValueError(
+                f"split_leakage_check: LSH banding recall at threshold "
+                f"{threshold} is ~{recall:.2f} — too low for an audit; "
+                f"use via='exact' (quadratic, gate-scale) or raise the "
+                f"threshold"
+            )
         pairs = ngram_jaccard_pairs_lsh(
             documents, id_col=id_col, n=n, threshold=threshold
         )

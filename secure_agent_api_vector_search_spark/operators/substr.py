@@ -194,16 +194,29 @@ def strip_dup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Remove duplicated spans, keeping one canonical copy per gram:
-    the KEEPER document (smallest doc_id containing the gram) retains
-    its text; every other document has the covering spans' tokens
-    dropped. Returns the full corpus as (doc_id, text).
+    """Remove duplicated spans, keeping the canonical copy where one
+    cleanly exists: an occurrence is REDUNDANT iff its document is not
+    the gram's keeper (smallest doc_id containing the gram); redundant
+    occurrences' windows merge and their tokens drop. Returns the full
+    corpus as (doc_id, text).
 
-    Contract: documents with nothing to strip pass through
-    BIT-IDENTICAL (original text, original whitespace — same
-    untouched-row invariant as the embedding-backfill merge,
-    pipelines.py). Stripped documents are rebuilt from the normalized
-    token stream with span tokens removed.
+    Retention is PER-OCCURRENCE, not per-gram: when duplicated regions
+    OVERLAP inside the keeper document (the keeper's copy of gram G
+    sits inside a span that is redundant w.r.t. some other gram), the
+    overlap is stripped there too and G's content can disappear from
+    every document. This is deliberate — the alternative (protecting
+    keeper-covered positions) would leave cross-document duplicates
+    behind, and the operator's governing invariant is CONVERGENCE:
+    stripping never leaves (or creates, seams aside) cross-doc
+    duplication; content loss is bounded by the duplicated regions
+    themselves, the same trade Lee et al.'s removal tool makes. The
+    overlap semantics are pinned in tests (test_substr.py).
+
+    Documents with nothing to strip pass through BIT-IDENTICAL
+    (original text, original whitespace — same untouched-row invariant
+    as the embedding-backfill merge, pipelines.py). Stripped documents
+    are rebuilt from the normalized token stream with span tokens
+    removed.
 
     Like Lee et al.'s released tool, removal can in principle create a
     NEW k-gram across a seam (tokens left + right of a removed span

@@ -178,7 +178,10 @@ def start_fingerprint_dedup_ingest(
                 .filter(F.col("_epoch_id") < int(epoch_id))
                 .select("_fp")
             )
-            seen.head(1)
+            # no eager probe needed: with an explicit schema the read
+            # itself raises PATH_NOT_FOUND at .parquet() for a missing
+            # dir (verified on this Spark build), so a head(1) here is
+            # one wasted scan job per epoch on the streaming hot path
             fresh = local.join(seen, "_fp", "left_anti")
         except AnalysisException:  # first epoch: no ledger yet
             fresh = local
@@ -458,7 +461,8 @@ def start_neardup_dedup_ingest(
                 .filter(F.col("_epoch_id") < int(epoch_id))
                 .select("doc_id", "text")
             )
-            seen.head(1)
+            # missing out_dir raises at .parquet() (explicit schema) —
+            # no eager probe job needed; see the fingerprint surface
         except AnalysisException:  # first epoch: nothing admitted yet
             seen = spark.createDataFrame([], DOCS_SCHEMA).select("doc_id", "text")
         fresh = minhash_incremental(

@@ -384,7 +384,11 @@ def test_split_leakage_check_finds_planted_cross_split_pair(spark):
         (train[3], "totally different words nothing shared here at all"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    out = split_leakage_check(df, threshold=0.5)
+    # threshold 0.5 is below the LSH banding's audit-grade recall ->
+    # the lsh form must refuse, and the exact form does the job
+    with pytest.raises(ValueError):
+        split_leakage_check(df, threshold=0.5)
+    out = split_leakage_check(df, threshold=0.5, via="exact")
     got = {(r.id_a, r.id_b): (r.split_a, r.split_b) for r in out.collect()}
     key = (min(a, b), max(a, b))
     assert key in got and set(got[key]) == {"train", "test"}

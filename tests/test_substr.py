@@ -115,3 +115,28 @@ def test_param_validation(corpus):
         S.duplicated_spans(corpus, k=1)
     with pytest.raises(ValueError):
         S.duplicated_spans(corpus, min_docs=1)
+
+
+def test_strip_overlapping_keeper_regions_collapse_by_design(spark):
+    """When duplicated regions OVERLAP inside the keeper doc, the
+    overlap strips there too and a gram's content can vanish from
+    every document — the documented convergence-over-retention trade
+    (protecting keeper positions would leave cross-doc duplicates)."""
+    df = spark.createDataFrame(
+        [
+            (0, "p q r x1 x2"),   # keeper of 'p q r'
+            (1, "p q r s t"),     # keeper of 'q r s'/'r s t', but its
+                                  # 'p q r' span is redundant
+            (2, "q r s y1 y2"),   # non-keeper of 'q r s'
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text for r in S.strip_dup_spans(df, k=3).collect()}
+    assert out[0] == "p q r x1 x2"     # keeper copy intact (no overlap)
+    assert out[1] == "s t"             # redundant 'p q r' window stripped
+    assert out[2] == "y1 y2"           # non-keeper copy stripped
+    # the governing invariant: no cross-doc duplication survives
+    again = S.duplicated_spans(
+        S.strip_dup_spans(df, k=3).filter(F.col("text") != ""), k=3
+    )
+    assert again.count() == 0
