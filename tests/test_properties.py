@@ -155,3 +155,100 @@ def test_epoch_shuffle_partitions_ids_with_dense_positions(spark, ids, n_shards)
         by_shard.setdefault(r["shard"], []).append(r["pos"])
     for ps in by_shard.values():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+_doc = st.lists(_word, min_size=1, max_size=30).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc, min_size=2, max_size=8))
+def test_duplicated_spans_structural_invariants(spark, texts):
+    """For ANY corpus: spans lie inside their document, are pairwise
+    disjoint and non-adjacent per doc (maximal merge), each covers at
+    least k tokens, and stats arithmetic closes against the spans."""
+    from secure_agent_api_vector_search_spark.operators import substr as S
+
+    k = 3
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    n_tok = {i: len(" ".join(t.split()).split(" ")) for i, t in enumerate(texts)}
+    spans = S.duplicated_spans(df, k=k).collect()
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        assert 0 <= r.span_start <= r.span_end < n_tok[r.doc_id]
+        assert r.span_tokens == r.span_end - r.span_start + 1 >= k
+        assert r.n_grams >= 1
+        per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for sp in per_doc.values():
+        sp.sort()
+        for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+            assert s2 > e1 + 1  # disjoint AND non-adjacent (else merged)
+    stats = {r.doc_id: r for r in S.exact_substring_stats(df, k=k).collect()}
+    for i in range(len(texts)):
+        got = stats[i]
+        mine = per_doc.get(i, [])
+        assert got.n_spans == len(mine)
+        assert got.dup_tokens == sum(e - s + 1 for s, e in mine)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.sampled_from(["sa", "sb", "sc"]), min_size=1, max_size=40),
+    st.floats(min_value=0.0, max_value=3.0).map(lambda x: round(x, 2)),
+)
+def test_mixture_upsample_mass_identity(spark, sources, w):
+    """floor(w) <= copies per row <= ceil(w); every row of other
+    sources appears exactly once; output is rerun-identical."""
+    import math as _m
+
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        mixture_upsample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "t", s) for i, s in enumerate(sources)], ["doc_id", "text", "source"]
+    )
+    out = mixture_upsample(df, {"sa": w}, default=1.0).collect()
+    per_doc: dict[int, int] = {}
+    for r in out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    w_bp = int(round(w * 10000))
+    lo, hi = w_bp // 10000, -(-w_bp // 10000)
+    for i, s in enumerate(sources):
+        n = per_doc.get(i, 0)
+        if s == "sa":
+            assert lo <= n <= hi
+        else:
+            assert n == 1
+    again = mixture_upsample(df, {"sa": w}, default=1.0).collect()
+    assert sorted((r.doc_id, r.copy) for r in again) == sorted(
+        (r.doc_id, r.copy) for r in out
+    )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc, min_size=1, max_size=8), st.integers(min_value=1, max_value=10))
+def test_tokenize_to_ids_roundtrip_in_vocab(spark, texts, size):
+    """ids decode back to the original normalized tokens wherever the
+    token is in-vocab; OOV ids are exactly the out-of-vocab positions;
+    every id is within [0, |vocab|]."""
+    from secure_agent_api_vector_search_spark.operators.textops import (
+        build_vocab,
+        tokenize_to_ids,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    vocab = {r.tok: r.tok_id for r in build_vocab(df, size=size).collect()}
+    inv = {v: k for k, v in vocab.items()}
+    out = {r.doc_id: r for r in tokenize_to_ids(df, build_vocab(df, size=size)).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        r = out[i]
+        assert r.n_tokens == len(toks)
+        assert len(r.ids) == len(toks)
+        for tok, tid in zip(toks, r.ids):
+            assert 0 <= tid <= len(vocab)
+            if tok in vocab:
+                assert tid == vocab[tok] and inv[tid] == tok
+            else:
+                assert tid == 0

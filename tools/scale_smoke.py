@@ -190,6 +190,20 @@ def run_suite(spark, base: str) -> dict[str, float]:
         # aggregate real hot keys at every size
         "duplicated_spans": lambda: SB.duplicated_spans(docs, k=5),
         "strip_dup_spans": lambda: SB.strip_dup_spans(docs, k=5),
+        # round-6 session-3 additions: tokenize/LM/audit family —
+        # all must stay ~linear (token-keyed aggregates + bounded
+        # joins; the leakage audit rides the banded LSH pair source)
+        "lm_likelihood_buckets": lambda: CU.lm_likelihood_buckets(
+            docs, lm_source="src0"
+        ),
+        "tokenize_to_ids": lambda: TX.tokenize_to_ids(
+            docs, TX.build_vocab(docs, size=1000)
+        ),
+        "source_drift_tvd": lambda: CU.source_drift_tvd(docs),
+        "mixture_upsample": lambda: CU.mixture_upsample(
+            docs, {"src0": 2.5, "src1": 0.4}, default=1.0
+        ),
+        "split_leakage_check": lambda: CU.split_leakage_check(docs),
     }
     out: dict[str, float] = {}
     for name, build in ops.items():
