@@ -120,6 +120,7 @@ HEADLINE = [
     "events_hourly_anomaly",
     "build_vocab",
     "tokenize_to_ids",
+    "video_frame_features",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

@@ -1455,6 +1455,15 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_features(M.synthetic_image_payloads(docs))
 
 
+def video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode path: deterministic RAWV multi-frame payloads
+    (planted mid-video scene cut) → per-frame netpbm decode →
+    frame-sampling + luminance + shot-boundary counts. Same map-only
+    single-pass plan shape as the image/audio decode queries."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    return M.video_features(M.synthetic_video_payloads(docs))
+
+
 def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode path: deterministic PCM WAV payloads →
     whole-batch vectorized PCM feature pass (header walk + reduceat;
@@ -3052,6 +3061,15 @@ FROM p ORDER BY doc_id""",
                     "numpy, no image library): dimensions, mean luminance, "
                     "nearest-neighbor-thumbnail digest via mapInPandas; "
                     "round-trip + hand-value tests in tests/test_multimodal.py",
+        tags=("multimodal",)))
+    r.register(NamedQuery(
+        "video_frame_features", video_frame_features,
+        description="[EXT] REAL video decode (RAWV frame container, "
+                    "per-frame netpbm parse): frame count, every-kth-frame "
+                    "sampling (digested), mean luminance, scene-cut "
+                    "detection via luminance deltas — the frame-sample "
+                    "stage of a multimodal pipeline; planted-cut ground "
+                    "truth tested in tests/test_multimodal_decode.py",
         tags=("multimodal",)))
     r.register(NamedQuery(
         "audio_decode_features", audio_decode_features,

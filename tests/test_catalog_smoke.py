@@ -60,6 +60,7 @@ MAP_ONLY_UNSORTED = (
     "multimodal_features",
     "image_decode_features",
     "audio_decode_features",
+    "video_frame_features",
 )
 
 

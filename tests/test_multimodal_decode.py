@@ -178,3 +178,61 @@ def test_decode_plans_are_single_pass(spark, sf_dir):
         ), fn.__name__
         # one feature row per document: the decode runs once per payload
         assert df.count() == n_docs, fn.__name__
+
+
+def test_video_container_round_trip():
+    import numpy as np
+
+    from secure_agent_api_vector_search_spark.operators.multimodal import (
+        decode_video,
+        encode_video,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (5, 4, 1), dtype=np.uint8) for _ in range(3)]
+    back = decode_video(encode_video(frames))
+    assert len(back) == 3
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_video(b"nope")
+    with _pytest.raises(ValueError):
+        encode_video([])
+
+
+def test_video_features_planted_scene_cut(spark, docs):
+    from secure_agent_api_vector_search_spark.operators.multimodal import (
+        synthetic_video_payloads,
+        video_features,
+    )
+
+    sample = docs.limit(12)
+    out = video_features(synthetic_video_payloads(sample, n_frames=8)).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.n_frames == 8
+        assert r.n_sampled == 4          # every 2nd frame
+        # exactly ONE planted cut (the mid-video inversion); the +-4
+        # luminance drift must stay below the threshold
+        assert r.n_scene_cuts == 1, (r.doc_id, r.n_scene_cuts)
+        assert 0.0 < r.mean_luma < 255.0
+        assert len(r.sampled_sha256) == 64
+    # determinism: same inputs, same digests
+    again = video_features(synthetic_video_payloads(sample, n_frames=8)).collect()
+    assert sorted((r.doc_id, r.sampled_sha256) for r in again) == sorted(
+        (r.doc_id, r.sampled_sha256) for r in out
+    )
+
+
+def test_video_features_sampling_validation(spark, docs):
+    import pytest as _pytest
+
+    from secure_agent_api_vector_search_spark.operators.multimodal import (
+        synthetic_video_payloads,
+        video_features,
+    )
+
+    with _pytest.raises(ValueError):
+        video_features(synthetic_video_payloads(docs.limit(1)), sample_every=0)
