@@ -121,6 +121,7 @@ HEADLINE = [
     "build_vocab",
     "tokenize_to_ids",
     "video_frame_features",
+    "image_neardup",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

@@ -1455,6 +1455,17 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_features(M.synthetic_image_payloads(docs))
 
 
+def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over the synthetic corpus PLUS planted
+    re-encodes: each of the first 20 docs gets a noisy copy under
+    id+700000 (a few pixels perturbed), so the aHash banding must
+    recover exactly those pairs at tiny Hamming distance."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    payloads = M.synthetic_image_payloads(docs)
+    noisy = M.perturbed_image_copies(payloads.filter(F.col("doc_id") < 20), 700000)
+    return M.image_neardup_pairs(payloads.unionByName(noisy))
+
+
 def video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode path: deterministic RAWV multi-frame payloads
     (planted mid-video scene cut) → per-frame netpbm decode →
@@ -3062,6 +3073,15 @@ FROM p ORDER BY doc_id""",
                     "nearest-neighbor-thumbnail digest via mapInPandas; "
                     "round-trip + hand-value tests in tests/test_multimodal.py",
         tags=("multimodal",)))
+    r.register(NamedQuery(
+        "image_neardup", image_neardup,
+        description="[EXT] perceptual image dedup: REAL decode -> 64-bit "
+                    "average-hash -> shared Hamming banding core "
+                    "(chunk-bucket candidates, vectorized XOR+popcount "
+                    "verify); planted brightness-shifted re-encodes "
+                    "(byte-different payloads) recovered, operator-vs-"
+                    "bruteforce parity tested",
+        tags=("multimodal", "dedup")))
     r.register(NamedQuery(
         "video_frame_features", video_frame_features,
         description="[EXT] REAL video decode (RAWV frame container, "

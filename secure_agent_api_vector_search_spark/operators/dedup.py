@@ -584,6 +584,24 @@ def simhash_near_dup_pairs(
     Output: (id_a, id_b, hamming).
     """
     sh = simhash_fingerprint(df, text_col, id_col)
+    return hamming_neardup_pairs(sh, id_col=id_col, max_hamming=max_hamming)
+
+
+def hamming_neardup_pairs(
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The fingerprint-agnostic core of :func:`simhash_near_dup_pairs`:
+    near-dup pairs over ANY 64-bit fingerprint column (text SimHash,
+    image average-hash — operators/multimodal.py::image_ahash, audio
+    envelope hash). Same chunk-bucket candidates (pigeonhole: Hamming
+    ≤ 3 shares one of 4 16-bit chunks; wider budgets trade recall per
+    the simhash analysis) and the same vectorized XOR+popcount verify.
+    Input: (id_col, fp_col) with fp as a packed signed long.
+    Output: (id_a, id_b, hamming)."""
+    sh = fp_df.select(F.col(id_col), F.col(fp_col).alias("fp"))
     chunks = [
         F.shiftrightunsigned(F.col("fp"), 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("long")
         for i in range(4)
@@ -595,7 +613,7 @@ def simhash_near_dup_pairs(
     part = flat.repartition(F.col("band_id"), F.col("band_hash")).sortWithinPartitions(
         "band_id", "band_hash", "id"
     )
-    id_t = df.schema[id_col].dataType.simpleString()
+    id_t = fp_df.schema[id_col].dataType.simpleString()
     return (
         part.mapInPandas(
             _simhash_pairs_map(max_hamming, max_width=512),

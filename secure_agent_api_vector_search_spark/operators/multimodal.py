@@ -593,3 +593,75 @@ def synthetic_video_payloads(documents: DataFrame, n_frames: int = 8) -> DataFra
     return documents.select("doc_id", "text").mapInPandas(
         op, schema="doc_id long, payload binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup: average-hash fingerprints + Hamming pairs
+# ---------------------------------------------------------------------------
+
+
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average hash (aHash): nearest-neighbor 8x8 grayscale
+    thumbnail, threshold at its own mean, pack the 64 bits row-major
+    into a SIGNED long (the engine's packed-fingerprint convention,
+    dedup.py::simhash_fingerprint). The classic perceptual baseline:
+    stable under re-encode/noise/small edits, cheap enough for a scan
+    stage."""
+    t = thumbnail(img, 8).astype(np.float64).mean(axis=2)
+    bits = (t > t.mean()).ravel()
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_ahash(with_payload: DataFrame) -> DataFrame:
+    """(doc_id, fp): REAL decode → average-hash per image, Arrow-
+    batched mapInPandas — the fingerprint scan stage of image dedup."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (doc_id, ahash64(decode_netpbm(bytes(payload))))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "fp"])
+
+    return with_payload.mapInPandas(op, schema="doc_id long, fp long")
+
+
+def image_neardup_pairs(with_payload: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate image pairs: aHash fingerprints →
+    the shared Hamming banding core (dedup.py::hamming_neardup_pairs —
+    chunk-bucket candidates, vectorized XOR+popcount verify). The
+    default ``max_hamming=3`` keeps the pigeonhole recall GUARANTEE
+    (≤3 differing bits cannot touch all 4 chunks); larger budgets
+    trade guaranteed recall for looser matching, same as the text
+    SimHash analysis. Re-encodes, noise, and small overlays land
+    within a few bits of the original; unrelated images sit near the
+    32-bit expected distance. Output: (id_a, id_b, hamming)."""
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    return hamming_neardup_pairs(
+        image_ahash(with_payload), id_col="doc_id", max_hamming=max_hamming
+    )
+
+
+def perturbed_image_copies(with_payload: DataFrame, id_offset: int) -> DataFrame:
+    """Re-encode analog for dedup fixtures: each image re-emitted under
+    ``doc_id + id_offset`` with a +2 brightness shift (clipped) — a
+    byte-DIFFERENT payload (exact/sha dedup misses it) that stays
+    perceptually near-identical (aHash thresholds at the image's own
+    mean, so a uniform shift flips at most the few bits the clip
+    distorts)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_netpbm(bytes(payload))
+                shifted = np.clip(img.astype(np.int32) + 2, 0, 255).astype(np.uint8)
+                rows.append((int(doc_id) + id_offset, encode_netpbm(shifted)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return with_payload.mapInPandas(op, schema="doc_id long, payload binary")

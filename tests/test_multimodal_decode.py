@@ -236,3 +236,41 @@ def test_video_features_sampling_validation(spark, docs):
 
     with _pytest.raises(ValueError):
         video_features(synthetic_video_payloads(docs.limit(1)), sample_every=0)
+
+
+def test_image_neardup_matches_bruteforce(spark, docs):
+    """Operator pairs == brute-force pairs from the same ahash64 on
+    the driver (hamming <= 3), over originals + brightness-shifted
+    re-encodes; the re-encode pairs must be found even though the
+    payload BYTES differ (exact/sha dedup would miss them)."""
+    from secure_agent_api_vector_search_spark.operators.multimodal import (
+        ahash64,
+        decode_netpbm,
+        image_neardup_pairs,
+        perturbed_image_copies,
+        synthetic_image_payloads,
+    )
+
+    base = synthetic_image_payloads(docs.limit(15))
+    noisy = perturbed_image_copies(base.filter("doc_id < 5"), 700000)
+    allp = base.unionByName(noisy)
+    rows = allp.collect()
+    fps = {r.doc_id: ahash64(decode_netpbm(bytes(r.payload))) for r in rows}
+    # payloads genuinely differ byte-wise between original and copy
+    pay = {r.doc_id: bytes(r.payload) for r in rows}
+    assert all(pay[i] != pay[i + 700000] for i in range(5))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(fps)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(fps[a], fps[b]) <= 3
+    }
+    got = {(r.id_a, r.id_b) for r in image_neardup_pairs(allp).collect()}
+    assert got == expected
+    # the planted re-encodes are all recovered
+    assert {(i, i + 700000) for i in range(5)} <= got
