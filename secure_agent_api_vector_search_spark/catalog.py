@@ -1462,7 +1462,12 @@ def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recover exactly those pairs at tiny Hamming distance."""
     docs = rebalance_if_narrow(load_documents(spark, sf_dir))
     payloads = M.synthetic_image_payloads(docs)
-    noisy = M.perturbed_image_copies(payloads.filter(F.col("doc_id") < 20), 700000)
+    # filter BELOW the generator: a filter above a mapInPandas barrier
+    # cannot push through it, so the noisy branch would re-generate all
+    # payloads just to keep 20
+    noisy = M.perturbed_image_copies(
+        M.synthetic_image_payloads(docs.filter(F.col("doc_id") < 20)), 700000
+    )
     return M.image_neardup_pairs(payloads.unionByName(noisy))
 
 
