@@ -503,7 +503,10 @@ def source_drift_tvd(
     ws = F.split(F.regexp_replace(F.trim(F.col(text_col)), " +", " "), " ")
     toks = documents.select(F.col(strata_col).alias("source"), F.explode(ws).alias("tok"))
     src_tok = toks.groupBy("source", "tok").agg(F.count("*").alias("a"))
-    corpus_tok = toks.groupBy("tok").agg(F.count("*").alias("b"))
+    # corpus counts DERIVED from the per-source aggregate: b = sum_s a —
+    # re-aggregating the (source, tok) frame is a |sources|x smaller
+    # shuffle than a second full token explode over the corpus
+    corpus_tok = src_tok.groupBy("tok").agg(F.sum("a").alias("b"))
     n_s = src_tok.groupBy("source").agg(F.sum("a").cast("bigint").alias("n_tokens"))
     m = corpus_tok.agg(F.sum("b").cast("bigint").alias("m"))
     dec = "decimal(38,0)"

@@ -502,3 +502,61 @@ def test_neardup_dedup_ingest_drops_near_copies_across_epochs(spark, docs, tmp_p
     # cross-epoch screen rightly rejects it too
     assert ids == [i for i in range(15) if i != 12]
     assert "embedding" in out.columns
+
+
+def test_anomaly_stream_flags_planted_spike(spark, tmp_path):
+    """Online anomaly detector: steady 5-events/hour 'click' traffic
+    with a 50-event spike at hour 12 — the spike hour must be flagged
+    against the history seen so far, steady hours must not, and state
+    must carry across micro-batches (history split across two file
+    deliveries)."""
+    import datetime as dt
+
+    in_dir = str(tmp_path / "ev_in")
+
+    def mk(hours):
+        base = dt.datetime(2026, 1, 1, 0, 0, 0)
+        rows, eid = [], 0
+        for h in hours:
+            for i in range(50 if h == 12 else 5):
+                rows.append(
+                    (eid, base + dt.timedelta(hours=h, seconds=i), eid, "click", 1.0, "{}")
+                )
+                eid += 1
+        return spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+
+    # first delivery: hours 0-9; second: hours 10-16 (spike at 12)
+    mk(range(0, 10)).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA).parquet(in_dir)
+    out = SE.anomaly_stream(stream, z_thresh=2.0)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("anom_stream")
+        .start()
+    )
+    try:
+        _wait(q)
+        mk(range(10, 17)).write.mode("append").parquet(in_dir)
+        _wait(q)
+        rows = {
+            r["hour"]: r for r in spark.sql("SELECT * FROM anom_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    # hours 0..15 completed (16 is still open); every completed row is click
+    assert set(rows) == {f"2026-01-01 {h:02d}" for h in range(16)}
+    spike = rows["2026-01-01 12"]
+    assert spike.n == 50 and spike.is_anomaly and spike.z > 2.0
+    # pre-spike hours: flat traffic -> z exactly 0, never flagged
+    for h in range(12):
+        r = rows[f"2026-01-01 {h:02d}"]
+        assert r.n == 5 and r.z == 0.0 and not r.is_anomaly
+    # post-spike hours: the spike inflates history mean/variance, so z
+    # is small-but-nonzero — still never flagged
+    for h in (13, 14, 15):
+        r = rows[f"2026-01-01 {h:02d}"]
+        assert r.n == 5 and abs(r.z) < 2.0 and not r.is_anomaly
