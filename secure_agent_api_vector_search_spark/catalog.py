@@ -403,6 +403,44 @@ def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anomaly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState ONLINE anomaly detector run as a
+    finite stream (replay the events table through the file source in
+    ONE micro-batch — the default trigger takes all available files,
+    which pins the online hour order — drain, read the append-mode
+    memory sink). Value-checked against a pure window-function SQL
+    oracle that reproduces the online semantics: each completed hour
+    scored by strictly-PRECEDING-hours statistics."""
+    import tempfile
+    import uuid
+
+    from secure_agent_api_vector_search_spark.sources.tables import load_table
+    from secure_agent_api_vector_search_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        anomaly_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    in_dir = tempfile.mkdtemp(prefix="anom_stream_") + "/in"
+    events.write.mode("overwrite").parquet(in_dir)
+    name = "anom_stream_" + uuid.uuid4().hex[:8]
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
+    q = (
+        anomaly_stream(stream, z_thresh=2.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "event_type", "hour", "n", "mean_n", "z", "is_anomaly"
+    )
+
+
 def orders_semi_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.orders_semi_late_lines(spark, sf_dir)
 
@@ -2008,6 +2046,47 @@ GROUP BY user_id ORDER BY user_id""",
         tags=("streaming", "window")))
 
     r.register(NamedQuery(
+        "anomaly_streaming", anomaly_streaming,
+        oracle_sql="""
+WITH hourly AS (
+  SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY hour, event_type),
+w AS (
+  SELECT event_type, hour, n,
+         COUNT(*) OVER pre AS h,
+         SUM(n) OVER pre AS s,
+         SUM(CAST(n AS HUGEINT) * n) OVER pre AS q,
+         MAX(hour) OVER (PARTITION BY event_type) AS max_hour
+  FROM hourly
+  WINDOW pre AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+sc AS (
+  SELECT event_type, hour, n, h,
+         CASE WHEN h >= 1 THEN CAST(s AS DOUBLE) / h ELSE 0.0 END AS mean_n,
+         GREATEST(
+           CASE WHEN h > 1 AND (h * q - CAST(s AS HUGEINT) * s) > 0
+                THEN SQRT(CAST(h * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                          / CAST(h * (h - 1) AS DOUBLE))
+                ELSE 0.0 END,
+           CASE WHEN h >= 1 AND CAST(s AS DOUBLE) / h > 0
+                THEN SQRT(CAST(s AS DOUBLE) / h) ELSE 0.0 END) AS denom
+  FROM w WHERE hour < max_hour)
+SELECT event_type, hour, n, mean_n,
+       CASE WHEN denom > 0.0 AND h >= 2
+            THEN (CAST(n AS DOUBLE) - mean_n) / denom ELSE 0.0 END AS z,
+       ABS(CASE WHEN denom > 0.0 AND h >= 2
+                THEN (CAST(n AS DOUBLE) - mean_n) / denom
+                ELSE 0.0 END) > 2.0 AS is_anomaly
+FROM sc ORDER BY event_type, hour""",
+        description="[EXT] ONLINE streaming anomaly detector "
+                    "(applyInPandasWithState, per-type O(1) H/S/Q state, "
+                    "Poisson denominator floor) replayed to completion — "
+                    "value-checked against a strictly-preceding-hours "
+                    "window-function oracle",
+        tags=("streaming", "events", "ops")))
+
+    r.register(NamedQuery(
         "orders_semi_late_lines", orders_semi_late_lines,
         oracle_sql="""
 SELECT o_orderpriority, COUNT(*) AS n_orders
@@ -3414,8 +3493,10 @@ CHECK_FIRST: tuple[str, ...] = (
     # events_engagement (distinct user-day collapse shared with
     # in-window events_retention), lang_id_eval (language-ID machinery
     # shared with in-window lang_profile), top_customers_by_revenue
-    # (relational agg family: q1/q3/q5/revenue_by_region in window).
-    # All stay on the local full gate every round.
+    # (relational agg family: q1/q3/q5/revenue_by_region in window),
+    # customers_without_orders (decorrelated anti-join; semi-join
+    # sibling orders_semi_late_lines in window). All stay on the local
+    # full gate every round.
     "duplicated_spans",
     "exact_substring_stats",
     "mixture_upsample",
@@ -3426,6 +3507,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "events_hourly_anomaly",
     "build_vocab",
     "tokenize_to_ids",
+    "anomaly_streaming",
     "chunk_documents",
     "stratified_sample",
     # --- round-6 rebuild. The round-6 window must show ZERO err rows
@@ -3475,7 +3557,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "revenue_by_region",
     "revenue_rollup",
     "orders_semi_late_lines",
-    "customers_without_orders",
     "brand_setops",
     "region_priority_pivot",
     # standing ANN-family guard (1): the exactness-limit identity that
