@@ -300,6 +300,9 @@ def curate_corpus(
     near_dup_threshold: float = 0.5,
     n_shards: int = 32,
     epoch_seed: str = "epoch-0",
+    strip_spans_k: int | None = None,
+    lm_tail_filter: bool = False,
+    lm_source: str = "src0",
 ) -> dict:
     """The end-to-end training-corpus curation job, raw dump → training
     shards — every stage an operator this engine already gates:
@@ -310,8 +313,17 @@ def curate_corpus(
             on normalized fingerprints)
           → near-dup collapse (MinHash-LSH pairs → connected
             components keep-one, the scale path)
+          → [optional, strip_spans_k] span-level ExactSubstr strip
+            (operators/substr.py): doc-LEVEL dedup keeps documents
+            that still share long boilerplate runs; this removes the
+            runs themselves (keeper copy preserved), drops documents
+            stripping empties, and rewrites n_chars for the changed
+            rows
           → benchmark decontamination (8-gram overlap vs the eval
             split, curation.contamination_check)
+          → [optional, lm_tail_filter] CCNet-style LM quality cut
+            (curation.lm_likelihood_buckets trained on ``lm_source``):
+            per-language 'tail' third dropped
           → deterministic split (curation.dataset_split)
           → train split materialized as epoch shards
             (curation.write_epoch_shards)
@@ -379,6 +391,39 @@ def curate_corpus(
         "overwrite"
     ).parquet(f"{out_dir}/rejects/dedup")
 
+    if strip_spans_k is not None:
+        from secure_agent_api_vector_search_spark.operators.substr import (
+            strip_dup_spans,
+        )
+
+        stripped = strip_dup_spans(deduped, k=strip_spans_k)
+        rejoined = (
+            deduped.drop("text", "n_chars")
+            .join(stripped.withColumnRenamed("text", "_new_text"), "doc_id")
+            .withColumn("text", F.col("_new_text"))
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .drop("_new_text")
+            .persist()
+        )
+        kept_after_strip = rejoined.filter(F.col("text") != "")
+        counts["span_emptied"] = rejoined.filter(F.col("text") == "").count()
+        # changed-but-kept rows (boilerplate removed, doc retained)
+        counts["span_stripped_docs"] = (
+            kept_after_strip.join(
+                deduped.select("doc_id", F.col("text").alias("_old")), "doc_id"
+            )
+            .filter(F.col("text") != F.col("_old"))
+            .count()
+        )
+        rejoined.filter(F.col("text") == "").write.mode("overwrite").parquet(
+            f"{out_dir}/rejects/span_empty"
+        )
+        prev = deduped
+        deduped = kept_after_strip.persist()
+        counts["after_span_strip"] = deduped.count()
+        prev.unpersist()
+        rejoined.unpersist()
+
     # the eval slice (doc_id < eval_max_id) is RESERVED, not dropped:
     # it is the benchmark the decontamination pass protects, so it
     # leaves the training pipeline here — written and counted so the
@@ -398,6 +443,25 @@ def curate_corpus(
     train_pool.join(clean.select("doc_id"), "doc_id", "left_anti").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/rejects/contamination")
+
+    if lm_tail_filter:
+        from secure_agent_api_vector_search_spark.operators.curation import (
+            lm_likelihood_buckets,
+        )
+
+        buckets = lm_likelihood_buckets(clean, lm_source=lm_source).select(
+            "doc_id", "bucket"
+        )
+        kept_lm = clean.join(
+            buckets.filter(F.col("bucket") != "tail").select("doc_id"), "doc_id"
+        ).persist()
+        counts["after_lm_filter"] = kept_lm.count()
+        clean.join(kept_lm.select("doc_id"), "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/rejects/lm_tail")
+        prev_clean = clean
+        clean = kept_lm
+        prev_clean.unpersist()
 
     split = clean.join(
         dataset_split(clean).select("doc_id", "split"), "doc_id"

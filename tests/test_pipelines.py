@@ -260,3 +260,68 @@ def test_curate_corpus_end_to_end(spark, docs, tmp_path):
         all_kept |= {r["doc_id"] for r in
                      spark.read.parquet(f"{out}/{part}").select("doc_id").collect()}
     assert 700000 not in all_kept and 700001 not in all_kept
+
+
+def test_curate_corpus_span_strip_and_lm_filter_stages(spark, docs, tmp_path):
+    """The optional round-6 stages: span-level ExactSubstr strip
+    (shared boilerplate runs removed while the docs survive doc-level
+    dedup) and the CCNet LM tail cut — stage arithmetic closes, every
+    drop lands in a reject path, and the boilerplate run is gone from
+    the surviving corpus."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.pipelines import curate_corpus
+
+    raw = tmp_path / "raw.jsonl"
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    sample = [
+        {k: r[k] for k in cols} for r in docs.filter(F.col("doc_id") < 100).collect()
+    ]
+    # plant shared BOILERPLATE: a 8-token footer appended to three docs
+    # whose bodies differ -> doc-level near-dup keeps all three, the
+    # span strip must remove the footer from the two non-keeper docs
+    footer = " subscribe to our newsletter terms of service apply"
+    planted = []
+    for s in sample:
+        if s["doc_id"] in (40, 41, 42):
+            s["text"] = s["text"] + footer
+            planted.append(s["doc_id"])
+    lines = [_json.dumps(s) for s in sample]
+    raw.write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "curated2")
+    counts = curate_corpus(
+        spark, str(raw), out, n_shards=4, min_quality=0.25,
+        strip_spans_k=5, lm_tail_filter=True,
+    )
+
+    # arithmetic closure of the new stages
+    assert (counts["after_span_strip"] + counts["span_emptied"]
+            == counts["after_dedup"])
+    # at least one non-keeper footer stripped (doc-level dedup may
+    # have already dropped one of the three planted docs — the sf
+    # corpus has its own planted near-dups in this id range; the
+    # at-most-one-copy assertion below is the semantic guarantee)
+    assert counts["span_stripped_docs"] >= 1
+    dropped_lm = spark.read.parquet(f"{out}/rejects/lm_tail").count()
+    assert counts["after_lm_filter"] + dropped_lm == counts["after_decontamination"]
+    n_splits = sum(counts[f"split_{s}"] for s in ("train", "val", "test"))
+    assert n_splits == counts["after_lm_filter"]
+
+    # the footer run survives in at most ONE surviving document
+    surviving = []
+    for name in ("train_shards", "val", "test"):
+        try:
+            surviving.append(spark.read.parquet(f"{out}/{name}"))
+        except Exception:  # noqa: BLE001 - a split may be empty
+            pass
+    import functools
+
+    allv = functools.reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), surviving)
+    with_footer = allv.filter(F.col("text").contains("subscribe to our newsletter")).count()
+    eval_side = spark.read.parquet(f"{out}/eval_reserved").filter(
+        F.col("text").contains("subscribe to our newsletter")
+    ).count()
+    assert with_footer + eval_side <= 1
