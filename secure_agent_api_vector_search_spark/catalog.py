@@ -124,6 +124,22 @@ def vector_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                            extra_cols=("label",))
 
 
+def vector_topk_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination contract on the hard gate: page 1's last row
+    becomes the cursor, and page 2 must be EXACTLY rows 11-20 of the
+    full ordering (the oracle says LIMIT 10 OFFSET 10) — any gap,
+    repeat, or tiebreak drift between pages hash-fails. The page-1
+    collect is k driver rows, the per-page plan is scan-speed filter →
+    TakeOrderedAndProject (no OFFSET-sized sort buffer at scale)."""
+    emb = load_embeddings(spark, sf_dir)
+    qvec = _query_vec(spark, sf_dir)
+    page1 = TK.topk_similar(emb, qvec, k=10, metric="cosine").collect()
+    last = page1[-1]
+    return TK.topk_similar_after(
+        emb, qvec, last_score=last["similarity"], last_id=last["vec_id"], k=10
+    )
+
+
 def vector_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search: metadata predicate pre-filter (pushed to
     the documents parquet scan), semi-join to the vectors, exact top-k."""
@@ -1551,6 +1567,19 @@ FROM embeddings e CROSS JOIN q
 ORDER BY similarity DESC, e.vec_id LIMIT 10""",
         description="U1/V4 flagship: exact cosine top-k (tools.yaml:22-27) as "
                     "TakeOrderedAndProject", tags=("reference", "vector")))
+
+    r.register(NamedQuery(
+        "vector_topk_page2", vector_topk_page2,
+        oracle_sql=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_cos(E, 'q.qe')} AS similarity
+FROM embeddings e CROSS JOIN q
+ORDER BY similarity DESC, e.vec_id LIMIT 10 OFFSET 10""",
+        description="[EXT] keyset-paginated exact top-k (search-after): page 2 "
+                    "via the (score, id) cursor must equal rows 11-20 of the "
+                    "full ordering — scan-speed cursor filter + k-sized heap, "
+                    "no OFFSET sort buffer",
+        tags=("reference", "vector")))
 
     r.register(NamedQuery(
         "vector_topk_filtered", vector_topk_filtered,
@@ -3495,8 +3524,10 @@ CHECK_FIRST: tuple[str, ...] = (
     # shared with in-window lang_profile), top_customers_by_revenue
     # (relational agg family: q1/q3/q5/revenue_by_region in window),
     # customers_without_orders (decorrelated anti-join; semi-join
-    # sibling orders_semi_late_lines in window). All stay on the local
-    # full gate every round.
+    # sibling orders_semi_late_lines in window), embedding_stats
+    # (vector-summary agg; the topk family covers the scorer and
+    # embedding_coverage covers the health monitor on the full gate).
+    # All stay on the local full gate every round.
     "duplicated_spans",
     "exact_substring_stats",
     "mixture_upsample",
@@ -3508,6 +3539,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "build_vocab",
     "tokenize_to_ids",
     "anomaly_streaming",
+    "vector_topk_page2",
     "chunk_documents",
     "stratified_sample",
     # --- round-6 rebuild. The round-6 window must show ZERO err rows
@@ -3544,7 +3576,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "vector_topk_cosine",
     "find_similar_records",
     "find_similar_by_text",
-    "embedding_stats",
     "similarity_join_exact",
     "doc_winnow_fingerprints",
     "lang_profile",

@@ -352,3 +352,55 @@ def similar_to_doc(
         .select("doc_id", "source", "lang", "similarity")
         .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
     )
+
+
+def topk_similar_after(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    last_score: float,
+    last_id: int,
+    k: int = 5,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_name: str = "similarity",
+) -> DataFrame:
+    """Keyset-paginated exact top-k: the NEXT page strictly after the
+    cursor ``(last_score, last_id)`` in the engine's total order
+    (score desc — asc for l2 — then id asc). The natural extension of
+    the reference's runtime-parameterized LIMIT (tools.yaml:27): page
+    N+1 re-runs the query with page N's last row as the cursor, so
+    deep pagination costs one scan + TakeOrderedAndProject per page
+    and NO offset-sized sort buffer (OFFSET n at 100 TB materializes
+    and discards n rows per page; the keyset predicate is evaluated
+    at scan speed and the top-k heap stays k-sized).
+
+    The cursor predicate mirrors the order exactly:
+    ``score < last_score OR (score = last_score AND id > last_id)``
+    (flipped for ascending metrics), so consecutive pages partition
+    the corpus with no gaps or repeats — the float score compared is
+    the SAME expression both pages computed, bit-stable across runs.
+    """
+    # same score tiers as topk_similar; the cursor filter sits BELOW
+    # the top-k (filter -> TakeOrderedAndProject), so no over-fetch
+    vec = F.col(vec_col)
+    dim = len(query_vec)
+    if dim > V.UNROLL_MAX_DIM:
+        score = V.np_query_scorer(query_vec, metric)(vec)
+        asc = metric == "l2"
+    else:
+        score, asc = _sim_col(metric, vec_col, [float(x) for x in query_vec], dim)
+    s = F.col(score_name)
+    if asc:
+        cursor = (s > last_score) | ((s == last_score) & (F.col(id_col) > last_id))
+        order = [s.asc_nulls_last(), F.col(id_col).asc()]
+    else:
+        cursor = (s < last_score) | ((s == last_score) & (F.col(id_col) > last_id))
+        order = [s.desc_nulls_last(), F.col(id_col).asc()]
+    return (
+        embeddings.select(id_col, score.alias(score_name))
+        .filter(cursor)
+        .orderBy(*order)
+        .limit(k)
+        .filter(s.isNotNull())
+    )

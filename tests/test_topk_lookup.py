@@ -284,3 +284,29 @@ def test_topk_grouped_plan_shape(spark, sf_dir):
     for line in plan.splitlines():
         if "Filter" in line:
             assert len(line) < 500, line[:200]
+
+
+def test_topk_pagination_partitions_corpus(spark, emb):
+    """Walking pages with the (score, id) cursor reconstructs the full
+    ordering with no gaps or repeats, for both metrics."""
+    from secure_agent_api_vector_search_spark.operators.topk import (
+        topk_similar,
+        topk_similar_after,
+    )
+
+    qvec = [float(x) for x in emb.filter("vec_id = 3").head()["embedding"]]
+    for metric in ("cosine", "l2"):
+        full = topk_similar(emb, qvec, k=30, metric=metric).collect()
+        page1 = full[:10]
+        walked = list(page1)
+        for _ in range(2):
+            last = walked[-1]
+            nxt = topk_similar_after(
+                emb, qvec,
+                last_score=last["similarity"], last_id=last["vec_id"],
+                k=10, metric=metric,
+            ).collect()
+            walked.extend(nxt)
+        assert [(r["vec_id"], r["similarity"]) for r in walked] == [
+            (r["vec_id"], r["similarity"]) for r in full
+        ], metric
