@@ -98,6 +98,43 @@ def _find_similar(spark: SparkSession, sf_dir: str, query_text: str, limit: int)
     return find_similar_records(docs, emb, embed_text(query_text, 64), k=limit)
 
 
+def _find_similar_page(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str,
+    limit: int,
+    after_score: float,
+    after_id: int,
+) -> DataFrame:
+    """Keyset-paginated U1: the page strictly after the
+    (after_score, after_id) cursor — page 1's last row, handed back by
+    the caller. Same projection as find_similar_customer_records, so a
+    client pages by swapping tools and threading the cursor."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.embedder import embed_text, embed_udf
+    from secure_agent_api_vector_search_spark.operators.topk import topk_similar_after
+    from secure_agent_api_vector_search_spark.sources.tables import load_documents
+
+    docs = load_documents(spark, sf_dir)
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"), embed_udf(64)(F.col("text")).alias("embedding")
+    )
+    top = topk_similar_after(
+        emb,
+        embed_text(query_text, 64),
+        last_score=float(after_score),
+        last_id=after_id,
+        k=limit,
+    )
+    return (
+        F.broadcast(top)
+        .join(docs, top["vec_id"] == docs["doc_id"])
+        .select("doc_id", "source", "lang", "text", "similarity")
+        .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
+    )
+
+
 def _get_record(spark: SparkSession, sf_dir: str, record_id: str) -> DataFrame:
     """record_id is a STRING, matching the reference contract
     (tools.yaml:34-35 declares ``type: string`` — ids there are
@@ -153,6 +190,26 @@ _TOOLSETS: dict[str, tuple[Tool, ...]] = {
         ),
     ),
 }
+
+# v2: the reference surface UNCHANGED (tools.yaml parity above) plus
+# the keyset-pagination extension — a separate toolset so reference
+# parity stays byte-literal while clients that want deep pagination
+# opt in by name.
+_TOOLSETS["customer_data_tools_v2"] = _TOOLSETS["customer_data_tools"] + (
+    Tool(
+        name="find_similar_customer_records_page",
+        description="Next page of semantic search results, strictly after "
+                    "the (after_score, after_id) cursor from the previous "
+                    "page's last row.",
+        parameters=(
+            ToolParam("query_text", "string", "natural-language search query"),
+            ToolParam("limit", "integer", "max results"),
+            ToolParam("after_score", "number", "previous page's last similarity"),
+            ToolParam("after_id", "integer", "previous page's last doc_id"),
+        ),
+        fn=_find_similar_page,
+    ),
+)
 
 
 def load_toolset(name: str) -> tuple[Tool, ...]:

@@ -87,3 +87,35 @@ def test_record_id_beyond_int64_binds_zero_rows_not_error(spark, sf_dir):
     tool = {t.name: t for t in load_toolset("customer_data_tools")}["get_record_by_id"]
     assert tool(spark, sf_dir, record_id="12345678901234567890").count() == 0
     assert tool(spark, sf_dir, record_id=str(2**63 - 1)).count() == 0  # max int64: valid, no match
+
+
+def test_v2_toolset_pagination_walks_without_gaps(spark, sf_dir):
+    """The v2 toolset keeps reference parity (same first two tools)
+    and adds the cursor-paged search; walking two pages through the
+    TOOL surface reconstructs the one-shot top-10 exactly."""
+    tools = {t.name: t for t in load_toolset("customer_data_tools_v2")}
+    assert set(tools) == {
+        "find_similar_customer_records",
+        "get_record_by_id",
+        "find_similar_customer_records_page",
+    }
+    find = tools["find_similar_customer_records"]
+    page = tools["find_similar_customer_records_page"]
+
+    full = find(spark, sf_dir, query_text="spark join", limit=10).collect()
+    page1 = full[:5]
+    last = page1[-1]
+    page2 = page(
+        spark, sf_dir,
+        query_text="spark join", limit=5,
+        after_score=float(last["similarity"]), after_id=int(last["doc_id"]),
+    ).collect()
+    got = [(r["doc_id"], r["similarity"]) for r in page1 + page2]
+    want = [(r["doc_id"], r["similarity"]) for r in full]
+    assert got == want
+    # zero-trust still holds on the new tool
+    with pytest.raises(TypeError):
+        page(spark, sf_dir, query_text="x", limit=5)  # missing cursor
+    with pytest.raises(TypeError):
+        page(spark, sf_dir, query_text="x", limit=5,
+             after_score="high", after_id=3)  # wrong type
