@@ -103,3 +103,24 @@ def test_per_row_outputs_never_range_sort(spark, sf_dir, name):
     df = REGISTRY.queries[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower(), name
+
+
+# Global scale-hygiene pins over EVERY catalog entry: a true (non-
+# broadcast) cartesian product or a row-at-a-time Python UDF anywhere
+# in the surface is a 100 TB incident waiting; both are banned
+# wholesale. Broadcast nested-loop joins (the bounded crossJoin
+# (broadcast(...)) shape the exact twins use) are allowed — they never
+# shuffle the big side. ArrowEvalPython / mapInPandas (vectorized
+# Python) are allowed; BatchEvalPython (per-row pickling) is not.
+# Streaming-replay entries are excluded: their plan is the streaming
+# query's, not a batch plan to audit (their operators are plan-audited
+# by their own tests).
+_PLAN_AUDIT_SKIP = {"sessionize_streaming", "anomaly_streaming"}
+
+
+@pytest.mark.parametrize("name", [n for n in _NAMES if n not in _PLAN_AUDIT_SKIP])
+def test_no_cartesian_products_or_row_udfs_anywhere(spark, sf_dir, name):
+    df = REGISTRY.fns()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, name
