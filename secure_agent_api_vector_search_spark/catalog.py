@@ -544,14 +544,12 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_groups_normalized(_docs_with_noisy_dups(spark, sf_dir))
 
 
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-ingest dedup (operators/dedup.py::dedup_incremental):
-    even-id documents are the already-curated corpus; the arriving batch
-    is the odd-id documents ∪ case/punct-perturbed copies of seen docs
-    (cross-corpus dups) ∪ verbatim re-id'd copies of batch docs
-    (within-batch dups). Survivors are the odd originals minus any
-    pre-existing cross-parity normalized collisions — the oracle replays
-    the identical anti-join + keep-min-id pipeline."""
+def _incremental_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared (batch, seen) construction for the incremental-dedup gate
+    family: even-id documents are the already-curated corpus; the
+    arriving batch is the odd-id documents ∪ case/punct-perturbed
+    copies of seen docs (cross-corpus dups) ∪ verbatim re-id'd copies
+    of batch docs (within-batch dups)."""
     docs = load_documents(spark, sf_dir).select("doc_id", "text", "lang", "source")
     seen = docs.filter(F.col("doc_id") % 2 == 0)
     cross_dups = docs.filter(F.col("doc_id") % 4 == 0).select(
@@ -563,7 +561,28 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 600000).alias("doc_id"), "text", "lang", "source"
     )
     batch = docs.filter(F.col("doc_id") % 2 == 1).unionAll(cross_dups).unionAll(within_dups)
+    return batch, seen
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py::dedup_incremental)
+    over the shared (batch, seen) corpus. Survivors are the odd
+    originals minus any pre-existing cross-parity normalized
+    collisions — the oracle replays the identical anti-join +
+    keep-min-id pipeline."""
+    batch, seen = _incremental_corpus(spark, sf_dir)
     return D.dedup_incremental(batch, seen).select("doc_id", "lang", "source")
+
+
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-pre-filtered scale form
+    (operators/dedup.py::dedup_incremental_bloom) on the SAME corpus and
+    the SAME oracle as `dedup_incremental` — the hard gate is the proof
+    that the broadcast-sketch pre-filter changes shuffle shape, never
+    output. fpp=0.01, so the corpus side that survives to the exact
+    anti-join is the true overlap plus ~1% noise."""
+    batch, seen = _incremental_corpus(spark, sf_dir)
+    return D.dedup_incremental_bloom(batch, seen).select("doc_id", "lang", "source")
 
 
 def _normalized_chain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,6 +727,24 @@ def corpus_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def duplicate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.duplicate_ngram_stats(load_documents(spark, sf_dir), n=5)
+
+
+_BOILER = "subscribe to our newsletter for daily updates"
+
+
+def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over word 3-grams
+    (operators/textops.py::heavy_hitter_ngrams) on the documents corpus
+    with a planted newsletter-footer boilerplate appended to every 7th
+    document — so the output is non-empty (and dominated by the footer
+    grams) at EVERY scale factor, which is the operator's whole job:
+    surfacing cross-document boilerplate for a curation strip list."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    boiler = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + _BOILER)).alias("text"),
+    )
+    return TX.heavy_hitter_ngrams(docs.unionAll(boiler), n=3, threshold=1e-4)
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2268,6 +2305,35 @@ ORDER BY f.doc_id""",
         tags=("dedup",)))
 
     r.register(NamedQuery(
+        "dedup_incremental_bloom", dedup_incremental_bloom,
+        oracle_sql=f"""
+WITH base AS (SELECT doc_id, text, lang, source FROM documents),
+batch AS (
+  SELECT doc_id, text, lang, source FROM base WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, upper(text) || ' !!!' AS text, lang, source
+  FROM base WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id, text, lang, source
+  FROM base WHERE doc_id % 4 = 1),
+fp AS (SELECT *, md5({_NORM_TEXT.format(t='text')}) AS fp FROM batch),
+fresh AS (
+  SELECT * FROM fp
+  WHERE fp NOT IN (SELECT md5({_NORM_TEXT.format(t='text')})
+                   FROM base WHERE doc_id % 2 = 0))
+SELECT f.doc_id, f.lang, f.source
+FROM fresh f
+JOIN (SELECT fp, MIN(doc_id) AS m FROM fresh GROUP BY fp) k
+  ON f.fp = k.fp AND f.doc_id = k.m
+ORDER BY f.doc_id""",
+        description="[EXT] Bloom-pre-filtered incremental dedup: a broadcast "
+                    "sketch over the batch's fingerprints screens the corpus "
+                    "side map-side (shuffle ~ overlap + fpp·|corpus|, not "
+                    "|corpus|); same oracle as dedup_incremental because the "
+                    "double-hash family makes false negatives impossible",
+        tags=("dedup",)))
+
+    r.register(NamedQuery(
         "dedup_components_keep_first", dedup_components_keep_first,
         oracle_sql=f"""
 WITH all_docs AS (
@@ -2409,6 +2475,34 @@ ORDER BY doc_id""",
                     "as 8-byte xxhash64 keys, the oracle groups by the gram "
                     "string itself",
         tags=("text", "curation", "dedup")))
+
+    r.register(NamedQuery(
+        "heavy_hitter_ngrams", heavy_hitter_ngrams,
+        oracle_sql=f"""
+WITH all_docs AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT text || ' {_BOILER}' AS text FROM documents WHERE doc_id % 7 = 0),
+w AS (
+  SELECT string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS ws
+  FROM all_docs),
+b AS (SELECT ws, GREATEST(len(ws) - 2, 0) AS n_grams FROM w),
+g AS (
+  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM b, UNNEST(range(1, n_grams + 1)) AS t(i)
+  WHERE n_grams > 0),
+c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+SELECT gram, cnt FROM c
+WHERE cnt >= CEIL(CAST(1e-4 AS DOUBLE) * (SELECT COUNT(*) FROM g))
+ORDER BY gram""",
+        description="[EXT] exact n-gram heavy hitters (boilerplate finder): "
+                    "per-partition prorated-threshold candidates (pigeonhole "
+                    "superset, collision-proof), broadcast semi-join, exact "
+                    "string-keyed count — the vocabulary-wide shuffle is "
+                    "replaced by a candidates-only exchange; the oracle casts "
+                    "the threshold to DOUBLE so both sides take the identical "
+                    "IEEE ceil at integer boundaries",
+        tags=("text", "curation")))
 
     _PACK_STATE = """
 WITH RECURSIVE counted AS (
@@ -3506,6 +3600,15 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
+    # newest first (session-5 additions): the Bloom-pre-filtered
+    # incremental dedup, sharing dedup_incremental's oracle, and the
+    # exact n-gram heavy-hitter boilerplate finder. Their in-window
+    # positions displace region_priority_pivot (pivot = groupBy-agg
+    # machinery; sibling revenue_rollup stays in window) and
+    # q5_local_supplier_volume (relational agg/join family; siblings
+    # q1_pricing_summary + q3_shipping_priority stay in window)
+    "dedup_incremental_bloom",
+    "heavy_hitter_ngrams",
     # brand-new in round 6, never driver-checked (12, duplicated_spans
     # through stratified_sample below) — the window's
     # never-checked-first rule puts them ahead of everything; to keep
@@ -3584,12 +3687,10 @@ CHECK_FIRST: tuple[str, ...] = (
     "events_retention",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "revenue_by_region",
     "revenue_rollup",
     "orders_semi_late_lines",
     "brand_setops",
-    "region_priority_pivot",
     # standing ANN-family guard (1): the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate
     "ivf_topk_fullprobe",

@@ -1399,6 +1399,116 @@ def dedup_incremental(
     return fresh.join(keepers, ["_fp", id_col], "left_semi").drop("_fp")
 
 
+def dedup_incremental_bloom(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Bloom-pre-filtered form of :func:`dedup_incremental` —
+    IDENTICAL output (it shares the hard-gate oracle), different scale
+    shape.
+
+    The base form's anti-join shuffles the whole corpus fingerprint set
+    on every batch. Here a Bloom filter built over the (small) batch's
+    fingerprints is broadcast and applied to the corpus side MAP-SIDE,
+    so only corpus fingerprints that *might* collide with the batch
+    survive to the exchange: corpus-side shuffle volume drops from
+    O(|corpus|) to O(|batch ∩ corpus| + fpp·|corpus|), and at a real
+    overlap rate AQE converts the residual anti-join to broadcast. The
+    sketch can only err toward false POSITIVES (extra rows into the
+    exact anti-join, harmlessly removed); false negatives cannot occur
+    because build and probe share one double-xxhash64 family
+    (functions/bloom.py), so exactness is structural, not statistical.
+
+    The result is materialized before return so the batch-side cache
+    used by the two passes (bloom build + anti-join) can be released
+    here rather than leak per call.
+    """
+    from pyspark import StorageLevel
+
+    from secure_agent_api_vector_search_spark.functions import bloom as B
+
+    if "_fp" in batch.columns:
+        raise ValueError(
+            "dedup_incremental_bloom: batch already has a column named "
+            "'_fp' (reserved working column)"
+        )
+    fp = F.md5(X.normalized_text(text_col))
+    tagged = batch.withColumn("_fp", fp).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        bf = B.build_bloom(tagged, "_fp", fpp=fpp)
+        seen_fp = seen.select(fp.alias("_fp"))
+        cand = B.filter_might_contain(seen_fp, "_fp", bf)
+        fresh = tagged.join(cand, "_fp", "left_anti")
+        keepers = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+        out = (
+            fresh.join(keepers, ["_fp", id_col], "left_semi")
+            .drop("_fp")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        out.count()
+        return out
+    finally:
+        tagged.unpersist()
+
+
+_LEDGER_BUCKETS = 32
+
+
+def write_fingerprint_ledger(
+    seen: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    buckets: int = _LEDGER_BUCKETS,
+) -> None:
+    """Materialize the corpus fingerprint set as a table BUCKETED by
+    fingerprint — the steady-state layout :func:`dedup_incremental`'s
+    docstring promises: with the corpus side pre-hash-distributed on
+    the join key, the per-batch anti-join plans a shuffle on the
+    (small) batch side ONLY; the ledger scan carries its bucket
+    distribution straight into the join (no Exchange above it —
+    asserted in tests/test_dedup.py). Re-running overwrites.
+    """
+    fp = F.md5(X.normalized_text(text_col))
+    (
+        seen.select(fp.alias("fp"))
+        .distinct()
+        .write.mode("overwrite")
+        .bucketBy(buckets, "fp")
+        .sortBy("fp")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def dedup_incremental_vs_ledger(
+    batch: DataFrame,
+    ledger_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dedup_incremental` against a pre-built bucketed
+    fingerprint ledger (:func:`write_fingerprint_ledger`) instead of
+    the raw corpus — the O(batch) steady-state form: the ledger is
+    never re-fingerprinted and never re-shuffled; only the batch
+    crosses an exchange. Output is identical to running the base form
+    with the same corpus (parity-tested)."""
+    if "_fp" in batch.columns:
+        raise ValueError(
+            "dedup_incremental_vs_ledger: batch already has a column "
+            "named '_fp' (reserved working column)"
+        )
+    spark = batch.sparkSession
+    fp = F.md5(X.normalized_text(text_col))
+    seen_fp = spark.table(ledger_table).select(F.col("fp").alias("_fp"))
+    tagged = batch.withColumn("_fp", fp)
+    fresh = tagged.join(seen_fp, "_fp", "left_anti")
+    keepers = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keepers, ["_fp", id_col], "left_semi").drop("_fp")
+
+
 def minhash_incremental(
     batch: DataFrame,
     seen: DataFrame,

@@ -14,6 +14,10 @@ orderBy — their sort samples the already-materialized shuffle.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -311,6 +315,115 @@ def duplicate_ngram_stats(
             (frac <= max_frac).alias("keep"),
         )
     )
+
+
+def heavy_hitter_ngrams(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 1e-4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact corpus-level heavy hitters over word ``n``-grams: every
+    gram whose occurrence count reaches ``ceil(threshold * total_grams)``,
+    with its exact count. Output: (gram, cnt) — the boilerplate finder
+    (cookie banners, newsletter footers) that feeds a curation strip
+    list.
+
+    Scale shape — the point is the SHUFFLE BOUND, not the scan: a plain
+    groupBy over gram strings shuffles the whole gram vocabulary, which
+    for n-grams grows with the corpus, not the language. Instead:
+    (1) one map pass reduces grams to 8-byte xxhash64 keys and counts
+    them per partition (a pandas dict merge — the same memory bound as
+    Spark's own partial hash-agg), emitting only hashes whose LOCAL
+    count clears the partition-prorated threshold. By pigeonhole, a
+    gram with global count >= s·N must clear s·n_p in at least one
+    partition, so the emitted union is a guaranteed superset of the
+    true heavy hitters; a hash collision only merges counts upward, so
+    it can widen the superset but never lose a true hitter.
+    (2) the candidate-hash set (at most ~1/s per partition once
+    partitions are large enough for the prorated threshold to bind)
+    broadcast-semi-joins the gram stream and the exact count runs
+    grouped on the gram STRING — so the only vocabulary-keyed exchange
+    carries candidate grams alone, and the output is exact even under
+    hash collisions. Cost: two scans instead of one vocabulary-wide
+    shuffle — the right trade from the point the gram vocabulary stops
+    fitting in aggregate executor memory.
+
+    The per-partition gram totals ride along in the candidate frame
+    (gh IS NULL rows), so N needs no third scan.
+    """
+    import math as _math
+
+    from pyspark import StorageLevel
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    ws = F.split(F.regexp_replace(F.trim(F.col(text_col)), " +", " "), " ")
+    base = documents.select(
+        ws.alias("ws"),
+        F.greatest(F.size(ws) - (n - 1), F.lit(0)).cast("int").alias("n_grams"),
+    ).filter(F.col("n_grams") > 0)
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("ws"), i + 1, F.col("n_grams")) for i in range(n)]
+    )
+    grams = base.select(F.explode(zipped).alias("g")).select(
+        F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(n)]).alias("gram")
+    )
+    hashed = grams.select(F.xxhash64("gram").alias("gh"))
+
+    def local_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        totals = None
+        n_local = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_local += len(pdf)
+            vc = pdf["gh"].value_counts()
+            totals = vc if totals is None else totals.add(vc, fill_value=0)
+        if totals is None:
+            return
+        # int(threshold * n_local) - 1: one below the floor of the float
+        # product, so a candidate at the exact rational boundary can
+        # never be lost to float rounding — overshoot only inflates the
+        # candidate set
+        k_local = max(1, int(threshold * n_local) - 1)
+        hits = totals[totals >= k_local]
+        out = pd.DataFrame(
+            {"gh": hits.index.to_numpy(dtype="int64"),
+             "cnt": hits.to_numpy(dtype="int64")}
+        )
+        total_row = pd.DataFrame({"gh": pd.array([None], dtype="Int64"),
+                                  "cnt": [n_local]})
+        yield pd.concat([out, total_row], ignore_index=True)
+
+    summary = hashed.mapInPandas(local_counts, "gh bigint, cnt bigint").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        total = (
+            summary.filter(F.col("gh").isNull()).agg(F.sum("cnt")).collect()[0][0]
+        )
+        empty = documents.sparkSession.createDataFrame(
+            [], "gram string, cnt bigint"
+        )
+        if not total:
+            return empty
+        k_global = _math.ceil(threshold * total)
+        cand = summary.filter(F.col("gh").isNotNull()).select("gh").distinct()
+        out = (
+            grams.withColumn("gh", F.xxhash64("gram"))
+            .join(F.broadcast(cand), "gh", "left_semi")
+            .groupBy("gram")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= F.lit(k_global))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        out.count()
+        return out
+    finally:
+        summary.unpersist()
 
 
 def corpus_stats_approx(documents: DataFrame, rsd: float = 0.02) -> DataFrame:

@@ -542,3 +542,131 @@ def test_text_jaccard_join_exact_rejects_nonpositive_threshold(spark, docs):
     small = docs.select("doc_id", "text").limit(3)
     with _pytest.raises(ValueError, match="threshold"):
         text_jaccard_join_exact(small, small, threshold=0.0)
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_filter_no_false_negatives_and_low_fpp(spark):
+    """Every inserted key must probe positive (structural guarantee);
+    non-members pass at roughly the configured fpp."""
+    from secure_agent_api_vector_search_spark.functions import bloom as B
+
+    members = spark.range(0, 2000).selectExpr("md5(cast(id as string)) AS k")
+    others = spark.range(2000, 22000).selectExpr("md5(cast(id as string)) AS k")
+    bf = B.build_bloom(members, "k", fpp=0.01)
+    try:
+        assert B.filter_might_contain(members, "k", bf).count() == 2000
+        fp_rate = B.filter_might_contain(others, "k", bf).count() / 20000
+        assert fp_rate < 0.05  # 0.01 nominal, generous margin
+    finally:
+        bf.destroy()
+
+
+def test_bloom_params_sizing_and_bounds():
+    from secure_agent_api_vector_search_spark.functions.bloom import bloom_params
+
+    m, k = bloom_params(1000, 0.01)
+    assert 9000 < m < 11000 and 5 <= k <= 9  # ~9.6 bits/item, k≈7
+    m_min, _ = bloom_params(1, 0.5)
+    assert m_min >= 64
+    m_cap, _ = bloom_params(10**12, 0.001)
+    assert m_cap <= 1 << 30
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bloom_params(10, 1.5)
+
+
+def test_dedup_incremental_bloom_matches_base_form(spark, docs):
+    """The bloom form is a plan optimization: output must be
+    bit-identical to dedup_incremental on the same corpus — including
+    an adversarially high-overlap batch (worst case for the sketch)."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_bloom,
+    )
+
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    # batch = odd originals + re-id'd copies of HALF the corpus (dense
+    # overlap) + a within-batch dup
+    overlap = seen.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionAll(overlap)
+    )
+    base = sorted(r["doc_id"] for r in dedup_incremental(batch, seen).collect())
+    blm = sorted(r["doc_id"] for r in dedup_incremental_bloom(batch, seen).collect())
+    assert base == blm and len(base) > 0
+
+
+def test_dedup_incremental_bloom_rejects_reserved_column(spark):
+    import pytest as _pytest
+
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        dedup_incremental_bloom,
+    )
+
+    bad = spark.createDataFrame([(1, "x", "y")], "doc_id long, text string, _fp string")
+    seen = spark.createDataFrame([(0, "z")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="_fp"):
+        dedup_incremental_bloom(bad, seen)
+
+
+def test_fingerprint_ledger_corpus_side_is_exchange_free(spark, docs):
+    """The bucketed ledger's promise, asserted on executed plans:
+    output parity with the base form, and — with broadcast disabled so
+    the join must distribute — the bucketed ledger plan (a) reads the
+    buckets as its distribution (`SelectedBucketsCount` on the scan)
+    and (b) carries strictly fewer Exchanges than the identical query
+    against a non-bucketed ledger. Comparing against the unbucketed
+    twin is drift-proof: whatever the plan format, bucketing must have
+    removed at least the corpus-side shuffle."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_vs_ledger,
+        write_fingerprint_ledger,
+    )
+
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS fp_ledger_test")
+    spark.sql("DROP TABLE IF EXISTS fp_ledger_flat")
+    write_fingerprint_ledger(seen, "fp_ledger_test")
+    # unbucketed twin: same rows, no layout
+    spark.table("fp_ledger_test").write.mode("overwrite").format("parquet").saveAsTable(
+        "fp_ledger_flat"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe_bcast = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"
+    )
+    try:
+        out = dedup_incremental_vs_ledger(batch, "fp_ledger_test")
+        base = sorted(r["doc_id"] for r in dedup_incremental(batch, seen).collect())
+        got = sorted(r["doc_id"] for r in out.collect())
+        assert got == base and len(got) > 0
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        def executed_plan(table: str) -> str:
+            df = dedup_incremental_vs_ledger(batch, table)
+            df.count()
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        bucketed = executed_plan("fp_ledger_test")
+        flat = executed_plan("fp_ledger_flat")
+        assert "SelectedBucketsCount" in bucketed
+        assert bucketed.count("Exchange") < flat.count("Exchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_bcast)
+        spark.sql("DROP TABLE IF EXISTS fp_ledger_test")
+        spark.sql("DROP TABLE IF EXISTS fp_ledger_flat")

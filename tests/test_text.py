@@ -293,3 +293,83 @@ def test_tokenize_to_ids_order_and_oov(spark):
     assert out[0] == (6, [2, 2, 2, 1, 1, 0])  # order preserved, c -> 0
     assert out[1] == (3, [1, 3, 3])
     assert out[2] == (2, [0, 1])  # zz -> OOV
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitter_ngrams_finds_planted_boilerplate(spark):
+    from secure_agent_api_vector_search_spark.operators.textops import (
+        heavy_hitter_ngrams,
+    )
+
+    footer = "subscribe to our newsletter today"
+    rows = [(i, f"unique body text number {i} {footer}") for i in range(40)]
+    rows += [(100 + i, f"totally different content item {i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["gram"]: r["cnt"] for r in
+           heavy_hitter_ngrams(docs, n=3, threshold=0.02).collect()}
+    # 350 grams total, threshold 2% → K = 7: the footer grams (40×) and
+    # the 10× shared prefix qualify; grams containing the per-doc
+    # number occur once each and must be absent
+    assert out.get("subscribe to our") == 40
+    assert out.get("to our newsletter") == 40
+    assert out.get("totally different content") == 10
+    assert all(cnt >= 7 for cnt in out.values())
+    assert "number 5 subscribe" not in out
+
+
+def test_heavy_hitter_ngrams_matches_bruteforce_under_any_partitioning(spark, docs):
+    """The candidate pass prorates the threshold per partition; the
+    pigeonhole superset guarantee must make the final output identical
+    to the plain groupBy-HAVING on any partition layout."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators.textops import (
+        heavy_hitter_ngrams,
+    )
+
+    corpus = docs.select("text").repartition(17)
+    got = sorted(
+        (r["gram"], r["cnt"])
+        for r in heavy_hitter_ngrams(corpus, n=2, threshold=1e-3).collect()
+    )
+
+    ws = F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")
+    base = corpus.select(
+        ws.alias("ws"),
+        F.greatest(F.size(ws) - 1, F.lit(0)).cast("int").alias("n_grams"),
+    ).filter(F.col("n_grams") > 0)
+    zipped = F.arrays_zip(
+        F.slice(F.col("ws"), 1, F.col("n_grams")),
+        F.slice(F.col("ws"), 2, F.col("n_grams")),
+    )
+    grams = base.select(F.explode(zipped).alias("g")).select(
+        F.concat_ws(" ", F.col("g.0"), F.col("g.1")).alias("gram")
+    )
+    import math
+
+    total = grams.count()
+    k = math.ceil(1e-3 * total)
+    brute = sorted(
+        (r["gram"], r["cnt"])
+        for r in grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= k).collect()
+    )
+    assert got == brute and len(got) > 0
+
+
+def test_heavy_hitter_ngrams_validation_and_empty(spark):
+    import pytest as _pytest
+
+    from secure_agent_api_vector_search_spark.operators.textops import (
+        heavy_hitter_ngrams,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        heavy_hitter_ngrams(docs, n=0)
+    with _pytest.raises(ValueError):
+        heavy_hitter_ngrams(docs, threshold=0.0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert heavy_hitter_ngrams(empty).count() == 0
