@@ -1423,8 +1423,12 @@ def dedup_incremental_bloom(
     (functions/bloom.py), so exactness is structural, not statistical.
 
     The result is materialized before return so the batch-side cache
-    used by the two passes (bloom build + anti-join) can be released
-    here rather than leak per call.
+    used by the two passes (bloom build + anti-join) AND the broadcast
+    bitmap can be released here rather than leak per call (the
+    broadcast is unpersisted non-destructively — a cache-evicted
+    recompute re-ships it from the driver). The RETURNED frame stays
+    persisted (same convention as :func:`minhash_incremental`);
+    long-lived callers may ``.unpersist()`` it when done.
     """
     from pyspark import StorageLevel
 
@@ -1437,6 +1441,7 @@ def dedup_incremental_bloom(
         )
     fp = F.md5(X.normalized_text(text_col))
     tagged = batch.withColumn("_fp", fp).persist(StorageLevel.MEMORY_AND_DISK)
+    bf = None
     try:
         bf = B.build_bloom(tagged, "_fp", fpp=fpp)
         seen_fp = seen.select(fp.alias("_fp"))
@@ -1452,6 +1457,8 @@ def dedup_incremental_bloom(
         return out
     finally:
         tagged.unpersist()
+        if bf is not None:
+            bf.destroy()
 
 
 _LEDGER_BUCKETS = 32

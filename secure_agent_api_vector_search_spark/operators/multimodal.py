@@ -98,10 +98,12 @@ def multimodal_features(documents: DataFrame) -> DataFrame:
 # Real decoders: binary netpbm (P5/P6) and PCM WAV — stdlib + numpy only.
 
 
-def decode_netpbm(payload: bytes) -> np.ndarray:
-    """Decode a BINARY netpbm image (P5 graymap / P6 pixmap, maxval
-    <= 255) to a (height, width, channels) uint8 array. Pure
-    bytes-parsing + numpy — a real decoder, no image library."""
+def _decode_netpbm_consumed(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode one BINARY netpbm image at the start of ``payload`` and
+    return (array, bytes consumed) — the single header walk shared by
+    :func:`decode_netpbm` and the RAWV frame walk in
+    :func:`decode_video`, so the two can never disagree about where a
+    frame ends."""
     if not payload[:2] in (b"P5", b"P6"):
         raise ValueError(f"not a binary netpbm payload: {payload[:2]!r}")
     channels = 1 if payload[:2] == b"P5" else 3
@@ -124,10 +126,16 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
     width, height, maxval = tokens
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
-    raster = np.frombuffer(
-        payload, dtype=np.uint8, count=width * height * channels, offset=i + 1
-    )
-    return raster.reshape(height, width, channels)
+    count = width * height * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=count, offset=i + 1)
+    return raster.reshape(height, width, channels), i + 1 + count
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Decode a BINARY netpbm image (P5 graymap / P6 pixmap, maxval
+    <= 255) to a (height, width, channels) uint8 array. Pure
+    bytes-parsing + numpy — a real decoder, no image library."""
+    return _decode_netpbm_consumed(payload)[0]
 
 
 def encode_netpbm(img: np.ndarray) -> bytes:
@@ -481,26 +489,17 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
         raise ValueError(f"not a RAWV payload: {payload[:4]!r}")
     nl = payload.index(b"\n", 4)
     n = int(payload[4:nl])
+    if n < 1:
+        # encode_video refuses to produce an empty container, so a
+        # zero/negative count is corruption — fail with the module's
+        # ValueError contract, not a downstream IndexError mid-task
+        raise ValueError(f"corrupt RAWV payload: frame count {n}")
     frames: list[np.ndarray] = []
     i = nl + 1
     for _ in range(n):
-        frame = decode_netpbm(payload[i:])
+        frame, consumed = _decode_netpbm_consumed(payload[i:])
         frames.append(frame)
-        h, w, c = frame.shape
-        # re-walk this frame's header to find the raster offset
-        sub = payload[i:]
-        tokens, j = 0, 2
-        while tokens < 3:
-            ch = sub[j : j + 1]
-            if ch == b"#":
-                j = sub.index(b"\n", j) + 1
-            elif ch.isspace():
-                j += 1
-            else:
-                while not sub[j : j + 1].isspace():
-                    j += 1
-                tokens += 1
-        i += j + 1 + h * w * c
+        i += consumed
     return frames
 
 

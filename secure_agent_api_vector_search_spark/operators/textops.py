@@ -154,6 +154,34 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+def _ws_words(text_col: str = "text"):
+    """THE whitespace word tokenizer of the gram-keyed operator family
+    (collapse runs of spaces, trim, split) — single-sourced so
+    doc_repetition, duplicate_ngram_stats, and heavy_hitter_ngrams can
+    never drift from each other or from the `string_split(
+    regexp_replace(trim(text), ' +', ' ', 'g'), ' ')` their DuckDB
+    oracles replay."""
+    return F.split(F.regexp_replace(F.trim(F.col(text_col)), " +", " "), " ")
+
+
+def _word_gram_stream(base: DataFrame, n: int, *keep: str) -> DataFrame:
+    """One row per word ``n``-gram from a (ws, n_grams, *keep) frame —
+    the single gram construction shared by :func:`duplicate_ngram_stats`
+    and :func:`heavy_hitter_ngrams`. arrays_zip over slices (plain
+    codegen), never lambda HOFs (interpreted, 50-100x slower)."""
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("ws"), i + 1, F.col("n_grams").cast("int")) for i in range(n)]
+    )
+    return (
+        base.filter(F.col("n_grams") > 0)
+        .select(*keep, F.explode(zipped).alias("g"))
+        .select(
+            *keep,
+            F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(n)]).alias("gram"),
+        )
+    )
+
+
 def doc_winnow_fingerprints(documents: DataFrame, window: int = 8) -> DataFrame:
     """Winnowing fingerprints (rolling-hash min-sampling), fully
     oracle-checked: the token hash is md5-48 (functions/text.py), so
@@ -192,7 +220,7 @@ def doc_repetition(documents: DataFrame) -> DataFrame:
     evaluate interpreted and profiled 50-100x slower in the LSH
     screen). No Python, no driver loop.
     """
-    ws = F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")
+    ws = _ws_words("text")
     base = documents.select(
         "doc_id",
         ws.alias("ws"),
@@ -273,24 +301,14 @@ def duplicate_ngram_stats(
     from pyspark.sql import Window
     if n < 2:
         raise ValueError("n must be >= 2")
-    ws = F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")
+    ws = _ws_words("text")
     base = documents.select(
         "doc_id",
         ws.alias("ws"),
         F.greatest(F.size(ws) - (n - 1), F.lit(0)).cast("long").alias("n_grams"),
     )
-    zipped = F.arrays_zip(
-        *[F.slice(F.col("ws"), i + 1, F.col("n_grams").cast("int")) for i in range(n)]
-    )
-    grams = (
-        base.filter(F.col("n_grams") > 0)
-        .select("doc_id", F.explode(zipped).alias("g"))
-        .select(
-            "doc_id",
-            F.xxhash64(
-                F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(n)])
-            ).alias("gh"),
-        )
+    grams = _word_gram_stream(base, n, "doc_id").select(
+        "doc_id", F.xxhash64("gram").alias("gh")
     )
     per_doc_gram = grams.groupBy("doc_id", "gh").agg(F.count("*").alias("occ"))
     n_docs = F.count("*").over(Window.partitionBy("gh"))
@@ -350,7 +368,11 @@ def heavy_hitter_ngrams(
     fitting in aggregate executor memory.
 
     The per-partition gram totals ride along in the candidate frame
-    (gh IS NULL rows), so N needs no third scan.
+    (gh IS NULL rows), so N needs no third scan. The RETURNED frame
+    (heavy hitters only — small by construction) stays persisted so the
+    candidate summary cache can be dropped here without a later collect
+    re-running both scans; long-lived callers may ``.unpersist()`` it
+    when done (the :func:`minhash_incremental` convention).
     """
     import math as _math
 
@@ -360,17 +382,12 @@ def heavy_hitter_ngrams(
         raise ValueError("n must be >= 1")
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
-    ws = F.split(F.regexp_replace(F.trim(F.col(text_col)), " +", " "), " ")
+    ws = _ws_words(text_col)
     base = documents.select(
         ws.alias("ws"),
         F.greatest(F.size(ws) - (n - 1), F.lit(0)).cast("int").alias("n_grams"),
-    ).filter(F.col("n_grams") > 0)
-    zipped = F.arrays_zip(
-        *[F.slice(F.col("ws"), i + 1, F.col("n_grams")) for i in range(n)]
     )
-    grams = base.select(F.explode(zipped).alias("g")).select(
-        F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(n)]).alias("gram")
-    )
+    grams = _word_gram_stream(base, n)
     hashed = grams.select(F.xxhash64("gram").alias("gh"))
 
     def local_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

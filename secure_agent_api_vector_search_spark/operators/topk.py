@@ -128,6 +128,23 @@ def topk_similar(
     return out
 
 
+def join_back_documents(top: DataFrame, documents: DataFrame) -> DataFrame:
+    """The shared U1 result projection: broadcast-join a tiny top-k
+    frame (vec_id, similarity) back to the document scalars — the ONE
+    place the (doc_id, source, lang, text, similarity) contract lives,
+    so the paged and unpaged search tools cannot drift apart.
+
+    Join order matters at scale: top-k FIRST (k rows), then a broadcast
+    join of those k rows against documents — never a join before the
+    limit."""
+    return (
+        F.broadcast(top)
+        .join(documents, top["vec_id"] == documents["doc_id"])
+        .select("doc_id", "source", "lang", "text", "similarity")
+        .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
+    )
+
+
 def find_similar_records(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -138,18 +155,9 @@ def find_similar_records(
     scalars — returns (doc_id, source, lang, text, similarity) like the
     reference's (id, title, abstract, similarity) projection
     (tools.yaml:23-24).
-
-    Join order matters at scale: top-k FIRST (k rows), then a broadcast
-    join of those k rows against documents — never a join before the
-    limit.
     """
     top = topk_similar(embeddings, query_vec, k=k, metric="cosine")
-    return (
-        F.broadcast(top)
-        .join(documents, top["vec_id"] == documents["doc_id"])
-        .select("doc_id", "source", "lang", "text", "similarity")
-        .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
-    )
+    return join_back_documents(top, documents)
 
 
 def topk_similar_mmr(
@@ -386,7 +394,13 @@ def topk_similar_after(
     vec = F.col(vec_col)
     dim = len(query_vec)
     if dim > V.UNROLL_MAX_DIM:
-        score = V.np_query_scorer(query_vec, metric)(vec)
+        # the cursor filter references the scorer's output column;
+        # non-deterministic marking stops Catalyst from inlining the
+        # UDF into the filter when it splits filter from projection,
+        # which would run the whole-corpus scorer TWICE per page
+        # (2 ArrowEvalPython nodes, measured — the same pathology
+        # topk_similar's exclude-nulls redesign removed)
+        score = V.np_query_scorer(query_vec, metric).asNondeterministic()(vec)
         asc = metric == "l2"
     else:
         score, asc = _sim_col(metric, vec_col, [float(x) for x in query_vec], dim)
@@ -397,10 +411,12 @@ def topk_similar_after(
     else:
         cursor = (s < last_score) | ((s == last_score) & (F.col(id_col) > last_id))
         order = [s.desc_nulls_last(), F.col(id_col).asc()]
+    # null-embedding rows need no post-limit exclude here (unlike
+    # topk_similar, which has no pre-filter): a null score makes both
+    # cursor disjuncts NULL, so the cursor filter itself drops the row
     return (
         embeddings.select(id_col, score.alias(score_name))
         .filter(cursor)
         .orderBy(*order)
         .limit(k)
-        .filter(s.isNotNull())
     )

@@ -397,12 +397,23 @@ def curate_corpus(
         )
 
         stripped = strip_dup_spans(deduped, k=strip_spans_k)
+        # n_chars is a raw ingest-supplied field, not derived from text:
+        # rewrite it ONLY for rows the strip actually changed, so an
+        # untouched document passes through bit-identical (upstream
+        # counting conventions preserved)
         rejoined = (
-            deduped.drop("text", "n_chars")
+            deduped.withColumnRenamed("text", "_old_text")
+            .withColumnRenamed("n_chars", "_old_n_chars")
             .join(stripped.withColumnRenamed("text", "_new_text"), "doc_id")
             .withColumn("text", F.col("_new_text"))
-            .withColumn("n_chars", F.length("text").cast("long"))
-            .drop("_new_text")
+            .withColumn(
+                "n_chars",
+                F.when(
+                    F.col("text") != F.col("_old_text"),
+                    F.length("text").cast("long"),
+                ).otherwise(F.col("_old_n_chars")),
+            )
+            .drop("_new_text", "_old_text", "_old_n_chars")
             .persist()
         )
         kept_after_strip = rejoined.filter(F.col("text") != "")

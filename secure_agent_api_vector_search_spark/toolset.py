@@ -113,12 +113,20 @@ def _find_similar_page(
     from pyspark.sql import functions as F
 
     from secure_agent_api_vector_search_spark.embedder import embed_text, embed_udf
-    from secure_agent_api_vector_search_spark.operators.topk import topk_similar_after
+    from secure_agent_api_vector_search_spark.operators.topk import (
+        join_back_documents,
+        topk_similar_after,
+    )
     from secure_agent_api_vector_search_spark.sources.tables import load_documents
 
     docs = load_documents(spark, sf_dir)
+    # asNondeterministic: the keyset cursor filters on the similarity
+    # column derived from this UDF; without the marking Catalyst clones
+    # the embed into the extracted filter stage and the corpus embeds
+    # 4x per page request (measured: 4 ArrowEvalPython nodes -> 1)
     emb = docs.select(
-        F.col("doc_id").alias("vec_id"), embed_udf(64)(F.col("text")).alias("embedding")
+        F.col("doc_id").alias("vec_id"),
+        embed_udf(64).asNondeterministic()(F.col("text")).alias("embedding"),
     )
     top = topk_similar_after(
         emb,
@@ -127,12 +135,7 @@ def _find_similar_page(
         last_id=after_id,
         k=limit,
     )
-    return (
-        F.broadcast(top)
-        .join(docs, top["vec_id"] == docs["doc_id"])
-        .select("doc_id", "source", "lang", "text", "similarity")
-        .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
-    )
+    return join_back_documents(top, docs)
 
 
 def _get_record(spark: SparkSession, sf_dir: str, record_id: str) -> DataFrame:

@@ -274,3 +274,17 @@ def test_image_neardup_matches_bruteforce(spark, docs):
     assert got == expected
     # the planted re-encodes are all recovered
     assert {(i, i + 700000) for i in range(5)} <= got
+
+
+def test_decode_video_rejects_zero_frame_container():
+    """encode_video refuses empty clips, so a zero-count RAWV payload
+    is corruption: the decoder must fail with the module's ValueError
+    contract, not let video_features hit an IndexError mid-task."""
+    import pytest as _pytest
+
+    from secure_agent_api_vector_search_spark.operators.multimodal import decode_video
+
+    with _pytest.raises(ValueError, match="frame count"):
+        decode_video(b"RAWV0\n")
+    with _pytest.raises(ValueError, match="frame count"):
+        decode_video(b"RAWV-3\n")

@@ -325,3 +325,61 @@ def test_curate_corpus_span_strip_and_lm_filter_stages(spark, docs, tmp_path):
         F.col("text").contains("subscribe to our newsletter")
     ).count()
     assert with_footer + eval_side <= 1
+
+
+def test_curate_corpus_span_strip_preserves_untouched_n_chars(spark, docs, tmp_path):
+    """n_chars is a raw ingest-supplied field, not derived from text:
+    a document the span strip does NOT change must pass through with
+    its original n_chars (even one that disagrees with length(text) —
+    upstream counting conventions differ), while a stripped document
+    gets n_chars recounted from the new text."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.pipelines import curate_corpus
+
+    raw = tmp_path / "raw.jsonl"
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    sample = [
+        {k: r[k] for k in cols} for r in docs.filter(F.col("doc_id") < 100).collect()
+    ]
+    footer = " subscribe to our newsletter terms of service apply"
+    marked = None
+    for s in sample:
+        if s["doc_id"] in (40, 41, 42):
+            s["text"] = s["text"] + footer
+        elif marked is None and len(s["text"]) > 60:
+            # an untouched doc whose n_chars deliberately disagrees
+            # with length(text) by an upstream-convention offset
+            s["n_chars"] = len(s["text"]) + 7
+            marked = s["doc_id"]
+    assert marked is not None
+    raw.write_text("\n".join(_json.dumps(s) for s in sample) + "\n")
+
+    out = str(tmp_path / "curated3")
+    curate_corpus(
+        spark, str(raw), out, n_shards=4, min_quality=0.0,
+        strip_spans_k=5,
+    )
+    surviving = []
+    for name in ("train_shards", "val", "test", "eval_reserved"):
+        try:
+            surviving.append(spark.read.parquet(f"{out}/{name}"))
+        except Exception:  # noqa: BLE001 - a split may be empty
+            pass
+    import functools
+
+    allv = functools.reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), surviving
+    )
+    row = allv.filter(F.col("doc_id") == marked).collect()
+    if row:  # the doc survived curation: its raw n_chars must too
+        assert row[0]["n_chars"] == len(row[0]["text"]) + 7
+    # and every stripped-doc row must carry a recounted n_chars
+    changed = allv.filter(
+        F.col("doc_id").isin(40, 41, 42)
+        & ~F.col("text").contains("subscribe to our newsletter")
+    ).collect()
+    for r in changed:
+        assert r["n_chars"] == len(r["text"])

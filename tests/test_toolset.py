@@ -119,3 +119,19 @@ def test_v2_toolset_pagination_walks_without_gaps(spark, sf_dir):
     with pytest.raises(TypeError):
         page(spark, sf_dir, query_text="x", limit=5,
              after_score="high", after_id=3)  # wrong type
+
+
+def test_paged_search_embeds_corpus_once(spark, sf_dir):
+    """The v2 paged tool derives similarity from the embed UDF and the
+    cursor filters on it: the executed plan must carry exactly ONE
+    ArrowEvalPython node (unmarked, Catalyst cloned the embed into the
+    filter stage — measured 4 nodes, the corpus embedding 4x/page)."""
+    from secure_agent_api_vector_search_spark.toolset import _find_similar_page
+
+    df = _find_similar_page(spark, sf_dir, "insurance claim water", 5, 0.5, 0)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # executed AQE plans print BOTH the final and the initial plan —
+    # count only the final section
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1

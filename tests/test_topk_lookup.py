@@ -310,3 +310,23 @@ def test_topk_pagination_partitions_corpus(spark, emb):
         assert [(r["vec_id"], r["similarity"]) for r in walked] == [
             (r["vec_id"], r["similarity"]) for r in full
         ], metric
+
+
+def test_topk_similar_after_scorer_evaluates_once_at_wide_dim(spark):
+    """The keyset cursor filters on the scorer's output column; the
+    scorer must appear in the executed plan EXACTLY once (the
+    nondeterministic marking stops Catalyst cloning it into the
+    extracted filter — 2 ArrowEvalPython nodes means the whole-corpus
+    scorer runs twice per page)."""
+    import numpy as np
+
+    from secure_agent_api_vector_search_spark.operators.topk import topk_similar_after
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(768).astype("float32").tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    page = topk_similar_after(df, rows[0][1], last_score=0.5, last_id=0, k=5)
+    assert page.count() == 5
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final.count("ArrowEvalPython") == 1
