@@ -1,3 +1,7 @@
+from secure_agent_api_vector_search_spark.sources.layout import (  # noqa: F401
+    write_zordered,
+    zone_map,
+)
 from secure_agent_api_vector_search_spark.sources.tables import (  # noqa: F401
     TABLES,
     load_table,

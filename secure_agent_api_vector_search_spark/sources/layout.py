@@ -1,0 +1,151 @@
+"""Multi-dimensional data-skipping layout: Z-order clustered writes.
+
+[EXT] scale machinery (SURVEY.md §2.1 scans/sinks family): the
+reference delegates physical layout to Postgres heap + one ivfflat
+index (sql/05_vector_index.sql:3-5); a 100 TB parquet lake instead
+lives or dies by FILE SKIPPING — the reader prunes whole files/row
+groups whose min/max stats exclude the predicate, so the layout that
+minimizes per-file value ranges on the filter columns is the layout
+that minimizes scan bytes.
+
+A linear sort gives perfect skipping on ONE column and none on the
+others. Interleaving the bits of several columns' bucket ranks (the
+Z-order / Morton curve, as in Delta Lake's OPTIMIZE ZORDER BY and
+countless OLAP stores) makes each written file cover a small
+hyper-rectangle of the value space, so min/max pruning works on EVERY
+clustered column at once — the standard trade: each dimension's
+per-file range grows from ~1/n_files to ~(1/n_files)^(1/d), still a
+massive cut vs the unclustered ~100% per file.
+
+Numeric columns are bucketed by linear min/max scaling (one aggregate
+job; roughly uniform data assumed — swap in quantile ranks for heavy
+skew). String columns are bucketed by hash: locality within the curve
+is then meaningless for RANGES, but point-equality skipping still
+works (equal values land in the same bucket run). All bucket math is
+plain codegen expressions — no Python in the write path beyond the
+driver-side min/max collect.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "double", "float",
+            "date", "timestamp", "decimal")
+
+
+def _bucket_col(df: DataFrame, col: str, bits: int, lo, hi) -> Column:
+    """Rank ``col`` into [0, 2^bits): linear scaling for numerics
+    (driver-known lo/hi), hash for strings. Nulls land in bucket 0."""
+    cap = (1 << bits) - 1
+    dt = dict(df.dtypes)[col]
+    if any(dt.startswith(t) for t in _NUMERIC):
+        c = F.col(col).cast("double")
+        lo_f, hi_f = float(lo), float(hi)
+        if hi_f <= lo_f:
+            return F.lit(0).cast("long")
+        scaled = F.floor((c - F.lit(lo_f)) / F.lit(hi_f - lo_f) * (cap + 1))
+        return F.coalesce(
+            F.least(F.lit(cap).cast("long"), F.greatest(F.lit(0).cast("long"),
+                                                        scaled.cast("long"))),
+            F.lit(0).cast("long"),
+        )
+    return F.coalesce(
+        F.pmod(F.xxhash64(F.col(col)), F.lit(cap + 1)).cast("long"),
+        F.lit(0).cast("long"),
+    )
+
+
+def zorder_key(buckets: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of each bucket column into one
+    Morton key (static unroll — bits*len(buckets) shift/and/or codegen
+    terms, no UDF). len(buckets)*bits must fit in an int64."""
+    n = len(buckets)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds the int64 key")
+    terms = [
+        F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+        for i in range(bits)
+        for j, c in enumerate(buckets)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    n_files: int = 32,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order curve over
+    ``cols``: one min/max aggregate job, then ONE range exchange on the
+    Morton key + in-partition sort, so each of the ``n_files`` output
+    files covers a compact hyper-rectangle and the reader's min/max
+    pruning bites on every clustered column (demonstrated quantitively
+    in tests/test_layout.py via the written files' zone maps)."""
+    if not cols:
+        raise ValueError("need at least one clustering column")
+    for c in cols:
+        if "_zkey" == c:
+            raise ValueError("'_zkey' is the reserved working column")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    stats = df.agg(*aggs).first()
+    buckets = [
+        _bucket_col(df, c, bits, stats[f"_lo_{c}"], stats[f"_hi_{c}"]) for c in cols
+    ]
+    (
+        df.withColumn("_zkey", zorder_key(buckets, bits))
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zone_map(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max of ``cols`` for a parquet directory — the same
+    footer statistics the reader's skipping consults, surfaced so
+    layout quality is measurable: one dict per file with
+    {file, n_rows, <col>_min, <col>_max}."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        row = {"file": name, "n_rows": md.num_rows}
+        for c in cols:
+            lo, hi = None, None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo, hi = None, None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            row[f"{c}_min"], row[f"{c}_max"] = lo, hi
+        out.append(row)
+    return out
+
+
+def files_touched(zones: list[dict], col: str, lo, hi) -> int:
+    """How many files a range predicate ``col BETWEEN lo AND hi`` must
+    read given a :func:`zone_map` — the skipping arithmetic the parquet
+    reader performs with the same stats."""
+    n = 0
+    for z in zones:
+        zlo, zhi = z[f"{col}_min"], z[f"{col}_max"]
+        if zlo is None or (zhi >= lo and zlo <= hi):
+            n += 1
+    return n

@@ -204,6 +204,17 @@ def run_suite(spark, base: str) -> dict[str, float]:
             docs, {"src0": 2.5, "src1": 0.4}, default=1.0
         ),
         "split_leakage_check": lambda: CU.split_leakage_check(docs),
+        # session-5 additions: the bloom form must track the BATCH like
+        # dedup_incremental (plus one sketch build + a map-side probe);
+        # heavy hitters must stay ~linear — candidate sets are bounded
+        # by max(1/s, partition vocab), never the corpus
+        "dedup_incremental_bloom": lambda: D.dedup_incremental_bloom(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+        ),
+        "heavy_hitter_ngrams": lambda: TX.heavy_hitter_ngrams(
+            docs, n=3, threshold=1e-5
+        ),
     }
     out: dict[str, float] = {}
     for name, build in ops.items():
