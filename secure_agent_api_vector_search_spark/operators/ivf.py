@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from secure_agent_api_vector_search_spark.sources.fsutil import fs_delete, fs_swap
+
 
 @dataclass
 class IvfIndex:
@@ -296,25 +298,14 @@ def rebuild_ivf(
 
 
 def _fs_swap(spark: SparkSession, src: str, dst: str) -> None:
-    """Replace ``dst`` with ``src`` via the Hadoop FileSystem API —
-    delete + rename, each atomic on HDFS-compatible stores (and plain
-    POSIX renames on local FS). Used by :func:`rebuild_ivf` so the live
-    index is never a partially rewritten directory."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    src_p = jvm.org.apache.hadoop.fs.Path(src)
-    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
-    fs = dst_p.getFileSystem(conf)
-    if fs.exists(dst_p):
-        fs.delete(dst_p, True)
-    if not fs.rename(src_p, dst_p):
-        raise IOError(f"index swap failed: rename {src!r} -> {dst!r}")
+    """Shared temp-sibling swap — see sources/fsutil.py (moved there so
+    the parquet-compaction maintenance op reuses the same atomic
+    delete+rename discipline)."""
+    fs_swap(spark, src, dst)
 
 
 def _fs_delete(spark: SparkSession, path: str) -> None:
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    fs_delete(spark, path)
 
 
 def list_balance_stats(index: IvfIndex) -> dict:

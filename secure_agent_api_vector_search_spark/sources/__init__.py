@@ -1,4 +1,5 @@
 from secure_agent_api_vector_search_spark.sources.layout import (  # noqa: F401
+    compact_parquet,
     write_zordered,
     zone_map,
 )

@@ -109,6 +109,64 @@ def write_zordered(
     )
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    small_frac: float = 0.5,
+) -> dict:
+    """Bin-pack a flat parquet directory's small files into
+    ~``target_file_bytes`` outputs — the maintenance job every
+    streaming sink needs: micro-batch appends leave hundreds of tiny
+    files whose per-file open/footer cost dominates scans long before
+    data volume does.
+
+    No-op (nothing rewritten, no jobs beyond the listing) unless the
+    directory holds more files than the target layout AND at least one
+    file is under ``small_frac * target_file_bytes``. The rewrite is
+    coalesce (merge-only, NO shuffle — small files pack into fewer
+    tasks) into a temp sibling, swapped in by the same atomic
+    delete+rename discipline as the IVF rebuild (sources/fsutil.py),
+    so readers never see a partially rewritten directory.
+
+    Returns {files_before, files_after, bytes, rewritten}.
+    """
+    from secure_agent_api_vector_search_spark.sources.fsutil import fs_delete, fs_swap
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    sizes = [
+        (st.getPath().getName(), st.getLen())
+        for st in fs.listStatus(p)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    total = sum(s for _, s in sizes)
+    n_target = max(1, -(-total // target_file_bytes))  # ceil
+    needs = len(sizes) > n_target and any(
+        s < small_frac * target_file_bytes for _, s in sizes
+    )
+    out = {"files_before": len(sizes), "bytes": total, "rewritten": bool(needs)}
+    if not needs:
+        out["files_after"] = len(sizes)
+        return out
+    tmp = f"{path}_compact_tmp"
+    (
+        spark.read.parquet(path)
+        .coalesce(int(n_target))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    fs_swap(spark, tmp, path)
+    fs_delete(spark, tmp)
+    out["files_after"] = sum(
+        1
+        for st in fs.listStatus(p)
+        if st.getPath().getName().endswith(".parquet")
+    )
+    return out
+
+
 def zone_map(path: str, cols: list[str]) -> list[dict]:
     """Per-file min/max of ``cols`` for a parquet directory — the same
     footer statistics the reader's skipping consults, surfaced so

@@ -96,3 +96,28 @@ def test_zorder_constant_and_null_columns(spark, tmp_path):
     got = spark.read.parquet(p)
     assert got.count() == 100
     assert got.filter(F.col("n").isNull()).count() == 50
+
+
+def test_compact_parquet_bin_packs_and_roundtrips(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.sources.layout import compact_parquet
+
+    p = str(tmp_path / "many")
+    spark.range(0, 50_000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("s")
+    ).repartition(64).write.parquet(p)
+    before = spark.read.parquet(p)
+    checksum = before.agg(F.sum(F.crc32("s")), F.count("*")).first()
+
+    stats = compact_parquet(spark, p, target_file_bytes=1 << 20)
+    assert stats["rewritten"] and stats["files_before"] == 64
+    assert stats["files_after"] < stats["files_before"]
+
+    after = spark.read.parquet(p)
+    assert after.agg(F.sum(F.crc32("s")), F.count("*")).first() == checksum
+
+    # second run: already compact — a pure no-op, nothing rewritten
+    again = compact_parquet(spark, p, target_file_bytes=1 << 20)
+    assert not again["rewritten"]
+    assert again["files_after"] == stats["files_after"]
