@@ -121,3 +121,40 @@ def test_compact_parquet_bin_packs_and_roundtrips(spark, tmp_path):
     again = compact_parquet(spark, p, target_file_bytes=1 << 20)
     assert not again["rewritten"]
     assert again["files_after"] == stats["files_after"]
+
+
+def test_zorder_quantile_mode_beats_linear_on_skew(spark, tmp_path):
+    """Heavy-tailed column: linear min/max scaling collapses most rows
+    into a few buckets (outliers own the range), so a narrow predicate
+    in the DENSE region touches almost every file; quantile ranks give
+    equal rows per bucket and restore skipping."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.sources.layout import (
+        files_touched,
+        write_zordered,
+        zone_map,
+    )
+
+    # x ~ lognormal-ish heavy tail (hash-derived, deterministic),
+    # y uniform: 99%+ of x mass sits in a sliver of the full range
+    df = spark.range(0, 40_000).select(
+        F.col("id").alias("row_id"),
+        F.exp((F.xxhash64("id") % 1000).cast("double") / F.lit(60.0)).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 10_000).alias("y"),
+    )
+    lin, qnt = str(tmp_path / "lin"), str(tmp_path / "qnt")
+    write_zordered(df, lin, ["x", "y"], n_files=16, rank="linear")
+    write_zordered(df, qnt, ["x", "y"], n_files=16, rank="quantile")
+
+    assert (
+        spark.read.parquet(qnt).agg(F.sum("row_id")).first()[0]
+        == df.agg(F.sum("row_id")).first()[0]
+    )
+    zl, zq = zone_map(lin, ["x"]), zone_map(qnt, ["x"])
+    # dense-region range: the median +- a hair (x in [1, 500] covers
+    # ~90% of rows but ~0% of the [1, e^16] value range)
+    tl = files_touched(zl, "x", 1.0, 4.0)
+    tq = files_touched(zq, "x", 1.0, 4.0)
+    assert tq < tl  # quantile mode must strictly improve skipping
+    assert tq <= len(zq) * 0.75
