@@ -289,16 +289,21 @@ def duplicate_ngram_stats(
     per-doc one): grams never shuffle as strings. Each gram is reduced
     to its ``xxhash64`` in the scan projection, so every exchange
     carries 8-byte keys: (doc_id, gh) → occ (map-side combinable), then
-    doc-frequency as a COUNT OVER (PARTITION BY gh) window on the
-    already-reduced per-doc-gram rows — one gh exchange, no second
-    aggregate frame and no join whose shuffle would double the gram
-    traffic — then |docs| rows back to the doc_id key. At 64-bit
+    doc-frequency as a combiner-safe groupBy(gh) aggregate whose
+    qualifying keys semi-join back onto the per-doc-gram rows. The
+    earlier form computed doc-frequency as COUNT OVER (PARTITION BY gh)
+    — one exchange fewer, but a window partition is ONE sort task: a
+    boilerplate mega-gram in 10^7 documents becomes an unsplittable
+    hot partition, the exact skew ceiling the ExactSubstr family
+    (operators/substr.py) deliberately avoided. The aggregate + semi
+    join trades one tiny extra exchange (one row per distinct gram) for
+    partial-aggregation splitting on the hot key and AQE skew-join
+    splitting on the join — same values, oracle unchanged. At 64-bit
     hashing a corpus-scale collision is possible but only perturbs
     counts by ±1 on the colliding gram; swap in the 128-bit md5 at
     100 TB if exactness is required (the oracle groups by the gram
     string itself, so sf-scale results are identical).
     """
-    from pyspark.sql import Window
     if n < 2:
         raise ValueError("n must be >= 2")
     ws = _ws_words("text")
@@ -311,10 +316,14 @@ def duplicate_ngram_stats(
         "doc_id", F.xxhash64("gram").alias("gh")
     )
     per_doc_gram = grams.groupBy("doc_id", "gh").agg(F.count("*").alias("occ"))
-    n_docs = F.count("*").over(Window.partitionBy("gh"))
-    dup = (
-        per_doc_gram.withColumn("n_docs", n_docs)
+    dup_grams = (
+        per_doc_gram.groupBy("gh")
+        .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+    dup = (
+        per_doc_gram.join(dup_grams, "gh", "left_semi")
         .groupBy("doc_id")
         .agg(F.sum("occ").alias("n_dup"))
     )
