@@ -34,18 +34,36 @@ def per_source_cap(
     preferring longer documents (desc n_chars, id tie-break — a total
     order, so the kept set is deterministic on any engine).
 
-    Scale shape: one hash-partition window per source. Source
-    cardinality is high in web corpora (domains), so partitions stay
-    narrow; a single mega-domain is exactly the case the cap bounds —
-    the sort inside an over-cap partition is O(domain size), and AQE
-    skew-split handles the shuffle side. No collect, no global sort —
+    Scale shape: a SALTED two-stage top-N. A single window partitioned
+    by source puts a mega-domain's entire row set into one sort task —
+    the unsplittable-hot-partition ceiling; the cap bounds the OUTPUT,
+    not the sort. Stage 1 takes the top ``cap`` within each of 16
+    (source, salt) sub-buckets — exact retention: a row outside its
+    sub-bucket's top-cap already has >= cap rows above it in that
+    bucket alone, so its true rank exceeds cap and it can never be a
+    keeper. Stage 2 re-ranks the <= 16*cap survivors per source, so the
+    final rk values are bit-identical to the single-window form (the
+    oracle replays that form verbatim). No collect, no global sort —
     the output stays in window-partition order (source cardinality is
     O(corpus) for web domains, so a trailing presentation sort would be
     a corpus-sized range exchange; the gate hash is order-insensitive).
     """
-    w = Window.partitionBy(source_col).orderBy(F.desc("n_chars"), id_col)
+    order = (F.desc("n_chars"), id_col)
+    slim = documents.select(id_col, source_col, "n_chars")
+    pre = (
+        slim.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(16)))
+        .withColumn(
+            "_prk",
+            F.row_number().over(
+                Window.partitionBy(source_col, "_salt").orderBy(*order)
+            ),
+        )
+        .filter(F.col("_prk") <= cap)
+        .drop("_salt", "_prk")
+    )
+    w = Window.partitionBy(source_col).orderBy(*order)
     return (
-        documents.withColumn("rk", F.row_number().over(w))
+        pre.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= cap)
         .select(id_col, source_col, "n_chars", F.col("rk").cast("long").alias("rk"))
     )

@@ -73,6 +73,23 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keepers, id_col, "left_semi")
 
 
+def dedup_normalized_keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest id per NORMALIZED-text group (case/punct/ws
+    folded) — :func:`dedup_exact`'s combiner-safe groupBy shape on the
+    normalized fingerprint. The groupBy matters at scale: a min() over
+    a window partitioned by fingerprint is ONE sort task per group, so
+    a viral document duplicated 10^6 times becomes an unsplittable hot
+    partition; partial aggregation splits it for free."""
+    keepers = (
+        df.select(F.col(id_col), F.md5(X.normalized_text(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
 def dedup_groups_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Duplicate groups (size > 1): (fingerprint, keeper_id, n_dups)."""
     return (

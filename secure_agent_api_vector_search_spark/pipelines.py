@@ -342,8 +342,6 @@ def curate_corpus(
     Rejected-stage outputs land under ``{out_dir}/rejects/<stage>`` so
     every dropped row stays queryable.
     """
-    from pyspark.sql import Window
-
     from secure_agent_api_vector_search_spark.functions import text as X
     from secure_agent_api_vector_search_spark.operators import dedup as D
     from secure_agent_api_vector_search_spark.operators.components import keep_first
@@ -373,13 +371,11 @@ def curate_corpus(
         "overwrite"
     ).parquet(f"{out_dir}/rejects/quality")
 
-    # exact/normalized dedup: keep-min-id per normalized fingerprint
-    w = Window.partitionBy(F.md5(X.normalized_text("text")))
-    exact_kept = (
-        gated.withColumn("_keeper", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_keeper"))
-        .drop("_keeper")
-    )
+    # exact/normalized dedup: keep-min-id per normalized fingerprint —
+    # the combiner-safe groupBy form (operators/dedup.py), NOT a window
+    # over the fingerprint, so a viral duplicate group can never become
+    # one unsplittable sort partition
+    exact_kept = D.dedup_normalized_keep_first(gated)
 
     # near-dup collapse at scale: banded MinHash pairs → components
     norm = exact_kept.select("doc_id", X.normalized_text("text").alias("text"))

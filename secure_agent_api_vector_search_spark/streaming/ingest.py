@@ -141,8 +141,6 @@ def start_fingerprint_dedup_ingest(
     month-later re-crawl is STILL a duplicate). Dedup runs BEFORE the
     embed stage, so duplicate payloads never reach the Python workers.
     """
-    from pyspark.sql import Window
-
     from secure_agent_api_vector_search_spark.functions import text as X
 
     ledger_dir = f"{out_dir}/_fp_ledger"
@@ -158,12 +156,11 @@ def start_fingerprint_dedup_ingest(
         if batch_df.isEmpty():
             return
         tagged = batch_df.withColumn("_fp", F.md5(X.normalized_text("text")))
-        w = Window.partitionBy("_fp").orderBy("doc_id")
-        local = (
-            tagged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        # within-batch keep-min-id via the combiner-safe groupBy shape
+        # (same policy as the batch operator): a flood of one document
+        # inside a micro-batch must not pile into one window partition
+        keepers = tagged.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+        local = tagged.join(keepers, ["_fp", "doc_id"], "left_semi")
         # explicit schema: an all-duplicates epoch leaves the ledger dir
         # with zero part files, which would fail schema INFERENCE and —
         # under a broad except — silently disable dedup forever. With

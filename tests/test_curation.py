@@ -416,3 +416,34 @@ def test_split_leakage_lsh_matches_exact(spark, docs):
         split_leakage_check(docs, via="nope")
     with pytest.raises(ValueError):
         split_leakage_check(docs, via="lsh", block_col="lang")
+
+
+def test_per_source_cap_salted_prepass_is_exact(spark, docs):
+    """The salted two-stage top-N must reproduce the single-window
+    form bit-for-bit (ids AND ranks), including on a corpus with one
+    mega-source — the retention proof in the docstring, exercised."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators.curation import per_source_cap
+
+    # skew: collapse every source to ONE hot domain for half the rows
+    skewed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example")).otherwise(
+            F.col("source")
+        ).alias("source"),
+        "n_chars",
+    )
+    got = sorted(
+        (r["doc_id"], r["source"], r["rk"])
+        for r in per_source_cap(skewed, cap=37).collect()
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ref = sorted(
+        (r["doc_id"], r["source"], r["rk"])
+        for r in skewed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 37)
+        .collect()
+    )
+    assert got == ref and len(got) > 37  # hot source capped + others

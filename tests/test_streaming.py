@@ -523,9 +523,13 @@ def test_anomaly_stream_flags_planted_spike(spark, tmp_path):
                     (eid, base + dt.timedelta(hours=h, seconds=i), eid, "click", 1.0, "{}")
                 )
                 eid += 1
+        # coalesce(1): each delivery must land as ONE part file (one
+        # atomic rename) — multi-file deliveries can be listed mid-write
+        # by the file source, splitting an hour across micro-batches and
+        # flaking the spike assertion under suite load
         return spark.createDataFrame(
             rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
-        )
+        ).coalesce(1)
 
     # first delivery: hours 0-9; second: hours 10-16 (spike at 12)
     mk(range(0, 10)).write.mode("append").parquet(in_dir)
