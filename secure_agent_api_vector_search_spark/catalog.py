@@ -781,6 +781,15 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.quality_percentile_filter(load_documents(spark, sf_dir), min_pct=0.2)
 
 
+def quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe band-refinement percentile cut
+    (operators/curation.py::quality_percentile_cut) — the hard gate
+    proves its kept SET equals the window form's on the same corpus
+    and threshold (its oracle is the window form minus the per-row
+    percentile column)."""
+    return CU.quality_percentile_cut(load_documents(spark, sf_dir), min_pct=0.2)
+
+
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The corpus is synthetic word soup with no PII, so plant some: a
     # deterministic suffix with an email / phone / IP on every 7th doc
@@ -2614,6 +2623,30 @@ FROM r WHERE q_pctile >= 0.2 ORDER BY doc_id""",
         tags=("curation", "window")))
 
     r.register(NamedQuery(
+        "quality_percentile_cut", quality_percentile_cut,
+        oracle_sql=f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         (CAST({_hits(_STOPS_EN)} AS DOUBLE) / len(string_split(text, ' '))
+          + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0)
+         / 2.0 AS quality
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, quality,
+         PERCENT_RANK() OVER (PARTITION BY lang
+                              ORDER BY quality, doc_id) AS q_pctile
+  FROM q)
+SELECT doc_id, lang, quality
+FROM r WHERE q_pctile >= 0.2 ORDER BY doc_id""",
+        description="[EXT] skew-safe exact percentile cut: quantile-sketch "
+                    "band bracketing (runtime-verified, never trusted) + "
+                    "below-band counts + a window over ONLY the bounded band "
+                    "— the kept set of quality_percentile_filter with no "
+                    "corpus-wide window partition; oracle replays the window "
+                    "form",
+        tags=("curation",)))
+
+    r.register(NamedQuery(
         "pii_redact", pii_redact,
         oracle_sql=r"""
 WITH planted AS (
@@ -3609,6 +3642,11 @@ CHECK_FIRST: tuple[str, ...] = (
     # q1_pricing_summary + q3_shipping_priority stay in window)
     "dedup_incremental_bloom",
     "heavy_hitter_ngrams",
+    # the skew-safe percentile cut (window-free twin of in-window
+    # quality_percentile_filter); displaces dedup_normalized, whose
+    # machinery stays covered in-window by dedup_exact_keep_first,
+    # dedup_components_keep_first, and dedup_incremental
+    "quality_percentile_cut",
     # brand-new in round 6, never driver-checked (12, duplicated_spans
     # through stratified_sample below) — the window's
     # never-checked-first rule puts them ahead of everything; to keep
@@ -3660,7 +3698,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "doc_repetition",
     "duplicate_ngram_stats",
     "dedup_exact_keep_first",
-    "dedup_normalized",
     "dedup_components_keep_first",
     "corpus_curation",
     "pack_sequences",

@@ -85,11 +85,13 @@ def quality_percentile_filter(
     order, so the cut is deterministic and engine-independent (mirrored
     verbatim by the SQL oracle).
 
-    Scale shape: one hash-partition window per group — the same shape
-    as :func:`per_source_cap`; group cardinality (languages) is small
-    but each partition's work is a sort O(|group| log |group|), which
-    AQE skew-split spreads when one language dominates. No collect, no
-    global sort.
+    Scale shape — honest ceiling: the output contract exposes the
+    per-row ``q_pctile``, which requires every row's exact rank, so
+    this runs one window partition per group — ONE sort task per
+    language (AQE skew handling applies to joins, not window
+    exchanges). Fine to ~10^8 rows per language; past that, use
+    :func:`quality_percentile_cut`, which produces the identical kept
+    SET (no per-row percentile column) with no corpus-wide window.
     """
     from secure_agent_api_vector_search_spark.functions import text as X
 
@@ -101,6 +103,157 @@ def quality_percentile_filter(
         .filter(F.col("q_pctile") >= min_pct)
         .select(id_col, group_col, "quality", "q_pctile")
     )
+
+
+def quality_percentile_cut(
+    documents: DataFrame,
+    min_pct: float = 0.2,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    accuracy: int = 10_000,
+    band_cap: int = 5_000_000,
+) -> DataFrame:
+    """Skew-safe EXACT per-group percentile cut — the 100 TB form of
+    :func:`quality_percentile_filter` when the per-row percentile value
+    is not needed: the kept SET is identical (verified against the
+    window form's oracle), with NO corpus-wide window.
+
+    Band refinement in three bounded passes:
+    (1) a Greenwald-Khanna quantile sketch brackets the boundary score
+        per group at ``min_pct ± margin`` (margin = 4/accuracy, wider
+        than the sketch's rank-error guarantee);
+    (2) one conditional aggregate counts, per group, the rows strictly
+        below the band and up to its top — which at runtime PROVES the
+        true boundary lies inside the band (sketch guarantees are
+        verified, not trusted: a violation raises);
+    (3) only the band rows (~2·margin·|group|, capped at ``band_cap``)
+        are ranked by a window; each band row's exact global rank is
+        below-count + band rank, and the keep test evaluates the SAME
+        IEEE expression the window form uses — (rank-1)/(n-1) >= p —
+        so boundary doubles cannot disagree. Rows above the band are
+        kept outright (their rank provably clears the cut).
+
+    Group cardinality must be driver-bounded (languages; per-DOMAIN
+    percentiles need a different design). A heavy tied score atom AT
+    the boundary inflates the band — past ``band_cap`` this raises
+    rather than silently recreating the hot partition.
+
+    Output: (id, group, quality) — :func:`quality_percentile_filter`
+    minus the per-row percentile column.
+    """
+    import math
+
+    from secure_agent_api_vector_search_spark.functions import text as X
+
+    if not 0.0 <= min_pct <= 1.0:
+        raise ValueError(f"min_pct must be in [0, 1], got {min_pct}")
+    spark = documents.sparkSession
+    q = X.quality_score("text")
+    scored = documents.select(
+        F.col(id_col), F.col(group_col), q.alias("quality")
+    ).persist()
+    try:
+        counts = {
+            r[0]: int(r[1]) for r in scored.groupBy(group_col).count().collect()
+        }
+        # the percentile margin must cover >= 4 RANKS to beat the
+        # sketch's error plus rank/percentile conversion conventions;
+        # 4/accuracy ranks only exceeds 4 once n > accuracy, so smaller
+        # groups skip the sketch and take the WHOLE group as the band
+        # (a <= accuracy-row window partition — harmless by definition)
+        margin = 4.0 / accuracy
+        p_lo, p_hi = max(0.0, min_pct - margin), min(1.0, min_pct + margin)
+        big = sorted(g for g, n in counts.items() if n > accuracy)
+        bstats = {}
+        if big:
+            bstats = {
+                r[group_col]: (float(r["b"][0]), float(r["b"][1]))
+                for r in scored.filter(F.col(group_col).isin(big))
+                .groupBy(group_col)
+                .agg(F.percentile_approx("quality", [p_lo, p_hi], accuracy).alias("b"))
+                .collect()
+            }
+
+        # smallest 1-based rank k with (k-1)/(n-1) >= p, under the SAME
+        # double arithmetic percent_rank uses (adjusted, not assumed)
+        def k_of(n: int) -> int:
+            if n <= 1:
+                return 1 if min_pct <= 0.0 else 2  # 2 = unreachable: drop
+            k = max(1, math.ceil(min_pct * (n - 1) + 1) - 1)
+            while k <= n and (k - 1) / (n - 1) < min_pct:
+                k += 1
+            return k
+
+        inf = float("inf")
+        rows = [
+            (g, n, *bstats.get(g, (-inf, inf)), k_of(n))
+            for g, n in sorted(counts.items())
+        ]
+        bounds = F.broadcast(
+            spark.createDataFrame(
+                rows, f"{group_col} string, n long, t_lo double, t_hi double, k long"
+            )
+        )
+        tagged = scored.join(bounds, group_col)
+        checks = (
+            tagged.groupBy(group_col, "n", "k")
+            .agg(
+                F.sum(F.when(F.col("quality") < F.col("t_lo"), 1).otherwise(0))
+                .alias("below"),
+                F.sum(F.when(F.col("quality") <= F.col("t_hi"), 1).otherwise(0))
+                .alias("le_hi"),
+            )
+            .collect()
+        )
+        for c in checks:
+            in_band = c["le_hi"] - c["below"]
+            if in_band > band_cap:
+                raise ValueError(
+                    f"quality_percentile_cut: boundary band for group "
+                    f"{c[group_col]!r} holds {in_band} rows (> band_cap "
+                    f"{band_cap}) — a heavy tied score atom at the cut; "
+                    "raise accuracy or fall back to "
+                    "quality_percentile_filter"
+                )
+            if c["k"] <= c["n"] and not (c["below"] < c["k"] <= c["le_hi"]):
+                raise ValueError(
+                    f"quality_percentile_cut: sketch bracket missed the "
+                    f"boundary for group {c[group_col]!r} "
+                    f"(below={c['below']}, k={c['k']}, le_hi={c['le_hi']}) "
+                    "— raise accuracy"
+                )
+        below_df = F.broadcast(
+            spark.createDataFrame(
+                [(c[group_col], int(c["below"])) for c in checks],
+                f"{group_col} string, below long",
+            )
+        )
+        band = tagged.filter(
+            (F.col("quality") >= F.col("t_lo")) & (F.col("quality") <= F.col("t_hi"))
+        ).join(below_df, group_col)
+        w = Window.partitionBy(group_col).orderBy("quality", id_col)
+        band_kept = (
+            band.withColumn("rank", F.row_number().over(w) + F.col("below"))
+            .filter(
+                (F.col("n") == 1)
+                & F.lit(min_pct <= 0.0)
+                | (F.col("n") > 1)
+                & (
+                    (F.col("rank") - 1).cast("double")
+                    / (F.col("n") - 1).cast("double")
+                    >= F.lit(min_pct)
+                )
+            )
+            .select(id_col, group_col, "quality")
+        )
+        above = tagged.filter(F.col("quality") > F.col("t_hi")).select(
+            id_col, group_col, "quality"
+        )
+        out = band_kept.unionByName(above).persist()
+        out.count()
+        return out
+    finally:
+        scored.unpersist()
 
 
 def pii_redact(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -447,3 +447,41 @@ def test_per_source_cap_salted_prepass_is_exact(spark, docs):
         .collect()
     )
     assert got == ref and len(got) > 37  # hot source capped + others
+
+
+def test_quality_percentile_cut_matches_window_form(spark, docs):
+    """Kept set identical to quality_percentile_filter — with accuracy
+    forced DOWN so every language takes the big-group sketch+band path
+    (the gate corpus would otherwise exercise only whole-group bands)."""
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        quality_percentile_cut,
+        quality_percentile_filter,
+    )
+
+    want = sorted(
+        r["doc_id"] for r in quality_percentile_filter(docs, min_pct=0.2).collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in quality_percentile_cut(docs, min_pct=0.2, accuracy=16).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_quality_percentile_cut_edges_and_band_cap(spark, docs):
+    import pytest as _pytest
+
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        quality_percentile_cut,
+    )
+
+    n = docs.count()
+    assert quality_percentile_cut(docs, min_pct=0.0).count() == n
+    # min_pct=1.0 keeps exactly the per-group maximum row
+    top = quality_percentile_cut(docs, min_pct=1.0)
+    langs = docs.select("lang").distinct().count()
+    assert top.count() == langs
+    with _pytest.raises(ValueError, match="band_cap"):
+        quality_percentile_cut(docs, min_pct=0.2, accuracy=16, band_cap=3)
+    with _pytest.raises(ValueError, match="min_pct"):
+        quality_percentile_cut(docs, min_pct=1.5)
