@@ -122,6 +122,11 @@ HEADLINE = [
     "tokenize_to_ids",
     "video_frame_features",
     "image_neardup",
+    # round-6 session-5 additions: bloom-prefiltered incremental dedup,
+    # exact n-gram heavy hitters, window-free percentile cut
+    "dedup_incremental_bloom",
+    "heavy_hitter_ngrams",
+    "quality_percentile_cut",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

@@ -731,6 +731,29 @@ def duplicate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BOILER = "subscribe to our newsletter for daily updates"
 
+_HTML_PRE = (
+    "<html><head><style>p{margin:0}</style><script>var a=1;</script>"
+    "</head><body><h1>Title</h1><p>"
+)
+_HTML_POST = (
+    '</p><a href="/x">click &amp; subscribe</a><!-- footer --></body></html>'
+)
+
+
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-extraction (operators/textops.py::html_extract) over the
+    documents corpus with every 5th document wrapped in real HTML
+    (head/style/script blocks, headings, an entity-bearing anchor, a
+    comment) — extraction must recover the body text plus the heading
+    and anchor words, decode `&amp;`, and report the anchor share as
+    link_density; non-HTML documents must pass through unchanged."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    wrapped = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)),
+    ).otherwise(F.col("text"))
+    return TX.html_extract(docs.select("doc_id", wrapped.alias("text")))
+
 
 def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over word 3-grams
@@ -2513,6 +2536,53 @@ ORDER BY gram""",
                     "IEEE ceil at integer boundaries",
         tags=("text", "curation")))
 
+    r.register(NamedQuery(
+        "html_extract", html_extract,
+        oracle_sql=f"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN '{_HTML_PRE}' || text || '{_HTML_POST.replace("'", "''")}'
+              ELSE text END AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text,
+           '(?is)<script\\b.*?</script>|<style\\b.*?</style>|<!--.*?-->',
+           ' ', 'g') AS t
+  FROM raw),
+s2 AS (
+  SELECT doc_id, text, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t
+  FROM s1),
+dec AS (
+  SELECT doc_id, text,
+         replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&amp;', '&') AS t
+  FROM s2),
+fin AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(t, '\\s+', ' ', 'g')) AS extracted_text
+  FROM dec),
+anch AS (
+  SELECT doc_id,
+         length(trim(regexp_replace(regexp_replace(
+           array_to_string(
+             regexp_extract_all(text, '(?is)<a\\b[^>]*>(.*?)</a>', 1), ' '),
+           '(?s)<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g'))) AS alen
+  FROM fin)
+SELECT f.doc_id, f.extracted_text,
+       CASE WHEN length(f.extracted_text) > 0
+            THEN CAST(COALESCE(a.alen, 0) AS DOUBLE) / length(f.extracted_text)
+            ELSE 0.0 END AS link_density
+FROM fin f JOIN anch a USING (doc_id) ORDER BY f.doc_id""",
+        description="[EXT] WET extraction: script/style/comment drop, tag "
+                    "strip, entity decode (&amp; last), whitespace collapse, "
+                    "plus jusText-style link_density — all codegen'd JVM "
+                    "regex at scan speed; the oracle replays the identical "
+                    "RE2-compatible patterns so extraction is value-checked",
+        tags=("text", "curation")))
+
     _PACK_STATE = """
 WITH RECURSIVE counted AS (
   SELECT doc_id,
@@ -3647,6 +3717,10 @@ CHECK_FIRST: tuple[str, ...] = (
     # machinery stays covered in-window by dedup_exact_keep_first,
     # dedup_components_keep_first, and dedup_incremental
     "quality_percentile_cut",
+    # WET extraction (planted-HTML corpus); displaces
+    # events_interval_join (interval/event machinery stays covered
+    # in-window by events_sessionize and events_funnel)
+    "html_extract",
     # brand-new in round 6, never driver-checked (12, duplicated_spans
     # through stratified_sample below) — the window's
     # never-checked-first rule puts them ahead of everything; to keep
@@ -3705,7 +3779,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "quality_percentile_filter",
     "events_funnel",
     "events_sessionize",
-    "events_interval_join",
     "orders_window_top3",
     "contamination_check",
     "sessionize_streaming",

@@ -373,3 +373,41 @@ def test_heavy_hitter_ngrams_validation_and_empty(spark):
         heavy_hitter_ngrams(docs, threshold=0.0)
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert heavy_hitter_ngrams(empty).count() == 0
+
+
+# ------------------------------------------------------- html extract
+
+
+def test_html_extract_strips_blocks_decodes_entities(spark):
+    from secure_agent_api_vector_search_spark.operators.textops import html_extract
+
+    html = (
+        "<html><head><style>p{x}</style><script>var a='<p>';</script></head>"
+        "<body><h1>Big Title</h1><!-- hidden --><p>hello &amp;lt; world"
+        "&nbsp;&quot;q&quot;</p><a href='/x'>a <b>link</b></a></body></html>"
+    )
+    docs = spark.createDataFrame(
+        [(1, html), (2, "plain text stays put"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in html_extract(docs).collect()}
+    # &amp;lt; must decode to the LITERAL '&lt;' (amp decodes last)
+    assert out[1]["extracted_text"] == 'Big Title hello &lt; world "q" a link'
+    assert out[1]["link_density"] > 0.1
+    assert out[2]["extracted_text"] == "plain text stays put"
+    assert out[2]["link_density"] == 0.0
+    assert out[3]["extracted_text"] == "" and out[3]["link_density"] == 0.0
+
+
+def test_html_extract_link_density_flags_boilerplate_page(spark):
+    from secure_agent_api_vector_search_spark.operators.textops import html_extract
+
+    nav = "<ul>" + "".join(f"<li><a href='/{i}'>item {i}</a></li>" for i in range(20)) + "</ul>"
+    docs = spark.createDataFrame(
+        [(1, f"<body>{nav}<p>tiny body</p></body>"),
+         (2, "<body><p>" + "real content words " * 50 + "</p><a href='/'>home</a></body>")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["link_density"] for r in html_extract(docs).collect()}
+    assert out[1] > 0.7   # nav page: almost all chars inside anchors
+    assert out[2] < 0.05  # article page
