@@ -303,11 +303,17 @@ def curate_corpus(
     strip_spans_k: int | None = None,
     lm_tail_filter: bool = False,
     lm_source: str = "src0",
+    html_input: bool = False,
+    max_link_density: float = 0.5,
 ) -> dict:
     """The end-to-end training-corpus curation job, raw dump → training
     shards — every stage an operator this engine already gates:
 
         raw JSONL (ingest_formats: PERMISSIVE + quarantine)
+          → [optional, html_input] WET extraction (textops.html_extract):
+            strip markup, decode entities, and drop nav/boilerplate
+            pages whose link_density exceeds ``max_link_density``;
+            n_chars is recounted for rewritten rows only
           → quality gate (token floor + composite score, textops)
           → exact/normalized dedup (keep-min-id, dedup.dedup_exact
             on normalized fingerprints)
@@ -361,6 +367,37 @@ def curate_corpus(
     counts["ingested"] = docs.count()
     counts["quarantined"] = quarantine.count()
     quarantine.write.mode("overwrite").parquet(f"{out_dir}/rejects/parse")
+
+    if html_input:
+        from secure_agent_api_vector_search_spark.operators.textops import (
+            html_extract,
+        )
+
+        ext = html_extract(docs)
+        rewritten = (
+            docs.withColumnRenamed("text", "_raw_text")
+            .withColumnRenamed("n_chars", "_raw_n_chars")
+            .join(ext, "doc_id")
+            .withColumn("text", F.col("extracted_text"))
+            .withColumn(
+                "n_chars",
+                F.when(
+                    F.col("text") != F.col("_raw_text"),
+                    F.length("text").cast("long"),
+                ).otherwise(F.col("_raw_n_chars")),
+            )
+            .drop("extracted_text", "_raw_text", "_raw_n_chars")
+            .persist()
+        )
+        docs = rewritten.filter(
+            F.col("link_density") <= max_link_density
+        ).drop("link_density").persist()
+        counts["after_html_extract"] = docs.count()
+        counts["link_density_dropped"] = counts["ingested"] - counts["after_html_extract"]
+        rewritten.filter(F.col("link_density") > max_link_density).drop(
+            "link_density"
+        ).write.mode("overwrite").parquet(f"{out_dir}/rejects/link_density")
+        rewritten.unpersist()
 
     gated = docs.filter(
         (X.token_count("text") >= min_tokens)

@@ -383,3 +383,63 @@ def test_curate_corpus_span_strip_preserves_untouched_n_chars(spark, docs, tmp_p
     ).collect()
     for r in changed:
         assert r["n_chars"] == len(r["text"])
+
+
+def test_curate_corpus_html_input_stage(spark, docs, tmp_path):
+    """Optional WET front stage: HTML-wrapped docs are extracted (and
+    survive curation with markup gone), nav pages over the
+    link-density cap land in the rejects path, plain docs keep their
+    ingest-supplied n_chars, and the stage arithmetic closes."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.pipelines import curate_corpus
+
+    raw = tmp_path / "raw_html.jsonl"
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    sample = [
+        {k: r[k] for k in cols} for r in docs.filter(F.col("doc_id") < 80).collect()
+    ]
+    nav = "<ul>" + "".join(
+        f"<li><a href='/{i}'>menu item number {i} with words</a></li>"
+        for i in range(30)
+    ) + "</ul><p>tiny</p>"
+    for s in sample:
+        if s["doc_id"] == 11:
+            s["text"] = f"<body><h2>Heading</h2><p>{s['text']}</p></body>"
+        elif s["doc_id"] == 12:
+            s["text"] = nav  # boilerplate page: must be dropped
+    raw.write_text("\n".join(_json.dumps(s) for s in sample) + "\n")
+
+    out = str(tmp_path / "curated_html")
+    counts = curate_corpus(
+        spark, str(raw), out, n_shards=4, min_quality=0.0, min_tokens=3,
+        html_input=True,
+    )
+    assert (counts["after_html_extract"] + counts["link_density_dropped"]
+            == counts["ingested"])
+    assert counts["link_density_dropped"] >= 1
+    rejects = spark.read.parquet(f"{out}/rejects/link_density")
+    assert rejects.filter(F.col("doc_id") == 12).count() == 1
+
+    surviving = []
+    for name in ("train_shards", "val", "test", "eval_reserved"):
+        try:
+            surviving.append(spark.read.parquet(f"{out}/{name}"))
+        except Exception:  # noqa: BLE001
+            pass
+    import functools
+
+    allv = functools.reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), surviving
+    )
+    doc11 = allv.filter(F.col("doc_id") == 11).collect()
+    if doc11:
+        assert "<" not in doc11[0]["text"] and "Heading" in doc11[0]["text"]
+        assert doc11[0]["n_chars"] == len(doc11[0]["text"])
+    # a plain doc keeps its raw n_chars field untouched
+    plain = allv.filter(F.col("doc_id") == 14).collect()
+    orig = {s["doc_id"]: s for s in sample}
+    if plain:
+        assert plain[0]["n_chars"] == orig[14]["n_chars"]
