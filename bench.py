@@ -123,10 +123,14 @@ HEADLINE = [
     "video_frame_features",
     "image_neardup",
     # round-6 session-5 additions: bloom-prefiltered incremental dedup,
-    # exact n-gram heavy hitters, window-free percentile cut
+    # exact n-gram heavy hitters, window-free percentile cut, WET
+    # extraction, and the Q6/Q18 relational shapes
     "dedup_incremental_bloom",
     "heavy_hitter_ngrams",
     "quality_percentile_cut",
+    "html_extract",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

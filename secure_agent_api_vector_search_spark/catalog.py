@@ -321,6 +321,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.q3_shipping_priority(spark, sf_dir)
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q6_forecast_revenue(spark, sf_dir)
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q18_large_volume_customer(spark, sf_dir)
+
+
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.q5_local_supplier_volume(spark, sf_dir)
 
@@ -1913,6 +1921,42 @@ GROUP BY l_orderkey, orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         description="[EXT] TPC-H Q3 shape: broadcast dims into fact, agg, top-k",
         tags=("relational", "join")))
+
+    r.register(NamedQuery(
+        "q6_forecast_revenue", q6_forecast_revenue,
+        oracle_sql="""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+       AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= CAST(0.05 AS DOUBLE)
+  AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24""",
+        description="[EXT] TPC-H Q6 shape: pure predicate-pushdown scan-agg "
+                    "(date range + discount band + quantity cap all reach "
+                    "PushedFilters), decimal-exact revenue",
+        tags=("relational", "agg")))
+
+    r.register(NamedQuery(
+        "q18_large_volume_customer", q18_large_volume_customer,
+        oracle_sql="""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        description="[EXT] TPC-H Q18 shape: having-filtered aggregate drives "
+                    "a 3-way join + bounded top-k; lineitem pre-aggregated to "
+                    "one row per order BEFORE any join",
+        tags=("relational", "join", "agg")))
 
     r.register(NamedQuery(
         "q5_local_supplier_volume", q5_local_supplier_volume,
@@ -3721,6 +3765,12 @@ CHECK_FIRST: tuple[str, ...] = (
     # events_interval_join (interval/event machinery stays covered
     # in-window by events_sessionize and events_funnel)
     "html_extract",
+    # TPC-H Q6/Q18 shapes (pushdown scan-agg; having-driven join);
+    # displace revenue_by_region (agg family — q1 stays in window) and
+    # top_terms_by_lang (term-count machinery — heavy_hitter_ngrams
+    # is in window)
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
     # brand-new in round 6, never driver-checked (12, duplicated_spans
     # through stratified_sample below) — the window's
     # never-checked-first rule puts them ahead of everything; to keep
@@ -3792,12 +3842,10 @@ CHECK_FIRST: tuple[str, ...] = (
     "similarity_join_exact",
     "doc_winnow_fingerprints",
     "lang_profile",
-    "top_terms_by_lang",
     "token_budget_sample",
     "events_retention",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "revenue_by_region",
     "revenue_rollup",
     "orders_semi_late_lines",
     "brand_setops",

@@ -129,6 +129,57 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure pushdown showcase — four scan
+    predicates (date range, discount band, quantity cap) and one
+    decimal aggregate, no shuffle beyond the single partial-agg
+    exchange of ONE row per task. At 100 TB this is the query whose
+    cost is entirely decided by how much the parquet reader can skip:
+    every predicate reaches PushedFilters, and with the events-style
+    date-partitioned or z-ordered layout (sources/layout.py) the date
+    range prunes whole files before a byte is read."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.sum(_dec("l_extendedprice", 12, 2) * _dec("l_discount", 8, 4))
+    return l.agg(F.round(rev, 2).cast("double").alias("revenue"))
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str, min_qty: int = 150) -> DataFrame:
+    """TPC-H Q18 shape: having-filtered aggregate drives a 3-way join
+    + bounded top-k. The lineitem sum is map-side combined down to one
+    row per order BEFORE any join (never join-then-aggregate — the
+    join input shrinks from |lineitem| to |qualifying orders|), the
+    customer dim broadcasts, and the final order is
+    TakeOrderedAndProject (k-sized heap, no global sort)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", 12, 2)).alias("_qty"))
+        .filter(F.col("_qty") > F.lit(min_qty).cast("decimal(12,2)"))
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
