@@ -2586,34 +2586,42 @@ ORDER BY gram""",
 WITH raw AS (
   SELECT doc_id,
          CASE WHEN doc_id % 5 = 0
-              THEN '{_HTML_PRE}' || text || '{_HTML_POST.replace("'", "''")}'
+              THEN '{_HTML_PRE.replace("'", "''")}' || text
+                   || '{_HTML_POST.replace("'", "''")}'
               ELSE text END AS text
   FROM documents),
 s1 AS (
-  SELECT doc_id, text,
+  SELECT doc_id,
          regexp_replace(text,
            '(?is)<script\\b.*?</script>|<style\\b.*?</style>|<!--.*?-->',
-           ' ', 'g') AS t
+           ' ', 'g') AS cleaned
   FROM raw),
 s2 AS (
-  SELECT doc_id, text, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t
+  SELECT doc_id, cleaned,
+         regexp_replace(cleaned, '(?s)<[^>]+>', ' ', 'g') AS t
   FROM s1),
 dec AS (
-  SELECT doc_id, text,
+  SELECT doc_id, cleaned,
          replace(replace(replace(replace(replace(replace(t,
            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
            '&#39;', ''''), '&amp;', '&') AS t
   FROM s2),
 fin AS (
-  SELECT doc_id, text,
+  SELECT doc_id, cleaned,
          trim(regexp_replace(t, '\\s+', ' ', 'g')) AS extracted_text
   FROM dec),
 anch AS (
   SELECT doc_id,
-         length(trim(regexp_replace(regexp_replace(
-           array_to_string(
-             regexp_extract_all(text, '(?is)<a\\b[^>]*>(.*?)</a>', 1), ' '),
-           '(?s)<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g'))) AS alen
+         length(trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               array_to_string(
+                 regexp_extract_all(cleaned, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                 ' '),
+               '(?s)<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&amp;', '&'),
+           '\\s+', ' ', 'g'))) AS alen
   FROM fin)
 SELECT f.doc_id, f.extracted_text,
        CASE WHEN length(f.extracted_text) > 0

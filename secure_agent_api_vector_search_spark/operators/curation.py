@@ -163,7 +163,10 @@ def quality_percentile_cut(
         # (a <= accuracy-row window partition — harmless by definition)
         margin = 4.0 / accuracy
         p_lo, p_hi = max(0.0, min_pct - margin), min(1.0, min_pct + margin)
-        big = sorted(g for g, n in counts.items() if n > accuracy)
+        # NULL is a legitimate group value (the window form treats it
+        # as its own partition); isin() cannot address it, so a big
+        # null group simply takes the whole-group band like small ones
+        big = [g for g, n in counts.items() if n > accuracy and g is not None]
         bstats = {}
         if big:
             bstats = {
@@ -187,14 +190,27 @@ def quality_percentile_cut(
         inf = float("inf")
         rows = [
             (g, n, *bstats.get(g, (-inf, inf)), k_of(n))
-            for g, n in sorted(counts.items())
+            for g, n in counts.items()
         ]
-        bounds = F.broadcast(
-            spark.createDataFrame(
-                rows, f"{group_col} string, n long, t_lo double, t_hi double, k long"
-            )
+        # group type taken from the SOURCE schema (not hardcoded), and
+        # every driver-frame join is null-SAFE so a NULL group flows
+        # through exactly like the window form's NULL partition
+        from pyspark.sql import types as T
+
+        gtype = scored.schema[group_col].dataType
+        bounds_schema = T.StructType(
+            [
+                T.StructField("_g", gtype),
+                T.StructField("n", T.LongType()),
+                T.StructField("t_lo", T.DoubleType()),
+                T.StructField("t_hi", T.DoubleType()),
+                T.StructField("k", T.LongType()),
+            ]
         )
-        tagged = scored.join(bounds, group_col)
+        bounds = F.broadcast(spark.createDataFrame(rows, bounds_schema))
+        tagged = scored.join(
+            bounds, scored[group_col].eqNullSafe(bounds["_g"])
+        ).drop("_g")
         checks = (
             tagged.groupBy(group_col, "n", "k")
             .agg(
@@ -222,15 +238,22 @@ def quality_percentile_cut(
                     f"(below={c['below']}, k={c['k']}, le_hi={c['le_hi']}) "
                     "— raise accuracy"
                 )
+        below_schema = T.StructType(
+            [T.StructField("_g", gtype), T.StructField("below", T.LongType())]
+        )
         below_df = F.broadcast(
             spark.createDataFrame(
-                [(c[group_col], int(c["below"])) for c in checks],
-                f"{group_col} string, below long",
+                [(c[group_col], int(c["below"])) for c in checks], below_schema
             )
         )
-        band = tagged.filter(
-            (F.col("quality") >= F.col("t_lo")) & (F.col("quality") <= F.col("t_hi"))
-        ).join(below_df, group_col)
+        band = (
+            tagged.filter(
+                (F.col("quality") >= F.col("t_lo"))
+                & (F.col("quality") <= F.col("t_hi"))
+            )
+            .join(below_df, tagged[group_col].eqNullSafe(below_df["_g"]))
+            .drop("_g")
+        )
         w = Window.partitionBy(group_col).orderBy("quality", id_col)
         band_kept = (
             band.withColumn("rank", F.row_number().over(w) + F.col("below"))

@@ -477,27 +477,37 @@ def html_extract(
 
     Output: (id, extracted_text, link_density).
     """
+    def _decode_entities(col):
+        for ent, ch in (
+            ("&nbsp;", " "),
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&#39;", "'"),
+            ("&amp;", "&"),
+        ):
+            col = F.regexp_replace(col, ent, ch)
+        return col
+
     t = F.col(text_col)
-    stripped = F.regexp_replace(
-        F.regexp_replace(t, _HTML_DROP_RE, " "), _HTML_TAG_RE, " "
-    )
-    decode = stripped
-    for ent, ch in (
-        ("&nbsp;", " "),
-        ("&lt;", "<"),
-        ("&gt;", ">"),
-        ("&quot;", '"'),
-        ("&#39;", "'"),
-        ("&amp;", "&"),
-    ):
-        decode = F.regexp_replace(decode, ent, ch)
-    extracted = F.trim(F.regexp_replace(decode, r"\s+", " "))
+    # drop script/style/comment blocks FIRST; both the extracted text
+    # and the link-density numerator derive from this cleaned form, so
+    # a commented-out nav menu can never inflate the density of a page
+    # it contributes zero visible characters to
+    cleaned = F.regexp_replace(t, _HTML_DROP_RE, " ")
+    stripped = F.regexp_replace(cleaned, _HTML_TAG_RE, " ")
+    extracted = F.trim(F.regexp_replace(_decode_entities(stripped), r"\s+", " "))
+    # anchor text goes through the SAME tag-strip + entity decode +
+    # collapse as the denominator — numerator and denominator count
+    # the same kind of characters, so density stays in [0, ~1]
     anchor_txt = F.regexp_replace(
-        F.array_join(F.regexp_extract_all(t, F.lit(_HTML_ANCHOR_RE), 1), " "),
+        F.array_join(F.regexp_extract_all(cleaned, F.lit(_HTML_ANCHOR_RE), 1), " "),
         _HTML_TAG_RE,
         " ",
     )
-    anchor_len = F.length(F.trim(F.regexp_replace(anchor_txt, r"\s+", " ")))
+    anchor_len = F.length(
+        F.trim(F.regexp_replace(_decode_entities(anchor_txt), r"\s+", " "))
+    )
     density = F.when(
         F.length(extracted) > 0,
         anchor_len.cast("double") / F.length(extracted).cast("double"),

@@ -104,6 +104,30 @@ def write_merge_table(
     )
 
 
+def _rejoin_rewritten(base: DataFrame, new_texts: DataFrame, new_col: str) -> DataFrame:
+    """Join a (doc_id, <new_col>[, extras]) frame of rewritten texts
+    back onto ``base``, replacing ``text`` and recounting ``n_chars``
+    ONLY for rows the rewrite actually changed — n_chars is a raw
+    ingest-supplied field, so untouched documents must pass through
+    bit-identical (upstream counting conventions preserved). The ONE
+    home of this invariant; both the WET-extraction and span-strip
+    stages of curate_corpus go through it."""
+    return (
+        base.withColumnRenamed("text", "_old_text")
+        .withColumnRenamed("n_chars", "_old_n_chars")
+        .join(new_texts, "doc_id")
+        .withColumn("text", F.col(new_col))
+        .withColumn(
+            "n_chars",
+            F.when(
+                F.col("text") != F.col("_old_text"),
+                F.length("text").cast("long"),
+            ).otherwise(F.col("_old_n_chars")),
+        )
+        .drop(new_col, "_old_text", "_old_n_chars")
+    )
+
+
 def _key_bucket(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
@@ -373,22 +397,9 @@ def curate_corpus(
             html_extract,
         )
 
-        ext = html_extract(docs)
-        rewritten = (
-            docs.withColumnRenamed("text", "_raw_text")
-            .withColumnRenamed("n_chars", "_raw_n_chars")
-            .join(ext, "doc_id")
-            .withColumn("text", F.col("extracted_text"))
-            .withColumn(
-                "n_chars",
-                F.when(
-                    F.col("text") != F.col("_raw_text"),
-                    F.length("text").cast("long"),
-                ).otherwise(F.col("_raw_n_chars")),
-            )
-            .drop("extracted_text", "_raw_text", "_raw_n_chars")
-            .persist()
-        )
+        rewritten = _rejoin_rewritten(
+            docs, html_extract(docs), "extracted_text"
+        ).persist()
         docs = rewritten.filter(
             F.col("link_density") <= max_link_density
         ).drop("link_density").persist()
@@ -430,25 +441,9 @@ def curate_corpus(
         )
 
         stripped = strip_dup_spans(deduped, k=strip_spans_k)
-        # n_chars is a raw ingest-supplied field, not derived from text:
-        # rewrite it ONLY for rows the strip actually changed, so an
-        # untouched document passes through bit-identical (upstream
-        # counting conventions preserved)
-        rejoined = (
-            deduped.withColumnRenamed("text", "_old_text")
-            .withColumnRenamed("n_chars", "_old_n_chars")
-            .join(stripped.withColumnRenamed("text", "_new_text"), "doc_id")
-            .withColumn("text", F.col("_new_text"))
-            .withColumn(
-                "n_chars",
-                F.when(
-                    F.col("text") != F.col("_old_text"),
-                    F.length("text").cast("long"),
-                ).otherwise(F.col("_old_n_chars")),
-            )
-            .drop("_new_text", "_old_text", "_old_n_chars")
-            .persist()
-        )
+        rejoined = _rejoin_rewritten(
+            deduped, stripped.withColumnRenamed("text", "_new_text"), "_new_text"
+        ).persist()
         kept_after_strip = rejoined.filter(F.col("text") != "")
         counts["span_emptied"] = rejoined.filter(F.col("text") == "").count()
         # changed-but-kept rows (boilerplate removed, doc retained)

@@ -40,13 +40,26 @@ _NUMERIC = ("int", "bigint", "smallint", "tinyint", "double", "float",
             "date", "timestamp", "decimal")
 
 
+def _as_double(df: DataFrame, col: str) -> Column | None:
+    """``col`` as a double expression for rank math, or None for
+    non-numeric types (which hash instead). Dates/timestamps rank by
+    epoch seconds — the headline z-order use case is a time column."""
+    dt = dict(df.dtypes)[col]
+    if not any(dt.startswith(t) for t in _NUMERIC):
+        return None
+    c = F.col(col)
+    if dt.startswith("date") or dt.startswith("timestamp"):
+        c = c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
 def _bucket_col(df: DataFrame, col: str, bits: int, lo, hi) -> Column:
     """Rank ``col`` into [0, 2^bits): linear scaling for numerics
-    (driver-known lo/hi), hash for strings. Nulls land in bucket 0."""
+    (driver-known lo/hi, already in double epoch form for time types),
+    hash for strings. Nulls land in bucket 0."""
     cap = (1 << bits) - 1
-    dt = dict(df.dtypes)[col]
-    if any(dt.startswith(t) for t in _NUMERIC):
-        c = F.col(col).cast("double")
+    c = _as_double(df, col)
+    if c is not None:
         lo_f, hi_f = float(lo), float(hi)
         if hi_f <= lo_f:
             return F.lit(0).cast("long")
@@ -74,7 +87,11 @@ def _quantile_bucket(df: DataFrame, col: str, bits: int) -> Column:
     WRITE path only, never the read path."""
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.stat.approxQuantile(col, probs, 1.0 / (4 * n_buckets))
+    dcol = _as_double(df, col)
+    # approxQuantile rejects time types: sketch over the derived double
+    cuts = df.select(dcol.alias("_q")).stat.approxQuantile(
+        "_q", probs, 1.0 / (4 * n_buckets)
+    )
     arr = np.asarray(cuts, dtype=np.float64)
     cap = n_buckets - 1
 
@@ -85,7 +102,7 @@ def _quantile_bucket(df: DataFrame, col: str, bits: int) -> Column:
         res[~np.isfinite(x)] = 0  # nulls/NaN -> bucket 0, like linear mode
         return pd.Series(np.minimum(res, cap))
 
-    return bucket(F.col(col).cast("double"))
+    return bucket(dcol)
 
 
 def zorder_key(buckets: list[Column], bits: int) -> Column:
@@ -148,10 +165,18 @@ def write_zordered(
     else:
         aggs = []
         for c in cols:
-            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
-        stats = df.agg(*aggs).first()
+            # min/max over the DOUBLE form, so time columns yield epoch
+            # scalars the bucket math can consume (not datetimes)
+            d = _as_double(df, c)
+            if d is not None:
+                aggs += [F.min(d).alias(f"_lo_{c}"), F.max(d).alias(f"_hi_{c}")]
+        stats = df.agg(*aggs).first() if aggs else {}
         buckets = [
-            _bucket_col(df, c, bits, stats[f"_lo_{c}"], stats[f"_hi_{c}"])
+            _bucket_col(
+                df, c, bits,
+                stats[f"_lo_{c}"] if c in numeric else None,
+                stats[f"_hi_{c}"] if c in numeric else None,
+            )
             for c in cols
         ]
     (
@@ -180,13 +205,20 @@ def compact_parquet(
     directory holds more files than the target layout AND at least one
     file is under ``small_frac * target_file_bytes``. The rewrite is
     coalesce (merge-only, NO shuffle — small files pack into fewer
-    tasks) into a temp sibling, swapped in by the same atomic
-    delete+rename discipline as the IVF rebuild (sources/fsutil.py),
-    so readers never see a partially rewritten directory.
+    tasks) into a temp sibling.
+
+    Swap discipline — this is PRIMARY data, so no step may delete the
+    only copy: the live directory is RENAMED to a backup sibling, the
+    rewrite renamed into place, and only then is the backup deleted.
+    Each rename is atomic on HDFS-compatible stores; a crash between
+    the two renames leaves the data intact at ``{path}_compact_bak``
+    (recoverable by hand, never lost), at the cost of a brief window
+    where ``path`` does not resolve — the honest limit of
+    swap-by-rename without a transactional metastore.
 
     Returns {files_before, files_after, bytes, rewritten}.
     """
-    from secure_agent_api_vector_search_spark.sources.fsutil import fs_delete, fs_swap
+    from secure_agent_api_vector_search_spark.sources.fsutil import fs_delete
 
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -206,14 +238,24 @@ def compact_parquet(
         out["files_after"] = len(sizes)
         return out
     tmp = f"{path}_compact_tmp"
+    bak = f"{path}_compact_bak"
     (
         spark.read.parquet(path)
         .coalesce(int(n_target))
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    fs_swap(spark, tmp, path)
-    fs_delete(spark, tmp)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
+    if fs.exists(bak_p):
+        fs.delete(bak_p, True)  # stale backup from an older crashed run
+    if not fs.rename(p, bak_p):
+        raise IOError(f"compact: rename {path!r} -> {bak!r} failed")
+    if not fs.rename(tmp_p, p):
+        # put the original back rather than leave the path dangling
+        fs.rename(bak_p, p)
+        raise IOError(f"compact: rename {tmp!r} -> {path!r} failed")
+    fs_delete(spark, bak)
     out["files_after"] = sum(
         1
         for st in fs.listStatus(p)

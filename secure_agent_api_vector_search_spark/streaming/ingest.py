@@ -158,9 +158,15 @@ def start_fingerprint_dedup_ingest(
         tagged = batch_df.withColumn("_fp", F.md5(X.normalized_text("text")))
         # within-batch keep-min-id via the combiner-safe groupBy shape
         # (same policy as the batch operator): a flood of one document
-        # inside a micro-batch must not pile into one window partition
+        # inside a micro-batch must not pile into one window partition.
+        # The trailing dropDuplicates guards the retrying-producer case
+        # — the same (doc_id, text) row landing twice in one trigger
+        # matches the keeper twice; exactly one row per fingerprint may
+        # proceed (the row_number semantics, kept combiner-safe)
         keepers = tagged.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
-        local = tagged.join(keepers, ["_fp", "doc_id"], "left_semi")
+        local = tagged.join(keepers, ["_fp", "doc_id"], "left_semi").dropDuplicates(
+            ["_fp"]
+        )
         # explicit schema: an all-duplicates epoch leaves the ledger dir
         # with zero part files, which would fail schema INFERENCE and —
         # under a broad except — silently disable dedup forever. With

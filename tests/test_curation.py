@@ -485,3 +485,29 @@ def test_quality_percentile_cut_edges_and_band_cap(spark, docs):
         quality_percentile_cut(docs, min_pct=0.2, accuracy=16, band_cap=3)
     with _pytest.raises(ValueError, match="min_pct"):
         quality_percentile_cut(docs, min_pct=1.5)
+
+
+def test_quality_percentile_cut_null_group_matches_window_form(spark, docs):
+    """NULL is a legitimate group value: the cut must keep exactly the
+    rows the window form keeps when some docs carry lang=NULL."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        quality_percentile_cut,
+        quality_percentile_filter,
+    )
+
+    nulled = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ).alias("lang"),
+        "text",
+    )
+    want = sorted(
+        r["doc_id"] for r in quality_percentile_filter(nulled, min_pct=0.2).collect()
+    )
+    got = sorted(
+        r["doc_id"] for r in quality_percentile_cut(nulled, min_pct=0.2).collect()
+    )
+    assert got == want and len(got) > 0

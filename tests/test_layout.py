@@ -162,3 +162,28 @@ def test_zorder_quantile_mode_beats_linear_on_skew(spark, tmp_path):
     # tl = 16): pin only the robust claims — strictly better than the
     # linear layout AND meaningfully below a full scan
     assert tq <= len(zq) - 2
+
+
+def test_zorder_on_timestamp_column(spark, tmp_path):
+    """The headline use case — clustering on a time column — must work
+    in both rank modes (time types rank by epoch seconds)."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.sources.layout import (
+        files_touched,
+        write_zordered,
+        zone_map,
+    )
+
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("row_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("ts"),
+        (F.xxhash64("id") % 1000).alias("k"),
+    )
+    for mode in ("linear", "quantile"):
+        p = str(tmp_path / f"ts_{mode}")
+        write_zordered(df, p, ["ts", "k"], n_files=8, rank=mode)
+        got = spark.read.parquet(p)
+        assert got.count() == 20_000
+        zones = zone_map(p, ["row_id"])
+        assert len(zones) >= 7

@@ -411,3 +411,27 @@ def test_html_extract_link_density_flags_boilerplate_page(spark):
     out = {r["doc_id"]: r["link_density"] for r in html_extract(docs).collect()}
     assert out[1] > 0.7   # nav page: almost all chars inside anchors
     assert out[2] < 0.05  # article page
+
+
+def test_html_extract_density_ignores_commented_nav_and_entities(spark):
+    """Anchors inside comments/script contribute nothing to the page,
+    so they must not inflate link_density (the numerator derives from
+    the same cleaned text as the denominator); entity-bearing anchors
+    count decoded characters, keeping density <= 1."""
+    from secure_agent_api_vector_search_spark.operators.textops import html_extract
+
+    commented_nav = "<!--" + "".join(
+        f"<a href='/{i}'>hidden menu {i}</a>" for i in range(30)
+    ) + "-->"
+    docs = spark.createDataFrame(
+        [
+            (1, f"<body>{commented_nav}<p>real article body with many words "
+                "kept visible to the reader</p></body>"),
+            (2, "<body><a>&amp;&amp;</a></body>"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in html_extract(docs).collect()}
+    assert out[1]["link_density"] == 0.0  # hidden menu contributes zero
+    assert out[2]["extracted_text"] == "&&"
+    assert out[2]["link_density"] == 1.0  # decoded chars, not raw entity
