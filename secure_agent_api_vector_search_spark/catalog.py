@@ -778,6 +778,26 @@ def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.heavy_hitter_ngrams(docs.unionAll(boiler), n=3, threshold=1e-4)
 
 
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a small BPE merge table on the documents corpus (strict
+    greedy, driver loop — the vocab fits) and tokenize every document
+    with it (operators/bpe.py). Output: (doc_id, n_tokens, tokens_md5)
+    — the token stream digested to a scalar so the rows-only check
+    still pins content, not just counts."""
+    from secure_agent_api_vector_search_spark.operators.bpe import (
+        bpe_tokenize,
+        train_bpe,
+    )
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    merges = train_bpe(docs, n_merges=64, batch_k=8)
+    return bpe_tokenize(docs, merges).select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws("", F.col("tokens"))).alias("tokens_md5"),
+    )
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked form: id-mod sharding (DuckDB replays the exact
     next-fit packing with a recursive CTE; production default is the
@@ -3539,6 +3559,17 @@ ORDER BY id_a, id_b""",
                     "cluster-keyed applyInPandas screen, no all-pairs join; "
                     "witness + determinism invariants in tests/test_semdedup.py",
         tags=("dedup", "vector")))
+    r.register(NamedQuery(
+        "bpe_tokenize_corpus", bpe_tokenize_corpus,
+        description="[EXT] BPE subword train + tokenize (Sennrich et al. "
+                    "2016): merge loop over the word-frequency table (never "
+                    "the corpus), driver-local under a vocab cap / cached "
+                    "distributed rounds above it; iterative training is "
+                    "SQL-inexpressible, so rows-only here — strict-mode "
+                    "merges are token-for-token parity-tested against an "
+                    "independent reference implementation AND the "
+                    "distributed path in tests/test_bpe.py",
+        tags=("text", "tokenize")))
     r.register(NamedQuery(
         "similarity_join_lsh", similarity_join_lsh,
         description="[EXT] A×B similarity join through shared LSH buckets "

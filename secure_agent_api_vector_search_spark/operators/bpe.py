@@ -1,0 +1,296 @@
+"""Distributed BPE (byte-pair-encoding) subword training + tokenizer.
+
+[EXT] operators (SURVEY.md §2.10): the subword-vocabulary step of a
+training-data pipeline — the reference has no tokenizer at all (its
+text goes straight to an embedding endpoint, tools.yaml:24); this is
+the Sennrich et al. 2016 algorithm re-expressed Spark-first.
+
+Scale shape — the whole design: BPE never iterates over the CORPUS.
+One scan reduces the corpus to the word-frequency table (groupBy word,
+map-side combined; vocabulary-bounded, not corpus-bounded), and every
+merge round runs on that table alone: explode adjacent symbol pairs
+weighted by word count → one aggregate → pick winners on the driver
+(bounded: top-k rows) → apply the merges with one Arrow-batched map.
+The words frame stays cached and is replaced per round, so a round is
+two narrow jobs over ~|vocab| rows regardless of corpus size.
+
+Strict mode (``batch_k=1``) reproduces the canonical greedy algorithm
+exactly — one merge per round, ties broken (count desc, pair lexical
+asc) — and is parity-tested token-for-token against a pure-Python
+reference. Batched mode applies the top ``batch_k`` pairwise
+NON-TOUCHING pairs per round (no shared symbol, so no interaction —
+each batched merge produces exactly what strict mode would have
+produced had those pairs won consecutive rounds); it cuts driver
+round-trips ~batch_k× at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EOW = "▁"  # end-of-word marker (the sentencepiece block char)
+
+
+def _word_counts(documents: DataFrame, text_col: str) -> DataFrame:
+    ws = F.split(F.regexp_replace(F.trim(F.col(text_col)), " +", " "), " ")
+    return (
+        documents.select(F.explode(ws).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _symbolize(words: DataFrame) -> DataFrame:
+    """word → initial symbol sequence: characters + end-of-word mark."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "syms": [list(w) + [_EOW] for w in pdf["word"]],
+                    "cnt": pdf["cnt"],
+                }
+            )
+
+    return words.mapInPandas(op, schema="syms array<string>, cnt long")
+
+
+def _pair_counts(symbolized: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the weighted word table — the one
+    aggregate of each merge round. arrays_zip of two slices (codegen),
+    weighted by word count, map-side combined."""
+    n = F.greatest(F.size("syms") - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(F.col("syms"), 1, n), F.slice(F.col("syms"), 2, n)
+    )
+    return (
+        symbolized.filter(F.size("syms") >= 2)
+        .select(F.explode(zipped).alias("p"), "cnt")
+        .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"), "cnt")
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _apply_merges(symbolized: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Rewrite every word's symbol sequence with the round's winning
+    merges (left-to-right single pass per merge — canonical BPE)."""
+    pairs = [(a, b, a + b) for a, b in merges]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for syms in pdf["syms"]:
+                s = list(syms)
+                for a, b, ab in pairs:
+                    i, res = 0, []
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            res.append(ab)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    s = res
+                out.append(s)
+            yield pd.DataFrame({"syms": out, "cnt": pdf["cnt"]})
+
+    return symbolized.mapInPandas(op, schema="syms array<string>, cnt long")
+
+
+def _pick_non_touching(
+    ranked: list[tuple[str, str]], want: int
+) -> list[tuple[str, str]]:
+    """Greedy batch selection: top pairs that share no symbol (and
+    none's concatenation is another's operand), so applying them
+    together equals applying them in consecutive strict rounds."""
+    picked: list[tuple[str, str]] = []
+    touched: set[str] = set()
+    for a, b in ranked:
+        if a in touched or b in touched or a + b in touched:
+            continue
+        picked.append((a, b))
+        touched.update((a, b, a + b))
+        if len(picked) >= want:
+            break
+    return picked
+
+
+def _local_bpe(
+    word_counts: list[tuple[str, int]],
+    n_merges: int,
+    batch_k: int,
+    min_count: int,
+) -> list[tuple[str, str]]:
+    """The SAME round logic as the distributed loop, run in-process on
+    a collected (word, count) table — the correct strategy whenever the
+    vocabulary fits the driver, where per-round Spark job latency would
+    dwarf the work. Tie-break and batching identical by construction
+    (parity-tested both against a reference implementation and against
+    the distributed path)."""
+    from collections import Counter
+
+    seqs = {w: tuple(list(w) + [_EOW]) for w, _ in word_counts}
+    counts = dict(word_counts)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        pairs: Counter = Counter()
+        for w, c in counts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        ranked = sorted(
+            ((p, n) for p, n in pairs.items() if n >= min_count),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        if not ranked:
+            break
+        want = min(batch_k, n_merges - len(merges))
+        picked = _pick_non_touching([p for p, _ in ranked], want)
+        merges.extend(picked)
+        for a, b in picked:
+            for w, s in seqs.items():
+                i, res = 0, []
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                seqs[w] = tuple(res)
+    return merges
+
+
+def train_bpe(
+    documents: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    batch_k: int = 1,
+    min_count: int = 2,
+    driver_vocab_cap: int = 200_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    ordered merge list (rank = position). ``batch_k=1`` is canonical
+    greedy BPE; ``batch_k>1`` applies that many NON-TOUCHING top pairs
+    per round (identical merges when none interact, ~k× fewer rounds).
+    Stops early when no pair reaches ``min_count``.
+
+    Strategy split: the corpus reduces to the word-frequency table in
+    ONE distributed scan regardless; the merge loop then runs on the
+    driver when the distinct-word count fits ``driver_vocab_cap``
+    (per-round job latency would dominate by orders of magnitude on a
+    small vocabulary), and as cached distributed rounds above it —
+    same round logic either way, parity-tested.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if batch_k < 1:
+        raise ValueError("batch_k must be >= 1")
+    wc = _word_counts(documents, text_col)
+    if wc.count() <= driver_vocab_cap:
+        rows = [(r["word"], int(r["cnt"])) for r in wc.collect()]
+        return _local_bpe(rows, n_merges, batch_k, min_count)
+    words = _symbolize(wc).persist()
+    words.count()
+    merges: list[tuple[str, str]] = []
+    try:
+        while len(merges) < n_merges:
+            want = min(batch_k, n_merges - len(merges))
+            # pull a few times the batch so the non-touching filter has
+            # slack; driver memory stays bounded by 4*batch_k rows
+            top = (
+                _pair_counts(words)
+                .filter(F.col("n") >= min_count)
+                .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+                .limit(4 * want)
+                .collect()
+            )
+            if not top:
+                break
+            picked = _pick_non_touching([(r["a"], r["b"]) for r in top], want)
+            merges.extend(picked)
+            nxt = _apply_merges(words, picked).persist()
+            nxt.count()
+            words.unpersist()
+            words = nxt
+        return merges
+    finally:
+        words.unpersist()
+
+
+def bpe_tokenize(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned merge table: per word, repeatedly apply
+    the LOWEST-RANK applicable merge (canonical BPE inference). One
+    Arrow-batched map over the corpus, merge ranks broadcast in the
+    closure; unseen character pairs simply never merge, so OOV words
+    fall back to characters — no failure mode.
+
+    Output: (id, tokens array<string>, n_tokens).
+    """
+    rank = {(a, b): i for i, (a, b) in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        s = list(word) + [_EOW]
+        while len(s) >= 2:
+            best, best_rank = None, None
+            for i in range(len(s) - 1):
+                r = rank.get((s[i], s[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            a, b = s[best], s[best + 1]
+            i, res = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            s = res
+        cache[word] = s
+        return s
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = []
+            for text in pdf[text_col]:
+                words = [w for w in (text or "").strip().split() if w]
+                doc: list[str] = []
+                for w in words:
+                    doc.extend(encode_word(w, cache))
+                toks.append(doc)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    return documents.select(id_col, text_col).mapInPandas(
+        op, schema=f"{id_col} long, tokens array<string>, n_tokens long"
+    )

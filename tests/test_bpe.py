@@ -1,0 +1,121 @@
+"""Distributed BPE trainer/tokenizer vs a pure-Python reference
+implementation of canonical greedy BPE (Sennrich et al. 2016)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from secure_agent_api_vector_search_spark.operators.bpe import (
+    _EOW,
+    bpe_tokenize,
+    train_bpe,
+)
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest newest newest",
+    "newest newest widest widest widest",
+    "the cat sat on the mat the cat",
+]
+
+
+def _ref_bpe(texts, n_merges, min_count=2):
+    """Reference canonical BPE: one merge per round, ties broken
+    (count desc, pair lexical asc) — deliberately independent code."""
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w] += 1
+    seqs = {w: tuple(list(w) + [_EOW]) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, c in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        pairs = {p: n for p, n in pairs.items() if n >= min_count}
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        a, b = best
+        merges.append(best)
+        for w in seqs:
+            s, i, res = seqs[w], 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            seqs[w] = tuple(res)
+    return merges, seqs
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+
+
+def test_train_bpe_strict_matches_reference(spark, corpus_df):
+    want, _ = _ref_bpe(CORPUS, 12)
+    got = train_bpe(corpus_df, n_merges=12, batch_k=1)
+    assert got == want and len(got) == 12
+
+
+def test_train_bpe_early_stop_when_no_pair_qualifies(spark, corpus_df):
+    got = train_bpe(corpus_df, n_merges=500, batch_k=1, min_count=2)
+    want, _ = _ref_bpe(CORPUS, 500)
+    assert got == want and len(got) < 500  # corpus exhausts merges
+
+
+def test_train_bpe_distributed_rounds_match_driver_loop(spark, corpus_df):
+    """driver_vocab_cap=0 forces the cached distributed merge rounds;
+    strict mode must produce the identical merge sequence the driver
+    loop (and thus the reference) produces."""
+    local = train_bpe(corpus_df, n_merges=4, batch_k=1)
+    dist = train_bpe(corpus_df, n_merges=4, batch_k=1, driver_vocab_cap=0)
+    assert dist == local and len(dist) == 4
+
+
+def test_bpe_tokenize_matches_reference_segmentation(spark, corpus_df):
+    merges, seqs = _ref_bpe(CORPUS, 12)
+    out = {r["doc_id"]: r for r in bpe_tokenize(corpus_df, merges).collect()}
+    for i, t in enumerate(CORPUS):
+        want = []
+        for w in t.split():
+            want.extend(seqs[w])
+        assert list(out[i]["tokens"]) == want
+        assert out[i]["n_tokens"] == len(want)
+
+
+def test_bpe_tokenize_oov_falls_back_to_characters(spark, corpus_df):
+    merges = train_bpe(corpus_df, n_merges=8, batch_k=1)
+    unseen = spark.createDataFrame([(9, "zqxj")], "doc_id long, text string")
+    row = bpe_tokenize(unseen, merges).head()
+    assert list(row["tokens"]) == ["z", "q", "x", "j", _EOW]
+
+
+def test_train_bpe_batched_is_valid_and_lossless(spark, corpus_df):
+    """Batched mode may reorder picks but every merge must be a real
+    concatenation, ranks must be usable for inference, and tokens must
+    reconstruct the exact text (BPE is lossless by construction)."""
+    merges = train_bpe(corpus_df, n_merges=12, batch_k=4)
+    assert 0 < len(merges) <= 12
+    assert len(set(merges)) == len(merges)
+    toks = bpe_tokenize(corpus_df, merges).collect()
+    for r in toks:
+        rebuilt = "".join(r["tokens"]).replace(_EOW, " ").strip()
+        assert rebuilt == CORPUS[r["doc_id"]]
+
+
+def test_train_bpe_validation(spark, corpus_df):
+    with pytest.raises(ValueError):
+        train_bpe(corpus_df, n_merges=0)
+    with pytest.raises(ValueError):
+        train_bpe(corpus_df, batch_k=0)
