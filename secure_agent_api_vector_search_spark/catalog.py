@@ -794,7 +794,10 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize(docs, merges).select(
         "doc_id",
         "n_tokens",
-        F.md5(F.concat_ws("", F.col("tokens"))).alias("tokens_md5"),
+        # the separator pins token BOUNDARIES: BPE is lossless, so an
+        # unseparated concat would reconstruct the input regardless of
+        # segmentation and the digest would not see the learned merges
+        F.md5(F.concat_ws(" ", F.col("tokens"))).alias("tokens_md5"),
     )
 
 

@@ -35,9 +35,22 @@ from pyspark.sql import functions as F
 
 _EOW = "▁"  # end-of-word marker (the sentencepiece block char)
 
+# ONE whitespace definition for train AND tokenize: the ASCII class
+# Java regex \s matches. Training (JVM regex) and inference (Python re)
+# must split words identically or the merge table never corresponds to
+# the tokenized stream — pinned by a tab/newline corpus test.
+_WS_JAVA = "[ \\t\\n\\x0B\\f\\r]+"
+_WS_PY = "[ \t\n\x0b\f\r]+"
+
+
+def _py_words(text: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(_WS_PY, (text or "").strip()) if w]
+
 
 def _word_counts(documents: DataFrame, text_col: str) -> DataFrame:
-    ws = F.split(F.regexp_replace(F.trim(F.col(text_col)), " +", " "), " ")
+    ws = F.split(F.trim(F.col(text_col)), _WS_JAVA)
     return (
         documents.select(F.explode(ws).alias("word"))
         .filter(F.col("word") != "")
@@ -135,9 +148,10 @@ def _local_bpe(
     """The SAME round logic as the distributed loop, run in-process on
     a collected (word, count) table — the correct strategy whenever the
     vocabulary fits the driver, where per-round Spark job latency would
-    dwarf the work. Tie-break and batching identical by construction
-    (parity-tested both against a reference implementation and against
-    the distributed path)."""
+    dwarf the work. Tie-break, candidate-window width, and batching
+    identical by construction (parity-tested both against a reference
+    implementation and against the distributed path, strict and
+    batched)."""
     from collections import Counter
 
     seqs = {w: tuple(list(w) + [_EOW]) for w, _ in word_counts}
@@ -156,7 +170,11 @@ def _local_bpe(
         if not ranked:
             break
         want = min(batch_k, n_merges - len(merges))
-        picked = _pick_non_touching([p for p, _ in ranked], want)
+        # the non-touching scan looks at the SAME 4*want-row window the
+        # distributed path collects — both paths defer identically when
+        # the window is all-touching, so the two strategies stay merge-
+        # for-merge identical at any batch_k (cross-path parity-tested)
+        picked = _pick_non_touching([p for p, _ in ranked[: 4 * want]], want)
         merges.extend(picked)
         for a, b in picked:
             for w, s in seqs.items():
@@ -197,12 +215,15 @@ def train_bpe(
         raise ValueError("n_merges must be >= 1")
     if batch_k < 1:
         raise ValueError("batch_k must be >= 1")
-    wc = _word_counts(documents, text_col)
-    if wc.count() <= driver_vocab_cap:
-        rows = [(r["word"], int(r["cnt"])) for r in wc.collect()]
-        return _local_bpe(rows, n_merges, batch_k, min_count)
-    words = _symbolize(wc).persist()
-    words.count()
+    wc = _word_counts(documents, text_col).persist()
+    try:
+        if wc.count() <= driver_vocab_cap:
+            rows = [(r["word"], int(r["cnt"])) for r in wc.collect()]
+            return _local_bpe(rows, n_merges, batch_k, min_count)
+        words = _symbolize(wc).persist()
+        words.count()
+    finally:
+        wc.unpersist()
     merges: list[tuple[str, str]] = []
     try:
         while len(merges) < n_merges:
@@ -278,7 +299,7 @@ def bpe_tokenize(
                 continue
             toks = []
             for text in pdf[text_col]:
-                words = [w for w in (text or "").strip().split() if w]
+                words = _py_words(text)
                 doc: list[str] = []
                 for w in words:
                     doc.extend(encode_word(w, cache))
@@ -291,6 +312,7 @@ def bpe_tokenize(
                 }
             )
 
+    id_type = documents.schema[id_col].dataType.simpleString()
     return documents.select(id_col, text_col).mapInPandas(
-        op, schema=f"{id_col} long, tokens array<string>, n_tokens long"
+        op, schema=f"{id_col} {id_type}, tokens array<string>, n_tokens long"
     )

@@ -60,6 +60,8 @@ def _bucket_col(df: DataFrame, col: str, bits: int, lo, hi) -> Column:
     cap = (1 << bits) - 1
     c = _as_double(df, col)
     if c is not None:
+        if lo is None or hi is None:  # all-NULL column: everything bucket 0
+            return F.lit(0).cast("long")
         lo_f, hi_f = float(lo), float(hi)
         if hi_f <= lo_f:
             return F.lit(0).cast("long")
@@ -252,8 +254,14 @@ def compact_parquet(
     if not fs.rename(p, bak_p):
         raise IOError(f"compact: rename {path!r} -> {bak!r} failed")
     if not fs.rename(tmp_p, p):
-        # put the original back rather than leave the path dangling
-        fs.rename(bak_p, p)
+        # put the original back rather than leave the path dangling —
+        # and if even that fails, say exactly where the data lives
+        if not fs.rename(bak_p, p):
+            raise IOError(
+                f"compact: rename {tmp!r} -> {path!r} failed AND restoring "
+                f"the original failed — the primary data is intact at "
+                f"{bak!r}; rename it back to {path!r} by hand"
+            )
         raise IOError(f"compact: rename {tmp!r} -> {path!r} failed")
     fs_delete(spark, bak)
     out["files_after"] = sum(

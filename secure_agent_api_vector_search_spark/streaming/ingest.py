@@ -156,16 +156,19 @@ def start_fingerprint_dedup_ingest(
         if batch_df.isEmpty():
             return
         tagged = batch_df.withColumn("_fp", F.md5(X.normalized_text("text")))
-        # within-batch keep-min-id via the combiner-safe groupBy shape
-        # (same policy as the batch operator): a flood of one document
-        # inside a micro-batch must not pile into one window partition.
-        # The trailing dropDuplicates guards the retrying-producer case
-        # — the same (doc_id, text) row landing twice in one trigger
-        # matches the keeper twice; exactly one row per fingerprint may
-        # proceed (the row_number semantics, kept combiner-safe)
-        keepers = tagged.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
-        local = tagged.join(keepers, ["_fp", "doc_id"], "left_semi").dropDuplicates(
-            ["_fp"]
+        # within-batch keep-min-id via ONE combiner-safe aggregate: a
+        # flood of one document inside a micro-batch must not pile into
+        # a window partition, and min over the FULL row struct (doc_id
+        # leads, so the policy is still keep-min-id) makes the
+        # representative a deterministic function of the batch CONTENTS
+        # — retried duplicate rows collapse, and replay cannot pick a
+        # different row the way dropDuplicates' partition-order pick
+        # could
+        cols = [c for c in tagged.columns if c != "_fp"]
+        local = (
+            tagged.groupBy("_fp")
+            .agg(F.min(F.struct(*cols)).alias("_r"))
+            .select("_fp", "_r.*")
         )
         # explicit schema: an all-duplicates epoch leaves the ledger dir
         # with zero part files, which would fail schema INFERENCE and —

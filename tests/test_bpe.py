@@ -119,3 +119,33 @@ def test_train_bpe_validation(spark, corpus_df):
         train_bpe(corpus_df, n_merges=0)
     with pytest.raises(ValueError):
         train_bpe(corpus_df, batch_k=0)
+
+
+def test_train_and_tokenize_agree_on_whitespace(spark):
+    """Tab/newline corpora: training and inference must split words
+    identically or the merge table never matches the token stream."""
+    rows = [(1, "low\tlow\nlow low"), (2, "newest\nnewest\tnewest newest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=6, batch_k=1)
+    flat = ["low"] * 4 + ["newest"] * 4
+    want, seqs = _ref_bpe([" ".join(flat)], 6)
+    assert merges == want
+    out = {r["doc_id"]: list(r["tokens"]) for r in bpe_tokenize(df, merges).collect()}
+    assert out[1] == [t for _ in range(4) for t in seqs["low"]]
+    assert out[2] == [t for _ in range(4) for t in seqs["newest"]]
+
+
+def test_train_bpe_batched_cross_path_parity(spark, corpus_df):
+    """Batched mode must pick merge-for-merge identically on the
+    driver-local and distributed paths (same candidate window, same
+    non-touching scan)."""
+    local = train_bpe(corpus_df, n_merges=8, batch_k=3)
+    dist = train_bpe(corpus_df, n_merges=8, batch_k=3, driver_vocab_cap=0)
+    assert dist == local and len(dist) == 8
+
+
+def test_bpe_tokenize_string_id_column(spark):
+    merges = [("l", "o"), ("lo", "w")]
+    df = spark.createDataFrame([("u1", "low")], "uri string, text string")
+    row = bpe_tokenize(df, merges, id_col="uri").head()
+    assert row["uri"] == "u1" and list(row["tokens"]) == ["low", _EOW]

@@ -138,6 +138,17 @@ def run_suite(spark, base: str) -> dict[str, float]:
     emb = spark.read.parquet(f"{base}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
 
+    def _bpe_df(spark, corpus):
+        from secure_agent_api_vector_search_spark.operators.bpe import (
+            bpe_tokenize,
+            train_bpe,
+        )
+
+        merges = train_bpe(
+            corpus, n_merges=32, batch_k=16, driver_vocab_cap=0
+        )
+        return bpe_tokenize(corpus, merges)
+
     def _knn_grouped(corpus, mod: int):
         from secure_agent_api_vector_search_spark.operators.knn import knn_join
 
@@ -215,6 +226,22 @@ def run_suite(spark, base: str) -> dict[str, float]:
         "heavy_hitter_ngrams": lambda: TX.heavy_hitter_ngrams(
             docs, n=3, threshold=1e-5
         ),
+        # WET extraction over an HTML-wrapped corpus: pure scan work,
+        # must be flat-per-row (regex cost ~ bytes, zero exchanges)
+        "html_extract": lambda: TX.html_extract(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.lit("<html><body><h1>t</h1><p>"),
+                    F.col("text"),
+                    F.lit('</p><a href="/x">more &amp; more</a></body></html>'),
+                ).alias("text"),
+            )
+        ),
+        # distributed BPE rounds forced (cap=0): cost ~ vocab * rounds,
+        # must stay flat-ish across corpus sizes (vocab saturates at
+        # the generator's 50k cap)
+        "bpe_train_distributed": lambda: _bpe_df(spark, docs),
     }
     out: dict[str, float] = {}
     for name, build in ops.items():
