@@ -187,3 +187,27 @@ def test_zorder_on_timestamp_column(spark, tmp_path):
         assert got.count() == 20_000
         zones = zone_map(p, ["row_id"])
         assert len(zones) >= 7
+
+
+def test_zorder_lineitem_serves_q6_predicates(spark, sf_dir, tmp_path):
+    """The Q6 narrative made concrete: lineitem z-ordered on
+    (l_shipdate, l_discount) lets BOTH of Q6's range predicates skip
+    files, where a shipdate-only sort serves only the date."""
+    from secure_agent_api_vector_search_spark.sources.layout import (
+        files_touched,
+        write_zordered,
+        zone_map,
+    )
+    from secure_agent_api_vector_search_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    zpath = str(tmp_path / "li_z")
+    write_zordered(li, zpath, ["l_shipdate", "l_discount"], n_files=16)
+    zones = zone_map(zpath, ["l_discount"])
+    # Q6's discount band is ~1/5 of the domain; the z-layout must skip
+    # a real share of files on the SECOND clustered column
+    touched = files_touched(zones, "l_discount", 0.05, 0.07)
+    assert touched <= len(zones) * 0.7
+    assert spark.read.parquet(zpath).count() == li.count()

@@ -435,3 +435,78 @@ def test_html_extract_density_ignores_commented_nav_and_entities(spark):
     assert out[1]["link_density"] == 0.0  # hidden menu contributes zero
     assert out[2]["extracted_text"] == "&&"
     assert out[2]["link_density"] == 1.0  # decoded chars, not raw entity
+
+
+def test_html_extract_spark_duckdb_dialect_fuzz(spark):
+    """Regex-dialect hardening: run the operator AND its oracle's
+    RE2/DuckDB replay over a pile of adversarial HTML-ish strings
+    (nested/unclosed tags, comments holding tags, entities in every
+    position, stray angle brackets) and require identical extraction
+    and density on every row — the same comparison the gate does, but
+    on inputs the synthetic corpus never produces."""
+    import duckdb
+
+    from secure_agent_api_vector_search_spark.operators.textops import html_extract
+
+    cases = [
+        "",
+        "plain words only",
+        "a < b and c > d",                      # bare angle brackets
+        "<p>unclosed paragraph",
+        "text <b>bold <i>nested</i></b> tail",
+        "<!-- <a href='/x'>ghost</a> --><p>real</p>",
+        "<script>if (a<b) { x='<p>'; }</script>visible",
+        "<style>p:after{content:'<';}</style>kept",
+        "&amp;lt; &lt; &gt; &quot; &#39; &nbsp; &amp;",
+        "<a href='/1'>one</a> mid <a href='/2'>two &amp; three</a>",
+        "<A HREF='/up'>UPPER anchor</A> case",
+        "spaces    collapse\teverywhere",
+        "<p>multi\nline\ncontent</p>",
+        "<a>outer <a>inner</a></a> weird nesting",
+        "trailing comment <!-- no close",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["extracted_text"], r["link_density"])
+        for r in html_extract(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(
+        {"doc_id": range(len(cases)), "text": cases}))
+    oracle = con.sql(r"""
+WITH s1 AS (
+  SELECT doc_id,
+         regexp_replace(text,
+           '(?is)<script\b.*?</script>|<style\b.*?</style>|<!--.*?-->',
+           ' ', 'g') AS cleaned
+  FROM docs),
+s2 AS (SELECT doc_id, cleaned,
+              regexp_replace(cleaned, '(?s)<[^>]+>', ' ', 'g') AS t FROM s1),
+dec AS (SELECT doc_id, cleaned,
+          replace(replace(replace(replace(replace(replace(t,
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', ''''), '&amp;', '&') AS t FROM s2),
+fin AS (SELECT doc_id, cleaned,
+          trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted_text FROM dec),
+anch AS (SELECT doc_id,
+          length(trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                array_to_string(
+                  regexp_extract_all(cleaned, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                  ' '),
+                '(?s)<[^>]+>', ' ', 'g'),
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', ''''), '&amp;', '&'),
+            '\s+', ' ', 'g'))) AS alen FROM fin)
+SELECT f.doc_id, f.extracted_text,
+       CASE WHEN length(f.extracted_text) > 0
+            THEN CAST(COALESCE(a.alen, 0) AS DOUBLE) / length(f.extracted_text)
+            ELSE 0.0 END AS link_density
+FROM fin f JOIN anch a USING (doc_id)""").fetchall()
+    for doc_id, ext, dens in oracle:
+        assert got[doc_id][0] == ext, (doc_id, got[doc_id][0], ext)
+        assert got[doc_id][1] == dens, (doc_id, got[doc_id][1], dens)
