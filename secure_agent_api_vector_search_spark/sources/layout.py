@@ -225,6 +225,18 @@ def compact_parquet(
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    names = [st.getPath().getName() for st in fs.listStatus(p)]
+    if "_spark_metadata" in names:
+        # native streaming file sink: readers resolve files through the
+        # transaction log, NOT the directory listing — a rewrite would
+        # leave the log pointing at deleted files and the compacted
+        # ones invisible. Only foreachBatch (log-free) sinks compact.
+        raise ValueError(
+            f"compact_parquet: {path!r} is a streaming file-sink output "
+            "(_spark_metadata transaction log present); compacting it "
+            "would corrupt the log. Use an epoch-partitioned foreachBatch "
+            "sink + compact_partitions instead"
+        )
     sizes = [
         (st.getPath().getName(), st.getLen())
         for st in fs.listStatus(p)
@@ -269,6 +281,43 @@ def compact_parquet(
         for st in fs.listStatus(p)
         if st.getPath().getName().endswith(".parquet")
     )
+    return out
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    small_frac: float = 0.5,
+) -> dict:
+    """:func:`compact_parquet` applied per PARTITION directory
+    (``key=value`` subdirs) — the maintenance form for this engine's
+    epoch-partitioned streaming sinks. Compaction must stay WITHIN each
+    partition: the ``_epoch_id`` layout is the sinks' replay-idempotence
+    key (a replayed epoch dynamic-overwrites its own partition), so
+    merging files across epochs would turn an exactly-once replay into
+    duplication. Partition values live in the directory name, so the
+    per-directory rewrite preserves them for outer reads.
+
+    Returns aggregate stats plus per-partition rewrite counts.
+    """
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    parts = [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    ]
+    out = {"partitions": len(parts), "rewritten": 0,
+           "files_before": 0, "files_after": 0}
+    for name in sorted(parts):
+        stats = compact_parquet(
+            spark, f"{path}/{name}", target_file_bytes, small_frac
+        )
+        out["files_before"] += stats["files_before"]
+        out["files_after"] += stats["files_after"]
+        out["rewritten"] += int(stats["rewritten"])
     return out
 
 

@@ -564,3 +564,68 @@ def test_anomaly_stream_flags_planted_spike(spark, tmp_path):
     for h in (13, 14, 15):
         r = rows[f"2026-01-01 {h:02d}"]
         assert r.n == 5 and abs(r.z) < 2.0 and not r.is_anomaly
+
+
+def test_sink_compaction_between_batches_is_replay_safe(spark, docs, tmp_path):
+    """compact_partitions between micro-batch runs of an
+    epoch-partitioned foreachBatch sink: per-epoch compaction shrinks
+    the file count without touching row content or the epoch layout,
+    and the stream resumes from its checkpoint and keeps appending —
+    the replay-idempotence key survives. Native file-sink outputs
+    (_spark_metadata log) must be REFUSED: compaction would corrupt
+    the log readers resolve files through."""
+    import pytest as _pytest
+
+    from secure_agent_api_vector_search_spark.sources.layout import (
+        compact_parquet,
+        compact_partitions,
+    )
+    from secure_agent_api_vector_search_spark.streaming.ingest import (
+        start_fingerprint_dedup_ingest,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    d1 = docs.filter(F.col("doc_id") < 40).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    # many small input files -> several epochs of many small outputs
+    d1.repartition(16).write.mode("overwrite").parquet(in_dir)
+    q = start_fingerprint_dedup_ingest(spark, in_dir, out_dir, ckpt, dim=16)
+    try:
+        _wait(q)
+    finally:
+        q.stop()
+
+    before = spark.read.parquet(out_dir)
+    n1 = before.count()
+    sum1 = before.agg(F.sum("doc_id")).first()[0]
+    stats = compact_partitions(spark, out_dir, target_file_bytes=1 << 20)
+    assert stats["partitions"] >= 1 and stats["rewritten"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.parquet(out_dir)
+    assert after.count() == n1
+    assert after.agg(F.sum("doc_id")).first()[0] == sum1
+
+    # the stream must resume cleanly over the compacted sink
+    d2 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 220)).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    d2.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = start_fingerprint_dedup_ingest(spark, in_dir, out_dir, ckpt, dim=16)
+    try:
+        _wait(q2)
+    finally:
+        q2.stop()
+    final = spark.read.parquet(out_dir)
+    assert final.count() == n1 + d2.count()
+    assert final.select("doc_id").distinct().count() == final.count()
+
+    # the native file sink is guarded, not silently corrupted
+    fs_out, fs_ckpt = str(tmp_path / "fs_out"), str(tmp_path / "fs_ckpt")
+    q3 = start_ingest(spark, in_dir, fs_out, fs_ckpt, dim=16)
+    try:
+        _wait(q3)
+    finally:
+        q3.stop()
+    with _pytest.raises(ValueError, match="_spark_metadata"):
+        compact_parquet(spark, fs_out, target_file_bytes=1 << 20)
