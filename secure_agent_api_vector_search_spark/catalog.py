@@ -321,6 +321,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.q3_shipping_priority(spark, sf_dir)
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q2_min_cost_supplier(spark, sf_dir)
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.q6_forecast_revenue(spark, sf_dir)
 
@@ -1943,6 +1947,28 @@ WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_ord
 GROUP BY l_orderkey, orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         description="[EXT] TPC-H Q3 shape: broadcast dims into fact, agg, top-k",
+        tags=("relational", "join")))
+
+    r.register(NamedQuery(
+        "q2_min_cost_supplier", q2_min_cost_supplier,
+        oracle_sql="""
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_name,
+       CAST(l.l_extendedprice AS DOUBLE) / CAST(l.l_quantity AS DOUBLE)
+       AS min_unit_price
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE CAST(l.l_extendedprice AS DOUBLE) / CAST(l.l_quantity AS DOUBLE) =
+      (SELECT MIN(CAST(l2.l_extendedprice AS DOUBLE)
+                  / CAST(l2.l_quantity AS DOUBLE))
+       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+ORDER BY p.p_partkey, s.s_name""",
+        description="[EXT] TPC-H Q2 shape: correlated min-subquery "
+                    "decorrelated to one groupBy-min + equality join back "
+                    "(ties keep all minimal suppliers); unit price is one "
+                    "IEEE double division (decimal division result-scales "
+                    "differ between engines); the oracle keeps the "
+                    "CORRELATED form so both decorrelations check each other",
         tags=("relational", "join")))
 
     r.register(NamedQuery(
@@ -3813,6 +3839,11 @@ CHECK_FIRST: tuple[str, ...] = (
     # is in window)
     "q6_forecast_revenue",
     "q18_large_volume_customer",
+    # TPC-H Q2 shape (decorrelated min-subquery, tie-keeping equality
+    # join); displaces orders_semi_late_lines (semi-join machinery —
+    # q18's IN-subquery semi and the dedup anti/semi family stay in
+    # window)
+    "q2_min_cost_supplier",
     # brand-new in round 6, never driver-checked (12, duplicated_spans
     # through stratified_sample below) — the window's
     # never-checked-first rule puts them ahead of everything; to keep
@@ -3889,7 +3920,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "revenue_rollup",
-    "orders_semi_late_lines",
     "brand_setops",
     # standing ANN-family guard (1): the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate

@@ -180,6 +180,47 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str, min_qty: int = 1
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str, brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q2 shape: a correlated min-subquery ("the supplier whose
+    unit price IS the minimum for that part"), decorrelated the way
+    Catalyst would — one combiner-safe groupBy-min per part, joined
+    back on (part, price) equality. The correlated form re-evaluates
+    the subquery per outer row; the decorrelated form costs one
+    aggregate exchange + one join, and ties keep ALL minimal suppliers
+    (the reference semantics of Q2's = (SELECT MIN ...)). Unit price is
+    ONE IEEE double division — decimal division result-scales differ
+    between engines (each rounds at a different last digit), doubles
+    are bit-identical, so min and the equality join cannot drift.
+    The brand dim filter broadcasts into the fact scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    s = load_table(spark, sf_dir, "supplier")
+    unit = (
+        F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")
+    ).alias("_unit")
+    offers = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .select("p_partkey", "p_name", "l_suppkey", unit)
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("_unit").alias("_best")
+    )
+    return (
+        offers.join(
+            best,
+            (offers["p_partkey"] == best["_pk"]) & (offers["_unit"] == best["_best"]),
+        )
+        .join(F.broadcast(s), offers["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("_unit").cast("double").alias("min_unit_price"),
+        )
+        .distinct()
+    )
+
+
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
