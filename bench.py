@@ -131,6 +131,7 @@ HEADLINE = [
     "html_extract",
     "q6_forecast_revenue",
     "q18_large_volume_customer",
+    "q2_min_cost_supplier",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

@@ -44,9 +44,14 @@ _WS_PY = "[ \t\n\x0b\f\r]+"
 
 
 def _py_words(text: str) -> list[str]:
+    # no str.strip(): it strips ALL Unicode whitespace while the JVM
+    # side (F.trim + the ASCII class) strips none of it — edge-empty
+    # fragments are removed by the same `if w` filter the JVM path's
+    # != '' filter applies, so both sides see identical words even for
+    # U+00A0-bearing text (neither side splits on it)
     import re
 
-    return [w for w in re.split(_WS_PY, (text or "").strip()) if w]
+    return [w for w in re.split(_WS_PY, text or "") if w]
 
 
 def _word_counts(documents: DataFrame, text_col: str) -> DataFrame:

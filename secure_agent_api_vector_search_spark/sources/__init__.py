@@ -1,5 +1,6 @@
 from secure_agent_api_vector_search_spark.sources.layout import (  # noqa: F401
     compact_parquet,
+    compact_partitions,
     write_zordered,
     zone_map,
 )

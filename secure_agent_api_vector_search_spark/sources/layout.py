@@ -213,19 +213,28 @@ def compact_parquet(
     only copy: the live directory is RENAMED to a backup sibling, the
     rewrite renamed into place, and only then is the backup deleted.
     Each rename is atomic on HDFS-compatible stores; a crash between
-    the two renames leaves the data intact at ``{path}_compact_bak``
+    the two renames leaves the data intact at the dot-prefixed backup
     (recoverable by hand, never lost), at the cost of a brief window
     where ``path`` does not resolve — the honest limit of
-    swap-by-rename without a transactional metastore.
+    swap-by-rename without a transactional metastore. The tmp/backup
+    siblings are DOT-prefixed and '='-free, so when ``path`` is one
+    ``key=value`` partition directory of a larger table, partition
+    discovery over the table root can never mistake them for
+    partitions (Spark skips dot/underscore names unless they contain
+    '=' — a '..._compact_bak' name WITH '=' would be read as a bogus
+    partition, double-counting the whole epoch).
 
     Returns {files_before, files_after, bytes, rewritten}.
     """
+    import posixpath
+
     from secure_agent_api_vector_search_spark.sources.fsutil import fs_delete
 
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    names = [st.getPath().getName() for st in fs.listStatus(p)]
+    listing = list(fs.listStatus(p))
+    names = [st.getPath().getName() for st in listing]
     if "_spark_metadata" in names:
         # native streaming file sink: readers resolve files through the
         # transaction log, NOT the directory listing — a rewrite would
@@ -239,7 +248,7 @@ def compact_parquet(
         )
     sizes = [
         (st.getPath().getName(), st.getLen())
-        for st in fs.listStatus(p)
+        for st in listing
         if st.getPath().getName().endswith(".parquet")
     ]
     total = sum(s for _, s in sizes)
@@ -251,8 +260,10 @@ def compact_parquet(
     if not needs:
         out["files_after"] = len(sizes)
         return out
-    tmp = f"{path}_compact_tmp"
-    bak = f"{path}_compact_bak"
+    parent, base = posixpath.split(path.rstrip("/"))
+    safe = base.replace("=", "-")
+    tmp = f"{parent}/.{safe}_compact_tmp"
+    bak = f"{parent}/.{safe}_compact_bak"
     (
         spark.read.parquet(path)
         .coalesce(int(n_target))
@@ -297,9 +308,12 @@ def compact_partitions(
     key (a replayed epoch dynamic-overwrites its own partition), so
     merging files across epochs would turn an exactly-once replay into
     duplication. Partition values live in the directory name, so the
-    per-directory rewrite preserves them for outer reads.
+    per-directory rewrite preserves them for outer reads (and the
+    swap's tmp/backup siblings are dot-prefixed + '='-free, so root
+    readers can never discover them as partitions).
 
-    Returns aggregate stats plus per-partition rewrite counts.
+    Returns aggregate stats: {partitions, rewritten, files_before,
+    files_after}.
     """
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)

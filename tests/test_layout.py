@@ -56,9 +56,12 @@ def test_zorder_prunes_on_both_dimensions(spark, grid, tmp_path):
     lx, ly = files_touched(zl, "x", lo, hi), files_touched(zl, "y", lo, hi)
     assert lx <= 3  # linear sort: near-perfect on its own column
     assert ly >= len(zl) - 1  # ...and useless on the other
-    # z-order: strictly better than full scan on BOTH columns — the
-    # d=2 theoretical per-file span is ~1/sqrt(n_files) => ~4/16 files
-    assert zx <= len(zz) * 0.5 and zy <= len(zz) * 0.5
+    # z-order: strictly better than full scan on BOTH columns. The d=2
+    # ideal per-file span is ~1/sqrt(n_files) (~4/16 files), but file
+    # boundaries come from range-partitioner SAMPLING and wobble with
+    # session state (measured 6-9 of 16 across test orderings) — pin
+    # the claim with sampling headroom, plus the strict comparatives
+    assert zx <= len(zz) * 0.7 and zy <= len(zz) * 0.7
     assert zx + zy < lx + ly  # and better than linear on the sum
 
 
@@ -211,3 +214,39 @@ def test_zorder_lineitem_serves_q6_predicates(spark, sf_dir, tmp_path):
     touched = files_touched(zones, "l_discount", 0.05, 0.07)
     assert touched <= len(zones) * 0.7
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_compact_partitions_leaves_no_partition_lookalike_junk(spark, tmp_path):
+    """The swap's tmp/backup siblings must be invisible to partition
+    discovery: after compaction (and even with a crash-leftover backup
+    dir present) a root read sees exactly the original rows with the
+    original partition values."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.sources.layout import (
+        compact_partitions,
+    )
+
+    root = str(tmp_path / "sink")
+    df = spark.range(0, 3000).select(
+        "id", (F.col("id") % 3).alias("_epoch_id"),
+        F.md5(F.col("id").cast("string")).alias("s"),
+    )
+    df.repartition(8).write.partitionBy("_epoch_id").parquet(root)
+    before = spark.read.parquet(root)
+    sum_before = before.agg(F.sum("id")).first()[0]
+
+    stats = compact_partitions(spark, root, target_file_bytes=1 << 20)
+    assert stats["partitions"] == 3 and stats["rewritten"] == 3
+    after = spark.read.parquet(root)
+    assert after.count() == 3000
+    assert after.agg(F.sum("id")).first()[0] == sum_before
+    assert sorted(r[0] for r in after.select("_epoch_id").distinct().collect()) \
+        == [0, 1, 2]
+
+    # simulate a crash-leftover backup: a dot-prefixed, '='-free copy
+    import shutil
+
+    shutil.copytree(f"{root}/_epoch_id=1", f"{root}/._epoch_id-1_compact_bak")
+    again = spark.read.parquet(root)
+    assert again.count() == 3000  # leftover invisible to discovery

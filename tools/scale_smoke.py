@@ -138,7 +138,7 @@ def run_suite(spark, base: str) -> dict[str, float]:
     emb = spark.read.parquet(f"{base}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
 
-    def _bpe_df(spark, corpus):
+    def _bpe_df(corpus):
         from secure_agent_api_vector_search_spark.operators.bpe import (
             bpe_tokenize,
             train_bpe,
@@ -241,7 +241,7 @@ def run_suite(spark, base: str) -> dict[str, float]:
         # distributed BPE rounds forced (cap=0): cost ~ vocab * rounds,
         # must stay flat-ish across corpus sizes (vocab saturates at
         # the generator's 50k cap)
-        "bpe_train_distributed": lambda: _bpe_df(spark, docs),
+        "bpe_train_distributed": lambda: _bpe_df(docs),
     }
     out: dict[str, float] = {}
     for name, build in ops.items():
