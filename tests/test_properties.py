@@ -252,3 +252,54 @@ def test_tokenize_to_ids_roundtrip_in_vocab(spark, texts, size):
                 assert tid == vocab[tok] and inv[tid] == tok
             else:
                 assert tid == 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=3),
+    st.sampled_from([0.01, 0.05, 0.2]),
+    st.integers(min_value=1, max_value=9),
+)
+def test_heavy_hitters_equal_bruteforce_on_any_corpus(
+    spark, texts, n, threshold, parts
+):
+    """The pigeonhole candidate guarantee, property-tested: for ANY
+    corpus, gram width, threshold, and partitioning, the sketch+verify
+    output equals the plain groupBy-HAVING ground truth exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators.textops import (
+        heavy_hitter_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(parts)
+    got = sorted(
+        (r["gram"], r["cnt"])
+        for r in heavy_hitter_ngrams(df, n=n, threshold=threshold).collect()
+    )
+    # independent brute force in plain Python
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts:
+        ws = [w for w in t.strip().split(" ") if w] if t.strip() else []
+        ws = " ".join(ws).split(" ") if ws else []
+        for i in range(len(ws) - n + 1):
+            grams[" ".join(ws[i : i + n])] += 1
+    total = sum(grams.values())
+    want = (
+        sorted((g, c) for g, c in grams.items()
+               if c >= math.ceil(threshold * total))
+        if total
+        else []
+    )
+    assert got == want
