@@ -170,3 +170,35 @@ def test_train_and_tokenize_agree_on_unicode_whitespace_edges(spark):
     # and the stream reconstructs the original words exactly
     rebuilt = "".join(toks).replace(_EOW, " ").strip()
     assert rebuilt == " low low low low ".strip()
+
+
+def test_bpe_reference_parity_property(spark):
+    """Hypothesis: on ANY small random corpus, strict-mode training
+    matches the independent reference merge-for-merge and tokenization
+    losslessly reconstructs every document."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.lists(st.sampled_from("abcd"), min_size=1, max_size=6).map("".join)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(corpus)
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges = train_bpe(df, n_merges=10, batch_k=1)
+        want, seqs = _ref_bpe(texts, 10)
+        assert merges == want
+        for r in bpe_tokenize(df, merges).collect():
+            rebuilt = "".join(r["tokens"]).replace(_EOW, " ").strip()
+            assert rebuilt == texts[r["doc_id"]].strip()
+            want_toks = [t for w in texts[r["doc_id"]].split() for t in seqs[w]]
+            assert list(r["tokens"]) == want_toks
+
+    run()
