@@ -303,3 +303,67 @@ def test_heavy_hitters_equal_bruteforce_on_any_corpus(
         else []
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", None]),
+            st.lists(st.sampled_from("the cat and dog ran fast".split()),
+                     min_size=1, max_size=30).map(" ".join),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([0.0, 0.2, 0.5, 0.9, 1.0]),
+)
+def test_percentile_cut_equals_window_form_on_any_corpus(spark, rows, pct):
+    """The band-refinement cut's keep-set must equal percent_rank's on
+    any corpus (ties, tiny groups, NULL groups, boundary pcts)."""
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        quality_percentile_cut,
+        quality_percentile_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(rows)],
+        "doc_id long, lang string, text string",
+    )
+    want = sorted(
+        r["doc_id"] for r in quality_percentile_filter(df, min_pct=pct).collect()
+    )
+    got = sorted(
+        r["doc_id"] for r in quality_percentile_cut(df, min_pct=pct).collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.sampled_from(["alpha beta", "gamma delta", "epsilon zeta",
+                              "eta theta iota", "kappa", "lambda mu nu"]),
+             min_size=1, max_size=25),
+    st.lists(st.sampled_from(["alpha beta", "XI omicron pi", "rho sigma!",
+                              "gamma delta", "tau upsilon"]),
+             min_size=1, max_size=25),
+)
+def test_bloom_incremental_equals_base_on_any_overlap(spark, seen_texts, batch_texts):
+    """The Bloom pre-filter is a plan optimization: for any seen/batch
+    mix (any overlap rate, duplicate texts, normalization collisions)
+    the surviving id set must equal dedup_incremental's."""
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_bloom,
+    )
+
+    seen = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(seen_texts)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    want = sorted(r["doc_id"] for r in dedup_incremental(batch, seen).collect())
+    got = sorted(r["doc_id"] for r in dedup_incremental_bloom(batch, seen).collect())
+    assert got == want
