@@ -741,6 +741,32 @@ def duplicate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.duplicate_ngram_stats(load_documents(spark, sf_dir), n=5)
 
 
+def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-scan expectation report
+    (operators/expectations.py) over the documents table: key
+    integrity (doc_id not-null + unique), domain rules that PASS
+    (non-negative n_chars, lowercase-word text), and two rules chosen
+    to FAIL on this corpus (a language whitelist narrower than the
+    data, a length ceiling many docs exceed) so non-zero violation
+    accounting is value-checked, not just the happy path."""
+    from secure_agent_api_vector_search_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    return check_expectations(
+        docs,
+        [
+            ("not_null", "doc_id"),
+            ("unique", "doc_id"),
+            ("non_negative", "n_chars"),
+            ("in_range", "n_chars", 0, 300),
+            ("in_set", "lang", ["en", "de", "fr"]),
+            ("matches", "text", "^[a-z0-9 ]+$"),
+        ],
+    )
+
+
 _BOILER = "subscribe to our newsletter for daily updates"
 
 _HTML_PRE = (
@@ -2630,6 +2656,61 @@ ORDER BY gram""",
         tags=("text", "curation")))
 
     r.register(NamedQuery(
+        "data_expectations", data_expectations,
+        oracle_sql="""
+SELECT 'not_null(doc_id)' AS rule,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations,
+       SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM documents
+UNION ALL
+SELECT 'unique(doc_id)',
+       CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT),
+       COUNT(doc_id) - COUNT(DISTINCT doc_id) = 0
+FROM documents
+UNION ALL
+SELECT 'non_negative(n_chars)',
+       CAST(SUM(CASE WHEN n_chars IS NOT NULL AND n_chars < 0
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN n_chars IS NOT NULL AND n_chars < 0
+           THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'in_range(n_chars)',
+       CAST(SUM(CASE WHEN n_chars IS NOT NULL
+                      AND (n_chars < 0 OR n_chars > 300)
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN n_chars IS NOT NULL AND (n_chars < 0 OR n_chars > 300)
+           THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'in_set(lang)',
+       CAST(SUM(CASE WHEN lang IS NOT NULL
+                      AND lang NOT IN ('en', 'de', 'fr')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en', 'de', 'fr')
+           THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'matches(text)',
+       CAST(SUM(CASE WHEN text IS NOT NULL
+                      AND NOT regexp_matches(text, '^[a-z0-9 ]+$')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN text IS NOT NULL
+                 AND NOT regexp_matches(text, '^[a-z0-9 ]+$')
+           THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT '_rows', CAST(COUNT(*) AS BIGINT), TRUE FROM documents""",
+        description="[EXT] Deequ-style data-quality expectations: the whole "
+                    "rule set compiles to conditional sums in ONE aggregate "
+                    "pass (uniqueness via count-distinct in the same agg), "
+                    "violation counts stacked to a report frame; the gate "
+                    "corpus makes two rules fail so the accounting is "
+                    "value-checked beyond the happy path",
+        tags=("curation", "quality")))
+
+    r.register(NamedQuery(
         "html_extract", html_extract,
         oracle_sql=f"""
 WITH raw AS (
@@ -3844,6 +3925,10 @@ CHECK_FIRST: tuple[str, ...] = (
     # q18's IN-subquery semi and the dedup anti/semi family stay in
     # window)
     "q2_min_cost_supplier",
+    # Deequ-style expectations report (one-scan conditional sums with
+    # two deliberately failing rules); displaces events_retention
+    # (events machinery — events_funnel + events_sessionize in window)
+    "data_expectations",
     # brand-new in round 6, never driver-checked (12, duplicated_spans
     # through stratified_sample below) — the window's
     # never-checked-first rule puts them ahead of everything; to keep
@@ -3916,7 +4001,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "doc_winnow_fingerprints",
     "lang_profile",
     "token_budget_sample",
-    "events_retention",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "revenue_rollup",
