@@ -329,6 +329,7 @@ def curate_corpus(
     lm_source: str = "src0",
     html_input: bool = False,
     max_link_density: float = 0.5,
+    expectations: list[tuple] | None = None,
 ) -> dict:
     """The end-to-end training-corpus curation job, raw dump → training
     shards — every stage an operator this engine already gates:
@@ -391,6 +392,27 @@ def curate_corpus(
     counts["ingested"] = docs.count()
     counts["quarantined"] = quarantine.count()
     quarantine.write.mode("overwrite").parquet(f"{out_dir}/rejects/parse")
+
+    if expectations:
+        from secure_agent_api_vector_search_spark.operators.expectations import (
+            check_expectations,
+        )
+
+        report = check_expectations(docs, expectations).persist()
+        report.write.mode("overwrite").parquet(f"{out_dir}/expectations")
+        failed = [
+            r["rule"] for r in report.collect()
+            if r["rule"] != "_rows" and not r["passed"]
+        ]
+        report.unpersist()
+        counts["expectations_failed"] = len(failed)
+        if failed:
+            # a broken drop must stop BEFORE anything expensive runs —
+            # the report parquet holds the per-rule counts
+            raise ValueError(
+                f"curate_corpus: data expectations failed for {failed}; "
+                f"report at {out_dir}/expectations"
+            )
 
     if html_input:
         from secure_agent_api_vector_search_spark.operators.textops import (

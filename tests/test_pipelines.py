@@ -443,3 +443,39 @@ def test_curate_corpus_html_input_stage(spark, docs, tmp_path):
     orig = {s["doc_id"]: s for s in sample}
     if plain:
         assert plain[0]["n_chars"] == orig[14]["n_chars"]
+
+
+def test_curate_corpus_expectations_preflight(spark, docs, tmp_path):
+    """A failing expectation stops the pipeline BEFORE any expensive
+    stage and leaves the per-rule report queryable; a passing rule set
+    lets the run proceed and records zero failures."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.pipelines import curate_corpus
+
+    raw = tmp_path / "raw_exp.jsonl"
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    sample = [
+        {k: r[k] for k in cols} for r in docs.filter(F.col("doc_id") < 60).collect()
+    ]
+    raw.write_text("\n".join(_json.dumps(s) for s in sample) + "\n")
+
+    out = str(tmp_path / "cur_exp")
+    with _pytest.raises(ValueError, match="expectations failed"):
+        curate_corpus(
+            spark, str(raw), out, n_shards=4, min_quality=0.0,
+            expectations=[("in_range", "n_chars", 0, 10)],  # fails
+        )
+    report = {r["rule"]: r["violations"]
+              for r in spark.read.parquet(f"{out}/expectations").collect()}
+    assert report["in_range(n_chars)"] > 0
+
+    counts = curate_corpus(
+        spark, str(raw), out, n_shards=4, min_quality=0.0,
+        expectations=[("not_null", "doc_id"), ("unique", "doc_id")],
+    )
+    assert counts["expectations_failed"] == 0
+    assert counts["ingested"] == len(sample)
