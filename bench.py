@@ -132,6 +132,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q18_large_volume_customer",
     "q2_min_cost_supplier",
+    "data_expectations",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has
