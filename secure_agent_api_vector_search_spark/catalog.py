@@ -948,9 +948,18 @@ def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode with a deliberately SMALL vocab (20, vs the corpus's ~31
     distinct words) so the OOV=0 path is exercised on a real share of
-    tokens at the gate."""
+    tokens at the gate.
+
+    Gate shape: the operator returns ``ids array<int>`` for users
+    (:func:`TX.tokenize_to_ids`); the gate twin projects the array to
+    one space-joined scalar (``ids_str``) because the driver's pandas
+    canonicalizer sorts cell values and list cells are unhashable —
+    the values compared are byte-identical either way."""
     docs = load_documents(spark, sf_dir)
-    return TX.tokenize_to_ids(docs, TX.build_vocab(docs, size=20))
+    out = TX.tokenize_to_ids(docs, TX.build_vocab(docs, size=20))
+    return out.select(
+        "doc_id", "n_tokens", F.concat_ws(" ", F.col("ids")).alias("ids_str")
+    )
 
 
 def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3073,14 +3082,17 @@ t AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        UNNEST(range(1, len(ws) + 1)) AS u(i))
 SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       array_agg(CAST(COALESCE(v.tok_id, 0) AS INT) ORDER BY t.pos) AS ids
+       array_to_string(
+         array_agg(CAST(COALESCE(v.tok_id, 0) AS INT) ORDER BY t.pos),
+         ' ') AS ids_str
 FROM t LEFT JOIN v USING (tok)
 GROUP BY t.doc_id ORDER BY t.doc_id""",
         description="[EXT] word-level tokenization to id sequences (order "
                     "preserved, OOV=0) against the deterministic top-20 "
                     "vocab — the loader-facing encode step; a subword "
                     "tokenizer drops in behind the same contract as a "
-                    "pandas_udf",
+                    "pandas_udf; the gate twin joins the id array to one "
+                    "scalar so the oracle harness can canonicalize it",
         tags=("text", "curation")))
 
     r.register(NamedQuery(

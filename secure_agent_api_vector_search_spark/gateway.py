@@ -51,10 +51,18 @@ class ToolGateway:
         host: str = "127.0.0.1",
         port: int = 0,
         row_cap: int = 1000,
+        toolsets: tuple[str, ...] | None = None,
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
         self.row_cap = row_cap
+        # scope: a gateway serves ONLY the toolsets it was configured
+        # with — a v2-only tool must not be invocable through a gateway
+        # whose manifest exposes just customer_data_tools (the manifest
+        # and the invocation surface must agree). None = all registered.
+        self.toolsets = tuple(toolsets) if toolsets is not None else tuple(TS._TOOLSETS)
+        for name in self.toolsets:
+            TS.load_toolset(name)  # fail fast on unknown names
         gateway = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -73,6 +81,11 @@ class ToolGateway:
             def do_GET(self) -> None:  # noqa: N802 (http.server contract)
                 parts = [p for p in self.path.split("/") if p]
                 if len(parts) == 3 and parts[:2] == ["api", "toolset"]:
+                    if parts[2] not in gateway.toolsets:
+                        self._send(
+                            404, {"error": f"toolset {parts[2]!r} not served here"}
+                        )
+                        return
                     try:
                         schemas = TS.toolset_schemas(parts[2])
                     except KeyError as exc:
@@ -108,22 +121,31 @@ class ToolGateway:
                     return
                 try:
                     df = tool(gateway.spark, gateway.sf_dir, **params)
+                    rows = [
+                        r.asDict(recursive=True)
+                        for r in df.limit(gateway.row_cap).collect()
+                    ]
                 except TypeError as exc:  # zero-trust validation failure
                     self._send(400, {"error": str(exc)})
                     return
-                rows = [
-                    r.asDict(recursive=True)
-                    for r in df.limit(gateway.row_cap).collect()
-                ]
+                except Exception as exc:  # noqa: BLE001 — execution failure
+                    # semantically invalid values that pass type checks
+                    # (negative limits, analysis errors) surface from the
+                    # engine; the client must get a JSON error, never a
+                    # dropped connection
+                    self._send(
+                        500,
+                        {"error": f"{type(exc).__name__}: {exc}"},
+                    )
+                    return
                 self._send(200, {"result": rows, "rowCount": len(rows)})
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
 
-    @staticmethod
-    def _find_tool(name: str) -> TS.Tool | None:
-        for tools in TS._TOOLSETS.values():
-            for t in tools:
+    def _find_tool(self, name: str) -> TS.Tool | None:
+        for ts_name in self.toolsets:
+            for t in TS._TOOLSETS[ts_name]:
                 if t.name == name:
                     return t
         return None

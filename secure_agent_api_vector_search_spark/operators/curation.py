@@ -375,9 +375,13 @@ def stratified_sample(
         F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 15),
         16, 10,
     ).cast("bigint")
-    frac = F.lit(int(default * 10000))
+    # round, don't truncate: float representation makes e.g.
+    # 0.29 * 10000 = 2899.999..., and int() alone would silently keep
+    # 28.99% instead of the declared 29% (mixture_upsample's
+    # conversion, kept in lockstep here)
+    frac = F.lit(int(round(default * 10000)))
     for k, v in sorted(fractions.items()):
-        frac = F.when(F.col(strata_col) == k, int(v * 10000)).otherwise(frac)
+        frac = F.when(F.col(strata_col) == k, int(round(v * 10000))).otherwise(frac)
     return documents.filter((h % 10000) < frac)
 
 
@@ -762,11 +766,16 @@ def split_leakage_check(
     bit-identical across forms:
     - ``"lsh"`` (default): ngram_jaccard_pairs_lsh — MinHash-banded
       candidates, exact verify; the scale form (unblocked all-pairs is
-      quadratic — measured 149 s vs ~4 s at 5k docs). Banding recall
-      at the near-identical similarities leakage exhibits (>= 0.9) is
-      ~1 - (1-0.9^4)^16 ≈ 1-10^-7, which is why the hard gate can
-      compare it against the exact-oracle pair set (the
-      minhash_near_dup gate discipline).
+      quadratic — measured 149 s vs ~4 s at 5k docs). An audit is
+      completeness-critical, so the banding family is chosen
+      ADAPTIVELY per threshold: the widest rows-per-band r (fewest
+      false candidates) whose band count b gives per-pair recall
+      1-(1-t^r)^b >= 0.99 AT the threshold itself within a 256-hash
+      budget — not a fixed 16x4 family whose recall at t=0.6 would be
+      ~0.89 (silently under-reporting ~11% of borderline leaks).
+      Because exact verify filters on true Jaccard, the LSH output is
+      a subset of the exact pair set regardless of family; the
+      adaptive family bounds how far below it can fall.
     - ``"exact"``: all-pairs via ngram_jaccard_pairs, for gate-scale
       ground truth and the agreement test.
     The audit itself is O(pairs) either way.
@@ -784,21 +793,40 @@ def split_leakage_check(
     if via == "lsh":
         if block_col is not None:
             raise ValueError("block_col is only supported with via='exact'")
-        # banding recall at the requested threshold with the default
-        # 16x4 family: 1-(1-t^4)^16. The audit's whole job is
-        # completeness — below ~0.55 the collision probability
-        # collapses (t=0.4 -> 0.48 recall) and the LSH form silently
-        # under-reports; refuse rather than return a half-blind audit.
-        recall = 1.0 - (1.0 - threshold**4) ** 16
-        if recall < 0.85:
+        # The audit's whole job is completeness: pick the banding
+        # family adaptively so per-pair recall AT the threshold is
+        # >= 0.99. Wider bands (larger r) admit fewer sub-threshold
+        # false candidates into the exact-verify join, so take the
+        # largest r whose required band count fits the hash budget;
+        # refuse (rather than return a half-blind audit) only when no
+        # family fits — at which point via='exact' is the answer.
+        import math
+
+        target, hash_budget = 0.99, 256
+        family = None
+        for r in (8, 6, 5, 4, 3, 2):
+            p = threshold**r
+            if not 0.0 < p < 1.0:
+                continue
+            b = math.ceil(math.log(1.0 - target) / math.log(1.0 - p))
+            if r * b <= hash_budget:
+                family = (r, b)
+                break
+        if family is None:
             raise ValueError(
-                f"split_leakage_check: LSH banding recall at threshold "
-                f"{threshold} is ~{recall:.2f} — too low for an audit; "
-                f"use via='exact' (quadratic, gate-scale) or raise the "
-                f"threshold"
+                f"split_leakage_check: no LSH banding family within "
+                f"{hash_budget} hashes reaches per-pair recall {target} "
+                f"at threshold {threshold} — use via='exact' "
+                f"(quadratic, gate-scale) or raise the threshold"
             )
+        r_rows, n_bands = family
         pairs = ngram_jaccard_pairs_lsh(
-            documents, id_col=id_col, n=n, threshold=threshold
+            documents,
+            id_col=id_col,
+            n=n,
+            threshold=threshold,
+            num_hashes=r_rows * n_bands,
+            num_bands=n_bands,
         )
     elif via == "exact":
         pairs = ngram_jaccard_pairs(

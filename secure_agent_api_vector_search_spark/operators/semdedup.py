@@ -277,7 +277,19 @@ def semantic_dedup(
     # pass + global sort) purely for display. The driver's value-hash is
     # order-insensitive; callers that need ordered output sort the small
     # slice they display.
-    return out.unionByName(nulls)
+    result = out.unionByName(nulls)
+    if max_cluster_size is not None:
+        # minhash_incremental convention: the (narrow, 4-column) output
+        # is persisted and materialized HERE so the skew-hardened
+        # assignment persist can be released now instead of leaking for
+        # the life of the session; long-lived callers may .unpersist()
+        # the returned frame when done.
+        from pyspark.storagelevel import StorageLevel
+
+        result = result.persist(StorageLevel.MEMORY_AND_DISK)
+        result.count()
+        assigned.unpersist()
+    return result
 
 
 def semantic_dedup_keep(

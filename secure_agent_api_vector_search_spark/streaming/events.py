@@ -42,6 +42,7 @@ ANOMALY_OUTPUT_SCHEMA = (
 ANOMALY_STATE_SCHEMA = "cur_hour_us long, cur_n long, h long, s long, q long"
 
 _HOUR_US = 3_600 * 1_000_000
+_MAX_I64 = (1 << 63) - 1
 
 
 def _anomaly_fold(z_thresh: float):
@@ -96,6 +97,17 @@ def _anomaly_fold(z_thresh: float):
             else:
                 close_hour()
                 cur_hour, cur_n = int(hour), int(n)
+        # Python accumulates q exactly (arbitrary precision); the state
+        # schema is int64, so serializing past 2^63-1 would silently
+        # wrap, h*q - s*s could go negative, and the var>0 guard would
+        # mute the alarm exactly at peak traffic. Fail loudly instead.
+        if q > _MAX_I64 or s > _MAX_I64:
+            raise OverflowError(
+                f"anomaly_stream: exact-integer history for event_type "
+                f"{key[0]!r} exceeded int64 (s={s}, q={q}, ~3e9 events/"
+                f"hour ceiling) — shard the event type or rescale counts; "
+                f"continuing would silently emit z=0"
+            )
         state.update((cur_hour, cur_n, h, s, q))
         if out:
             yield pd.DataFrame(
@@ -120,11 +132,14 @@ def anomaly_stream(stream: DataFrame, z_thresh: float = 2.0) -> DataFrame:
     exist or when traffic is constant.
 
     State is O(1) per event type (five int64s — the 100 TB shape:
-    state scales with |types|, never |events|). Note q accumulates
-    squared hourly counts in int64: the batch twin widens to
-    DECIMAL(38,0), but stateful-operator state schemas are primitive
-    — past ~3e9 events/hour, scale z_thresh checks downstream or
-    shard types. Output rows appear once per completed (type, hour).
+    state scales with |types|, never |events|). q accumulates squared
+    hourly counts in int64 (the batch twin widens to DECIMAL(38,0),
+    but stateful-operator state schemas are primitive); the fold
+    checks the bound at runtime and raises OverflowError past
+    ~3e9 events/hour rather than letting the wrapped product zero the
+    variance and silently mute the alarm at peak traffic — shard the
+    event type or rescale counts to go past it. Output rows appear
+    once per completed (type, hour).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -384,16 +384,18 @@ def test_split_leakage_check_finds_planted_cross_split_pair(spark):
         (train[3], "totally different words nothing shared here at all"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    # threshold 0.5 is below the LSH banding's audit-grade recall ->
-    # the lsh form must refuse, and the exact form does the job
+    # the banding family adapts to the threshold: 0.5 now gets an
+    # audit-grade (>=0.99 per-pair recall) family instead of a refusal;
+    # only thresholds where no family fits the hash budget refuse
     with pytest.raises(ValueError):
-        split_leakage_check(df, threshold=0.5)
-    out = split_leakage_check(df, threshold=0.5, via="exact")
-    got = {(r.id_a, r.id_b): (r.split_a, r.split_b) for r in out.collect()}
-    key = (min(a, b), max(a, b))
-    assert key in got and set(got[key]) == {"train", "test"}
-    # the in-split pair must NOT be reported
-    assert (min(c, d), max(c, d)) not in got
+        split_leakage_check(df, threshold=0.1)
+    for kwargs in ({"via": "exact"}, {}):
+        out = split_leakage_check(df, threshold=0.5, **kwargs)
+        got = {(r.id_a, r.id_b): (r.split_a, r.split_b) for r in out.collect()}
+        key = (min(a, b), max(a, b))
+        assert key in got and set(got[key]) == {"train", "test"}
+        # the in-split pair must NOT be reported
+        assert (min(c, d), max(c, d)) not in got
 
 
 def test_split_leakage_lsh_matches_exact(spark, docs):
