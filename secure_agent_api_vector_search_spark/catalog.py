@@ -3229,13 +3229,60 @@ FROM b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""",
 
     r.register(NamedQuery(
         "strip_dup_spans", strip_dup_spans,
-        oracle_sql=None,  # string surgery — SQL-inexpressible; invariants
-        # (untouched-doc bit-identity, keeper retention, convergence)
-        # are pinned in tests/test_substr.py; span/stat twins above are
-        # hard-gated on the same _dup_positions core
+        oracle_sql="""
+WITH w AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS ws
+  FROM documents),
+b AS (SELECT doc_id, ws, GREATEST(len(ws) - 4, 0) AS n_grams FROM w),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] AS gram
+  FROM b, UNNEST(range(1, n_grams + 1)) AS t(i)
+  WHERE n_grams > 0),
+gd AS (
+  SELECT gram, MIN(doc_id) AS keeper
+  FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+h AS (
+  SELECT g.doc_id, g.pos
+  FROM g JOIN gd USING (gram)
+  WHERE g.doc_id <> gd.keeper),
+l AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM h),
+i2 AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM l),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+  FROM i2 GROUP BY doc_id, island),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+  FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS rebuilt
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)
+  GROUP BY t.doc_id)
+SELECT w.doc_id,
+       CASE WHEN w.doc_id IN (SELECT doc_id FROM spans)
+            THEN COALESCE(k.rebuilt, '')
+            ELSE w.text END AS text
+FROM w LEFT JOIN kept k USING (doc_id)
+ORDER BY w.doc_id""",
         description="[EXT] ExactSubstr removal: drop duplicated spans "
                     "keeping the canonical (min doc_id) copy; JVM HOF "
-                    "rebuild, untouched docs pass through bit-identical",
+                    "rebuild, untouched docs pass through bit-identical — "
+                    "the oracle replays the per-occurrence redundancy rule "
+                    "(occurrence doc != gram keeper), island merge, and "
+                    "token-filtered rebuild in SQL, with the same "
+                    "original-text passthrough for untouched documents",
         tags=("text", "curation", "dedup")))
 
     r.register(NamedQuery(

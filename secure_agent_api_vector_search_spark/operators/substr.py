@@ -21,12 +21,15 @@ rolling-window hash join, which is shuffle-bounded and skew-safe:
 
 Scale shape (the whole point):
 - Gram strings NEVER shuffle. The scan projection reduces each gram to
-  its ``xxhash64`` so every exchange carries (doc_id, pos, gh) =
-  24-byte rows. (At 64-bit a corpus-scale collision can merge two gram
-  identities and at worst widen a span by one window; the sf-gate
-  oracle groups by the gram STRING itself, so any collision at gate
-  scale would fail the hash-match — swap md5 halves in for 128 bits at
-  100 TB if exactness is contractual.)
+  its hash (``hash_bits=64`` → xxhash64, 24-byte exchange rows) so no
+  exchange ever carries text. At 64-bit a corpus-scale collision can
+  merge two gram identities and at worst widen a span by one window;
+  the sf-gate oracle groups by the gram STRING itself, so any
+  collision at gate scale would fail the hash-match. When exactness
+  is contractual at 100 TB, ``hash_bits=128`` shuffles the full md5
+  digest (16-byte binary identity, ~n^2/2^129 collision probability)
+  — same plan shape, 8 more bytes per row; the 64/128 agreement and
+  the collision failure mode itself are pinned in tests/test_substr.py.
 - Doc frequency is a two-phase ``count_distinct(doc_id) GROUP BY gh``
   aggregate: partial map-side dedup absorbs boilerplate stop-grams
   (the hot keys) BEFORE the exchange. A window over gh was measured
@@ -52,12 +55,27 @@ def _ws(text_col: str):
     return F.split(F.regexp_replace(F.trim(F.col(text_col)), " +", " "), " ")
 
 
+def _gram_hash(gram, hash_bits: int):
+    """Reduce a gram string to its shuffle identity. 64 = xxhash64
+    (8-byte rows — the default; a corpus-scale collision can merge two
+    gram identities and at worst widen a span by one window). 128 =
+    the full md5 digest (16-byte identity, collision probability
+    ~n^2/2^129 — for pipelines where span exactness is contractual).
+    Module docstring has the trade-off."""
+    if hash_bits == 64:
+        return F.xxhash64(gram)
+    if hash_bits == 128:
+        return F.unhex(F.md5(gram))
+    raise ValueError(f"hash_bits must be 64 or 128, got {hash_bits}")
+
+
 def _dup_positions(
     documents: DataFrame,
     k: int,
     min_docs: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_bits: int = 64,
 ) -> DataFrame:
     """(doc_id, pos, keeper) for every occurrence of a k-gram that
     appears in >= min_docs distinct documents. ``pos`` is the 0-based
@@ -85,8 +103,8 @@ def _dup_positions(
         .select(
             "doc_id",
             "pos",
-            F.xxhash64(
-                F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(k)])
+            _gram_hash(
+                F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(k)]), hash_bits
             ).alias("gh"),
         )
     )
@@ -133,16 +151,19 @@ def duplicated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Maximal cross-document duplicated token spans: one row per
     (doc_id, span), columns (doc_id, span_start, span_end, span_tokens,
     n_grams). span bounds are 0-based inclusive token indexes; n_grams
     is the number of duplicated k-gram occurrences the span merged.
+    ``hash_bits`` picks the gram shuffle identity (see
+    :func:`_gram_hash`).
 
     Output is per-span and UNORDERED (no presentation sort — the
     driver compare is order-insensitive; see textops.py module note).
     """
-    hits = _dup_positions(documents, k, min_docs, id_col, text_col)
+    hits = _dup_positions(documents, k, min_docs, id_col, text_col, hash_bits)
     return _merge_islands(hits.select("doc_id", "pos"), k)
 
 
@@ -153,6 +174,7 @@ def exact_substring_stats(
     max_frac: float = 0.30,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Per-document duplicated-substring exposure: (doc_id, n_tokens,
     n_spans, dup_tokens, dup_token_frac, keep). Every document appears
@@ -160,7 +182,7 @@ def exact_substring_stats(
     threshold ``dup_token_frac <= max_frac`` — the document-drop form
     of ExactSubstr dedup (Lee et al. §4.1 cut documents by duplicate
     coverage)."""
-    spans = duplicated_spans(documents, k, min_docs, id_col, text_col)
+    spans = duplicated_spans(documents, k, min_docs, id_col, text_col, hash_bits)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum("span_tokens").cast("long").alias("dup_tokens"),
@@ -193,6 +215,7 @@ def strip_dup_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Remove duplicated spans, keeping the canonical copy where one
     cleanly exists: an occurrence is REDUNDANT iff its document is not
@@ -227,7 +250,7 @@ def strip_dup_spans(
     per-row work bounded by document length, spans carried as a
     collect_list per doc (span count per doc is small by
     construction: spans are maximal and disjoint)."""
-    hits = _dup_positions(documents, k, min_docs, id_col, text_col)
+    hits = _dup_positions(documents, k, min_docs, id_col, text_col, hash_bits)
     redundant = hits.filter(F.col("doc_id") != F.col("keeper")).select("doc_id", "pos")
     spans = (
         _merge_islands(redundant, k)

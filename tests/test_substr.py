@@ -140,3 +140,45 @@ def test_strip_overlapping_keeper_regions_collapse_by_design(spark):
         S.strip_dup_spans(df, k=3).filter(F.col("text") != ""), k=3
     )
     assert again.count() == 0
+
+
+def test_hash_bits_128_matches_64_on_collision_free_corpus(spark, docs):
+    """The md5-128 identity must produce the exact same spans and
+    stripped text as the xxhash64 default wherever 64-bit hashing is
+    collision-free (i.e. everywhere in practice below corpus scale)."""
+    for fn in (S.duplicated_spans, S.strip_dup_spans):
+        a = {tuple(r) for r in fn(docs, k=5, hash_bits=64).collect()}
+        b = {tuple(r) for r in fn(docs, k=5, hash_bits=128).collect()}
+        assert a == b and a  # identical AND non-trivial
+
+
+def test_hash_bits_validation(corpus):
+    with pytest.raises(ValueError):
+        S.duplicated_spans(corpus, hash_bits=32)
+
+
+def test_planted_hash_collision_widens_spans_and_128_path_fixes_it(
+    spark, monkeypatch
+):
+    """The documented 64-bit failure mode, made real: collide gram
+    identities by truncating the hash to 2 bits. Two UNRELATED docs
+    then share a 'duplicated' gram (a false span appears), which the
+    full-width identity — exercised through the genuine hash_bits=128
+    branch — does not produce."""
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "t u v w x y")], ["doc_id", "text"]
+    )
+    assert S.duplicated_spans(df, k=3).count() == 0  # truly unrelated
+    real = S._gram_hash
+
+    def colliding(gram, hash_bits):
+        if hash_bits == 64:  # truncate: every gram falls in 4 buckets
+            return F.pmod(F.xxhash64(gram), F.lit(4))
+        return real(gram, hash_bits)
+
+    monkeypatch.setattr(S, "_gram_hash", colliding)
+    # 8 grams into 4 buckets: pigeonhole guarantees >=1 cross-doc
+    # collision -> false duplicated spans under the truncated identity
+    assert S.duplicated_spans(df, k=3).count() > 0
+    # the 128-bit path (real md5 identity) is immune
+    assert S.duplicated_spans(df, k=3, hash_bits=128).count() == 0
