@@ -808,6 +808,117 @@ def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.heavy_hitter_ngrams(docs.unionAll(boiler), n=3, threshold=1e-4)
 
 
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword ids end-to-end: train 24 merges on the corpus, assign
+    the deterministic subword vocabulary, emit loader-ready id
+    sequences (operators/bpe.py::bpe_encode_corpus — the composition
+    the word-level tokenize_to_ids is the reference implementation
+    of). Gate shape: ids array projected to one space-joined scalar,
+    same convention as tokenize_to_ids."""
+    from secure_agent_api_vector_search_spark.operators.bpe import bpe_encode_corpus
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    out = bpe_encode_corpus(docs, n_merges=24)
+    return out.select(
+        "doc_id", "n_tokens", F.concat_ws(" ", F.col("ids")).alias("ids_str")
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """GENERATED oracle for ``bpe_encode``: a deliberately independent
+    sequential implementation of canonical greedy BPE (Sennrich et al.
+    2016 — one merge per round, ties (count desc, pair lexical asc),
+    min_count 2, end-of-word marker) runs over the gate corpus read
+    straight from parquet, encodes every DISTINCT word, assigns the
+    (count desc, token asc) 1-based vocabulary, and embeds the
+    word -> (n_subwords, ids) map as a VALUES table; DuckDB then does
+    the per-document assembly relationally. Resolved lazily (the
+    registry's callable-oracle seam) so registration stays I/O-free;
+    the corpus dir comes from $SPARK_GRAFT_ORACLE_SF_DIR (default: the
+    driver's sf0.01 gate dir)."""
+    import os
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    texts = [
+        t
+        for (t,) in con.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    con.close()
+    words: Counter = Counter()
+    for t in texts:
+        for w in re.split("[ \t\n\x0b\f\r]+", t or ""):
+            if w:
+                words[w] += 1
+    eow = "▁"
+    seqs = {w: tuple(list(w) + [eow]) for w in words}
+    merges_left = 24
+    while merges_left > 0:
+        pairs: Counter = Counter()
+        for w, c in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        pairs = {p: n for p, n in pairs.items() if n >= 2}
+        if not pairs:
+            break
+        a, b = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges_left -= 1
+        for w, s in seqs.items():
+            i, res = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            seqs[w] = tuple(res)
+    inventory: Counter = Counter()
+    for w, c in words.items():
+        for t in seqs[w]:
+            inventory[t] += c
+    ids = {
+        t: i + 1
+        for i, (t, _) in enumerate(
+            sorted(inventory.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",\n  ".join(
+        "('{w}', {n}, '{ids}')".format(
+            w=esc(w),
+            n=len(seqs[w]),
+            ids=" ".join(str(ids[t]) for t in seqs[w]),
+        )
+        for w in sorted(words)
+    )
+    return f"""
+WITH m(word, n_toks, word_ids) AS (VALUES
+  {vals}),
+w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS ws
+  FROM documents),
+t AS (
+  SELECT doc_id, i AS pos, ws[i] AS word
+  FROM w, UNNEST(range(1, len(ws) + 1)) AS u(i))
+SELECT t.doc_id,
+       CAST(SUM(m.n_toks) AS BIGINT) AS n_tokens,
+       string_agg(m.word_ids, ' ' ORDER BY t.pos) AS ids_str
+FROM t JOIN m USING (word)
+GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+
 def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a small BPE merge table on the documents corpus (strict
     greedy, driver loop — the vocab fits) and tokenize every document
@@ -3738,6 +3849,17 @@ ORDER BY id_a, id_b""",
                     "merges are token-for-token parity-tested against an "
                     "independent reference implementation AND the "
                     "distributed path in tests/test_bpe.py",
+        tags=("text", "tokenize")))
+    r.register(NamedQuery(
+        "bpe_encode", bpe_encode,
+        oracle_sql=_bpe_encode_oracle,  # generated: independent
+        # sequential BPE over the gate parquet, word->ids VALUES map,
+        # relational per-doc assembly (see _bpe_encode_oracle)
+        description="[EXT] subword ids end-to-end (train merges -> "
+                    "deterministic vocab -> id sequences), the loader-"
+                    "facing composition; gated against an INDEPENDENT "
+                    "sequential BPE implementation embedded as a "
+                    "generated VALUES-map oracle",
         tags=("text", "tokenize")))
     r.register(NamedQuery(
         "similarity_join_lsh", similarity_join_lsh,

@@ -321,3 +321,80 @@ def bpe_tokenize(
     return documents.select(id_col, text_col).mapInPandas(
         op, schema=f"{id_col} {id_type}, tokens array<string>, n_tokens long"
     )
+
+
+def bpe_vocab_ids(tokenized: DataFrame) -> list[tuple[str, int]]:
+    """Deterministic subword id assignment over the REALIZED token
+    inventory of a :func:`bpe_tokenize` output: (count DESC, token
+    ASC), contiguous 1-based ids, 0 reserved for tokens outside the
+    inventory (applying this vocab to a different corpus). The
+    inventory is bounded by |base alphabet| + n_merges symbols, so the
+    collect is driver-sized by construction — never corpus-sized.
+
+    Returns the ordered [(token, id)] list (id = position + 1)."""
+    rows = (
+        tokenized.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    ordered = sorted(rows, key=lambda r: (-r["n"], r["tok"]))
+    return [(r["tok"], i + 1) for i, r in enumerate(ordered)]
+
+
+def bpe_encode_corpus(
+    documents: DataFrame,
+    n_merges: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_k: int = 1,
+    min_count: int = 2,
+) -> DataFrame:
+    """The composition a training pipeline actually ships to its
+    loader: train the merge table on the corpus (:func:`train_bpe`),
+    tokenize every document with it (:func:`bpe_tokenize`), assign the
+    deterministic subword vocabulary (:func:`bpe_vocab_ids`), and emit
+    id sequences. The word-level form (textops.tokenize_to_ids) is the
+    oracle-able reference implementation of the same contract; this is
+    its subword counterpart, end-to-end behind one call.
+
+    Scale shape: training never iterates the corpus (see module
+    docstring); tokenization is one Arrow-batched map; the vocabulary
+    aggregate is bounded by |alphabet| + n_merges symbols, collected
+    once and folded back in as a literal MAP expression, so the encode
+    itself stays whole-stage codegen (transform + element_at) with
+    ZERO additional shuffles. The tokenized frame is persisted for its
+    two consumers and released once the (narrow) output materializes —
+    the minhash_incremental convention; long-lived callers may
+    .unpersist() the returned frame.
+
+    Output: (doc_id, n_tokens, ids array<int>), n_tokens = subword
+    count, ids 1-based (0 = out-of-inventory, impossible here by
+    construction but the contract when the vocab is reused).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    merges = train_bpe(
+        documents, n_merges, text_col=text_col, batch_k=batch_k, min_count=min_count
+    )
+    toks = bpe_tokenize(documents, merges, text_col=text_col, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    vocab = bpe_vocab_ids(toks)
+    if vocab:
+        id_map = F.create_map(
+            *[F.lit(x) for tok, tid in vocab for x in (tok, tid)]
+        )
+        enc = lambda t: F.coalesce(  # noqa: E731
+            F.element_at(id_map, t), F.lit(0)
+        ).cast("int")
+    else:  # empty corpus: no inventory, every token (none) maps to OOV
+        enc = lambda t: F.lit(0).cast("int")  # noqa: E731
+    result = toks.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.transform(F.col("tokens"), enc).alias("ids"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    toks.unpersist()
+    return result

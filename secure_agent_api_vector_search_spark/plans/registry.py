@@ -23,7 +23,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class NamedQuery:
     name: str
     fn: QueryFn
-    oracle_sql: str | None = None  # ANSI SQL twin (DuckDB), None → rows-only check
+    # ANSI SQL twin (DuckDB), None → rows-only check. A zero-arg
+    # callable is resolved lazily at collection time — for oracles that
+    # must be GENERATED against the gate corpus (e.g. an independent
+    # sequential BPE whose word→ids map is embedded as a VALUES table).
+    oracle_sql: str | Callable[[], str] | None = None
     description: str = ""
     tags: tuple[str, ...] = ()
 
@@ -41,4 +45,9 @@ class Registry:
         return {name: q.fn for name, q in self.queries.items()}
 
     def oracles(self) -> dict[str, str]:
-        return {name: q.oracle_sql for name, q in self.queries.items() if q.oracle_sql}
+        out: dict[str, str] = {}
+        for name, q in self.queries.items():
+            sql = q.oracle_sql() if callable(q.oracle_sql) else q.oracle_sql
+            if sql:
+                out[name] = sql
+        return out

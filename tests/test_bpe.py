@@ -202,3 +202,63 @@ def test_bpe_reference_parity_property(spark):
             assert list(r["tokens"]) == want_toks
 
     run()
+
+
+def test_bpe_encode_corpus_end_to_end(spark, corpus_df):
+    """The loader-facing composition: ids are 1-based contiguous over
+    the realized inventory, sequences decode back to the reference
+    segmentation, and n_tokens matches the id sequence length."""
+    from secure_agent_api_vector_search_spark.operators.bpe import (
+        bpe_encode_corpus,
+        bpe_tokenize,
+        bpe_vocab_ids,
+        train_bpe,
+    )
+
+    out = bpe_encode_corpus(corpus_df, n_merges=8)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == set(range(len(CORPUS)))
+    # vocab ids are exactly 1..N over the realized inventory
+    merges = train_bpe(corpus_df, n_merges=8)
+    toks = bpe_tokenize(corpus_df, merges)
+    vocab = bpe_vocab_ids(toks)
+    assert [tid for _, tid in vocab] == list(range(1, len(vocab) + 1))
+    # decode round-trip: ids -> tokens reproduces the tokenizer output
+    inv = {tid: tok for tok, tid in vocab}
+    tok_rows = {r.doc_id: list(r.tokens) for r in toks.collect()}
+    for d, r in rows.items():
+        assert r.n_tokens == len(r.ids)
+        assert [inv[i] for i in r.ids] == tok_rows[d]
+        assert 0 not in r.ids  # whole corpus is in-inventory
+    out.unpersist()
+
+
+def test_bpe_encode_corpus_matches_reference_ids(spark, corpus_df):
+    """Ids must equal the independent reference pipeline's: reference
+    merges -> reference segmentation -> (count desc, tok asc) vocab."""
+    from collections import Counter
+
+    from secure_agent_api_vector_search_spark.operators.bpe import (
+        bpe_encode_corpus,
+    )
+
+    _, seqs = _ref_bpe(CORPUS, 8)
+    words = Counter(w for t in CORPUS for w in t.split())
+    inv = Counter()
+    for w, c in words.items():
+        for t in seqs[w]:
+            inv[t] += c
+    ids = {
+        t: i + 1
+        for i, (t, _) in enumerate(
+            sorted(inv.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    want = {
+        d: [ids[t] for w in text.split() for t in seqs[w]]
+        for d, text in enumerate(CORPUS)
+    }
+    out = bpe_encode_corpus(corpus_df, n_merges=8)
+    got = {r.doc_id: list(r.ids) for r in out.collect()}
+    assert got == want
+    out.unpersist()

@@ -50,6 +50,11 @@ def rows_key(rows, cols):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # generated oracles (registry callable-oracle seam) must read the
+    # same corpus this run gates against
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_session("mini_driver")
     con = duckdb.connect()
     register(con, sf_dir)
