@@ -1272,11 +1272,17 @@ _IVF_CACHE: dict[str, I.IvfIndex] = {}
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nprobe=10 of 16: the smallest swept point whose recall@10 clears
+    # BASELINE.md's >=0.9 bar even on the iid-random gate embeddings
+    # (bench `recall.operating_point`; 0.9375 measured at sf0.1 —
+    # clustered corpora clear it at far lower nprobe, see
+    # `ann_crossover`). The benched default carries the audit-grade
+    # setting, not the fastest one.
     index = _IVF_CACHE.get(sf_dir)
     if index is None:
         index = I.build_ivf(load_embeddings(spark, sf_dir), n_lists=16, seed=42)
         _IVF_CACHE[sf_dir] = index
-    return I.ivf_search(index, _query_vec(spark, sf_dir), k=10, nprobe=4)
+    return I.ivf_search(index, _query_vec(spark, sf_dir), k=10, nprobe=10)
 
 
 _PQ_CACHE: dict[str, tuple] = {}
@@ -1284,7 +1290,7 @@ _PQ_CACHE: dict[str, tuple] = {}
 
 def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compressed-scan top-k with exact re-rank (operators/pq.py):
-    8-byte codes instead of 512-byte vectors at scan time, shortlist
+    16-byte codes instead of 256-byte vectors at scan time, shortlist
     re-ranked with the exact metric. Build+encode memoized per corpus
     (the index lifecycle, like _IVF_CACHE)."""
     from secure_agent_api_vector_search_spark.operators import pq as PQ
@@ -1292,7 +1298,12 @@ def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PQ_CACHE.get(sf_dir)
     if cached is None:
         emb = load_embeddings(spark, sf_dir)
-        book = PQ.build_pq(emb, m=8, ksub=32, seed=42)
+        # m=16 (dsub=4 at dim 64): the benched codes carry rerank
+        # recall >= the 0.85 contract in tests/test_pq.py on the iid
+        # gate corpus (m=8 measured 0.75 at shortlist=100 — bench
+        # `recall.pq_rerank`); 16-byte codes are still 16x smaller
+        # than the stored vectors
+        book = PQ.build_pq(emb, m=16, ksub=32, seed=42)
         codes = PQ.encode_pq(emb, book).persist()
         codes.count()
         cached = (book, codes)
@@ -1388,7 +1399,12 @@ def pq_rerank_exact_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PQ_CACHE.get(sf_dir)
     if cached is None:
         emb = load_embeddings(spark, sf_dir)
-        book = PQ.build_pq(emb, m=8, ksub=32, seed=42)
+        # m=16 (dsub=4 at dim 64): the benched codes carry rerank
+        # recall >= the 0.85 contract in tests/test_pq.py on the iid
+        # gate corpus (m=8 measured 0.75 at shortlist=100 — bench
+        # `recall.pq_rerank`); 16-byte codes are still 16x smaller
+        # than the stored vectors
+        book = PQ.build_pq(emb, m=16, ksub=32, seed=42)
         codes = PQ.encode_pq(emb, book).persist()
         codes.count()
         cached = (book, codes)
