@@ -4093,116 +4093,73 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
-    # newest first (session-5 additions): the Bloom-pre-filtered
-    # incremental dedup, sharing dedup_incremental's oracle, and the
-    # exact n-gram heavy-hitter boilerplate finder. Their in-window
-    # positions displace region_priority_pivot (pivot = groupBy-agg
-    # machinery; sibling revenue_rollup stays in window) and
-    # q5_local_supplier_volume (relational agg/join family; siblings
-    # q1_pricing_summary + q3_shipping_priority stay in window)
-    "dedup_incremental_bloom",
-    "heavy_hitter_ngrams",
-    # the skew-safe percentile cut (window-free twin of in-window
-    # quality_percentile_filter); displaces dedup_normalized, whose
-    # machinery stays covered in-window by dedup_exact_keep_first,
-    # dedup_components_keep_first, and dedup_incremental
-    "quality_percentile_cut",
-    # WET extraction (planted-HTML corpus); displaces
-    # events_interval_join (interval/event machinery stays covered
-    # in-window by events_sessionize and events_funnel)
-    "html_extract",
-    # TPC-H Q6/Q18 shapes (pushdown scan-agg; having-driven join);
-    # displace revenue_by_region (agg family — q1 stays in window) and
-    # top_terms_by_lang (term-count machinery — heavy_hitter_ngrams
-    # is in window)
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
-    # TPC-H Q2 shape (decorrelated min-subquery, tie-keeping equality
-    # join); displaces orders_semi_late_lines (semi-join machinery —
-    # q18's IN-subquery semi and the dedup anti/semi family stay in
-    # window)
-    "q2_min_cost_supplier",
-    # Deequ-style expectations report (one-scan conditional sums with
-    # two deliberately failing rules); displaces events_retention
-    # (events machinery — events_funnel + events_sessionize in window)
-    "data_expectations",
-    # brand-new in round 6, never driver-checked (12, duplicated_spans
-    # through stratified_sample below) — the window's
-    # never-checked-first rule puts them ahead of everything; to keep
-    # the window at 50, twelve rotate out vs the round-5 window, each
-    # leaving an in-window sibling on the same machinery: revenue_cube
-    # (grouping sets, with
-    # revenue_rollup), vector_topk_dot + vector_topk_l2 +
-    # vector_topk_filtered + similar_to_doc (scorer/top-k machinery
-    # shared with vector_topk_cosine + find_similar_records),
-    # events_funnel_summary (aggregate over in-window events_funnel),
-    # token_budget_by_lang (sibling token_budget_sample),
-    # pack_sequence_stats (sibling pack_sequences), neardup_pairs_cosine
-    # (exact-cosine pair machinery shared with similarity_join_exact),
-    # events_engagement (distinct user-day collapse shared with
-    # in-window events_retention), lang_id_eval (language-ID machinery
-    # shared with in-window lang_profile), top_customers_by_revenue
-    # (relational agg family: q1/q3/q5/revenue_by_region in window),
-    # customers_without_orders (decorrelated anti-join; semi-join
-    # sibling orders_semi_late_lines in window), embedding_stats
-    # (vector-summary agg; the topk family covers the scorer and
-    # embedding_coverage covers the health monitor on the full gate).
-    # All stay on the local full gate every round.
+    # --- round-7 window. Composition rule unchanged: (A) entries that
+    # are new, were red, or whose code moved this round; then (B-D) the
+    # oracle entries with the OLDEST driver coverage (last green r3 ->
+    # r4 -> r5, CORRECTNESS_r0*.json); then the standing ANN guard.
+    # Everything rotated out was green in r6 and stays on the local
+    # full gate every round.
+    # A: red-last-round fix (ids array -> scalar gate projection)
+    "tokenize_to_ids",
+    # A: new this round (independent-BPE generated oracle); never gated
+    "bpe_encode",
+    # A: upgraded rows-only -> full SQL oracle this round; never gated
+    "strip_dup_spans",
+    # A: never driver-windowed rows-only entries (VERDICT r6 item 8)
+    "bpe_tokenize_corpus",
+    "image_neardup",
+    "video_frame_features",
+    # A: semantics-bearing code moved this round -- re-verify values
+    # under the new plans (adaptive audit banding; basis-point
+    # rounding; gram-hash parameterization; semdedup persist release;
+    # IVF nprobe=10 + PQ m=16 benched defaults; anomaly state guard)
+    "split_leakage_check",
+    "stratified_sample",
     "duplicated_spans",
     "exact_substring_stats",
-    "mixture_upsample",
-    "lm_likelihood_buckets",
-    "hard_negatives",
-    "source_drift_tvd",
-    "split_leakage_check",
-    "events_hourly_anomaly",
-    "build_vocab",
-    "tokenize_to_ids",
+    "semantic_dedup",
+    "ivf_topk",
+    "pq_topk_rerank",
     "anomaly_streaming",
-    "vector_topk_page2",
-    "chunk_documents",
-    "stratified_sample",
-    # --- round-6 rebuild. The round-6 window must show ZERO err rows
-    # (VERDICT r5 item 5): every rows-only entry (LSH/ANN forms whose
-    # exactness twins are IN the window, decode/semdedup ops with pytest
-    # invariants) sits past position 50, so all 50 recorded rows carry
-    # hard DuckDB oracles. Order: touched-this-round first, then the
-    # oracle entries the round-5 window missed (oldest coverage), then
-    # one standing ANN-family guard. ---
-    # touched in round 6 (17): minhash_near_dup's new exact-pair-set
-    # oracle; the per-row presentation-sort purge (outputs unchanged,
-    # plans changed - re-verify values under the new plans); epoch_shuffle
-    # (kept green while curation internals moved)
-    "minhash_near_dup",
-    "doc_repetition",
-    "duplicate_ngram_stats",
-    "dedup_exact_keep_first",
-    "dedup_components_keep_first",
-    "corpus_curation",
-    "pack_sequences",
-    "per_source_cap",
-    "quality_percentile_filter",
-    "events_funnel",
-    "events_sessionize",
-    "orders_window_top3",
-    "contamination_check",
-    "sessionize_streaming",
-    "epoch_shuffle",
-    # oracle entries with no round-5 row (post-rotation remainder):
-    # last green round <= 4
-    "point_lookup",
-    "vector_topk_cosine",
-    "find_similar_records",
-    "find_similar_by_text",
-    "similarity_join_exact",
-    "doc_winnow_fingerprints",
-    "lang_profile",
-    "token_budget_sample",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "revenue_rollup",
-    "brand_setops",
-    # standing ANN-family guard (1): the exactness-limit identity that
+    # B: oracle entries last green in round 3
+    "customers_without_orders",
+    "lang_id_eval",
+    "orders_semi_late_lines",
+    "part_small_qty_revenue",
+    "q5_local_supplier_volume",
+    "region_priority_pivot",
+    "revenue_by_region",
+    "top_customers_by_revenue",
+    # C: oracle entries last green in round 4
+    "embedding_stats",
+    "events_engagement",
+    "events_funnel_summary",
+    "events_retention",
+    "neardup_pairs_cosine",
+    "pack_sequence_stats",
+    "revenue_cube",
+    "similar_to_doc",
+    "token_budget_by_lang",
+    "top_terms_by_lang",
+    "vector_topk_dot",
+    "vector_topk_filtered",
+    "vector_topk_l2",
+    # D: oracle entries last green in round 5 (oldest 14, alphabetical)
+    "bm25_search",
+    "corpus_stats_gate",
+    "corpus_token_totals",
+    "dataset_split",
+    "dedup_incremental",
+    "dedup_normalized",
+    "doc_fingerprints",
+    "doc_quality",
+    "embed_texts",
+    "embedding_coverage",
+    "events_hourly",
+    "events_interval_join",
+    "hybrid_search",
+    "knn_join",
+    # standing ANN-family guard: the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate
     "ivf_topk_fullprobe",
 )
