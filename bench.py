@@ -137,6 +137,8 @@ HEADLINE = [
     "q18_large_volume_customer",
     "q2_min_cost_supplier",
     "data_expectations",
+    # round-7 addition: the loader-facing subword encode composition
+    "bpe_encode",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has
