@@ -1073,6 +1073,19 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV audit of a TRAIN-split vocabulary against every split: the
+    deterministic md5 dataset_split tags each doc, build_vocab fits
+    top-25 on train only (25 < the corpus's ~31 distinct words, so the
+    OOV path carries real mass), vocab_coverage aggregates per split."""
+    docs = load_documents(spark, sf_dir)
+    tagged = docs.join(
+        CU.dataset_split(docs).select("doc_id", "split"), "doc_id"
+    )
+    train_vocab = TX.build_vocab(tagged.filter(F.col("split") == "train"), size=25)
+    return TX.vocab_coverage(tagged, train_vocab, group_col="split")
+
+
 def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. ExactSubstr span finder at k=5 on the ~60-token test
     docs (same k as the Gopher fraction stat, so every gate doc with a
@@ -3223,6 +3236,33 @@ GROUP BY t.doc_id ORDER BY t.doc_id""",
         tags=("text", "curation")))
 
     r.register(NamedQuery(
+        "vocab_coverage", vocab_coverage,
+        oracle_sql="""
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'train'
+              WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 15)) AS BIGINT) % 10000 < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+t AS (SELECT split, unnest(string_split(text, ' ')) AS tok FROM sp),
+v AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM t WHERE split = 'train' GROUP BY tok
+    ORDER BY c DESC, tok ASC LIMIT 25)),
+j AS (SELECT t.split, t.tok, v.tok AS vtok FROM t LEFT JOIN v ON t.tok = v.tok)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate,
+       CAST(COUNT(DISTINCT CASE WHEN vtok IS NULL THEN tok END) AS BIGINT) AS distinct_oov
+FROM j GROUP BY split ORDER BY split""",
+        description="[EXT] OOV audit: train-split vocabulary coverage per "
+                    "split (token explode + broadcast vocab + one group "
+                    "aggregate) — the tokenizer-eval step before freezing "
+                    "a vocab; composes the gated dataset_split and "
+                    "build_vocab pieces",
+        tags=("text", "curation")))
+    r.register(NamedQuery(
         "split_leakage_check", split_leakage_check,
         oracle_sql="""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -4103,6 +4143,8 @@ CHECK_FIRST: tuple[str, ...] = (
     "tokenize_to_ids",
     # A: new this round (independent-BPE generated oracle); never gated
     "bpe_encode",
+    # A: new this round (composes gated dataset_split + build_vocab)
+    "vocab_coverage",
     # A: upgraded rows-only -> full SQL oracle this round; never gated
     "strip_dup_spans",
     # A: never driver-windowed rows-only entries (VERDICT r6 item 8)
@@ -4158,7 +4200,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "events_hourly",
     "events_interval_join",
     "hybrid_search",
-    "knn_join",
     # standing ANN-family guard: the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate
     "ivf_topk_fullprobe",

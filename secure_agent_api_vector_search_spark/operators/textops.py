@@ -694,3 +694,43 @@ def tokenize_to_ids(
             F.transform(F.col("_seq"), lambda s: s["id"]).alias("ids"),
         )
     )
+
+
+def vocab_coverage(
+    documents: DataFrame,
+    vocab: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary audit — the tokenizer-eval a pipeline runs
+    BEFORE freezing a vocabulary: per ``group_col`` slice, how much of
+    the token stream the vocabulary covers. The canonical use composes
+    :func:`~..operators.curation.dataset_split` + :func:`build_vocab`
+    on the train split and audits every split (a vocab fit on train
+    must be shown to cover held-out text; a slice with outlier
+    ``oov_rate`` means the split — or a source/language — is
+    vocabulary-shifted and will tokenize to OOV mush).
+
+    Scale shape: one token explode with the group tag (map-only), the
+    vocabulary joins in as a broadcast (bounded-N by construction),
+    one group-keyed aggregate; the distinct-OOV count is a standard
+    two-phase count_distinct whose partial phase dedups (group, tok)
+    pairs map-side — stop-words never reach the exchange twice.
+
+    Output: (group_col, n_tokens, n_oov, oov_rate, distinct_oov).
+    """
+    toks = documents.select(
+        F.col(group_col), F.explode(X.tokens(text_col)).alias("tok")
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select("tok").withColumn("_inv", F.lit(1))), "tok", "left"
+    )
+    oov = F.when(F.col("_inv").isNull(), 1).otherwise(0)
+    return joined.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        (F.sum(oov).cast("double") / F.count("*")).alias("oov_rate"),
+        F.count_distinct(F.when(F.col("_inv").isNull(), F.col("tok")))
+        .cast("bigint")
+        .alias("distinct_oov"),
+    )

@@ -510,3 +510,28 @@ FROM fin f JOIN anch a USING (doc_id)""").fetchall()
     for doc_id, ext, dens in oracle:
         assert got[doc_id][0] == ext, (doc_id, got[doc_id][0], ext)
         assert got[doc_id][1] == dens, (doc_id, got[doc_id][1], dens)
+
+
+def test_vocab_coverage_planted_oov(spark):
+    """Known vocabulary, planted OOV mass: exact per-group counts."""
+    from secure_agent_api_vector_search_spark.operators.textops import (
+        build_vocab,
+        vocab_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a", "x x y zz"),      # zz OOV (1 of 4)
+            (1, "a", "x qq qq"),       # qq OOV twice (2 of 3, 1 distinct)
+            (2, "b", "x y"),           # fully covered
+        ],
+        ["doc_id", "source", "text"],
+    )
+    vocab = build_vocab(
+        spark.createDataFrame([(0, "x x x y y")], ["doc_id", "text"]), size=10
+    )
+    out = {r.source: r for r in vocab_coverage(df, vocab).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_tokens, a.n_oov, a.distinct_oov) == (7, 3, 2)
+    assert abs(a.oov_rate - 3 / 7) < 1e-15
+    assert (b.n_tokens, b.n_oov, b.distinct_oov, b.oov_rate) == (2, 0, 0, 0.0)
