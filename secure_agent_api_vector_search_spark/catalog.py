@@ -824,18 +824,14 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle() -> str:
-    """GENERATED oracle for ``bpe_encode``: a deliberately independent
+def _independent_bpe(n_merges: int = 24):
+    """The generated-oracle engine: a deliberately independent
     sequential implementation of canonical greedy BPE (Sennrich et al.
     2016 — one merge per round, ties (count desc, pair lexical asc),
-    min_count 2, end-of-word marker) runs over the gate corpus read
-    straight from parquet, encodes every DISTINCT word, assigns the
-    (count desc, token asc) 1-based vocabulary, and embeds the
-    word -> (n_subwords, ids) map as a VALUES table; DuckDB then does
-    the per-document assembly relationally. Resolved lazily (the
-    registry's callable-oracle seam) so registration stays I/O-free;
-    the corpus dir comes from $SPARK_GRAFT_ORACLE_SF_DIR (default: the
-    driver's sf0.01 gate dir)."""
+    min_count 2, end-of-word marker) over the gate corpus read straight
+    from parquet ($SPARK_GRAFT_ORACLE_SF_DIR, default the driver's
+    sf0.01 gate dir). Returns (words Counter, word -> final symbol
+    tuple) for the oracle builders to embed as VALUES tables."""
     import os
     import re
     from collections import Counter
@@ -858,7 +854,7 @@ def _bpe_encode_oracle() -> str:
                 words[w] += 1
     eow = "▁"
     seqs = {w: tuple(list(w) + [eow]) for w in words}
-    merges_left = 24
+    merges_left = n_merges
     while merges_left > 0:
         pairs: Counter = Counter()
         for w, c in words.items():
@@ -880,6 +876,23 @@ def _bpe_encode_oracle() -> str:
                     res.append(s[i])
                     i += 1
             seqs[w] = tuple(res)
+    return words, seqs
+
+
+def _sql_escape(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _bpe_encode_oracle() -> str:
+    """GENERATED oracle for ``bpe_encode``: the independent sequential
+    BPE (:func:`_independent_bpe`) encodes every DISTINCT word, assigns
+    the (count desc, token asc) 1-based vocabulary, and embeds the
+    word -> (n_subwords, ids) map as a VALUES table; DuckDB then does
+    the per-document assembly relationally. Resolved lazily (the
+    registry's callable-oracle seam) so registration stays I/O-free."""
+    from collections import Counter
+
+    words, seqs = _independent_bpe(24)
     inventory: Counter = Counter()
     for w, c in words.items():
         for t in seqs[w]:
@@ -890,13 +903,9 @@ def _bpe_encode_oracle() -> str:
             sorted(inventory.items(), key=lambda kv: (-kv[1], kv[0]))
         )
     }
-
-    def esc(s: str) -> str:
-        return s.replace("'", "''")
-
     vals = ",\n  ".join(
         "('{w}', {n}, '{ids}')".format(
-            w=esc(w),
+            w=_sql_escape(w),
             n=len(seqs[w]),
             ids=" ".join(str(ids[t]) for t in seqs[w]),
         )
@@ -917,6 +926,43 @@ SELECT t.doc_id,
        string_agg(m.word_ids, ' ' ORDER BY t.pos) AS ids_str
 FROM t JOIN m USING (word)
 GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+
+def _tokenizer_fertility_oracle() -> str:
+    """GENERATED oracle for ``tokenizer_fertility``: the independent
+    BPE's word -> subword-count map as a VALUES table; DuckDB explodes
+    words per source and aggregates fertility relationally."""
+    words, seqs = _independent_bpe(24)
+    vals = ",\n  ".join(
+        f"('{_sql_escape(w)}', {len(seqs[w])})" for w in sorted(words)
+    )
+    return f"""
+WITH m(word, n_toks) AS (VALUES
+  {vals}),
+w AS (
+  SELECT source,
+         unnest(string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ')) AS word
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(m.n_toks) AS BIGINT) AS n_subwords,
+       CAST(SUM(m.n_toks) AS DOUBLE) / COUNT(*) AS fertility
+FROM w JOIN m USING (word)
+GROUP BY source ORDER BY source"""
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword fertility per source at the same 24-merge table the
+    bpe_encode gate trains — the tokenizer-quality readout
+    (operators/bpe.py::tokenizer_fertility, single pass, zero joins)."""
+    from secure_agent_api_vector_search_spark.operators.bpe import (
+        tokenizer_fertility as TF,
+        train_bpe,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    merges = train_bpe(docs.select("doc_id", "text"), n_merges=24)
+    return TF(docs, merges, group_col="source")
 
 
 def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3918,6 +3964,16 @@ ORDER BY id_a, id_b""",
                     "generated VALUES-map oracle",
         tags=("text", "tokenize")))
     r.register(NamedQuery(
+        "tokenizer_fertility", tokenizer_fertility,
+        oracle_sql=_tokenizer_fertility_oracle,  # generated: independent
+        # BPE word->subword-count VALUES map, relational aggregation
+        description="[EXT] tokenizer fertility (subwords per word) by "
+                    "source — single Arrow map (bpe_tokenize carrying "
+                    "the group column), word count recovered from the "
+                    "end-of-word markers (one per word, invariant "
+                    "pinned in tests), one bounded group aggregate",
+        tags=("text", "tokenize")))
+    r.register(NamedQuery(
         "similarity_join_lsh", similarity_join_lsh,
         description="[EXT] A×B similarity join through shared LSH buckets "
                     "(side-tagged union; recall vs similarity_join_exact "
@@ -4145,6 +4201,8 @@ CHECK_FIRST: tuple[str, ...] = (
     "bpe_encode",
     # A: new this round (composes gated dataset_split + build_vocab)
     "vocab_coverage",
+    # A: new this round (generated independent-BPE oracle)
+    "tokenizer_fertility",
     # A: upgraded rows-only -> full SQL oracle this round; never gated
     "strip_dup_spans",
     # A: never driver-windowed rows-only entries (VERDICT r6 item 8)
@@ -4199,7 +4257,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "embedding_coverage",
     "events_hourly",
     "events_interval_join",
-    "hybrid_search",
     # standing ANN-family guard: the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate
     "ivf_topk_fullprobe",

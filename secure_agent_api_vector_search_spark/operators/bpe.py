@@ -398,3 +398,49 @@ def bpe_encode_corpus(
     result.count()
     toks.unpersist()
     return result
+
+
+def tokenizer_fertility(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer FERTILITY (subword tokens per word) by corpus slice —
+    the standard tokenizer-quality metric: ~1 means the vocabulary
+    matches the slice; high fertility means its text shatters toward
+    characters (vocabulary shift — the subword analog of
+    :func:`~..operators.textops.vocab_coverage`'s OOV rate), which
+    inflates sequence lengths and training cost for that slice.
+
+    Single corpus pass, zero joins: :func:`bpe_tokenize` is invoked
+    with the GROUP column in its id seat (it only carries the column
+    through the Arrow map — uniqueness is never assumed), and the WORD
+    count falls out of the subword stream for free: the end-of-word
+    marker appears in exactly one token per word (appended once per
+    word at symbolization; merges only ever glue it to that word's own
+    trailing symbols), so ``n_words`` is a filter over the token
+    array, not a second scan. The invariant is pinned against the
+    direct whitespace count in tests. One bounded group aggregate
+    follows.
+
+    Output: (group_col, n_words, n_subwords, fertility).
+    """
+    toks = bpe_tokenize(
+        documents.select(F.col(group_col), F.col(text_col)),
+        merges,
+        text_col=text_col,
+        id_col=group_col,
+    )
+    n_words = F.size(
+        F.filter(F.col("tokens"), lambda t: t.endswith(_EOW))
+    ).cast("bigint")
+    return (
+        toks.select(F.col(group_col), n_words.alias("_nw"), F.col("n_tokens").alias("_nt"))
+        .groupBy(group_col)
+        .agg(
+            F.sum("_nw").cast("bigint").alias("n_words"),
+            F.sum("_nt").cast("bigint").alias("n_subwords"),
+            (F.sum("_nt").cast("double") / F.sum("_nw")).alias("fertility"),
+        )
+    )

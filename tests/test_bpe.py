@@ -262,3 +262,31 @@ def test_bpe_encode_corpus_matches_reference_ids(spark, corpus_df):
     got = {r.doc_id: list(r.ids) for r in out.collect()}
     assert got == want
     out.unpersist()
+
+
+def test_tokenizer_fertility_eow_word_count_invariant(spark):
+    """The single-pass word count (one end-of-word marker per word in
+    the subword stream) must equal the direct whitespace count, and
+    fertility must equal sum(subwords)/sum(words) exactly."""
+    from secure_agent_api_vector_search_spark.operators.bpe import (
+        bpe_tokenize,
+        tokenizer_fertility,
+        train_bpe,
+    )
+
+    rows = [(i, "s%d" % (i % 2), t) for i, t in enumerate(CORPUS)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    merges = train_bpe(df, n_merges=6)
+    out = {r.source: r for r in tokenizer_fertility(df, merges).collect()}
+    toks = {r.doc_id: r for r in bpe_tokenize(df, merges).collect()}
+    for src in ("s0", "s1"):
+        want_words = sum(
+            len(t.split()) for i, s, t in rows if s == src
+        )
+        want_sub = sum(
+            toks[i].n_tokens for i, s, _ in rows if s == src
+        )
+        r = out[src]
+        assert (r.n_words, r.n_subwords) == (want_words, want_sub)
+        assert r.fertility == want_sub / want_words
+        assert r.fertility >= 1.0  # >= one subword per word, always
