@@ -535,3 +535,33 @@ def test_vocab_coverage_planted_oov(spark):
     assert (a.n_tokens, a.n_oov, a.distinct_oov) == (7, 3, 2)
     assert abs(a.oov_rate - 3 / 7) < 1e-15
     assert (b.n_tokens, b.n_oov, b.distinct_oov, b.oov_rate) == (2, 0, 0, 0.0)
+
+
+def test_vocab_coverage_plan_broadcasts_vocab(spark, docs):
+    """The bounded-N vocabulary must reach the token stream as a
+    broadcast — a sort-merge join here would shuffle the whole token
+    explode by word."""
+    from secure_agent_api_vector_search_spark.operators.textops import (
+        build_vocab,
+        vocab_coverage,
+    )
+    from secure_agent_api_vector_search_spark.plans.explain import physical_plan
+
+    vocab = build_vocab(docs, size=10)
+    plan = physical_plan(vocab_coverage(docs.withColumn("source", F.lit("s")), vocab))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_tokenizer_fertility_plan_is_join_free(spark, docs):
+    """The single-pass claim, pinned: one Arrow map + one group
+    aggregate — no join operator of any kind in the plan."""
+    from secure_agent_api_vector_search_spark.operators.bpe import (
+        tokenizer_fertility,
+        train_bpe,
+    )
+    from secure_agent_api_vector_search_spark.plans.explain import physical_plan
+
+    df = docs.withColumn("source", F.lit("s"))
+    merges = train_bpe(df, n_merges=4)
+    plan = physical_plan(tokenizer_fertility(df, merges))
+    assert "Join" not in plan
