@@ -121,13 +121,20 @@ class ToolGateway:
                     return
                 try:
                     df = tool(gateway.spark, gateway.sf_dir, **params)
+                except TypeError as exc:  # zero-trust validation failure
+                    # scoped to the BIND step only: a TypeError raised
+                    # later, inside execution/row conversion, is a
+                    # server fault and must not masquerade as a 400
+                    self._send(400, {"error": str(exc)})
+                    return
+                except Exception as exc:  # noqa: BLE001 — plan-build failure
+                    self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+                    return
+                try:
                     rows = [
                         r.asDict(recursive=True)
                         for r in df.limit(gateway.row_cap).collect()
                     ]
-                except TypeError as exc:  # zero-trust validation failure
-                    self._send(400, {"error": str(exc)})
-                    return
                 except Exception as exc:  # noqa: BLE001 — execution failure
                     # semantically invalid values that pass type checks
                     # (negative limits, analysis errors) surface from the

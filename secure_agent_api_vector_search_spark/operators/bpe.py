@@ -33,7 +33,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_EOW = "▁"  # end-of-word marker (the sentencepiece block char)
+# End-of-word marker (the sentencepiece block char). RESERVED: like
+# sentencepiece itself, this module assumes corpus text does not
+# contain a literal U+2581 — a mid-word occurrence would symbolize
+# identically to the marker, corrupting merge statistics and the
+# one-marker-per-word invariant tokenizer_fertility counts on. Escape
+# it upstream (textops normalization) if a corpus can carry it.
+_EOW = "▁"
 
 # ONE whitespace definition for train AND tokenize: the ASCII class
 # Java regex \s matches. Training (JVM regex) and inference (Python re)
@@ -349,6 +355,7 @@ def bpe_encode_corpus(
     id_col: str = "doc_id",
     batch_k: int = 1,
     min_count: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """The composition a training pipeline actually ships to its
     loader: train the merge table on the corpus (:func:`train_bpe`),
@@ -363,10 +370,17 @@ def bpe_encode_corpus(
     aggregate is bounded by |alphabet| + n_merges symbols, collected
     once and folded back in as a literal MAP expression, so the encode
     itself stays whole-stage codegen (transform + element_at) with
-    ZERO additional shuffles. The tokenized frame is persisted for its
-    two consumers and released once the (narrow) output materializes —
-    the minhash_incremental convention; long-lived callers may
-    .unpersist() the returned frame.
+    ZERO additional shuffles.
+
+    ``materialize=True`` (default) persists the tokenized frame for
+    its two consumers and releases it once the (narrow) output
+    materializes — the minhash_incremental convention; the RETURNED
+    frame stays persisted and long-lived callers should .unpersist()
+    it when done. ``materialize=False`` persists nothing and returns a
+    fully lazy plan (the tokenize map simply runs twice: once under
+    the vocabulary aggregate, once under the encode) — the right mode
+    for one-shot evaluation (gates, benchmarks) where a per-call
+    persisted result would accumulate for the life of the session.
 
     Output: (doc_id, n_tokens, ids array<int>), n_tokens = subword
     count, ids 1-based (0 = out-of-inventory, impossible here by
@@ -377,9 +391,9 @@ def bpe_encode_corpus(
     merges = train_bpe(
         documents, n_merges, text_col=text_col, batch_k=batch_k, min_count=min_count
     )
-    toks = bpe_tokenize(documents, merges, text_col=text_col, id_col=id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    toks = bpe_tokenize(documents, merges, text_col=text_col, id_col=id_col)
+    if materialize:
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     vocab = bpe_vocab_ids(toks)
     if vocab:
         id_map = F.create_map(
@@ -394,9 +408,11 @@ def bpe_encode_corpus(
         F.col(id_col),
         F.col("n_tokens"),
         F.transform(F.col("tokens"), enc).alias("ids"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    toks.unpersist()
+    )
+    if materialize:
+        result = result.persist(StorageLevel.MEMORY_AND_DISK)
+        result.count()
+        toks.unpersist()
     return result
 
 

@@ -332,9 +332,13 @@ def dataset_split(
         16, 10,
     ).cast("bigint")
     bucket = (h % 10000).alias("bucket")
+    # round, don't truncate (the stratified_sample convention): float
+    # representation makes e.g. 0.29 * 10000 = 2899.999..., and int()
+    # alone would put bucket 2899 on the wrong side of the declared
+    # boundary. The default 0.9/0.05 boundaries are unaffected.
     split = (
-        F.when(h % 10000 < int(train * 10000), "train")
-        .when(h % 10000 < int((train + val) * 10000), "val")
+        F.when(h % 10000 < int(round(train * 10000)), "train")
+        .when(h % 10000 < int(round((train + val) * 10000)), "val")
         .otherwise("test")
     )
     return documents.select(
@@ -806,7 +810,10 @@ def split_leakage_check(
         family = None
         for r in (8, 6, 5, 4, 3, 2):
             p = threshold**r
-            if not 0.0 < p < 1.0:
+            if p >= 1.0:  # threshold 1.0: every family collides with
+                family = (r, 1)  # probability 1 — one band suffices
+                break
+            if p <= 0.0:
                 continue
             b = math.ceil(math.log(1.0 - target) / math.log(1.0 - p))
             if r * b <= hash_budget:

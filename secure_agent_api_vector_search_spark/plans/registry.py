@@ -45,9 +45,25 @@ class Registry:
         return {name: q.fn for name, q in self.queries.items()}
 
     def oracles(self) -> dict[str, str]:
+        import sys
+
         out: dict[str, str] = {}
         for name, q in self.queries.items():
-            sql = q.oracle_sql() if callable(q.oracle_sql) else q.oracle_sql
+            if callable(q.oracle_sql):
+                # a generator failure (e.g. its corpus parquet missing)
+                # must degrade THAT entry to rows-only, not zero out
+                # every other oracle in the map
+                try:
+                    sql = q.oracle_sql()
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        f"registry: oracle generator for {name!r} failed "
+                        f"({exc!r}); entry degrades to rows-only",
+                        file=sys.stderr,
+                    )
+                    continue
+            else:
+                sql = q.oracle_sql
             if sql:
                 out[name] = sql
         return out

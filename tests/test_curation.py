@@ -513,3 +513,25 @@ def test_quality_percentile_cut_null_group_matches_window_form(spark, docs):
         r["doc_id"] for r in quality_percentile_cut(nulled, min_pct=0.2).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_split_leakage_threshold_one_exact_duplicates_via_lsh(spark):
+    """threshold=1.0 (exact-duplicate audit): the adaptive banding
+    short-circuits to a single band (collision probability 1), it must
+    not refuse."""
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        dataset_split,
+        split_leakage_check,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    sp = {r.doc_id: r.split for r in dataset_split(ids).collect()}
+    a = [i for i in sp if sp[i] == "train"][0]
+    b = [i for i in sp if sp[i] == "test"][0]
+    base = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [(a, base), (b, base), (a + 1000, "other words entirely here")],
+        ["doc_id", "text"],
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in split_leakage_check(df, threshold=1.0).collect()}
+    assert out == {(min(a, b), max(a, b)): 1.0}
