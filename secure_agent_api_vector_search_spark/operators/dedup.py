@@ -700,6 +700,7 @@ def ngram_jaccard_pairs_lsh(
     num_hashes: int = 64,
     num_bands: int = 16,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """Scale path for token-n-gram Jaccard: MinHash-LSH banding over the
     hashed gram sets for candidates, exact Jaccard verify on the true
@@ -716,7 +717,18 @@ def ngram_jaccard_pairs_lsh(
     (:func:`_bucket_pairs_map`); verify joins the gram arrays back on
     the deduped candidates and computes exact Jaccard as codegen
     array_intersect/union. Output: (id_a, id_b, jaccard).
+
+    The gram frame feeds THREE consumers (signatures + both verify
+    sides) and Catalyst does not reuse its exchange across them, so
+    ``materialize=True`` (default) persists it for the run and follows
+    the minhash_incremental convention: the (pair-sized) output is
+    persisted and counted, the gram intermediate released — measured
+    2x warm speedup at sf0.1. Long-lived callers may .unpersist() the
+    returned frame; ``materialize=False`` keeps the plan fully lazy
+    (the gram aggregation simply runs three times).
     """
+    from pyspark import StorageLevel
+
     if num_hashes % num_bands:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by "
@@ -732,6 +744,8 @@ def ngram_jaccard_pairs_lsh(
         .agg(F.array_sort(F.collect_set("_gh")).alias("grams"))
         .filter(F.size("grams") > 0)
     )
+    if materialize:
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     rng = np.random.default_rng(seed)
     a_coef = rng.integers(1, H.MINHASH_P, size=num_hashes, dtype=np.int64)
     b_coef = rng.integers(0, H.MINHASH_P, size=num_hashes, dtype=np.int64)
@@ -774,13 +788,18 @@ def ngram_jaccard_pairs_lsh(
     )
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("_ga"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("_gb"))
-    return (
+    out = (
         cand.join(ga, "id_a")
         .join(gb, "id_b")
         .select("id_a", "id_b", H.jaccard(F.col("_ga"), F.col("_gb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .transform(_pair_order)
     )
+    if materialize:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        grams.unpersist()
+    return out
 
 
 def embedding_neardup_pairs(
