@@ -735,6 +735,37 @@ def source_drift_tvd(
     return per_src.select("source", "n_tokens", tvd.alias("tvd"))
 
 
+def _lsh_family_for(
+    threshold: float, target: float = 0.99, hash_budget: int = 256
+) -> tuple[int, int]:
+    """Audit-grade MinHash banding family (rows-per-band r, bands b)
+    for a Jaccard ``threshold``: per-pair recall 1-(1-t^r)^b must be
+    >= ``target`` AT the threshold itself within ``hash_budget`` total
+    hashes. Wider bands (larger r) admit fewer sub-threshold false
+    candidates into the exact-verify join, so the search takes the
+    LARGEST r whose required band count fits the budget; threshold 1.0
+    short-circuits (every family collides with probability 1).
+    Raises (rather than return a half-blind audit) when no family fits
+    — at which point via='exact' is the answer. Property-tested:
+    recall/budget guaranteed over the accepted threshold range."""
+    import math
+
+    for r in (8, 6, 5, 4, 3, 2):
+        p = threshold**r
+        if p >= 1.0:
+            return (r, 1)
+        if p <= 0.0:
+            continue
+        b = math.ceil(math.log(1.0 - target) / math.log(1.0 - p))
+        if r * b <= hash_budget:
+            return (r, b)
+    raise ValueError(
+        f"no LSH banding family within {hash_budget} hashes reaches "
+        f"per-pair recall {target} at threshold {threshold} — use "
+        f"via='exact' (quadratic, gate-scale) or raise the threshold"
+    )
+
+
 def split_leakage_check(
     documents: DataFrame,
     n: int = 3,
@@ -797,36 +828,7 @@ def split_leakage_check(
     if via == "lsh":
         if block_col is not None:
             raise ValueError("block_col is only supported with via='exact'")
-        # The audit's whole job is completeness: pick the banding
-        # family adaptively so per-pair recall AT the threshold is
-        # >= 0.99. Wider bands (larger r) admit fewer sub-threshold
-        # false candidates into the exact-verify join, so take the
-        # largest r whose required band count fits the hash budget;
-        # refuse (rather than return a half-blind audit) only when no
-        # family fits — at which point via='exact' is the answer.
-        import math
-
-        target, hash_budget = 0.99, 256
-        family = None
-        for r in (8, 6, 5, 4, 3, 2):
-            p = threshold**r
-            if p >= 1.0:  # threshold 1.0: every family collides with
-                family = (r, 1)  # probability 1 — one band suffices
-                break
-            if p <= 0.0:
-                continue
-            b = math.ceil(math.log(1.0 - target) / math.log(1.0 - p))
-            if r * b <= hash_budget:
-                family = (r, b)
-                break
-        if family is None:
-            raise ValueError(
-                f"split_leakage_check: no LSH banding family within "
-                f"{hash_budget} hashes reaches per-pair recall {target} "
-                f"at threshold {threshold} — use via='exact' "
-                f"(quadratic, gate-scale) or raise the threshold"
-            )
-        r_rows, n_bands = family
+        r_rows, n_bands = _lsh_family_for(threshold)
         pairs = ngram_jaccard_pairs_lsh(
             documents,
             id_col=id_col,

@@ -367,3 +367,25 @@ def test_bloom_incremental_equals_base_on_any_overlap(spark, seen_texts, batch_t
     want = sorted(r["doc_id"] for r in dedup_incremental(batch, seen).collect())
     got = sorted(r["doc_id"] for r in dedup_incremental_bloom(batch, seen).collect())
     assert got == want
+
+
+def test_lsh_family_recall_and_budget_property():
+    """Adaptive banding guarantee, swept across the whole accepted
+    threshold range: the chosen (r, b) always reaches >=0.99 per-pair
+    recall AT the threshold within the 256-hash budget; below the
+    representable floor it refuses instead of under-reporting."""
+    import pytest as _pytest
+
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        _lsh_family_for,
+    )
+
+    for i in range(19, 101):  # thresholds 0.19 .. 1.00
+        t = i / 100.0
+        r, b = _lsh_family_for(t)
+        recall = 1.0 - (1.0 - t**r) ** b
+        assert recall >= 0.99, (t, r, b, recall)
+        assert r * b <= 256, (t, r, b)
+        assert r >= 2 or t == 1.0
+    with _pytest.raises(ValueError):
+        _lsh_family_for(0.05)  # would need >256 hashes — must refuse
