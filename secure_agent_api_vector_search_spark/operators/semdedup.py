@@ -227,9 +227,18 @@ def semantic_dedup(
     ``max_cluster_size`` bounds the width of any screened cluster (the
     per-task memory cap — see module docstring; ``None`` disables the
     guard and reproduces the unhardened lazy single-pass plan).
+
+    ``n_clusters`` defaults to a CONSTANT target cluster width
+    (n / 1024), not √n: the greedy screen does O(width²·dim) work per
+    cluster, so √n-sized clusters make TOTAL screen work O(n^1.5·dim)
+    — measured 10.5× time on 4× data at 80k vectors — while constant
+    width keeps it O(n·dim). The fit side tolerates the larger k:
+    below the sample cap the driver Lloyd trains on ≤256k rows
+    regardless, and above it MLlib k-means|| parallelizes k·n across
+    the cluster (SemDeDup itself runs 50k clusters on LAION this way).
     """
     if n_clusters is None:
-        n_clusters = max(2, int(math.sqrt(embeddings.count())))
+        n_clusters = max(2, -(-int(embeddings.count()) // 1024))
     nonnull = embeddings.filter(F.col(vec_col).isNotNull())
     centroids = _fit_centroids(nonnull, vec_col, n_clusters, seed=seed)
     assigned = assign_lists(nonnull, centroids, vec_col).select(

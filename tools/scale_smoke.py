@@ -248,13 +248,26 @@ def run_suite(spark, base: str) -> dict[str, float]:
         t0 = time.perf_counter()
         n = build().write.format("noop").mode("overwrite").save() or 0
         out[name] = round(time.perf_counter() - t0, 2)
+        # queries are isolated from each other's operator-internal
+        # persists (minhash signatures, LSH gram frames) — the same
+        # per-query discipline bench.py applies; without it late ops
+        # in a suite measure earlier ops' cache pressure (~2x observed
+        # on ngram_jaccard_lsh at 80k docs)
+        spark.catalog.clearCache()
     return out
 
 
 def main() -> int:
     sizes = [int(a) for a in sys.argv[1:]] or [5_000, 20_000, 80_000]
-    spark = get_session("scale_smoke", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     for n in sizes:
+        # fresh SparkContext per corpus size: ~26 cold ops per suite
+        # leave heap/shuffle residue that inflated the NEXT size's
+        # numbers 3-4x (measured: ngram_jaccard_lsh 136 s in-suite at
+        # 80k vs 40 s on a fresh session) — growth-rate comparisons
+        # only mean something when every size starts from the same
+        # state. Same isolation bench.py applies to its probes.
+        spark = get_session("scale_smoke", cpus=cpus)
         base = f"/tmp/scale_smoke/n{n}"
         _gen_docs(spark, n, f"{base}/documents.parquet")
         _gen_embeddings(spark, n, f"{base}/embeddings.parquet")
@@ -262,6 +275,7 @@ def main() -> int:
         res = run_suite(spark, base)
         print(json.dumps({"n_docs": n, "sec": res}), flush=True)
         shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
     return 0
 
 
