@@ -13,10 +13,16 @@ written to be *numerically identical*, not approximately equal:
   epoch arithmetic (`unix_micros` ↔ `epoch_us`);
 - counts: always BIGINT on both sides.
 
-Entries whose construction SQL cannot express (KMeans IVF, MinHash/
-SimHash LSH, pandas-UDF embedding, mapInPandas multimodal) have
-`oracle_sql=None` → the driver records a rows-only check; their real
-verification lives in tests/ (recall vs the exact path, invariants).
+Entries whose construction SQL cannot express directly (fixed-seed
+KMeans clustering, BPE training, perceptual hashing) carry GENERATED
+oracles (oracle_gen.py + the _independent_bpe family here): the
+deterministic algorithm is replayed independently at oracle-collection
+time and its witness (expected rows, or the candidate/assignment sets
+with scoring still recomputed relationally) is embedded as VALUES,
+corpus-fingerprint-guarded. The remaining `oracle_sql=None` entries
+(approximate LSH families whose exact twins are gated, streaming
+diff-gates) are rows-only on the driver with their real verification
+in tests/ (recall vs the exact path, invariants).
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ from secure_agent_api_vector_search_spark.operators import (
     textops as TX,
     topk as TK,
 )
+from secure_agent_api_vector_search_spark import oracle_gen as OG
 from secure_agent_api_vector_search_spark.embedder import DIM, embed_text, embed_udf
 from secure_agent_api_vector_search_spark.functions import vector as VF
 from secure_agent_api_vector_search_spark.plans.registry import NamedQuery, Registry
@@ -831,19 +838,20 @@ def _independent_bpe(n_merges: int = 24):
     sequential implementation of canonical greedy BPE (Sennrich et al.
     2016 — one merge per round, ties (count desc, pair lexical asc),
     min_count 2, end-of-word marker) over the gate corpus read straight
-    from parquet ($SPARK_GRAFT_ORACLE_SF_DIR — the driver compares at
+    from parquet (oracle_gen.oracle_sf_dir() — the driver compares at
     sf0.01, which is the default; tools/mini_driver.py sets it to its
-    own sf_dir). Returns (words Counter, word -> final symbol tuple)
-    for the oracle builders to embed as VALUES tables. Memoized per
-    (sf_dir, n_merges): two oracle builders share one training run and
-    repeated oracle_sql() calls stay cheap."""
-    import os
+    own sf_dir, and every generated oracle carries a corpus-fingerprint
+    guard so a mis-set dir fails loudly, not as a value mismatch).
+    Returns (words Counter, word -> final symbol tuple) for the oracle
+    builders to embed as VALUES tables. Memoized per (sf_dir, n_merges):
+    oracle builders share one training run and repeated oracle_sql()
+    calls stay cheap."""
     import re
     from collections import Counter
 
     import duckdb
 
-    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = OG.oracle_sf_dir()
     cached = _BPE_ORACLE_CACHE.get((sf_dir, n_merges))
     if cached is not None:
         return cached
@@ -895,6 +903,12 @@ def _sql_escape(s: str) -> str:
     return s.replace("'", "''")
 
 
+# the ASCII-whitespace class bpe.py pins (_WS_PY), written out for RE2:
+# RE2's \s omits vertical tab, so the explicit class is the only form
+# that agrees with the Java/Python word split on every corpus
+_WS_SQL = "[ \\t\\n\\x0b\\f\\r]"
+
+
 def _bpe_encode_oracle() -> str:
     """GENERATED oracle for ``bpe_encode``: the independent sequential
     BPE (:func:`_independent_bpe`) encodes every DISTINCT word, assigns
@@ -923,29 +937,32 @@ def _bpe_encode_oracle() -> str:
         )
         for w in sorted(words)
     )
-    # word split mirrors the operator's ASCII-whitespace class (\s in
-    # RE2 == the Java class bpe.py pins), empty fragments filtered the
-    # same way; LEFT JOIN keeps empty/whitespace-only documents as
-    # (n_tokens=0, ids_str='') rows, matching bpe_tokenize's output
-    return f"""
-WITH m(word, n_toks, word_ids) AS (VALUES
+    # word split uses the EXPLICIT ASCII-whitespace class bpe.py pins
+    # ([ \t\n\x0b\f\r] — RE2's \s EXCLUDES vertical tab, so '\s+' here
+    # would diverge from the operator on a U+000B-bearing corpus);
+    # empty fragments filtered the same way; LEFT JOIN keeps
+    # empty/whitespace-only documents as (n_tokens=0, ids_str='')
+    # rows, matching bpe_tokenize's output
+    core = f"""
+  WITH m(word, n_toks, word_ids) AS (VALUES
   {vals}),
-w AS (
-  SELECT doc_id,
-         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
-  FROM documents),
-t AS (
-  SELECT doc_id, i AS pos, ws[i] AS word
-  FROM w, UNNEST(range(1, len(ws) + 1)) AS u(i)
-  WHERE ws[i] <> ''),
-tm AS (
-  SELECT t.doc_id, t.pos, m.n_toks, m.word_ids
-  FROM t JOIN m USING (word))
-SELECT w.doc_id,
-       CAST(COALESCE(SUM(tm.n_toks), 0) AS BIGINT) AS n_tokens,
-       COALESCE(string_agg(tm.word_ids, ' ' ORDER BY tm.pos), '') AS ids_str
-FROM w LEFT JOIN tm USING (doc_id)
-GROUP BY w.doc_id ORDER BY w.doc_id"""
+  w AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '{_WS_SQL}+', ' ', 'g')), ' ') AS ws
+    FROM documents),
+  t AS (
+    SELECT doc_id, i AS pos, ws[i] AS word
+    FROM w, UNNEST(range(1, len(ws) + 1)) AS u(i)
+    WHERE ws[i] <> ''),
+  tm AS (
+    SELECT t.doc_id, t.pos, m.n_toks, m.word_ids
+    FROM t JOIN m USING (word))
+  SELECT w.doc_id,
+         CAST(COALESCE(SUM(tm.n_toks), 0) AS BIGINT) AS n_tokens,
+         COALESCE(string_agg(tm.word_ids, ' ' ORDER BY tm.pos), '') AS ids_str
+  FROM w LEFT JOIN tm USING (doc_id)
+  GROUP BY w.doc_id ORDER BY w.doc_id"""
+    return OG.with_corpus_guard(core, "documents", "doc_id", OG.oracle_sf_dir())
 
 
 def _tokenizer_fertility_oracle() -> str:
@@ -956,23 +973,25 @@ def _tokenizer_fertility_oracle() -> str:
     vals = ",\n  ".join(
         f"('{_sql_escape(w)}', {len(seqs[w])})" for w in sorted(words)
     )
-    # same \s+ split + empty filter as the operator's word definition
-    return f"""
-WITH m(word, n_toks) AS (VALUES
+    # same explicit-class split + empty filter as the operator's word
+    # definition (see _bpe_encode_oracle on why not RE2's '\s')
+    core = f"""
+  WITH m(word, n_toks) AS (VALUES
   {vals}),
-w AS (
-  SELECT source, word
-  FROM (
-    SELECT source,
-           unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS word
-    FROM documents)
-  WHERE word <> '')
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_words,
-       CAST(SUM(m.n_toks) AS BIGINT) AS n_subwords,
-       CAST(SUM(m.n_toks) AS DOUBLE) / COUNT(*) AS fertility
-FROM w JOIN m USING (word)
-GROUP BY source ORDER BY source"""
+  w AS (
+    SELECT source, word
+    FROM (
+      SELECT source,
+             unnest(string_split(trim(regexp_replace(text, '{_WS_SQL}+', ' ', 'g')), ' ')) AS word
+      FROM documents)
+    WHERE word <> '')
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(m.n_toks) AS BIGINT) AS n_subwords,
+         CAST(SUM(m.n_toks) AS DOUBLE) / COUNT(*) AS fertility
+  FROM w JOIN m USING (word)
+  GROUP BY source ORDER BY source"""
+    return OG.with_corpus_guard(core, "documents", "doc_id", OG.oracle_sf_dir())
 
 
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -990,18 +1009,20 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a small BPE merge table on the documents corpus (strict
-    greedy, driver loop — the vocab fits) and tokenize every document
+    """Train a 64-merge BPE table on the documents corpus (STRICT
+    greedy — one merge per round, the canonical Sennrich order the
+    independent oracle replays; the batched batch_k>1 path is
+    parity-tested in tests/test_bpe.py) and tokenize every document
     with it (operators/bpe.py). Output: (doc_id, n_tokens, tokens_md5)
-    — the token stream digested to a scalar so the rows-only check
-    still pins content, not just counts."""
+    — the token stream digested to a scalar so the gate pins content,
+    not just counts."""
     from secure_agent_api_vector_search_spark.operators.bpe import (
         bpe_tokenize,
         train_bpe,
     )
 
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    merges = train_bpe(docs, n_merges=64, batch_k=8)
+    merges = train_bpe(docs, n_merges=64)
     return bpe_tokenize(docs, merges).select(
         "doc_id",
         "n_tokens",
@@ -1010,6 +1031,43 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         # segmentation and the digest would not see the learned merges
         F.md5(F.concat_ws(" ", F.col("tokens"))).alias("tokens_md5"),
     )
+
+
+def _bpe_tokenize_corpus_oracle() -> str:
+    """GENERATED oracle for ``bpe_tokenize_corpus``: the independent
+    sequential BPE at the gate query's 64 merges; each word's token
+    STRING (subwords space-joined) rides the VALUES map, DuckDB
+    assembles the per-document stream in word order and digests it —
+    the md5 twin of the operator's concat_ws projection."""
+    words, seqs = _independent_bpe(64)
+    vals = ",\n  ".join(
+        "('{w}', {n}, '{t}')".format(
+            w=_sql_escape(w),
+            n=len(seqs[w]),
+            t=_sql_escape(" ".join(seqs[w])),
+        )
+        for w in sorted(words)
+    )
+    core = f"""
+  WITH m(word, n_toks, toks) AS (VALUES
+  {vals}),
+  w AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '{_WS_SQL}+', ' ', 'g')), ' ') AS ws
+    FROM documents),
+  t AS (
+    SELECT doc_id, i AS pos, ws[i] AS word
+    FROM w, UNNEST(range(1, len(ws) + 1)) AS u(i)
+    WHERE ws[i] <> ''),
+  tm AS (
+    SELECT t.doc_id, t.pos, m.n_toks, m.toks
+    FROM t JOIN m USING (word))
+  SELECT w.doc_id,
+         CAST(COALESCE(SUM(tm.n_toks), 0) AS BIGINT) AS n_tokens,
+         md5(COALESCE(string_agg(tm.toks, ' ' ORDER BY tm.pos), '')) AS tokens_md5
+  FROM w LEFT JOIN tm USING (doc_id)
+  GROUP BY w.doc_id ORDER BY w.doc_id"""
+    return OG.with_corpus_guard(core, "documents", "doc_id", OG.oracle_sf_dir())
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3863,21 +3921,30 @@ FROM p ORDER BY doc_id""",
         tags=("multimodal",)))
     r.register(NamedQuery(
         "image_neardup", image_neardup,
+        oracle_sql=OG.image_neardup_oracle,  # generated: independent
+        # aHash replay over the fixture spec, EXACT all-pairs Hamming<=3
+        # (banding recall is a pigeonhole identity at this budget)
         description="[EXT] perceptual image dedup: REAL decode -> 64-bit "
                     "average-hash -> shared Hamming banding core "
                     "(chunk-bucket candidates, vectorized XOR+popcount "
                     "verify); planted brightness-shifted re-encodes "
-                    "(byte-different payloads) recovered, operator-vs-"
-                    "bruteforce parity tested",
+                    "(byte-different payloads) recovered; gated against "
+                    "an independent exact-pair replay (oracle_gen.py), "
+                    "operator-vs-bruteforce parity also tested",
         tags=("multimodal", "dedup")))
     r.register(NamedQuery(
         "video_frame_features", video_frame_features,
+        oracle_sql=OG.video_frame_features_oracle,  # generated:
+        # fixture-spec replay straight to features (no container), so
+        # the encode->decode->feature chain is what the gate checks
         description="[EXT] REAL video decode (RAWV frame container, "
                     "per-frame netpbm parse): frame count, every-kth-frame "
                     "sampling (digested), mean luminance, scene-cut "
                     "detection via luminance deltas — the frame-sample "
-                    "stage of a multimodal pipeline; planted-cut ground "
-                    "truth tested in tests/test_multimodal_decode.py",
+                    "stage of a multimodal pipeline; gated against a "
+                    "container-free fixture replay (oracle_gen.py); "
+                    "planted-cut ground truth tested in "
+                    "tests/test_multimodal_decode.py",
         tags=("multimodal",)))
     r.register(NamedQuery(
         "audio_decode_features", audio_decode_features,
@@ -3892,13 +3959,22 @@ FROM p ORDER BY doc_id""",
         tags=("dedup",)))
     r.register(NamedQuery(
         "ivf_topk", ivf_topk,
-        description="V5 IVF index (KMeans lists + partition-pruned probe; "
-                    "recall vs exact path asserted in tests)", tags=("vector", "index")))
+        oracle_sql=OG.ivf_topk_oracle,  # generated: fixed-seed k-means
+        # replay yields the probed candidate set; DuckDB recomputes the
+        # exact cosine top-k WITHIN it from the raw parquet vectors
+        description="V5 IVF index (KMeans lists + partition-pruned probe); "
+                    "gated at the benched nprobe=10 operating point via a "
+                    "replayed-assignment oracle (oracle_gen.py); recall vs "
+                    "exact path asserted in tests", tags=("vector", "index")))
     r.register(NamedQuery(
         "pq_topk_rerank", pq_topk_rerank,
-        description="[EXT] product-quantization ANN: ADC over 8-byte codes + "
-                    "exact re-rank (recall and exact-metric contracts in "
-                    "tests/test_pq.py)", tags=("vector", "index", "sketch")))
+        oracle_sql=OG.pq_topk_rerank_oracle,  # generated: codebook +
+        # ADC-shortlist replay; DuckDB recomputes the exact-L2sq rerank
+        description="[EXT] product-quantization ANN: ADC over compressed "
+                    "codes + exact re-rank; gated via a replayed-shortlist "
+                    "oracle with the rerank recomputed relationally "
+                    "(oracle_gen.py); recall and exact-metric contracts in "
+                    "tests/test_pq.py", tags=("vector", "index", "sketch")))
     r.register(NamedQuery(
         "knn_join_ivf", knn_join_ivf,
         description="[EXT] IVF-routed batch kNN join: nprobe list equi-join "
@@ -3960,21 +4036,28 @@ ORDER BY id_a, id_b""",
         tags=("dedup",)))
     r.register(NamedQuery(
         "semantic_dedup", semantic_dedup,
+        oracle_sql=OG.semantic_dedup_oracle,  # generated: fixed-seed
+        # fixture + fit + greedy-screen replay, full keep/drop witness
         description="[EXT] SemDeDup (Abbas et al. 2023): k-means-cluster-"
                     "bounded cosine dedup over a planted-dup corpus — one "
                     "cluster-keyed applyInPandas screen, no all-pairs join; "
-                    "witness + determinism invariants in tests/test_semdedup.py",
+                    "gated against a fixed-seed keep/drop witness replay "
+                    "(oracle_gen.py); determinism invariants in "
+                    "tests/test_semdedup.py",
         tags=("dedup", "vector")))
     r.register(NamedQuery(
         "bpe_tokenize_corpus", bpe_tokenize_corpus,
+        oracle_sql=_bpe_tokenize_corpus_oracle,  # generated:
+        # independent sequential BPE at 64 merges, word->tokens VALUES
+        # map, relational assembly + md5 digest
         description="[EXT] BPE subword train + tokenize (Sennrich et al. "
                     "2016): merge loop over the word-frequency table (never "
                     "the corpus), driver-local under a vocab cap / cached "
-                    "distributed rounds above it; iterative training is "
-                    "SQL-inexpressible, so rows-only here — strict-mode "
-                    "merges are token-for-token parity-tested against an "
-                    "independent reference implementation AND the "
-                    "distributed path in tests/test_bpe.py",
+                    "distributed rounds above it; gated against the "
+                    "independent sequential BPE's token streams (generated "
+                    "VALUES oracle); strict-mode merges also parity-tested "
+                    "token-for-token against the distributed path in "
+                    "tests/test_bpe.py",
         tags=("text", "tokenize")))
     r.register(NamedQuery(
         "bpe_encode", bpe_encode,

@@ -1,0 +1,487 @@
+"""Generated-oracle builders for gate entries whose expected output is
+only SQL-expressible as a WITNESS: a deterministic fixed-seed algorithm
+(k-means clustering, perceptual hashing, greedy screens) replayed
+independently at oracle-collection time, with the expected rows — or the
+algorithm-chosen candidate/assignment sets — embedded in the SQL as
+VALUES tables for DuckDB to check (and, where possible, to re-derive
+the final scoring/ranking from the raw parquet itself).
+
+This is the same pattern as catalog._independent_bpe (the registry's
+callable-oracle seam, plans/registry.py:27): the generator runs at
+``oracle_sql()`` collection time against the gate corpus, reads the
+parquet directly through DuckDB (no Spark), and returns a plain SQL
+string. Replays here share ONLY the seeded k-means routine
+(functions/kmeans.py — pure numpy, deterministic) with the operators;
+feature extraction, hashing, greedy screens, and ranking are
+re-implemented from the documented fixture/algorithm specs so the
+Spark pipeline (Arrow maps, banding joins, encode/decode round-trips)
+is checked against a straight-line in-memory derivation.
+
+Corpus guard: every generated oracle embeds a fingerprint (row count +
+md5 over the ordered id column) of the corpus it was generated against,
+and the SQL itself verifies the gate corpus matches BEFORE returning
+rows — a mis-set ``$SPARK_GRAFT_ORACLE_SF_DIR`` fails loudly with a
+descriptive error() instead of presenting as a value mismatch
+(VERDICT r7 "What's wrong" #1).
+
+Reference note: the reference has none of these operators (its engine
+is two SQL templates over pgvector, tools.yaml:22-39); these gate the
+[EXT] SURVEY §2.10/§2.3 surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def oracle_sf_dir() -> str:
+    """The corpus the generated oracles train/replay against. The
+    external driver gates at sf0.01 (the default); tools/mini_driver.py
+    exports its own sf_dir. A mismatch between this and the gate corpus
+    is caught loudly by the fingerprint guard below."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", DEFAULT_SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# corpus fingerprint guard
+# ---------------------------------------------------------------------------
+
+_FP_CACHE: dict[tuple[str, str], tuple[int, str]] = {}
+
+# CONTENT fingerprint, not just ids: the driver testdata ships the same
+# id range (0..499) at sf0.001 and sf0.01 with different text, so an
+# id-only digest cannot tell the corpora apart. One md5 over the
+# ordered (id, payload) stream per table; payload rendering happens in
+# the same DuckDB build on both sides, so it is deterministic.
+_FP_EXPR = {
+    "documents": (
+        "md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || "
+        "coalesce(text, ''), '|' ORDER BY doc_id))"
+    ),
+    "embeddings": (
+        "md5(string_agg(CAST(vec_id AS VARCHAR) || ':' || "
+        "coalesce(CAST(embedding AS VARCHAR), ''), '|' ORDER BY vec_id))"
+    ),
+}
+
+
+def corpus_fingerprint(sf_dir: str, table: str) -> tuple[int, str]:
+    """(row count, content md5) of one gate table."""
+    key = (sf_dir, table)
+    if key not in _FP_CACHE:
+        import duckdb
+
+        con = duckdb.connect()
+        n, fp = con.sql(
+            f"SELECT COUNT(*), {_FP_EXPR[table]} "
+            f"FROM '{sf_dir}/{table}.parquet'"
+        ).fetchone()
+        con.close()
+        _FP_CACHE[key] = (int(n), fp)
+    return _FP_CACHE[key]
+
+
+def with_corpus_guard(core_sql: str, table: str, id_col: str, sf_dir: str) -> str:
+    """Wrap a generated oracle so it REFUSES to run against a corpus
+    other than the one it was generated for: the guard CTE recomputes
+    the table's content fingerprint inside the gate's own DuckDB
+    session and raises a descriptive error() on mismatch. CASE
+    evaluates the error branch lazily, so a matching corpus pays one
+    digest aggregate. (``id_col`` kept in the signature for the error
+    message only; the digest covers content, see _FP_EXPR.)"""
+    n, fp = corpus_fingerprint(sf_dir, table)
+    msg = (
+        f"generated oracle was built against {sf_dir} ({table}: {n} rows, "
+        f"content fingerprint {fp}) but the gate corpus differs; set "
+        f"SPARK_GRAFT_ORACLE_SF_DIR to the gate sf_dir so the oracle "
+        f"regenerates on the right corpus"
+    )
+    return f"""
+WITH _expected(n, fp) AS (VALUES ({n}, '{fp}')),
+_actual AS (SELECT COUNT(*) AS n, {_FP_EXPR[table]} AS fp
+            FROM {table}),
+_guard AS (SELECT CASE WHEN a.n = e.n AND a.fp = e.fp THEN 1
+                       ELSE error('{msg}') END AS ok
+           FROM _actual a, _expected e)
+SELECT _q.* FROM (
+{core_sql}
+) AS _q CROSS JOIN _guard WHERE _guard.ok = 1"""
+
+
+# ---------------------------------------------------------------------------
+# parquet loaders (DuckDB, id order == the order Spark's single-file
+# scan collects in; ORDER BY the id column makes that explicit)
+# ---------------------------------------------------------------------------
+
+
+def _load_documents(sf_dir: str) -> list[tuple[int, str]]:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return [(int(i), t) for i, t in rows]
+
+
+def _load_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids int64, vectors float64 (n × dim)) — float32 parquet values
+    widened exactly, matching load_embeddings' array<double> cast."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, vecs
+
+
+# ---------------------------------------------------------------------------
+# small SQL helpers (duplicated from catalog's formula strings to avoid
+# an import cycle — catalog imports this module)
+# ---------------------------------------------------------------------------
+
+_E = "CAST(e.embedding AS DOUBLE[])"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _values_rows(rows: list[str]) -> str:
+    return ",\n  ".join(rows)
+
+
+def _sql_float(x: float) -> str:
+    """Exact IEEE-double literal: repr() round-trips through a
+    VARCHAR→DOUBLE cast. A BARE numeric literal would NOT round-trip —
+    DuckDB parses it as DECIMAL first and the DECIMAL→DOUBLE hop can
+    land one ulp off (observed on the video feature means)."""
+    return f"CAST('{repr(float(x))}' AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# image_neardup: perceptual-hash pair replay
+# ---------------------------------------------------------------------------
+
+
+def _image_raster(text: str) -> np.ndarray:
+    """The synthetic P5 fixture spec (operators/multimodal.py::
+    synthetic_image_payloads): digest-seeded byte pattern, digest-sized
+    dimensions — rebuilt directly as the raster array, deliberately
+    skipping the netpbm encode/decode the operator path goes through."""
+    d = hashlib.sha256((text or "").encode()).digest()
+    h, w = 16 + d[0] % 48, 16 + d[1] % 48
+    return np.frombuffer(
+        (d * ((h * w) // len(d) + 1))[: h * w], dtype=np.uint8
+    ).reshape(h, w, 1)
+
+
+def _ahash64_replay(img: np.ndarray) -> int:
+    """Independent average-hash: 8×8 nearest-neighbor thumbnail, mean
+    threshold, row-major bit pack, signed-long convention."""
+    h, w, _ = img.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    t = img[ys][:, xs].astype(np.float64).mean(axis=2)
+    bits = (t > t.mean()).ravel()
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# per-byte popcount table (numpy<2 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(len(a) × len(b)) pairwise Hamming distances over uint64 words:
+    XOR, byte view, per-byte table popcount, sum over the 8 bytes."""
+    x = a[:, None] ^ b[None, :]
+    return _POP8[x.view(np.uint8).reshape(len(a), len(b), 8)].sum(
+        axis=2, dtype=np.int64
+    )
+
+
+def image_neardup_oracle(max_hamming: int = 3, chunk: int = 1024) -> str:
+    """Expected (id_a, id_b, hamming) pair set for catalog.image_neardup:
+    every corpus image plus the planted +2-brightness re-encodes of the
+    first 20 docs, EXACT all-pairs Hamming ≤ 3 — legitimate as the full
+    expected set because at max_hamming=3 the operator's 4-chunk
+    pigeonhole banding has guaranteed recall (≤3 differing bits cannot
+    touch all four 16-bit chunks), so banded output ≡ the exact set."""
+    sf_dir = oracle_sf_dir()
+    ids: list[int] = []
+    fps: list[int] = []
+    for doc_id, text in _load_documents(sf_dir):
+        img = _image_raster(text)
+        ids.append(doc_id)
+        fps.append(_ahash64_replay(img))
+        if doc_id < 20:
+            shifted = np.clip(img.astype(np.int32) + 2, 0, 255).astype(np.uint8)
+            ids.append(doc_id + 700000)
+            fps.append(_ahash64_replay(shifted))
+    id_arr = np.asarray(ids, dtype=np.int64)
+    fp_arr = np.asarray(fps, dtype=np.int64).view(np.uint64)
+    pairs: list[str] = []
+    n = len(id_arr)
+    for s in range(0, n, chunk):
+        block = fp_arr[s : s + chunk]
+        hams = _hamming_block(block, fp_arr)
+        for bi, gj in zip(*np.nonzero(hams <= max_hamming)):
+            i = s + int(bi)
+            j = int(gj)
+            if i < j:  # each unordered pair once; skip self
+                a, b = int(id_arr[i]), int(id_arr[j])
+                lo, hi = (a, b) if a < b else (b, a)
+                pairs.append(f"({lo}, {hi}, {int(hams[bi, gj])})")
+    pairs.sort()
+    if not pairs:
+        core = (
+            "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b, "
+            "CAST(NULL AS INT) AS hamming WHERE FALSE"
+        )
+    else:
+        core = f"""
+  WITH p(id_a, id_b, hamming) AS (VALUES
+  {_values_rows(pairs)})
+  SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         CAST(hamming AS INT) AS hamming
+  FROM p"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# video_frame_features: frame-feature replay
+# ---------------------------------------------------------------------------
+
+
+def video_frame_features_oracle(
+    n_frames: int = 8, sample_every: int = 2, cut_threshold: float = 24.0
+) -> str:
+    """Expected per-document features for catalog.video_frame_features,
+    derived straight from the RAWV fixture spec (multimodal.py::
+    synthetic_video_payloads): base raster clipped to [120, 230], +4t
+    luminance drift, the planted −100 mid-video cut — computed on the
+    in-memory frames WITHOUT the container encode/decode the operator
+    exercises, so the oracle pins the whole encode→decode→feature chain."""
+    sf_dir = oracle_sf_dir()
+    rows: list[str] = []
+    for doc_id, text in _load_documents(sf_dir):
+        d = hashlib.sha256((text or "").encode()).digest()
+        h, w = 8 + d[0] % 16, 8 + d[1] % 16
+        base = np.frombuffer(
+            (d * ((h * w) // len(d) + 1))[: h * w], dtype=np.uint8
+        ).reshape(h, w, 1)
+        base = np.clip(base, 120, 230)
+        frames = []
+        for t in range(n_frames):
+            shift = 4 * t - (100 if t >= n_frames // 2 else 0)
+            frames.append(np.clip(base.astype(np.int32) + shift, 0, 255).astype(np.uint8))
+        lumas = np.array([float(f.mean()) for f in frames])
+        cuts = int(np.sum(np.abs(np.diff(lumas)) > cut_threshold))
+        sampled = frames[::sample_every]
+        digest = hashlib.sha256()
+        for f in sampled:
+            digest.update(f.tobytes())
+        rows.append(
+            f"({doc_id}, {n_frames}, {len(sampled)}, {w}, {h}, "
+            f"{_sql_float(lumas.mean())}, {cuts}, '{digest.hexdigest()}')"
+        )
+    core = f"""
+  WITH v(doc_id, n_frames, n_sampled, width, height, mean_luma,
+         n_scene_cuts, sampled_sha256) AS (VALUES
+  {_values_rows(rows)})
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_frames AS INT) AS n_frames,
+         CAST(n_sampled AS INT) AS n_sampled, CAST(width AS INT) AS width,
+         CAST(height AS INT) AS height, CAST(mean_luma AS DOUBLE) AS mean_luma,
+         CAST(n_scene_cuts AS INT) AS n_scene_cuts, sampled_sha256
+  FROM v"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# shared k-means replay pieces (IVF / PQ / SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def _fit_centroids_replay(x: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """The operators' own driver k-means (functions/kmeans.py::lloyd —
+    pure numpy, deterministic for a given input matrix and seed), run on
+    the DuckDB-loaded corpus in id order. Spark's single-file scan
+    collects in the same order (file order == id order for the gate
+    parquet), so the centroids replayed here are bit-identical to the
+    ones _fit_centroids trains below its sample cap."""
+    from secure_agent_api_vector_search_spark.functions.kmeans import lloyd
+
+    return lloyd(x, k, np.random.default_rng(seed), iters=20)
+
+
+def _assign_replay(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """ivf._nearest_lists_udf's whole-batch assignment math: expanded
+    L2², stable first-occurrence argmin (ties → lowest list id)."""
+    csq = np.einsum("ij,ij->i", c, c)
+    d = np.einsum("ij,ij->i", x, x)[:, None] - 2.0 * (x @ c.T) + csq[None, :]
+    return d.argmin(axis=1)
+
+
+def _rank_lists_replay(c: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """ivf._rank_lists: centroid order by (L2 distance, list_id)."""
+    d = np.einsum("ij,ij->i", c, c) - 2.0 * (c @ q)
+    return np.argsort(d, kind="stable")
+
+
+def ivf_topk_oracle(n_lists: int = 16, nprobe: int = 10, k: int = 10, seed: int = 42) -> str:
+    """Oracle for catalog.ivf_topk (nprobe=10 of 16): the k-means fit,
+    assignment, and centroid ranking are replayed to derive the PROBED
+    candidate id set (the part SQL cannot express — clustering is
+    implementation-defined but fixed-seed deterministic); DuckDB then
+    independently computes the exact cosine top-k WITHIN those lists
+    from the raw parquet vectors, so scoring, ranking, and tiebreaks
+    are still recomputed relationally, not copied from the engine."""
+    sf_dir = oracle_sf_dir()
+    ids, x = _load_embeddings(sf_dir)
+    c = _fit_centroids_replay(x, n_lists, seed)
+    assign = _assign_replay(x, c)
+    q = x[int(np.flatnonzero(ids == 0)[0])]
+    probes = set(int(p) for p in _rank_lists_replay(c, q)[:nprobe])
+    cand = [int(i) for i, a in zip(ids, assign) if int(a) in probes]
+    vals = ",".join(f"({i})" for i in cand)
+    cos = _cos_sql(_E, "q.qe")
+    core = f"""
+  WITH cand(vec_id) AS (VALUES {vals}),
+  q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+  SELECT e.vec_id, {cos} AS similarity
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+  ORDER BY similarity DESC, e.vec_id LIMIT {k}"""
+    return with_corpus_guard(core, "embeddings", "vec_id", sf_dir)
+
+
+def pq_topk_rerank_oracle(
+    m: int = 16, ksub: int = 32, seed: int = 42, shortlist: int = 100, k: int = 10
+) -> str:
+    """Oracle for catalog.pq_topk_rerank: codebook training (one shared
+    rng across the m sub-quantizers, operators/pq.py::build_pq), code
+    assignment, and the ADC scan are replayed to derive the SHORTLIST id
+    set; DuckDB recomputes the exact-L2² re-rank over the shortlist from
+    the raw vectors (same expression as the pq_rerank_exact_limit gate),
+    so the re-rank stage's values/tiebreaks are independently derived."""
+    sf_dir = oracle_sf_dir()
+    ids, x = _load_embeddings(sf_dir)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    from secure_agent_api_vector_search_spark.functions.kmeans import lloyd
+
+    rng = np.random.default_rng(seed)
+    books = [
+        np.asarray(
+            [[float(v) for v in row] for row in lloyd(x[:, j * dsub:(j + 1) * dsub], ksub, rng)]
+        )
+        for j in range(m)
+    ]
+    codes = np.empty((len(x), m), dtype=np.int64)
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        c = books[j]
+        d = (sub**2).sum(1)[:, None] - 2.0 * (sub @ c.T) + (c**2).sum(1)[None, :]
+        codes[:, j] = d.argmin(axis=1)
+    q = x[int(np.flatnonzero(ids == 0)[0])]
+    luts = []
+    for j in range(m):
+        sub = q[j * dsub:(j + 1) * dsub]
+        luts.append([float(v) for v in ((books[j] - sub[None, :]) ** 2).sum(axis=1)])
+    # the operator's codegen left-fold: 0.0 + lut_0[c_0] + ... in order
+    dists = []
+    for i in range(len(x)):
+        s = 0.0
+        for j in range(m):
+            s = s + luts[j][codes[i, j]]
+        dists.append(s)
+    order = sorted(range(len(x)), key=lambda i: (dists[i], int(ids[i])))[:shortlist]
+    vals = ",".join(f"({int(ids[i])})" for i in order)
+    core = f"""
+  WITH sl(vec_id) AS (VALUES {vals}),
+  q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+  top AS (
+    SELECT e.vec_id,
+           list_dot_product(q.qe, q.qe) - 2.0 * list_dot_product({_E}, q.qe)
+             + list_dot_product({_E}, {_E}) AS l2sq
+    FROM embeddings e JOIN sl USING (vec_id) CROSS JOIN q
+    ORDER BY l2sq ASC, e.vec_id LIMIT {k})
+  SELECT vec_id, l2sq,
+         CAST(ROW_NUMBER() OVER (ORDER BY l2sq ASC, vec_id) AS INT) AS rank
+  FROM top ORDER BY rank"""
+    return with_corpus_guard(core, "embeddings", "vec_id", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup: fixed-seed keep/drop witness
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_oracle(threshold: float = 0.9, seed: int = 42) -> str:
+    """Expected (vec_id, cluster_id, keep, dup_of) witness for
+    catalog.semantic_dedup: the planted-near-dup fixture
+    (catalog._embeddings_with_near_dups — v + 0.45·rotate(v) copies of
+    the first 50 vectors under id+100000), the shared k-means fit, the
+    deterministic assignment, and the greedy id-ordered per-cluster
+    cosine screen (operators/semdedup.py::_screen_cluster) replayed in
+    numpy and embedded as the full expected row set."""
+    sf_dir = oracle_sf_dir()
+    ids, x = _load_embeddings(sf_dir)
+    rot = np.concatenate([x[:, 1:], x[:, :1]], axis=1)
+    mask = ids < 50
+    dup_ids = ids[mask] + 100000
+    dup_x = x[mask] + 0.45 * rot[mask]
+    all_ids = np.concatenate([ids, dup_ids])
+    all_x = np.vstack([x, dup_x])
+    n = len(all_ids)
+    n_clusters = max(2, -(-n // 1024))
+    c = _fit_centroids_replay(all_x, n_clusters, seed)
+    assign = _assign_replay(all_x, c)
+    keep = np.ones(n, dtype=bool)
+    dup_of: list[int | None] = [None] * n
+    for cid in np.unique(assign):
+        idx = np.flatnonzero(assign == cid)
+        idx = idx[np.argsort(all_ids[idx], kind="stable")]
+        m = all_x[idx]
+        norms = np.linalg.norm(m, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            unit = np.where(norms[:, None] > 0, m / norms[:, None], 0.0)
+        kept_rows: list[int] = [0]
+        for j in range(1, len(idx)):
+            sims = unit[kept_rows] @ unit[j]
+            hits = np.flatnonzero(sims >= threshold)
+            if len(hits):
+                keep[idx[j]] = False
+                dup_of[idx[j]] = int(all_ids[idx[kept_rows[int(hits[0])]]])
+            else:
+                kept_rows.append(j)
+    rows = []
+    for i in range(n):
+        d = "CAST(NULL AS BIGINT)" if dup_of[i] is None else str(dup_of[i])
+        rows.append(
+            f"({int(all_ids[i])}, {int(assign[i])}, "
+            f"{'TRUE' if keep[i] else 'FALSE'}, {d})"
+        )
+    core = f"""
+  WITH w(vec_id, cluster_id, keep, dup_of) AS (VALUES
+  {_values_rows(rows)})
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster_id AS INT) AS cluster_id,
+         keep, CAST(dup_of AS BIGINT) AS dup_of
+  FROM w"""
+    return with_corpus_guard(core, "embeddings", "vec_id", sf_dir)

@@ -1,0 +1,110 @@
+"""Generated-oracle seam (oracle_gen.py): corpus-fingerprint guard and
+replay determinism. The full Spark-vs-oracle value comparisons for the
+generated entries run through tools/mini_driver.py and the external
+gate; these tests pin the seam's failure modes, which the gate cannot
+see (a correctly failing guard looks identical to a broken oracle in a
+pass/fail row)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from secure_agent_api_vector_search_spark import oracle_gen as OG
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def test_guard_passes_on_matching_corpus():
+    core = "SELECT COUNT(*) AS n FROM documents"
+    sql = OG.with_corpus_guard(core, "documents", "doc_id", SF001)
+    con = _con(SF001)
+    n_docs = con.sql(f"SELECT COUNT(*) FROM '{SF001}/documents.parquet'").fetchone()[0]
+    assert con.sql(sql).fetchall() == [(n_docs,)]
+
+
+def test_guard_raises_descriptive_error_on_wrong_corpus():
+    """VERDICT r7 item 3: an oracle generated against one sf_dir run
+    against another must FAIL LOUDLY with a descriptive message, never
+    present as a silent value mismatch."""
+    sql = OG.with_corpus_guard(
+        "SELECT COUNT(*) AS n FROM documents", "documents", "doc_id", SF001
+    )
+    con = _con(SF01)  # gate corpus differs from the generation corpus
+    with pytest.raises(Exception) as exc:
+        con.sql(sql).fetchall()
+    msg = str(exc.value)
+    assert "generated oracle" in msg and "SPARK_GRAFT_ORACLE_SF_DIR" in msg
+    assert SF001 in msg  # says WHICH corpus it was built against
+
+
+def test_generated_oracles_carry_the_guard(monkeypatch):
+    """Every generated oracle must refuse a foreign corpus — including
+    the pre-existing BPE pair (the seam ADVICE r7 flagged)."""
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF001)
+    from secure_agent_api_vector_search_spark import catalog as C
+
+    gens = {
+        "bpe_encode": C._bpe_encode_oracle,
+        "tokenizer_fertility": C._tokenizer_fertility_oracle,
+        "bpe_tokenize_corpus": C._bpe_tokenize_corpus_oracle,
+        "image_neardup": OG.image_neardup_oracle,
+        "video_frame_features": OG.video_frame_features_oracle,
+        "semantic_dedup": OG.semantic_dedup_oracle,
+        "ivf_topk": OG.ivf_topk_oracle,
+        "pq_topk_rerank": OG.pq_topk_rerank_oracle,
+    }
+    con = _con(SF01)
+    for name, gen in gens.items():
+        with pytest.raises(Exception, match="generated oracle"):
+            con.sql(gen()).fetchall()
+
+
+def test_sql_float_round_trips_exactly():
+    """Bare numeric literals parse as DECIMAL in DuckDB and can land an
+    ulp off after the DECIMAL->DOUBLE hop; the VARCHAR->DOUBLE cast
+    _sql_float emits must round-trip bit-exactly."""
+    con = duckdb.connect()
+    for x in (116.97272727272727, 1.0 / 3.0, 2.0**-52, 1e300, -0.0):
+        got = con.sql(f"SELECT {OG._sql_float(x)}").fetchone()[0]
+        assert got == x and repr(got) == repr(float(x))
+
+
+def test_hamming_block_matches_bit_count():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 2**63, size=17, dtype=np.int64).view(np.uint64)
+    b = rng.integers(0, 2**63, size=23, dtype=np.int64).view(np.uint64)
+    got = OG._hamming_block(a, b)
+    for i in range(len(a)):
+        for j in range(0, len(b), 5):
+            assert got[i, j] == bin(int(a[i]) ^ int(b[j])).count("1")
+
+
+def test_replay_fingerprints_are_memoized():
+    OG._FP_CACHE.clear()
+    n1, fp1 = OG.corpus_fingerprint(SF001, "documents")
+    n2, fp2 = OG.corpus_fingerprint(SF001, "documents")
+    assert (n1, fp1) == (n2, fp2) and len(OG._FP_CACHE) == 1
+    assert n1 > 0 and len(fp1) == 32
+
+
+def test_fingerprint_distinguishes_same_ids_different_content():
+    """sf0.001 and sf0.01 ship the SAME doc_id range with different
+    text — the digest must cover content, not just ids."""
+    OG._FP_CACHE.clear()
+    a = OG.corpus_fingerprint(SF001, "documents")
+    b = OG.corpus_fingerprint(SF01, "documents")
+    assert a[0] == b[0] == 500  # same shape...
+    assert a[1] != b[1]  # ...different corpus
