@@ -31,6 +31,7 @@ driver process.
 from __future__ import annotations
 
 import json
+import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -39,6 +40,7 @@ from pyspark.sql import SparkSession
 from secure_agent_api_vector_search_spark import toolset as TS
 
 _SERVER_VERSION = "secure-agent-api-vector-search-spark/gateway"
+_log = logging.getLogger(__name__)
 
 
 class ToolGateway:
@@ -120,30 +122,30 @@ class ToolGateway:
                     self._send(400, {"error": f"bad request body: {exc}"})
                     return
                 try:
-                    df = tool(gateway.spark, gateway.sf_dir, **params)
-                except TypeError as exc:  # zero-trust validation failure
-                    # scoped to the BIND step only: a TypeError raised
-                    # later, inside execution/row conversion, is a
-                    # server fault and must not masquerade as a 400
+                    # bind step alone (Tool.validate): ONLY genuine
+                    # zero-trust rejections map to 400 — a TypeError
+                    # raised later, inside plan build or execution, is
+                    # a server fault and stays a 500
+                    tool.validate(**params)
+                except TypeError as exc:
                     self._send(400, {"error": str(exc)})
                     return
-                except Exception as exc:  # noqa: BLE001 — plan-build failure
-                    self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
-                    return
                 try:
+                    df = tool.fn(gateway.spark, gateway.sf_dir, **params)
                     rows = [
                         r.asDict(recursive=True)
                         for r in df.limit(gateway.row_cap).collect()
                     ]
-                except Exception as exc:  # noqa: BLE001 — execution failure
+                except Exception:  # noqa: BLE001 — plan/exec failure
                     # semantically invalid values that pass type checks
-                    # (negative limits, analysis errors) surface from the
-                    # engine; the client must get a JSON error, never a
-                    # dropped connection
-                    self._send(
-                        500,
-                        {"error": f"{type(exc).__name__}: {exc}"},
-                    )
+                    # (negative limits, analysis errors) surface from
+                    # the engine; the client must get a JSON error,
+                    # never a dropped connection — and a GENERIC one:
+                    # raw exception text (paths, SQL fragments, class
+                    # names) stays in the server-side log, not on the
+                    # wire of a zero-trust surface
+                    _log.exception("tool %r failed", parts[2])
+                    self._send(500, {"error": "internal server error"})
                     return
                 self._send(200, {"result": rows, "rowCount": len(rows)})
 

@@ -440,7 +440,8 @@ def tokenizer_fertility(
     direct whitespace count in tests. One bounded group aggregate
     follows.
 
-    Output: (group_col, n_words, n_subwords, fertility).
+    Output: (group_col, n_words, n_subwords, fertility); groups with
+    zero words (all-empty slices) are omitted — 0/0 has no fertility.
     """
     toks = bpe_tokenize(
         documents.select(F.col(group_col), F.col(text_col)),
@@ -459,4 +460,9 @@ def tokenizer_fertility(
             F.sum("_nt").cast("bigint").alias("n_subwords"),
             (F.sum("_nt").cast("double") / F.sum("_nw")).alias("fertility"),
         )
+        # a group whose documents are all empty/whitespace has no words
+        # and no defined fertility (0/0) — drop it rather than emit a
+        # NULL in a declared-double metric (and rather than diverge from
+        # the gate oracle's inner join, which omits such groups)
+        .filter(F.col("n_words") > 0)
     )

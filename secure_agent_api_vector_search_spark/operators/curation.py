@@ -815,7 +815,10 @@ def split_leakage_check(
       ground truth and the agreement test.
     The audit itself is O(pairs) either way.
 
-    Output: (id_a, id_b, jaccard, split_a, split_b).
+    Output: (id_a, id_b, jaccard, split_a, split_b). With via="lsh"
+    the returned frame is persisted (the banded pair intermediate is
+    released before returning — no session-lifetime cache leaks per
+    audit call); long-lived callers may .unpersist() it when done.
     """
     from secure_agent_api_vector_search_spark.operators.dedup import (
         ngram_jaccard_pairs,
@@ -843,7 +846,7 @@ def split_leakage_check(
         )
     else:
         raise ValueError(f"via must be 'lsh' or 'exact', got {via!r}")
-    return (
+    out = (
         pairs.join(
             splits.select(F.col(id_col).alias("id_a"), F.col("split").alias("split_a")),
             "id_a",
@@ -855,3 +858,16 @@ def split_leakage_check(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+    if via == "lsh":
+        # ngram_jaccard_pairs_lsh returns its pairs frame PERSISTED (it
+        # feeds the gram release inside), but the audit returns a
+        # derived frame, so callers would have no handle to release the
+        # cached pairs — persist the (leak-pair-sized) audit result
+        # instead and release the intermediate here, the same
+        # grams-release convention the pair op itself follows.
+        from pyspark.storagelevel import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        pairs.unpersist()
+    return out

@@ -64,7 +64,13 @@ class Tool:
             },
         }
 
-    def __call__(self, spark: SparkSession, sf_dir: str, **params) -> DataFrame:
+    def validate(self, **params) -> None:
+        """The BIND step alone: names, requiredness, JSON types — every
+        zero-trust rejection raises TypeError HERE, before any plan is
+        built. Separated from __call__ so transport layers (gateway.py)
+        can map genuine bind failures to 400 while anything raised
+        inside execution — including a server-side TypeError — stays a
+        server fault."""
         declared = {p.name: p for p in self.parameters}
         unknown = set(params) - set(declared)
         if unknown:
@@ -81,6 +87,9 @@ class Tool:
                     f"{self.name}: {name} must be {declared[name].type}, "
                     f"got {type(value).__name__}"
                 )
+
+    def __call__(self, spark: SparkSession, sf_dir: str, **params) -> DataFrame:
+        self.validate(**params)
         return self.fn(spark, sf_dir, **params)
 
 

@@ -290,3 +290,26 @@ def test_tokenizer_fertility_eow_word_count_invariant(spark):
         assert (r.n_words, r.n_subwords) == (want_words, want_sub)
         assert r.fertility == want_sub / want_words
         assert r.fertility >= 1.0  # >= one subword per word, always
+
+
+def test_tokenizer_fertility_drops_zero_word_groups(spark):
+    """A source whose documents are all empty/whitespace has no words
+    and no defined fertility (0/0) — it must be OMITTED, matching the
+    gate oracle's inner join, instead of emitting a NULL double."""
+    from secure_agent_api_vector_search_spark.operators.bpe import (
+        tokenizer_fertility,
+        train_bpe,
+    )
+
+    rows = [
+        (0, "real", "aa ab aa ab aa"),
+        (1, "real", "aa ab"),
+        (2, "hollow", ""),
+        (3, "hollow", " \t\n "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    merges = train_bpe(df, n_merges=2)
+    out = {r.source: r for r in tokenizer_fertility(df, merges).collect()}
+    assert set(out) == {"real"}
+    assert out["real"].n_words == 7
+    assert out["real"].fertility == out["real"].n_subwords / 7

@@ -535,3 +535,31 @@ def test_split_leakage_threshold_one_exact_duplicates_via_lsh(spark):
     )
     out = {(r.id_a, r.id_b): r.jaccard for r in split_leakage_check(df, threshold=1.0).collect()}
     assert out == {(min(a, b), max(a, b)): 1.0}
+
+
+def test_split_leakage_lsh_releases_intermediate_caches(spark):
+    """ADVICE r7: each audit call must not leak a session-lifetime
+    persisted pairs frame — only the RETURNED (unpersistable-by-caller)
+    result may stay cached, and the banded-pair intermediate must be
+    released before the audit returns. Uses a corpus no other test
+    builds, so Spark's cache manager cannot satisfy the persist from a
+    previously cached identical plan (which would hide a leak AND break
+    the count)."""
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        split_leakage_check,
+    )
+
+    rows = [
+        (i, "cache-release probe %d words %s" % (i, "x y z w v u t" * 4))
+        for i in range(40)
+    ] + [(100 + i, "cache-release probe %d words %s" % (i, "x y z w v u t" * 4))
+         for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    out = split_leakage_check(docs, via="lsh")
+    assert out.storageLevel.useMemory  # result persisted for the caller
+    after = jsc.getPersistentRDDs().size()
+    assert after == before + 1  # exactly the result — intermediates freed
+    out.unpersist()
+    assert jsc.getPersistentRDDs().size() == before

@@ -106,3 +106,38 @@ def test_non_canonical_id_binds_zero_rows_not_error(gateway):
         f"{gateway.url}/api/tool/get_record_by_id/invoke", {"record_id": "042"}
     )
     assert code == 200 and body["rowCount"] == 0
+
+
+def test_server_fault_is_generic_500_even_for_type_errors(spark, sf_dir):
+    """A TypeError raised INSIDE tool execution is a server fault (500),
+    never a 400 — the 400 mapping is scoped to Tool.validate alone —
+    and the 500 body is GENERIC: raw exception text (paths, SQL
+    fragments, internal class names) must not reach clients of a
+    zero-trust surface."""
+    from secure_agent_api_vector_search_spark import toolset as TS
+
+    def boom(spark, sf_dir, record_id):
+        raise TypeError("internal/path/leak.py: secret frame detail")
+
+    TS._TOOLSETS["gateway_test_tools"] = (
+        TS.Tool(
+            name="boom_tool",
+            description="always fails server-side",
+            parameters=(TS.ToolParam("record_id", "string", "id"),),
+            fn=boom,
+        ),
+    )
+    try:
+        with ToolGateway(spark, sf_dir, toolsets=("gateway_test_tools",)) as gw:
+            code, body = _post(
+                f"{gw.url}/api/tool/boom_tool/invoke", {"record_id": "42"}
+            )
+            assert code == 500
+            assert body["error"] == "internal server error"
+            assert "leak" not in json.dumps(body)
+            # bind failures on the same tool still map to 400 with the
+            # validation message
+            code, body = _post(f"{gw.url}/api/tool/boom_tool/invoke", {})
+            assert code == 400 and "missing required" in body["error"]
+    finally:
+        del TS._TOOLSETS["gateway_test_tools"]
