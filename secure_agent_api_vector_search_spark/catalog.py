@@ -4296,74 +4296,71 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
-    # --- round-7 window. Composition rule unchanged: (A) entries that
-    # are new, were red, or whose code moved this round; then (B-D) the
-    # oracle entries with the OLDEST driver coverage (last green r3 ->
-    # r4 -> r5, CORRECTNESS_r0*.json); then the standing ANN guard.
-    # Everything rotated out was green in r6 and stays on the local
-    # full gate every round.
-    # A: red-last-round fix (ids array -> scalar gate projection)
-    "tokenize_to_ids",
-    # A: new this round (independent-BPE generated oracle); never gated
-    "bpe_encode",
-    # A: new this round (composes gated dataset_split + build_vocab)
-    "vocab_coverage",
-    # A: new this round (generated independent-BPE oracle)
-    "tokenizer_fertility",
-    # A: upgraded rows-only -> full SQL oracle this round; never gated
-    "strip_dup_spans",
-    # A: never driver-windowed rows-only entries (VERDICT r6 item 8)
+    # --- round-8 window. Composition rule unchanged: (A) entries that
+    # are new, were red, or whose code/oracle moved this round; then
+    # (B-C) the oracle entries with the OLDEST driver coverage (last
+    # green r5 -> r6, CORRECTNESS_r0*.json); then the standing ANN
+    # guard. Everything rotated out was green in r7 and stays on the
+    # local full gate every round.
+    # A: the six rows-only entries upgraded to GENERATED oracles this
+    # round (oracle_gen.py — fixed-seed replays; VERDICT r7 item 1)
     "bpe_tokenize_corpus",
     "image_neardup",
     "video_frame_features",
-    # A: semantics-bearing code moved this round -- re-verify values
-    # under the new plans (adaptive audit banding; basis-point
-    # rounding; gram-hash parameterization; semdedup persist release;
-    # IVF nprobe=10 + PQ m=16 benched defaults; anomaly state guard)
-    "split_leakage_check",
-    "stratified_sample",
-    "duplicated_spans",
-    "exact_substring_stats",
     "semantic_dedup",
     "ivf_topk",
     "pq_topk_rerank",
-    "anomaly_streaming",
-    # B: oracle entries last green in round 3
-    "customers_without_orders",
-    "lang_id_eval",
-    "orders_semi_late_lines",
-    "part_small_qty_revenue",
-    "q5_local_supplier_volume",
-    "region_priority_pivot",
-    "revenue_by_region",
-    "top_customers_by_revenue",
-    # C: oracle entries last green in round 4
-    "embedding_stats",
-    "events_engagement",
-    "events_funnel_summary",
-    "events_retention",
-    "neardup_pairs_cosine",
-    "pack_sequence_stats",
-    "revenue_cube",
-    "similar_to_doc",
-    "token_budget_by_lang",
-    "top_terms_by_lang",
-    "vector_topk_dot",
-    "vector_topk_filtered",
-    "vector_topk_l2",
-    # D: oracle entries last green in round 5 (oldest 14, alphabetical)
-    "bm25_search",
-    "corpus_stats_gate",
-    "corpus_token_totals",
-    "dataset_split",
-    "dedup_incremental",
-    "dedup_normalized",
-    "doc_fingerprints",
-    "doc_quality",
-    "embed_texts",
-    "embedding_coverage",
-    "events_hourly",
-    "events_interval_join",
+    # A: oracle/operator moved this round — corpus-fingerprint guard +
+    # explicit whitespace class (bpe pair), zero-word-group filter
+    # (fertility), audit persist restructure (split_leakage_check)
+    "bpe_encode",
+    "tokenizer_fertility",
+    "split_leakage_check",
+    # B: the 26 oracle entries last green in round 5 (every one of them
+    # re-verified on the local full gate each round since)
+    "embedding_lsh_vs_exact_diff",
+    "events_json_stats",
+    "hybrid_search",
+    "ivf_filtered_fullprobe",
+    "knn_classify",
+    "knn_join",
+    "knn_join_grouped",
+    "knn_join_ivf_fullprobe",
+    "minhash_vs_exact_diff",
+    "mmr_exact_limit",
+    "multimodal_features",
+    "ngram_jaccard_dedup",
+    "ngram_lsh_vs_exact_diff",
+    "orders_asof_event",
+    "part_type_stats",
+    "pii_redact",
+    "pq_rerank_exact_limit",
+    "price_quantiles_by_brand",
+    "rrf_search",
+    "simhash_vs_exact_diff",
+    "simjoin_lsh_vs_exact_diff",
+    "sq_topk_rerank",
+    "textjoin_lsh_vs_exact_diff",
+    "token_counts_bpe",
+    "token_stats",
+    "vector_topk_grouped",
+    # C: 14 of the 43 entries last green in round 6 — the reference-
+    # surface ones VERDICT r7 item 7 named first, then alphabetical;
+    # the remaining 29 are next round's window
+    "point_lookup",
+    "vector_topk_cosine",
+    "vector_topk_page2",
+    "find_similar_records",
+    "find_similar_by_text",
+    "minhash_near_dup",
+    "similarity_join_exact",
+    "brand_setops",
+    "build_vocab",
+    "chunk_documents",
+    "contamination_check",
+    "corpus_curation",
+    "data_expectations",
+    "dedup_components_keep_first",
     # standing ANN-family guard: the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate
     "ivf_topk_fullprobe",
