@@ -155,6 +155,7 @@ def _local_bpe(
     n_merges: int,
     batch_k: int,
     min_count: int,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """The SAME round logic as the distributed loop, run in-process on
     a collected (word, count) table — the correct strategy whenever the
@@ -168,7 +169,10 @@ def _local_bpe(
     seqs = {w: tuple(list(w) + [_EOW]) for w, _ in word_counts}
     counts = dict(word_counts)
     merges: list[tuple[str, str]] = []
+    rec = stats if stats is not None else {}
+    rec["rounds"] = 0
     while len(merges) < n_merges:
+        rec["rounds"] += 1
         pairs: Counter = Counter()
         for w, c in counts.items():
             s = seqs[w]
@@ -208,6 +212,7 @@ def train_bpe(
     batch_k: int = 1,
     min_count: int = 2,
     driver_vocab_cap: int = 200_000,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the
     ordered merge list (rank = position). ``batch_k=1`` is canonical
@@ -221,23 +226,38 @@ def train_bpe(
     (per-round job latency would dominate by orders of magnitude on a
     small vocabulary), and as cached distributed rounds above it —
     same round logic either way, parity-tested.
+
+    ``stats``: pass a dict to receive the run record — ``strategy``
+    ("driver" | "distributed"), ``vocab_rows`` (distinct words), and
+    ``rounds`` (merge-loop iterations: the corpus-size-free quantity —
+    bounded by ceil(n_merges / batch_k) plus non-touching deferrals,
+    never by corpus rows). Exists so scale harnesses can demonstrate
+    the "rounds don't grow with the corpus" claim at production merge
+    counts (tools/scale_smoke.py).
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     if batch_k < 1:
         raise ValueError("batch_k must be >= 1")
+    rec = stats if stats is not None else {}
     wc = _word_counts(documents, text_col).persist()
     try:
-        if wc.count() <= driver_vocab_cap:
+        n_vocab = wc.count()
+        rec["vocab_rows"] = int(n_vocab)
+        if n_vocab <= driver_vocab_cap:
+            rec["strategy"] = "driver"
             rows = [(r["word"], int(r["cnt"])) for r in wc.collect()]
-            return _local_bpe(rows, n_merges, batch_k, min_count)
+            return _local_bpe(rows, n_merges, batch_k, min_count, stats=rec)
+        rec["strategy"] = "distributed"
         words = _symbolize(wc).persist()
         words.count()
     finally:
         wc.unpersist()
     merges: list[tuple[str, str]] = []
+    rec["rounds"] = 0
     try:
         while len(merges) < n_merges:
+            rec["rounds"] += 1
             want = min(batch_k, n_merges - len(merges))
             # pull a few times the batch so the non-touching filter has
             # slack; driver memory stays bounded by 4*batch_k rows
