@@ -147,6 +147,59 @@ def _find_similar_page(
     return join_back_documents(top, docs)
 
 
+_ANN_STORE: dict[str, object] = {}
+
+
+def _find_similar_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str,
+    limit: int,
+    nprobe: int,
+) -> DataFrame:
+    """U1 through the V5 ANN path — README.md:51's "high-speed
+    similarity search" made literal: the corpus embeddings live in an
+    IVF store (built once per corpus and memoized, the index
+    lifecycle), the query probes only the ``nprobe`` nearest lists, and
+    the projection is byte-identical to find_similar_customer_records
+    (join_back_documents — the shared U1 contract). ``nprobe`` is the
+    recall/latency knob: clamped to [1, n_lists]; at n_lists the answer
+    is exactly the exact tool's (the gate-pinned full-probe identity).
+    The exact tool stays the reference-faithful default (V6: the
+    reference's own index routes L2 under a cosine query and is unused
+    by its planner — here the approximate path is explicit opt-in)."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.embedder import embed_text, embed_udf
+    from secure_agent_api_vector_search_spark.operators.ivf import (
+        build_ivf,
+        ivf_search,
+    )
+    from secure_agent_api_vector_search_spark.operators.topk import (
+        join_back_documents,
+    )
+    from secure_agent_api_vector_search_spark.sources.tables import load_documents
+
+    docs = load_documents(spark, sf_dir)
+    index = _ANN_STORE.get(sf_dir)
+    if index is None:
+        emb = docs.select(
+            F.col("doc_id").alias("vec_id"),
+            embed_udf(64)(F.col("text")).alias("embedding"),
+        )
+        index = build_ivf(emb, n_lists=16, seed=42)
+        index.assigned.persist().count()  # serve probes from a hot store
+        _ANN_STORE[sf_dir] = index
+    n_lists = len(index.centroids)
+    top = ivf_search(
+        index,
+        embed_text(query_text, 64),
+        k=limit,
+        nprobe=max(1, min(int(nprobe), n_lists)),
+    )
+    return join_back_documents(top, docs)
+
+
 def _get_record(spark: SparkSession, sf_dir: str, record_id: str) -> DataFrame:
     """record_id is a STRING, matching the reference contract
     (tools.yaml:34-35 declares ``type: string`` — ids there are
@@ -220,6 +273,25 @@ _TOOLSETS["customer_data_tools_v2"] = _TOOLSETS["customer_data_tools"] + (
             ToolParam("after_id", "integer", "previous page's last doc_id"),
         ),
         fn=_find_similar_page,
+    ),
+)
+
+
+# v3: v2 plus the indexed search tool — the ANN path served with an
+# explicit nprobe recall/latency knob; reference parity (v1) and the
+# paged extension (v2) stay untouched, clients opt in by toolset name.
+_TOOLSETS["customer_data_tools_v3"] = _TOOLSETS["customer_data_tools_v2"] + (
+    Tool(
+        name="find_similar_customer_records_ann",
+        description="Semantic search through the IVF index: probes only "
+                    "the nprobe nearest lists (recall/latency knob; at "
+                    "n_lists it equals the exact tool's answer).",
+        parameters=(
+            ToolParam("query_text", "string", "natural-language search query"),
+            ToolParam("limit", "integer", "max results"),
+            ToolParam("nprobe", "integer", "lists to probe (1..n_lists)"),
+        ),
+        fn=_find_similar_ann,
     ),
 )
 

@@ -141,3 +141,40 @@ def test_server_fault_is_generic_500_even_for_type_errors(spark, sf_dir):
             assert code == 400 and "missing required" in body["error"]
     finally:
         del TS._TOOLSETS["gateway_test_tools"]
+
+
+def test_v3_ann_search_tool_over_socket(spark, sf_dir):
+    """customer_data_tools_v3: the IVF-served search tool with the
+    nprobe knob. At nprobe = n_lists the probed union IS the corpus, so
+    the result must equal the exact tool's row-for-row (the full-probe
+    identity, through the HTTP surface); a low nprobe still returns
+    `limit` rows through the same projection."""
+    with ToolGateway(spark, sf_dir, toolsets=("customer_data_tools_v3",)) as gw:
+        code, manifest = _get(f"{gw.url}/api/toolset/customer_data_tools_v3")
+        assert code == 200
+        assert "find_similar_customer_records_ann" in manifest["tools"]
+        q = {"query_text": "standard procedure for water damage", "limit": 5}
+        code, exact = _post(
+            f"{gw.url}/api/tool/find_similar_customer_records/invoke", q
+        )
+        assert code == 200
+        code, full_probe = _post(
+            f"{gw.url}/api/tool/find_similar_customer_records_ann/invoke",
+            {**q, "nprobe": 16},
+        )
+        assert code == 200
+        assert full_probe["result"] == exact["result"]
+        code, probed = _post(
+            f"{gw.url}/api/tool/find_similar_customer_records_ann/invoke",
+            {**q, "nprobe": 2},
+        )
+        assert code == 200 and probed["rowCount"] == 5
+        assert set(probed["result"][0]) == {
+            "doc_id", "source", "lang", "text", "similarity"
+        }
+        # knob is typed: a string nprobe is a bind failure (400)
+        code, body = _post(
+            f"{gw.url}/api/tool/find_similar_customer_records_ann/invoke",
+            {**q, "nprobe": "lots"},
+        )
+        assert code == 400 and "nprobe" in body["error"]
