@@ -38,6 +38,24 @@ import numpy as np
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
+_SQL_CACHE: dict[tuple, str] = {}
+
+
+def _memo_sql(fn):
+    """Memoize a generated-oracle builder per (corpus, call args): the
+    k-means/feature replays are deterministic in both, so a driver that
+    collects oracle_sql() more than once pays the replay once."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        key = (fn.__name__, oracle_sf_dir(), args, tuple(sorted(kwargs.items())))
+        if key not in _SQL_CACHE:
+            _SQL_CACHE[key] = fn(*args, **kwargs)
+        return _SQL_CACHE[key]
+
+    return wrapped
+
 
 def oracle_sf_dir() -> str:
     """The corpus the generated oracles train/replay against. The
@@ -215,6 +233,7 @@ def _hamming_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     )
 
 
+@_memo_sql
 def image_neardup_oracle(max_hamming: int = 3, chunk: int = 1024) -> str:
     """Expected (id_a, id_b, hamming) pair set for catalog.image_neardup:
     every corpus image plus the planted +2-brightness re-encodes of the
@@ -268,6 +287,7 @@ def image_neardup_oracle(max_hamming: int = 3, chunk: int = 1024) -> str:
 # ---------------------------------------------------------------------------
 
 
+@_memo_sql
 def video_frame_features_oracle(
     n_frames: int = 8, sample_every: int = 2, cut_threshold: float = 24.0
 ) -> str:
@@ -343,6 +363,7 @@ def _rank_lists_replay(c: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.argsort(d, kind="stable")
 
 
+@_memo_sql
 def ivf_topk_oracle(n_lists: int = 16, nprobe: int = 10, k: int = 10, seed: int = 42) -> str:
     """Oracle for catalog.ivf_topk (nprobe=10 of 16): the k-means fit,
     assignment, and centroid ranking are replayed to derive the PROBED
@@ -369,6 +390,7 @@ def ivf_topk_oracle(n_lists: int = 16, nprobe: int = 10, k: int = 10, seed: int 
     return with_corpus_guard(core, "embeddings", "vec_id", sf_dir)
 
 
+@_memo_sql
 def pq_topk_rerank_oracle(
     m: int = 16, ksub: int = 32, seed: int = 42, shortlist: int = 100, k: int = 10
 ) -> str:
@@ -433,6 +455,7 @@ def pq_topk_rerank_oracle(
 # ---------------------------------------------------------------------------
 
 
+@_memo_sql
 def semantic_dedup_oracle(threshold: float = 0.9, seed: int = 42) -> str:
     """Expected (vec_id, cluster_id, keep, dup_of) witness for
     catalog.semantic_dedup: the planted-near-dup fixture
