@@ -1937,6 +1937,16 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_features(M.synthetic_image_payloads(docs))
 
 
+def image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec decode path: deterministic RGB PNG payloads
+    (genuine zlib DEFLATE streams) → chunk walk + CRC + inflate +
+    filter reversal (operators/multimodal.py::decode_png, dispatched by
+    the magic-sniffing decode_image) → the same feature projection as
+    the netpbm path. Same map-only single-pass plan shape."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    return M.image_features(M.synthetic_png_payloads(docs))
+
+
 def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over the synthetic corpus PLUS planted
     re-encodes: each of the first 20 docs gets a noisy copy under
@@ -3935,10 +3945,26 @@ FROM p ORDER BY doc_id""",
         tags=("multimodal",)))
     r.register(NamedQuery(
         "image_decode_features", image_decode_features,
+        oracle_sql=OG.image_decode_features_oracle,  # generated:
+        # container-free raster replay, features derived directly
         description="[EXT] REAL image decode (binary netpbm parsed with "
                     "numpy, no image library): dimensions, mean luminance, "
                     "nearest-neighbor-thumbnail digest via mapInPandas; "
-                    "round-trip + hand-value tests in tests/test_multimodal.py",
+                    "gated against a container-free fixture replay "
+                    "(oracle_gen.py); round-trip + hand-value tests in "
+                    "tests/test_multimodal_decode.py",
+        tags=("multimodal",)))
+    r.register(NamedQuery(
+        "image_decode_png", image_decode_png,
+        oracle_sql=OG.image_decode_png_oracle,  # generated: raster
+        # replay skipping the zlib container — the gate pins the real
+        # DEFLATE-inflate + filter-reversal codec path
+        description="[EXT] REAL compressed-codec decode: 8-bit PNG "
+                    "(stdlib-zlib inflate, CRC-checked chunk walk, all "
+                    "five scanline filters reversed) → the shared image "
+                    "feature projection; magic-sniffing dispatch lets PNG "
+                    "and netpbm payloads mix in one corpus "
+                    "(operators/multimodal.py::decode_image)",
         tags=("multimodal",)))
     r.register(NamedQuery(
         "image_neardup", image_neardup,
@@ -3969,9 +3995,14 @@ FROM p ORDER BY doc_id""",
         tags=("multimodal",)))
     r.register(NamedQuery(
         "audio_decode_features", audio_decode_features,
+        oracle_sql=OG.audio_decode_features_oracle,  # generated:
+        # fixture samples synthesized directly (no RIFF container),
+        # fast-path feature formulas replayed
         description="[EXT] REAL audio decode (stdlib wave PCM): sample "
                     "rate, duration, RMS, energy-envelope activity windows "
-                    "via mapInPandas", tags=("multimodal",)))
+                    "via mapInPandas; gated against a container-free "
+                    "synthesis replay (oracle_gen.py)",
+        tags=("multimodal",)))
     r.register(NamedQuery(
         "dedup_near_keep_first", dedup_near_keep_first,
         description="[EXT] end-to-end near-dup dedup: MinHash-LSH pairs → "

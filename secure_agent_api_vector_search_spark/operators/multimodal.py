@@ -11,12 +11,16 @@ iterator shape, partition-preserving map, feature schema. Decoding has
 two tiers:
 
 - REAL decoders for formats parseable with stdlib + numpy alone:
-  binary netpbm images (P5 graymap / P6 pixmap → numpy array, true
-  dimensions, luminance stats, nearest-neighbor thumbnail) and PCM WAV
-  audio (stdlib ``wave`` → sample rate, duration, RMS, per-window
-  envelope — the frame-sample analog). These run end-to-end in tests.
-- A documented stub seam for everything else (JPEG/PNG/MP4 need
-  image/video libraries this container lacks): `decode_stub=True`
+  PNG (stdlib-zlib DEFLATE inflate + full five-filter reversal,
+  :func:`decode_png` — a genuine compressed format), binary netpbm
+  images (P5 graymap / P6 pixmap → numpy array, true dimensions,
+  luminance stats, nearest-neighbor thumbnail), and PCM WAV audio
+  (stdlib ``wave`` → sample rate, duration, RMS, per-window envelope —
+  the frame-sample analog). The image feature/dedup stages sniff the
+  magic (:func:`decode_image`) so PNG and netpbm payloads mix freely
+  in one corpus. These run end-to-end in tests.
+- A documented stub seam for everything else (JPEG/MP4 need a
+  huffman+DCT / codec library this container lacks): `decode_stub=True`
   produces deterministic fake features from the bytes;
   `decode_stub=False` raises NotImplementedError at the exact line a
   real decoder (PIL / av / soundfile) plugs into.
@@ -145,6 +149,159 @@ def encode_netpbm(img: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
 
 
+# ---------------------------------------------------------------------------
+# PNG: a REAL compressed-format codec (stdlib zlib DEFLATE + numpy) —
+# closes the "real corpora aren't netpbm" half of the codec seam; JPEG
+# (needs a huffman/DCT stack) remains behind the documented stub.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (3 = palette: 1 index, expanded below)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (grayscale / RGB / palette /
+    gray+alpha / RGBA) to an (h, w, channels) uint8 array. A genuine
+    decoder for a genuine compressed format: chunk walk + CRC check,
+    stdlib-zlib inflate of the IDAT stream, and full reversal of all
+    five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+    Palette images expand through PLTE to (h, w, 3).
+
+    Filter reversal is vectorized where the data dependency allows:
+    Up is one whole-row add; Sub has only a left dependency, solved as
+    a per-channel cumulative sum mod 256; Average/Paeth mix left and
+    up dependencies, so those rows walk pixel-by-pixel (rare in
+    practice — most encoders emit 0/2 for synthetic content, and this
+    module's own encoder writes filter 0)."""
+    import zlib
+
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError(f"not a PNG payload: {payload[:8]!r}")
+    pos = len(PNG_SIG)
+    idat = bytearray()
+    plte: bytes | None = None
+    width = height = None
+    channels = color_type = None
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        crc = int.from_bytes(payload[pos + 8 + size : pos + 12 + size], "big")
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"corrupt PNG: CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if interlace != 0:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+            channels = _PNG_CHANNELS.get(color_type)
+            if channels is None:
+                raise ValueError(f"unknown PNG color type {color_type}")
+        elif ctype == b"PLTE":
+            plte = bytes(data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if width is None or not idat:
+        raise ValueError("corrupt PNG: missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("corrupt PNG: inflated size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for y in range(height):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:  # None
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + up) & 0xFF
+        elif ftype == 1:  # Sub: recon[x] = cur[x] + recon[x-bpp] — a
+            # cumulative sum per pixel-channel lane, mod 256
+            lanes = cur.reshape(width, bpp)
+            rec = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride) & 0xFF
+        elif ftype == 3:  # Average: left + up mix → sequential in x
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (cur[x] + ((left + up[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = up[x]
+                c = int(out[y - 1, x - bpp]) if (y and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: unknown filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    img = out.reshape(height, width, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("corrupt PNG: palette image without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        img = pal[img[:, :, 0]]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_png` for 8-bit images (filter 0 +
+    stdlib-zlib DEFLATE) — fixture + sink side; round-trip pinned in
+    tests against rasters exercising every filter type on decode."""
+    import zlib
+
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {c}")
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    body = img.astype(np.uint8).reshape(h, w * c)
+    raw = b"".join(b"\x00" + row.tobytes() for row in body)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Format-sniffing image decode: PNG (\\x89PNG) and binary netpbm
+    (P5/P6) are REAL decoders; anything else raises at the documented
+    codec seam (JPEG needs a huffman+DCT stack this container has no
+    library for — plug PIL in here in a full deployment)."""
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_netpbm(payload)
+    raise NotImplementedError(
+        f"no decoder for image magic {payload[:4]!r}; real JPEG decoding "
+        "needs an image library (PIL.Image.open plugs in here)"
+    )
+
+
 def thumbnail(img: np.ndarray, size: int = 8) -> np.ndarray:
     """Nearest-neighbor downsample to (size, size, channels) — the
     resize stage of an image pipeline, pure integer indexing."""
@@ -170,7 +327,7 @@ def image_features(with_payload: DataFrame, thumb_size: int = 8) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_netpbm(bytes(payload))
+                img = decode_image(bytes(payload))
                 h, w, c = img.shape
                 rows.append(
                     (
@@ -254,6 +411,30 @@ def synthetic_image_payloads(documents: DataFrame) -> DataFrame:
                     (d * ((h * w) // len(d) + 1))[: h * w], dtype=np.uint8
                 ).reshape(h, w, 1)
                 rows.append((doc_id, encode_netpbm(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, payload binary"
+    )
+
+
+def synthetic_png_payloads(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL RGB PNGs from each document's text (digest-
+    seeded byte pattern, digest-sized dimensions — indices 2/3, so the
+    rasters differ from the netpbm fixture's): (doc_id, payload). The
+    payloads are genuine zlib-compressed PNG bytes, so the downstream
+    decode is real inflate + filter reversal, not a fake."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.sha256((text or "").encode()).digest()
+                h, w = 16 + d[2] % 32, 16 + d[3] % 32
+                px = np.frombuffer(
+                    (d * ((h * w * 3) // len(d) + 1))[: h * w * 3], dtype=np.uint8
+                ).reshape(h, w, 3)
+                rows.append((doc_id, encode_png(px)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return documents.select("doc_id", "text").mapInPandas(
@@ -619,7 +800,7 @@ def image_ahash(with_payload: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                (doc_id, ahash64(decode_netpbm(bytes(payload))))
+                (doc_id, ahash64(decode_image(bytes(payload))))
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "fp"])
@@ -658,7 +839,7 @@ def perturbed_image_copies(with_payload: DataFrame, id_offset: int) -> DataFrame
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_netpbm(bytes(payload))
+                img = decode_image(bytes(payload))
                 shifted = np.clip(img.astype(np.int32) + 2, 0, 255).astype(np.uint8)
                 rows.append((int(doc_id) + id_offset, encode_netpbm(shifted)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])

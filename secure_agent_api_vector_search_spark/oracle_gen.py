@@ -282,6 +282,115 @@ def image_neardup_oracle(max_hamming: int = 3, chunk: int = 1024) -> str:
     return with_corpus_guard(core, "documents", "doc_id", sf_dir)
 
 
+def _thumb_sha(img: np.ndarray) -> str:
+    """Independent 8×8 nearest-neighbor thumbnail digest (the resize
+    stage's output, multimodal.py::thumbnail + sha256)."""
+    h, w, _ = img.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    return hashlib.sha256(img[ys][:, xs].tobytes()).hexdigest()
+
+
+def _image_features_core(rasters: list[tuple[int, np.ndarray]]) -> str:
+    rows = []
+    for doc_id, img in rasters:
+        h, w, c = img.shape
+        rows.append(
+            f"({doc_id}, {w}, {h}, {c}, {_sql_float(img.mean())}, "
+            f"'{_thumb_sha(img)}')"
+        )
+    return f"""
+  WITH v(doc_id, width, height, n_channels, mean_luma, thumb_sha256) AS (VALUES
+  {_values_rows(rows)})
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS INT) AS width,
+         CAST(height AS INT) AS height, CAST(n_channels AS INT) AS n_channels,
+         CAST(mean_luma AS DOUBLE) AS mean_luma, thumb_sha256
+  FROM v"""
+
+
+@_memo_sql
+def image_decode_features_oracle() -> str:
+    """Expected features for catalog.image_decode_features: the netpbm
+    fixture raster rebuilt directly (no container), features derived
+    straight from it — pins the encode→decode→feature chain."""
+    sf_dir = oracle_sf_dir()
+    rasters = [(i, _image_raster(t)) for i, t in _load_documents(sf_dir)]
+    return with_corpus_guard(
+        _image_features_core(rasters), "documents", "doc_id", sf_dir
+    )
+
+
+def _png_raster(text: str) -> np.ndarray:
+    """The RGB PNG fixture spec (multimodal.py::synthetic_png_payloads):
+    digest indices 2/3 for dimensions, h·w·3 repeated-digest bytes."""
+    d = hashlib.sha256((text or "").encode()).digest()
+    h, w = 16 + d[2] % 32, 16 + d[3] % 32
+    return np.frombuffer(
+        (d * ((h * w * 3) // len(d) + 1))[: h * w * 3], dtype=np.uint8
+    ).reshape(h, w, 3)
+
+
+@_memo_sql
+def image_decode_png_oracle() -> str:
+    """Expected features for catalog.image_decode_png: the RGB raster
+    rebuilt directly, skipping the zlib-compressed PNG container the
+    operator decodes — so the gate pins the REAL codec path (DEFLATE
+    inflate + filter reversal) against a container-free derivation."""
+    sf_dir = oracle_sf_dir()
+    rasters = [(i, _png_raster(t)) for i, t in _load_documents(sf_dir)]
+    return with_corpus_guard(
+        _image_features_core(rasters), "documents", "doc_id", sf_dir
+    )
+
+
+@_memo_sql
+def audio_decode_features_oracle(
+    rate: int = 8000, window: int = 1024, activity_rms: float = 100.0
+) -> str:
+    """Expected features for catalog.audio_decode_features: the WAV
+    fixture's samples synthesized directly (multimodal.py::
+    synthetic_wav_payloads spec — digest-derived sine tone + silent
+    tail), features computed with the operator's fast-path formulas
+    (reduceat segment sums, squared-threshold activity windows) on the
+    per-payload sample array — the RIFF encode→parse round-trip is what
+    the gate then checks."""
+    sf_dir = oracle_sf_dir()
+    thresh_sq = float(activity_rms) ** 2 * window
+    rows = []
+    for doc_id, text in _load_documents(sf_dir):
+        d = hashlib.sha256((text or "").encode()).digest()
+        n = 2048 + 256 * (d[2] % 8)
+        freq = 100 + 10 * d[3]
+        amp = 2000 + 100 * d[4]
+        t = np.arange(n) / rate
+        tone = (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+        samples = np.concatenate([tone, np.zeros(1024, dtype=np.int16)])
+        mono = samples.astype(np.float64).reshape(-1, 1).mean(axis=1)
+        nf = len(mono)
+        sq = mono * mono
+        rms = float(np.sqrt(np.add.reduceat(sq, np.array([0]))[0] / nf))
+        nwin = nf // window
+        starts = window * np.arange(nwin, dtype=np.int64)
+        if nwin * window < nf:
+            starts = np.concatenate([starts, [nwin * window]])
+        wsums = np.add.reduceat(sq, starts) if nwin else np.array([])
+        active = int((wsums[:nwin] >= thresh_sq).sum()) if nwin else 0
+        rows.append(
+            f"({doc_id}, {rate}, {nf}, 1, {_sql_float(nf / float(rate))}, "
+            f"{_sql_float(rms)}, {active})"
+        )
+    core = f"""
+  WITH a(doc_id, sample_rate, n_samples, n_channels, duration_sec, rms,
+         n_active_windows) AS (VALUES
+  {_values_rows(rows)})
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sample_rate AS INT) AS sample_rate,
+         CAST(n_samples AS BIGINT) AS n_samples, CAST(n_channels AS INT) AS n_channels,
+         CAST(duration_sec AS DOUBLE) AS duration_sec, CAST(rms AS DOUBLE) AS rms,
+         CAST(n_active_windows AS INT) AS n_active_windows
+  FROM a"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # video_frame_features: frame-feature replay
 # ---------------------------------------------------------------------------

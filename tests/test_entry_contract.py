@@ -23,6 +23,17 @@ def con(sf_dir):
     return c
 
 
+@pytest.fixture(autouse=True)
+def _oracle_corpus(sf_dir, monkeypatch):
+    """Generated oracles (oracle_gen.py / catalog._independent_bpe)
+    train on $SPARK_GRAFT_ORACLE_SF_DIR and REFUSE any other corpus via
+    the fingerprint guard — point them at the corpus this module gates
+    against (before the guard existed, a mis-trained oracle here was
+    silently valid-but-wrong SQL; the guard turned that into the loud
+    failure it should be)."""
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+
+
 def test_entry_runs_and_returns_rows(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
