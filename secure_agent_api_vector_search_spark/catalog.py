@@ -4005,9 +4005,14 @@ FROM p ORDER BY doc_id""",
         tags=("multimodal",)))
     r.register(NamedQuery(
         "dedup_near_keep_first", dedup_near_keep_first,
+        oracle_sql=OG.dedup_near_keep_first_oracle,  # generated: exact
+        # normalized-shingle pair set (DuckDB) -> union-find -> min-id
+        # kept per component, embedded as the expected id set
         description="[EXT] end-to-end near-dup dedup: MinHash-LSH pairs → "
-                    "iterative connected components → keep-one corpus "
-                    "(planted-dup collapse asserted in tests)",
+                    "iterative connected components → keep-one corpus; "
+                    "gated against an exact-pairs + union-find witness "
+                    "(oracle_gen.py); planted-dup collapse also asserted "
+                    "in tests",
         tags=("dedup",)))
     r.register(NamedQuery(
         "ivf_topk", ivf_topk,
@@ -4029,9 +4034,14 @@ FROM p ORDER BY doc_id""",
                     "tests/test_pq.py", tags=("vector", "index", "sketch")))
     r.register(NamedQuery(
         "knn_join_ivf", knn_join_ivf,
+        oracle_sql=OG.knn_join_ivf_oracle,  # generated: fit/assign/
+        # routing replayed to the candidate pair set; cosine + per-query
+        # rank recomputed relationally over it
         description="[EXT] IVF-routed batch kNN join: nprobe list equi-join "
-                    "replaces the query × corpus product (recall vs exact knn_join "
-                    "asserted in tests/test_ivf.py)", tags=("vector", "index", "join")))
+                    "replaces the query × corpus product; gated via a "
+                    "replayed-routing oracle (oracle_gen.py); recall vs "
+                    "exact knn_join asserted in tests/test_ivf.py",
+        tags=("vector", "index", "join")))
     r.register(NamedQuery(
         "minhash_near_dup", minhash_near_dup,
         # Hard oracle = the EXACT all-pairs byte-5-shingle Jaccard set:
@@ -4072,8 +4082,13 @@ ORDER BY id_a, id_b""",
                     "by minhash_vs_exact_diff", tags=("dedup",)))
     r.register(NamedQuery(
         "simhash_near_dup", simhash_near_dup,
+        oracle_sql=OG.simhash_near_dup_oracle,  # generated: independent
+        # XXH64 + sign-sum fingerprint replay, exact all-pairs
+        # Hamming<=3 (pigeonhole identity at the 4-chunk budget)
         description="[EXT] SimHash near-dup pairs (chunk-join candidates + "
-                    "popcount verify)", tags=("dedup",)))
+                    "popcount verify); gated against an independent "
+                    "fingerprint replay's exact pair set (oracle_gen.py)",
+        tags=("dedup",)))
     r.register(NamedQuery(
         "embedding_neardup_lsh", embedding_neardup_lsh,
         description="[EXT] random-hyperplane LSH semantic near-dup over a "

@@ -560,6 +560,243 @@ def pq_topk_rerank_oracle(
 
 
 # ---------------------------------------------------------------------------
+# simhash_near_dup: pure-Python XXH64 + sign-sum fingerprint replay
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+_XP1, _XP2, _XP3, _XP4, _XP5 = (
+    11400714785074694791,
+    14029467366897019727,
+    1609587929392839161,
+    9650029242287828579,
+    2870177450012600261,
+)
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """Reference XXH64 (Collet's spec), unsigned — bit-identical to
+    Spark's `xxhash64` expression at its default seed 42 (verified
+    against the JVM on empty/short/long/multibyte strings in tests).
+    Pure Python: used only at oracle-generation time over gate-sized
+    corpora."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        vs = [v1, v2, v3, v4]
+        while i + 32 <= n:
+            for j in range(4):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v = (vs[j] + lane * _XP2) & _M64
+                vs[j] = (_rotl64(v, 31) * _XP1) & _M64
+            i += 32
+        h = (
+            _rotl64(vs[0], 1) + _rotl64(vs[1], 7)
+            + _rotl64(vs[2], 12) + _rotl64(vs[3], 18)
+        ) & _M64
+        for v in vs:
+            h ^= (_rotl64((v * _XP2) & _M64, 31) * _XP1) & _M64
+            h = (h * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl64((lane * _XP2) & _M64, 31) * _XP1) & _M64
+        h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h ^= (lane * _XP1) & _M64
+        h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl64(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _simhash64(text: str, cache: dict) -> int:
+    """dedup.simhash_fingerprint replayed: single-space token split
+    (empties kept, as Spark's explode keeps them), lowercase, XXH64
+    per token, per-bit ±1 sign sums, bit set iff sum > 0. Unsigned.
+    ``cache`` memoizes each distinct token's ±1 bit vector (corpus
+    vocabularies repeat heavily; one XXH64 per distinct token)."""
+    sums = np.zeros(64, dtype=np.int64)
+    for tok in (text or "").split(" "):
+        v = cache.get(tok)
+        if v is None:
+            h = xxh64(tok.lower().encode("utf-8"), 42)
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            v = 2 * bits.astype(np.int64) - 1
+            cache[tok] = v
+        sums += v
+    fp = 0
+    for i in np.flatnonzero(sums > 0):
+        fp |= 1 << int(i)
+    return fp
+
+
+@_memo_sql
+def simhash_near_dup_oracle(max_hamming: int = 3, chunk: int = 1024) -> str:
+    """Expected pair set for catalog.simhash_near_dup: the exact-dup
+    fixture (corpus ∪ 50 verbatim copies under id+100000), fingerprints
+    replayed through an independent XXH64 + sign-sum implementation,
+    EXACT all-pairs Hamming ≤ 3 — the same pigeonhole identity that
+    makes the operator's 4-chunk banding loss-free at this budget."""
+    sf_dir = oracle_sf_dir()
+    ids: list[int] = []
+    fps: list[int] = []
+    cache: dict = {}
+    for doc_id, text in _load_documents(sf_dir):
+        fp = _simhash64(text, cache)
+        ids.append(doc_id)
+        fps.append(fp)
+        if doc_id < 50:
+            ids.append(doc_id + 100000)
+            fps.append(fp)  # verbatim copy → identical fingerprint
+    id_arr = np.asarray(ids, dtype=np.int64)
+    fp_arr = np.asarray(fps, dtype=np.uint64)
+    pairs: list[str] = []
+    for s in range(0, len(id_arr), chunk):
+        hams = _hamming_block(fp_arr[s : s + chunk], fp_arr)
+        for bi, gj in zip(*np.nonzero(hams <= max_hamming)):
+            i, j = s + int(bi), int(gj)
+            if i < j:
+                a, b = int(id_arr[i]), int(id_arr[j])
+                lo, hi = (a, b) if a < b else (b, a)
+                pairs.append(f"({lo}, {hi}, {int(hams[bi, gj])})")
+    pairs.sort()
+    core = f"""
+  WITH p(id_a, id_b, hamming) AS (VALUES
+  {_values_rows(pairs)})
+  SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         CAST(hamming AS INT) AS hamming
+  FROM p"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# dedup_near_keep_first: exact-pair components witness
+# ---------------------------------------------------------------------------
+
+
+@_memo_sql
+def dedup_near_keep_first_oracle(threshold: float = 0.5) -> str:
+    """Expected kept-id set for catalog.dedup_near_keep_first: the
+    exact normalized byte-5-shingle Jaccard pair set (computed in
+    DuckDB at generation time — the same relational form the gated
+    minhash_near_dup oracle uses, equality with the banded pipeline
+    being that gate's pinned identity), resolved to connected
+    components with a union-find, min-id kept per component."""
+    import duckdb
+
+    sf_dir = oracle_sf_dir()
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9 ]', '', 'g'),"
+        " ' +', ' ', 'g'))"
+    )
+    con = duckdb.connect()
+    pair_rows = con.sql(f"""
+WITH corpus AS (
+  SELECT doc_id, {norm.format(t='text')} AS t
+  FROM '{sf_dir}/documents.parquet'
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         {norm.format(t="upper(text) || ' !!!'")} AS t
+  FROM '{sf_dir}/documents.parquet' WHERE doc_id < 30),
+g AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS g
+  FROM corpus, UNNEST(range(1, GREATEST(len(t) - 4, 0) + 1)) AS u(i)
+  WHERE len(t) >= 5),
+s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.id_a, i.id_b
+FROM inter i JOIN s sa ON sa.doc_id = i.id_a JOIN s sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= {threshold}
+""").fetchall()
+    all_ids = [i for i, _ in _load_documents(sf_dir)]
+    all_ids += [i + 200000 for i in all_ids if i < 30]
+    parent = {i: i for i in all_ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    kept = sorted(i for i in all_ids if find(i) == i)
+    vals = ",".join(f"({i})" for i in kept)
+    core = f"""
+  SELECT CAST(doc_id AS BIGINT) AS doc_id
+  FROM (VALUES {vals}) AS t(doc_id)"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# knn_join_ivf: routed-candidate witness, scoring recomputed relationally
+# ---------------------------------------------------------------------------
+
+
+@_memo_sql
+def knn_join_ivf_oracle(
+    n_lists: int = 16, nprobe: int = 4, k: int = 3, seed: int = 42,
+    q_stride: int = 50,
+) -> str:
+    """Oracle for catalog.knn_join_ivf: the k-means fit + assignment +
+    per-query top-nprobe routing replayed (the clustering witness);
+    DuckDB recomputes cosine and the per-query rank over exactly the
+    routed candidate pairs from the raw parquet vectors."""
+    sf_dir = oracle_sf_dir()
+    ids, x = _load_embeddings(sf_dir)
+    c = _fit_centroids_replay(x, n_lists, seed)
+    assign = _assign_replay(x, c)
+    lists: dict[int, list[int]] = {}
+    for i, a in zip(ids, assign):
+        lists.setdefault(int(a), []).append(int(i))
+    cand_rows: list[str] = []
+    for qi in np.flatnonzero(ids % q_stride == 0):
+        q_id = int(ids[qi])
+        probes = _rank_lists_replay(c, x[qi])[:nprobe]
+        for lid in probes:
+            for vid in lists.get(int(lid), ()):
+                cand_rows.append(f"({q_id}, {vid})")
+    cos = _cos_sql(_E, "CAST(q.embedding AS DOUBLE[])")
+    core = f"""
+  WITH cand(q_id, vec_id) AS (VALUES
+  {_values_rows(cand_rows)})
+  SELECT q_id, neighbor_id, similarity, "rank" FROM (
+    SELECT cand.q_id, e.vec_id AS neighbor_id, {cos} AS similarity,
+           CAST(row_number() OVER (PARTITION BY cand.q_id
+                              ORDER BY {cos} DESC, e.vec_id) AS INT) AS "rank"
+    FROM cand
+    JOIN embeddings e USING (vec_id)
+    JOIN embeddings q ON q.vec_id = cand.q_id)
+  WHERE "rank" <= {k}"""
+    return with_corpus_guard(core, "embeddings", "vec_id", sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # semantic_dedup: fixed-seed keep/drop witness
 # ---------------------------------------------------------------------------
 
