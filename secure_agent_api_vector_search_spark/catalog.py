@@ -2058,9 +2058,13 @@ WHERE rank <= 3 ORDER BY lang, rank""",
 
     r.register(NamedQuery(
         "vector_topk_mmr", vector_topk_mmr,
+        oracle_sql=OG.vector_topk_mmr_oracle,  # generated: left-fold
+        # cosine over-fetch + greedy-rerank replay, full witness
         description="[EXT] MMR-diversified top-k (Carbonell-Goldstein): "
                     "distributed exact over-fetch, driver-side greedy rerank "
-                    "bounded by fetch_k; diversity + determinism pinned in "
+                    "bounded by fetch_k; gated against a rerank replay "
+                    "(oracle_gen.py, λ=1 limit separately SQL-checked via "
+                    "mmr_exact_limit); diversity + determinism pinned in "
                     "tests/test_topk_lookup.py", tags=("vector",)))
     r.register(NamedQuery(
         "sq_topk_rerank", sq_topk_rerank,
@@ -4091,15 +4095,63 @@ ORDER BY id_a, id_b""",
         tags=("dedup",)))
     r.register(NamedQuery(
         "embedding_neardup_lsh", embedding_neardup_lsh,
+        # oracle = the EXACT pair set over the planted fixture:
+        # legitimate as a hard gate because the banded form's equality
+        # with the exact set is itself gate-pinned by the always-empty
+        # embedding_lsh_vs_exact_diff, and the verify stage computes
+        # exact cosine, so found-pair values are bit-identical
+        oracle_sql=f"""
+WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dup AS (SELECT vec_id + 100000 AS vec_id,
+               list_transform(range(1, {DIM + 1}),
+                 i -> v[i] + 0.45 * v[CASE WHEN i = {DIM} THEN 1 ELSE i + 1 END]) AS v
+        FROM e2 WHERE vec_id < 50),
+c AS (SELECT vec_id, v FROM e2 UNION ALL SELECT vec_id, v FROM dup)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.v', 'b.v')} AS cosine
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE {_cos('a.v', 'b.v')} >= 0.85
+ORDER BY id_a, id_b""",
         description="[EXT] random-hyperplane LSH semantic near-dup over a "
-                    "planted-dup corpus (scale path; recall vs exact pairs "
-                    "asserted in tests)", tags=("dedup", "vector")))
+                    "planted-dup corpus (scale path); oracle = exact "
+                    "all-pairs cosine, equality with the banded form pinned "
+                    "by embedding_lsh_vs_exact_diff; recall also asserted "
+                    "in tests", tags=("dedup", "vector")))
     r.register(NamedQuery(
         "ngram_jaccard_lsh", ngram_jaccard_lsh,
+        # oracle = exact unblocked token-3-gram Jaccard over the
+        # appended-dup fixture (md5-48 gram hashes, rebuilt in DuckDB
+        # bit-for-bit); equality with the banded form is gate-pinned by
+        # the always-empty ngram_lsh_vs_exact_diff
+        oracle_sql="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text || ' trailing audit note' AS text
+  FROM documents WHERE doc_id < 100),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+g AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 12))
+              AS BIGINT) AS gh
+  FROM w, UNNEST(range(1, GREATEST(len(ws) - 2, 0) + 1)) AS t(i)
+  WHERE len(ws) >= 3),
+s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
+FROM inter i
+JOIN s sa ON sa.doc_id = i.id_a
+JOIN s sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.6
+ORDER BY id_a, id_b""",
         description="[EXT] MinHash-banded n-gram Jaccard near-dup (the "
                     "scale form: candidate buckets + exact array-intersect "
-                    "verify; precision 1.0, recall >=0.95 + all planted "
-                    "dups recovered in tests)",
+                    "verify); oracle = exact all-pairs gram Jaccard, "
+                    "equality pinned by ngram_lsh_vs_exact_diff; recall "
+                    "also asserted in tests",
         tags=("dedup",)))
     r.register(NamedQuery(
         "semantic_dedup", semantic_dedup,
@@ -4158,13 +4210,57 @@ ORDER BY id_a, id_b""",
         tags=("text", "tokenize")))
     r.register(NamedQuery(
         "similarity_join_lsh", similarity_join_lsh,
+        # oracle = similarity_join_exact's (the exact A×B threshold
+        # join); equality of the bucketed form with it is gate-pinned
+        # by the always-empty simjoin_lsh_vs_exact_diff
+        oracle_sql=f"""
+WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid,
+        list_transform(range(1, {DIM + 1}),
+          i -> v[i] + 0.45 * v[CASE WHEN i = {DIM} THEN 1 ELSE i + 1 END]) AS qv
+      FROM e2 WHERE vec_id < 20)
+SELECT q.qid AS id_a, e2.vec_id AS id_b, {_cos('q.qv', 'e2.v')} AS cosine
+FROM q CROSS JOIN e2
+WHERE {_cos('q.qv', 'e2.v')} >= 0.85
+ORDER BY id_a, id_b""",
         description="[EXT] A×B similarity join through shared LSH buckets "
-                    "(side-tagged union; recall vs similarity_join_exact "
-                    "asserted in tests)", tags=("vector", "join")))
+                    "(side-tagged union); oracle = the exact join's, "
+                    "equality pinned by simjoin_lsh_vs_exact_diff; recall "
+                    "also asserted in tests", tags=("vector", "join")))
     r.register(NamedQuery(
         "text_similarity_join", text_similarity_join,
+        # oracle = exact A×B byte-5-shingle Jaccard (corpus is printable
+        # ASCII, so DuckDB char substr == the engine's byte shingles);
+        # equality pinned by textjoin_lsh_vs_exact_diff
+        oracle_sql="""
+WITH a AS (SELECT doc_id, text || ' trailing audit note' AS t
+           FROM documents WHERE doc_id < 50),
+b AS (SELECT doc_id, text AS t FROM documents),
+ga AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS g
+  FROM a, UNNEST(range(1, GREATEST(len(t) - 4, 0) + 1)) AS u(i)
+  WHERE len(t) >= 5),
+gb AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS g
+  FROM b, UNNEST(range(1, GREATEST(len(t) - 4, 0) + 1)) AS u(i)
+  WHERE len(t) >= 5),
+sa AS (SELECT doc_id, COUNT(*) AS sz FROM ga GROUP BY doc_id),
+sb AS (SELECT doc_id, COUNT(*) AS sz FROM gb GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ga JOIN gb ON ga.g = gb.g
+  GROUP BY ga.doc_id, gb.doc_id)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
+FROM inter i
+JOIN sa ON sa.doc_id = i.id_a
+JOIN sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.5
+ORDER BY id_a, id_b""",
         description="[EXT] two-frame MinHash text similarity join "
-                    "(approxSimilarityJoin for documents)", tags=("dedup", "join")))
+                    "(approxSimilarityJoin for documents); oracle = exact "
+                    "A×B shingle Jaccard, equality pinned by "
+                    "textjoin_lsh_vs_exact_diff", tags=("dedup", "join")))
     r.register(NamedQuery(
         "ngram_jaccard_dedup", ngram_jaccard_dedup,
         # Exact form, so fully oracle-able: grams are 48-bit md5 hashes

@@ -797,6 +797,71 @@ def knn_join_ivf_oracle(
 
 
 # ---------------------------------------------------------------------------
+# vector_topk_mmr: greedy-rerank witness
+# ---------------------------------------------------------------------------
+
+
+def _fold_dot(a, b) -> float:
+    """functions/vector.py's left fold: (0.0 + a0·b0) + a1·b1 + … —
+    the association that makes Spark codegen, DuckDB list_dot_product,
+    and this replay bit-identical."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + float(x) * float(y)
+    return s
+
+
+@_memo_sql
+def vector_topk_mmr_oracle(k: int = 10, fetch_k: int = 50, lam: float = 0.7) -> str:
+    """Expected rows for catalog.vector_topk_mmr: the exact top-fetch_k
+    over-fetch replayed with the left-fold cosine (bit-matching the
+    distributed scan), then operators/topk.py::topk_similar_mmr's
+    greedy numpy rerank replayed on the same candidate block. The
+    selection, scores, and ranks are embedded as the full witness —
+    the λ=1 degenerate case stays SQL-checked via mmr_exact_limit."""
+    sf_dir = oracle_sf_dir()
+    ids, x = _load_embeddings(sf_dir)
+    q = x[int(np.flatnonzero(ids == 0)[0])]
+    qn = float(np.sqrt(_fold_dot(q, q)))
+    scored = []
+    for i in range(len(ids)):
+        v = x[i]
+        cos = _fold_dot(v, q) / (float(np.sqrt(_fold_dot(v, v))) * qn)
+        scored.append((cos, int(ids[i]), i))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    cand = scored[:fetch_k]
+    sims = np.array([c[0] for c in cand], dtype=np.float64)
+    cids = np.array([c[1] for c in cand], dtype=np.int64)
+    m = np.stack([x[c[2]] for c in cand])
+    norms = np.linalg.norm(m, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        unit = np.where(norms[:, None] > 0, m / norms[:, None], 0.0)
+    pair = unit @ unit.T
+    selected: list[int] = []
+    scores: list[float] = []
+    remaining = np.ones(len(cids), dtype=bool)
+    for _ in range(min(k, len(cids))):
+        penalty = pair[:, selected].max(axis=1) if selected else np.zeros(len(cids))
+        mmr = lam * sims - (1.0 - lam) * penalty
+        mmr_masked = np.where(remaining, mmr, -np.inf)
+        best = np.lexsort((cids, -mmr_masked))[0]
+        selected.append(int(best))
+        scores.append(float(mmr[best]))
+        remaining[best] = False
+    rows = [
+        f"({int(cids[i])}, {_sql_float(sims[i])}, {_sql_float(scores[j])}, {j})"
+        for j, i in enumerate(selected)
+    ]
+    core = f"""
+  WITH w(vec_id, similarity, mmr_score, rank) AS (VALUES
+  {_values_rows(rows)})
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(similarity AS DOUBLE) AS similarity,
+         CAST(mmr_score AS DOUBLE) AS mmr_score, CAST(rank AS BIGINT) AS rank
+  FROM w"""
+    return with_corpus_guard(core, "embeddings", "vec_id", sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # semantic_dedup: fixed-seed keep/drop witness
 # ---------------------------------------------------------------------------
 
