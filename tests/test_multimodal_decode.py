@@ -442,3 +442,17 @@ def test_png_feature_query_matches_direct_raster(spark, docs):
         r = out[doc_id]
         assert (r.width, r.height, r.n_channels) == (w, h, 3)
         assert r.mean_luma == float(px.mean())
+
+
+def test_png_feature_plan_is_single_pass(spark, sf_dir):
+    """The PNG decode query keeps the same map-only single-pass plan
+    shape as the netpbm path: no exchange, exactly one decode stage."""
+    from secure_agent_api_vector_search_spark.catalog import image_decode_png
+
+    plan = image_decode_png(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    # one repartition for the narrow-scan rebalance is allowed; beyond
+    # that the decode chain must not shuffle
+    assert plan.count("Exchange") <= 1
+    assert plan.count("MapInPandas") == 2  # payload gen + feature pass

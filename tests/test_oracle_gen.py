@@ -108,3 +108,17 @@ def test_fingerprint_distinguishes_same_ids_different_content():
     b = OG.corpus_fingerprint(SF01, "documents")
     assert a[0] == b[0] == 500  # same shape...
     assert a[1] != b[1]  # ...different corpus
+
+
+def test_xxh64_replay_matches_spark_xxhash64(spark):
+    """The simhash replay oracle rests on this identity: the pure-
+    Python XXH64 must be bit-identical to the JVM expression at seed
+    42, across length classes (empty, <4, <8, <32, >=32, multibyte)."""
+    cases = ["", "a", "abc", "abcdefg", "hello world", "x" * 31,
+             "y" * 32, "z" * 100, "日本語テキスト", "w123 w456", "W123!"]
+    got = spark.sql(
+        "SELECT " + ", ".join(f"xxhash64('{c}')" for c in cases)
+    ).collect()[0]
+    for c, jvm in zip(cases, got):
+        mine = OG.xxh64(c.encode("utf-8"), 42)
+        assert mine - (1 << 64 if mine >= (1 << 63) else 0) == jvm, c
