@@ -492,9 +492,14 @@ def _ann_crossover_probe(spark, sf_dir: str) -> dict:
                 read_ivf(spark, f"{root}/ivf", id_col="doc_id")
             )
             t0 = time.perf_counter()
+            # sample_cap matches the initial build's 10%-sample recipe:
+            # an UNCAPPED rebuild fits on the full 88k×768 corpus and
+            # was measured at 157 s — 7× the initial build — purely
+            # from driver Lloyd time the ~100·k-rows rule says buys
+            # nothing. This knob IS the maintenance story at 100 TB.
             rebuilt_idx, rebuilt = rebuild_if_skewed(
                 spark, f"{root}/ivf", threshold=4.0, n_lists=n_lists,
-                id_col="doc_id",
+                id_col="doc_id", sample_cap=8192,
             )
             rebuild_sec = round(time.perf_counter() - t0, 3)
             maintenance = {

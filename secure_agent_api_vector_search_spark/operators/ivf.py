@@ -204,6 +204,7 @@ def build_ivf(
     id_col: str = "vec_id",
     seed: int = 42,
     metric: str = "l2",
+    sample_cap: int = 262_144,
 ) -> IvfIndex:
     """Fit + assign. ``n_lists`` defaults to √n (pgvector's own sizing
     guidance; the reference hardcodes 100 for its corpus).
@@ -211,10 +212,18 @@ def build_ivf(
     ``metric="cosine"`` makes routing cosine-consistent (unit centroids,
     see :func:`_fit_centroids`) — pass it whenever queries score cosine
     over a corpus that is not unit-normalized; the default "l2" mirrors
-    the reference's `vector_l2_ops` build."""
+    the reference's `vector_l2_ops` build.
+
+    ``sample_cap`` bounds the driver-side training sample
+    (:func:`_fit_centroids`); lower it when a maintenance job should
+    pay less fit time than the default budget — centroid quality needs
+    ~100·k rows, not the corpus."""
     if n_lists is None:
         n_lists = max(2, int(math.sqrt(embeddings.count())))
-    centroids = _fit_centroids(embeddings, vec_col, n_lists, seed=seed, metric=metric)
+    centroids = _fit_centroids(
+        embeddings, vec_col, n_lists, seed=seed, metric=metric,
+        sample_cap=sample_cap,
+    )
     return IvfIndex(
         assign_lists(embeddings, centroids, vec_col), centroids, id_col, vec_col, metric
     )
@@ -259,6 +268,7 @@ def rebuild_ivf(
     seed: int = 42,
     metric: str | None = None,
     index: IvfIndex | None = None,
+    sample_cap: int = 262_144,
 ) -> IvfIndex:
     """Compaction: re-train centroids over the CURRENT corpus (base
     build + everything streamed in since) and rewrite the lists layout.
@@ -288,6 +298,7 @@ def rebuild_ivf(
         id_col=id_col,
         seed=seed,
         metric=old.metric if metric is None else metric,
+        sample_cap=sample_cap,
     )
     tmp = f"{path}/_rebuild_tmp"
     write_ivf(new_index, tmp)  # reads live dirs, writes the sibling
@@ -345,6 +356,7 @@ def rebuild_if_skewed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_cap: int = 262_144,
 ) -> tuple[IvfIndex, bool]:
     """The IVF maintenance job: measure list skew, re-cluster only when
     it crosses ``threshold``. Returns (index, rebuilt?).
@@ -364,7 +376,7 @@ def rebuild_if_skewed(
         return index, False
     rebuilt = rebuild_ivf(
         spark, path, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
-        seed=seed, index=index,
+        seed=seed, index=index, sample_cap=sample_cap,
     )
     return rebuilt, True
 

@@ -219,3 +219,40 @@ def test_drift_degrades_low_probe_recall_and_rebuild_restores_it(spark, tmp_path
         for r in I.ivf_search(fresh, q, k=10, nprobe=1, metric="l2").collect()
     }
     assert len(exact & got_fresh) / len(exact) >= 0.9
+
+
+def test_rebuild_sample_cap_threads_through(spark, tmp_path):
+    """The maintenance path must honor a bounded fit budget: a capped
+    rebuild trains on <= sample_cap rows (the faiss ~100·k recipe) and
+    still repairs skew — an uncapped 88k x 768 rebuild measured 7x the
+    initial sampled build purely in driver Lloyd time."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators.ivf import (
+        assign_lists,
+        build_ivf,
+        list_balance_stats,
+        rebuild_if_skewed,
+        write_ivf,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), rng.normal(size=8).tolist()) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = build_ivf(emb, n_lists=4, seed=1)
+    path = str(tmp_path / "ivf")
+    write_ivf(idx, path)
+    # drifted ingest: every appended vector lands in one stale cell
+    drift = emb.limit(200).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(9.0)).alias("embedding"),
+    )
+    assign_lists(drift, idx.centroids).write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
+    rebuilt, did = rebuild_if_skewed(
+        spark, path, threshold=1.5, n_lists=4, sample_cap=64
+    )
+    assert did
+    assert list_balance_stats(rebuilt)["skew"] < 3.0  # drift cell split
