@@ -1947,6 +1947,19 @@ def image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_features(M.synthetic_png_payloads(docs))
 
 
+def image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode path: deterministic baseline JPEG
+    payloads (genuine Huffman-coded DCT data, operators/jpeg.py) →
+    full baseline decode (entropy decode + dequantize + IDCT) → the
+    shared feature projection. Fixtures are block-flat so the decode
+    is mathematically lossless and hard-gateable; general lossy
+    accuracy is pinned in tests (PSNR bounds, real libjpeg-file
+    interop). Same map-only single-pass plan as the other decode
+    queries."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    return M.image_features(M.synthetic_jpeg_payloads(docs))
+
+
 def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over the synthetic corpus PLUS planted
     re-encodes: each of the first 20 docs gets a noisy copy under
@@ -3957,6 +3970,19 @@ FROM p ORDER BY doc_id""",
                     "gated against a container-free fixture replay "
                     "(oracle_gen.py); round-trip + hand-value tests in "
                     "tests/test_multimodal_decode.py",
+        tags=("multimodal",)))
+    r.register(NamedQuery(
+        "image_decode_jpeg", image_decode_jpeg,
+        oracle_sql=OG.image_decode_jpeg_oracle,  # generated: block-flat
+        # rasters rebuilt with no codec code — flat blocks decode
+        # losslessly, so the raster IS the expected Huffman+IDCT output
+        description="[EXT] REAL lossy-codec decode: baseline JPEG "
+                    "(pure-numpy Huffman + dequant + IDCT, "
+                    "operators/jpeg.py — also decodes standard "
+                    "libjpeg baseline files incl. 4:2:0) → the shared "
+                    "image feature projection; block-flat fixtures make "
+                    "the decode exactly lossless, so the gate is hard; "
+                    "lossy-path PSNR + real-file interop in tests",
         tags=("multimodal",)))
     r.register(NamedQuery(
         "image_decode_png", image_decode_png,

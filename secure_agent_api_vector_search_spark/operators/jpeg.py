@@ -1,0 +1,519 @@
+"""Baseline JPEG codec — pure numpy + stdlib, no image library.
+
+Closes the last documented codec seam (operators/multimodal.py): a real
+multimodal corpus is mostly JPEG, and this module implements the
+baseline sequential DCT process (ITU-T T.81 / ISO 10918-1) end to end:
+
+- :func:`decode_jpeg`: segment walk (SOI/APP/COM/DQT/SOF0/DHT/SOS/EOI),
+  canonical Huffman decode from the file's own BITS/HUFFVAL tables,
+  byte-unstuffing bit reader, dequantization, 8×8 inverse DCT (float64
+  matrix form), chroma upsampling for 4:2:0/4:2:2/4:4:0 sampling, and
+  JFIF YCbCr→RGB. Decodes baseline JPEGs produced by standard encoders
+  (libjpeg-style optimized-Huffman files included — table structure is
+  read from the stream, never assumed). Progressive (SOF2), 12-bit,
+  arithmetic coding, and restart intervals raise descriptive errors.
+- :func:`encode_jpeg`: the fixture/sink inverse — 4:4:4 baseline
+  encoder with IJG-scaled Annex-K quantization tables and per-image
+  canonical Huffman tables built from the actual symbol stream (legal
+  fixed-length codes; the all-ones code word stays reserved per spec
+  §C.2). Grayscale and RGB.
+
+Exactness structure (what the gate pins): a block-flat grayscale image
+round-trips BIT-EXACTLY through the codec whenever the DC quantizer
+divides the scaled DC coefficient — a flat block's AC coefficients are
+exactly zero and DC = 8·(v−128), so at the default quality (q_DC = 2)
+EVERY flat block is lossless. The gated query's fixtures are built
+block-flat so the expected decode output is derivable WITHOUT running
+any DCT/Huffman code (oracle_gen.py); general lossy-path accuracy is
+pinned in pytest with PSNR bounds and standard-table interop tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants: zigzag order, Annex-K base quant tables, DCT basis
+# ---------------------------------------------------------------------------
+
+
+def _zigzag() -> np.ndarray:
+    """(64, 2) array of (row, col) in JPEG zigzag scan order."""
+    order = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(8) if 0 <= s - y < 8]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals run bottom-left → top-right
+        order.extend(diag)
+    return np.array(order)
+
+
+ZIGZAG = _zigzag()
+
+# ITU-T T.81 Annex K.1 (the tables every IJG-derived encoder scales)
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
+
+def scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 → per-coefficient divisors."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    """T[u, x] = 0.5·C(u)·cos((2x+1)uπ/16); DCT = T f Tᵀ, IDCT = Tᵀ F T."""
+    t = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            t[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return t
+
+
+_T = _dct_matrix()
+
+
+# ---------------------------------------------------------------------------
+# color (JFIF / ITU-R BT.601 full range)
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# bit I/O with 0xFF byte stuffing
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """BITS/HUFFVAL → {symbol: (code, length)} (spec Annex C)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """{(length, code): symbol} for the bit-at-a-time decoder."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+def _fixed_length_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """A legal BITS/HUFFVAL pair assigning every symbol the same code
+    length L = ceil(log2(n+1)) — +1 keeps the all-ones code word of
+    length L unassigned (reserved, spec §C.2). Simple, valid, and
+    byte-cheap for fixture-sized images; real decoders (including this
+    module's) read whatever tables the stream declares."""
+    n = len(symbols)
+    if n == 0:
+        symbols, n = [0], 1
+    length = max(2, int(np.ceil(np.log2(n + 1))))
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, sorted(symbols)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value → (size, size-bit code)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, v if v >= 0 else v + (1 << size) - 1
+
+
+def _extend(code: int, size: int) -> int:
+    """Inverse of :func:`_magnitude` (spec F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return code if code >= (1 << (size - 1)) else code - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _block_symbols(coef: np.ndarray, prev_dc: int) -> tuple[list, list, int]:
+    """One quantized block → (dc_syms, ac_syms) as (symbol, extra_bits,
+    n_extra) triples, plus the new DC predictor."""
+    zz = coef[ZIGZAG[:, 0], ZIGZAG[:, 1]]
+    dc = int(zz[0])
+    size, extra = _magnitude(dc - prev_dc)
+    dcs = [(size, extra, size)]
+    acs = []
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = (nz[-1] + 1) if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        s, e = _magnitude(v)
+        acs.append(((run << 4) | s, e, s))
+        run = 0
+    if last < 63:
+        acs.append((0x00, 0, 0))  # EOB
+    return dcs, acs, dc
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
+    """Baseline 4:4:4 JPEG for (h, w, 1) grayscale or (h, w, 3) RGB
+    uint8 arrays. Per-image canonical Huffman tables; edge-replicated
+    padding to 8×8 blocks."""
+    h, w, nc = img.shape
+    if nc == 3:
+        planes = [rgb_to_ycbcr(img)[:, :, i].astype(np.float64) for i in range(3)]
+    elif nc == 1:
+        planes = [img[:, :, 0].astype(np.float64)]
+    else:
+        raise ValueError(f"unsupported channel count {nc}")
+    quants = [scaled_quant(QUANT_LUMA, quality)] + (
+        [scaled_quant(QUANT_CHROMA, quality)] * 2 if nc == 3 else []
+    )
+
+    # pad each plane to block multiples by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+    # forward DCT + quantize per component
+    comp_blocks: list[list[np.ndarray]] = []
+    for ci, p in enumerate(padded):
+        q = quants[0 if ci == 0 else 1]
+        blocks = []
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                f = p[by:by + 8, bx:bx + 8] - 128.0
+                coef = _T @ f @ _T.T
+                blocks.append(np.round(coef / q).astype(np.int64))
+        comp_blocks.append(blocks)
+
+    # pass 1: symbol streams (one shared DC table, one shared AC table)
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    streams: list[list[tuple]] = []
+    for blocks in comp_blocks:
+        prev = 0
+        stream: list[tuple] = []
+        for coef in blocks:
+            dcs, acs, prev = _block_symbols(coef, prev)
+            stream.append((dcs, acs))
+            dc_syms.update(s for s, _, _ in dcs)
+            ac_syms.update(s for s, _, _ in acs)
+        streams.append(stream)
+    dc_bits, dc_vals = _fixed_length_table(sorted(dc_syms))
+    ac_bits, ac_vals = _fixed_length_table(sorted(ac_syms))
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    # pass 2: entropy-coded data. 4:4:4 → one block per component per MCU
+    bw = _BitWriter()
+    n_blocks = len(comp_blocks[0])
+    for bi in range(n_blocks):
+        for stream in streams:
+            dcs, acs = stream[bi]
+            for sym, extra, n in dcs:
+                c, ln = dc_codes[sym]
+                bw.write(c, ln)
+                if n:
+                    bw.write(extra, n)
+            for sym, extra, n in acs:
+                c, ln = ac_codes[sym]
+                bw.write(c, ln)
+                if n:
+                    bw.write(extra, n)
+    entropy = bw.flush()
+
+    # segments
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for qid, q in enumerate(quants[:2] if nc == 3 else quants[:1]):
+        zz = q[ZIGZAG[:, 0], ZIGZAG[:, 1]].astype(np.uint8).tobytes()
+        out += seg(0xDB, bytes([qid]) + zz)
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to (h, w, channels) uint8
+    (channels 1 for grayscale, 3 for YCbCr→RGB). Supports the sampling
+    factors baseline encoders emit (4:4:4, 4:2:2, 4:2:0, 4:4:0) with
+    nearest-neighbor chroma upsampling. Progressive / arithmetic /
+    12-bit / restart-interval streams raise descriptive errors."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG payload: {payload[:2]!r}")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode map
+    frame = None
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("corrupt JPEG: EOI before SOS")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        size = int.from_bytes(payload[pos:pos + 2], "big")
+        body = payload[pos + 2:pos + size]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                prec, qid = body[i] >> 4, body[i] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                tbl = np.zeros((8, 8), dtype=np.int64)
+                vals = body[i + 1:i + 65]
+                tbl[ZIGZAG[:, 0], ZIGZAG[:, 1]] = np.frombuffer(vals, np.uint8)
+                quant[qid] = tbl
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                huff[(cls, tid)] = _decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG process (marker 0xFF{marker:02X}): only "
+                "baseline sequential (SOF0/SOF1) is implemented"
+            )
+        elif marker == 0xDD:  # DRI
+            if int.from_bytes(body, "big") != 0:
+                raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append({**comp, "dc": tt >> 4, "ac": tt & 0xF})
+            pos += size
+            return _decode_scan(payload, pos, frame, scan, quant, huff)
+        pos += size
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("corrupt JPEG: invalid Huffman code")
+
+
+def _decode_scan(payload, pos, frame, scan, quant, huff) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component raster of decoded samples (at its own resolution)
+    planes = {
+        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in scan
+    }
+    pred = {c["id"]: 0 for c in scan}
+    br = _BitReader(payload, pos)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in scan:
+                q = quant[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _read_symbol(br, huff[(0, c["dc"])])
+                        diff = _extend(br.bits(s), s) if s else 0
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, huff[(1, c["ac"])])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC overrun")
+                            zz[k] = _extend(br.bits(rs & 0xF), rs & 0xF)
+                            k += 1
+                        coef = np.zeros((8, 8), dtype=np.float64)
+                        coef[ZIGZAG[:, 0], ZIGZAG[:, 1]] = zz * q[
+                            ZIGZAG[:, 0], ZIGZAG[:, 1]
+                        ]
+                        blk = _T.T @ coef @ _T + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = blk
+    out_planes = []
+    for c in scan:
+        p = np.clip(np.round(planes[c["id"]]), 0, 255).astype(np.uint8)
+        # upsample subsampled components to full frame resolution
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return out_planes[0][:, :, None]
+    if len(out_planes) == 3:
+        return ycbcr_to_rgb(np.stack(out_planes, axis=-1))
+    raise ValueError(f"unsupported component count {len(out_planes)}")

@@ -288,17 +288,24 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Format-sniffing image decode: PNG (\\x89PNG) and binary netpbm
-    (P5/P6) are REAL decoders; anything else raises at the documented
-    codec seam (JPEG needs a huffman+DCT stack this container has no
-    library for — plug PIL in here in a full deployment)."""
+    """Format-sniffing image decode — all REAL decoders: baseline JPEG
+    (operators/jpeg.py: Huffman + DCT in numpy, decodes standard
+    libjpeg-encoded baseline files incl. 4:2:0), PNG (stdlib-zlib
+    inflate + filter reversal), and binary netpbm. Anything else (and
+    non-baseline JPEG processes) raises at the documented codec seam —
+    plug PIL/av in here for progressive JPEG / video codecs."""
+    if payload[:2] == b"\xff\xd8":
+        from secure_agent_api_vector_search_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
     raise NotImplementedError(
-        f"no decoder for image magic {payload[:4]!r}; real JPEG decoding "
-        "needs an image library (PIL.Image.open plugs in here)"
+        f"no decoder for image magic {payload[:4]!r}; plug an image "
+        "library (PIL.Image.open) in here for formats beyond "
+        "JPEG-baseline/PNG/netpbm"
     )
 
 
@@ -435,6 +442,36 @@ def synthetic_png_payloads(documents: DataFrame) -> DataFrame:
                     (d * ((h * w * 3) // len(d) + 1))[: h * w * 3], dtype=np.uint8
                 ).reshape(h, w, 3)
                 rows.append((doc_id, encode_png(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, payload binary"
+    )
+
+
+def synthetic_jpeg_payloads(documents: DataFrame, quality: int = 95) -> DataFrame:
+    """Deterministic REAL baseline JPEGs from each document's text:
+    (doc_id, payload). Rasters are BLOCK-FLAT grayscale (each 8×8 block
+    one digest-derived value, dimensions digest-sized multiples of 8) —
+    flat blocks have exactly-zero AC coefficients and a DC the default
+    quantizer divides, so the decode is mathematically LOSSLESS and the
+    expected output is derivable without running any codec code
+    (oracle_gen.py). The payload bytes are genuine entropy-coded JPEG:
+    the decode downstream exercises the full Huffman + dequant + IDCT
+    path."""
+    from secure_agent_api_vector_search_spark.operators.jpeg import encode_jpeg
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.sha256((text or "").encode()).digest()
+                bh, bw = 2 + d[4] % 4, 2 + d[5] % 4  # blocks per side
+                vals = np.frombuffer(
+                    (d * ((bh * bw) // len(d) + 1))[: bh * bw], dtype=np.uint8
+                ).reshape(bh, bw)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:, :, None]
+                rows.append((doc_id, encode_jpeg(img, quality=quality)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return documents.select("doc_id", "text").mapInPandas(

@@ -343,6 +343,34 @@ def image_decode_png_oracle() -> str:
     )
 
 
+def _jpeg_flat_raster(text: str) -> np.ndarray:
+    """The block-flat JPEG fixture spec (multimodal.py::
+    synthetic_jpeg_payloads): digest bytes 4/5 size the block grid,
+    repeated digest bytes fill it, each value spans an 8×8 block. Flat
+    blocks decode LOSSLESSLY (zero AC, DC divisible by the default
+    quantizer), so this raster IS the expected decoder output — derived
+    here with no DCT/Huffman code at all."""
+    d = hashlib.sha256((text or "").encode()).digest()
+    bh, bw = 2 + d[4] % 4, 2 + d[5] % 4
+    vals = np.frombuffer(
+        (d * ((bh * bw) // len(d) + 1))[: bh * bw], dtype=np.uint8
+    ).reshape(bh, bw)
+    return np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:, :, None]
+
+
+@_memo_sql
+def image_decode_jpeg_oracle() -> str:
+    """Expected features for catalog.image_decode_jpeg: the block-flat
+    raster rebuilt directly (no entropy coding, no transform), features
+    derived from it — the gate pins the full Huffman + dequant + IDCT
+    decode chain against a derivation that never touches codec code."""
+    sf_dir = oracle_sf_dir()
+    rasters = [(i, _jpeg_flat_raster(t)) for i, t in _load_documents(sf_dir)]
+    return with_corpus_guard(
+        _image_features_core(rasters), "documents", "doc_id", sf_dir
+    )
+
+
 @_memo_sql
 def audio_decode_features_oracle(
     rate: int = 8000, window: int = 1024, activity_rms: float = 100.0

@@ -403,8 +403,9 @@ def test_png_rejects_corruption_and_unsupported():
         M.decode_png(bytes(bad))
     with pytest.raises(ValueError, match="not a PNG"):
         M.decode_png(b"JFIF not a png")
+    # JPEG now has a real decoder — the stub seam starts beyond it
     with pytest.raises(NotImplementedError, match="magic"):
-        M.decode_image(b"\xff\xd8\xff\xe0 jpeg soi")
+        M.decode_image(b"GIF89a not supported")
 
 
 def test_decode_image_sniffs_formats_and_mixed_corpus_dedups(spark):
@@ -456,3 +457,104 @@ def test_png_feature_plan_is_single_pass(spark, sf_dir):
     # that the decode chain must not shuffle
     assert plan.count("Exchange") <= 1
     assert plan.count("MapInPandas") == 2  # payload gen + feature pass
+
+
+# ---------------------------------------------------------------------------
+# JPEG: the baseline lossy codec (pure numpy Huffman + DCT)
+# ---------------------------------------------------------------------------
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    err = a.astype(np.float64) - b.astype(np.float64)
+    mse = max(float((err**2).mean()), 1e-12)
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_block_flat_roundtrip_is_exact():
+    """Flat 8×8 blocks have exactly-zero AC and a DC the default
+    quantizer divides — the codec must round-trip them bit-exactly
+    (the property the gated query's fixtures rest on)."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(3)
+    blocks = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:, :, None]
+    got = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert got.shape == img.shape and (got == img).all()
+
+
+def test_jpeg_lossy_psnr_bounds():
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(4)
+    noise = rng.integers(0, 256, size=(24, 40, 1), dtype=np.uint8)
+    assert _psnr(J.decode_jpeg(J.encode_jpeg(noise, quality=95)), noise) > 35
+    yy, xx = np.mgrid[0:32, 0:48]
+    grad = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    got = J.decode_jpeg(J.encode_jpeg(grad, quality=95))
+    assert got.shape == grad.shape and _psnr(got, grad) > 40
+    # odd (non-block-multiple) dimensions crop back exactly
+    odd = rng.integers(0, 256, size=(13, 9, 1), dtype=np.uint8)
+    assert J.decode_jpeg(J.encode_jpeg(odd, quality=90)).shape == odd.shape
+
+
+def test_jpeg_decodes_real_libjpeg_baseline_files():
+    """Interop: the decoder must read baseline JPEGs produced by a real
+    encoder (Spark's MLlib sample images ship in this container —
+    standard tables, 4:2:0 subsampling), and reject progressive ones
+    with a descriptive error instead of garbage."""
+    import os
+
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    base = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+    kitten = f"{base}/kittens/DP802813.jpg"
+    if not os.path.exists(kitten):
+        pytest.skip("Spark sample images not present")
+    img = J.decode_jpeg(open(kitten, "rb").read())
+    assert img.shape == (313, 199, 3)
+    assert 100 < float(img.mean()) < 250  # bright photo, sane range
+    # self-consistency: re-encode our decode and decode again — the
+    # two decodes must agree closely (pins dequant/IDCT/upsample sanity
+    # without a reference decoder in the container)
+    again = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert _psnr(again, img) > 35
+
+
+def test_jpeg_rejects_unsupported_processes():
+    import os
+
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    prog = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if os.path.exists(prog):
+        with pytest.raises(ValueError, match="baseline"):
+            J.decode_jpeg(open(prog, "rb").read())
+    with pytest.raises(ValueError, match="not a JPEG"):
+        J.decode_jpeg(b"\x89PNG not jpeg")
+
+
+def test_decode_image_dispatches_jpeg_and_mixed_dedup(spark):
+    """A block-flat raster carried as JPEG, PNG, and netpbm payloads
+    must land in ONE Hamming-0 near-dup component through the mixed
+    scan — the dedup stage is codec-agnostic across all three real
+    decoders (JPEG is lossless on flat blocks, so even the lossy codec
+    joins exactly)."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(6)
+    blocks = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:, :, None]
+    assert (M.decode_image(J.encode_jpeg(img)) == img).all()
+    rows = [
+        (1, bytearray(M.encode_netpbm(img))),
+        (2, bytearray(M.encode_png(img))),
+        (3, bytearray(J.encode_jpeg(img, quality=95))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = sorted(
+        (r.id_a, r.id_b, r.hamming) for r in M.image_neardup_pairs(df).collect()
+    )
+    assert pairs == [(1, 2, 0), (1, 3, 0), (2, 3, 0)]
