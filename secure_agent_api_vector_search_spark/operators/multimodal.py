@@ -10,20 +10,19 @@ The Spark-side plumbing here is REAL and tested — schema, batch
 iterator shape, partition-preserving map, feature schema. Decoding has
 two tiers:
 
-- REAL decoders for formats parseable with stdlib + numpy alone:
-  PNG (stdlib-zlib DEFLATE inflate + full five-filter reversal,
-  :func:`decode_png` — a genuine compressed format), binary netpbm
-  images (P5 graymap / P6 pixmap → numpy array, true dimensions,
-  luminance stats, nearest-neighbor thumbnail), and PCM WAV audio
-  (stdlib ``wave`` → sample rate, duration, RMS, per-window envelope —
-  the frame-sample analog). The image feature/dedup stages sniff the
-  magic (:func:`decode_image`) so PNG and netpbm payloads mix freely
-  in one corpus. These run end-to-end in tests.
-- A documented stub seam for everything else (JPEG/MP4 need a
-  huffman+DCT / codec library this container lacks): `decode_stub=True`
-  produces deterministic fake features from the bytes;
-  `decode_stub=False` raises NotImplementedError at the exact line a
-  real decoder (PIL / av / soundfile) plugs into.
+- REAL decoders, stdlib + numpy only: baseline JPEG (Huffman + DCT,
+  operators/jpeg.py — reads standard libjpeg-encoded baseline files
+  incl. 4:2:0), PNG (stdlib-zlib DEFLATE inflate + full five-filter
+  reversal, :func:`decode_png`), binary netpbm images (P5/P6 → numpy
+  array), and PCM WAV audio (stdlib ``wave`` → rate, duration, RMS,
+  per-window envelope — the frame-sample analog). The image
+  feature/dedup stages sniff the magic (:func:`decode_image`) so
+  JPEG/PNG/netpbm payloads mix freely in one corpus. All run
+  end-to-end in tests and on the hard gate.
+- A documented stub seam for everything else (progressive JPEG, video
+  codecs): `decode_stub=True` produces deterministic fake features
+  from the bytes; `decode_stub=False` raises NotImplementedError at
+  the exact line a real decoder (PIL / av / soundfile) plugs into.
 """
 
 from __future__ import annotations
@@ -150,9 +149,9 @@ def encode_netpbm(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# PNG: a REAL compressed-format codec (stdlib zlib DEFLATE + numpy) —
-# closes the "real corpora aren't netpbm" half of the codec seam; JPEG
-# (needs a huffman/DCT stack) remains behind the documented stub.
+# PNG: a REAL compressed-format codec (stdlib zlib DEFLATE + numpy);
+# the lossy sibling lives in operators/jpeg.py (baseline Huffman+DCT)
+# and both dispatch through decode_image below.
 # ---------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
