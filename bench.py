@@ -139,9 +139,12 @@ HEADLINE = [
     "data_expectations",
     # round-7 addition: the loader-facing subword encode composition
     "bpe_encode",
-    # round-8 addition: the same composition at its pipeline shape
-    # (materialize=True — no 2x recompute; the steady-state number)
+    # round-8 additions: the same composition at its pipeline shape
+    # (materialize=True — no 2x recompute; the steady-state number),
+    # and the two real-codec decode paths
     "bpe_encode_pipeline",
+    "image_decode_png",
+    "image_decode_jpeg",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has
