@@ -10,17 +10,17 @@ The Spark-side plumbing here is REAL and tested — schema, batch
 iterator shape, partition-preserving map, feature schema. Decoding has
 two tiers:
 
-- REAL decoders, stdlib + numpy only: baseline JPEG (Huffman + DCT,
-  operators/jpeg.py — reads standard libjpeg-encoded baseline files
-  incl. 4:2:0), PNG (stdlib-zlib DEFLATE inflate + full five-filter
+- REAL decoders, stdlib + numpy only: JPEG (Huffman + DCT,
+  operators/jpeg.py — baseline AND progressive, reads standard
+  libjpeg files incl. 4:2:0), PNG (stdlib-zlib DEFLATE inflate + full five-filter
   reversal, :func:`decode_png`), binary netpbm images (P5/P6 → numpy
   array), and PCM WAV audio (stdlib ``wave`` → rate, duration, RMS,
   per-window envelope — the frame-sample analog). The image
   feature/dedup stages sniff the magic (:func:`decode_image`) so
   JPEG/PNG/netpbm payloads mix freely in one corpus. All run
   end-to-end in tests and on the hard gate.
-- A documented stub seam for everything else (progressive JPEG, video
-  codecs): `decode_stub=True` produces deterministic fake features
+- A documented stub seam for everything else (video codecs, exotic
+  stills): `decode_stub=True` produces deterministic fake features
   from the bytes; `decode_stub=False` raises NotImplementedError at
   the exact line a real decoder (PIL / av / soundfile) plugs into.
 """
@@ -287,12 +287,12 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Format-sniffing image decode — all REAL decoders: baseline JPEG
-    (operators/jpeg.py: Huffman + DCT in numpy, decodes standard
-    libjpeg-encoded baseline files incl. 4:2:0), PNG (stdlib-zlib
-    inflate + filter reversal), and binary netpbm. Anything else (and
-    non-baseline JPEG processes) raises at the documented codec seam —
-    plug PIL/av in here for progressive JPEG / video codecs."""
+    """Format-sniffing image decode — all REAL decoders: JPEG
+    (operators/jpeg.py: Huffman + DCT in numpy — baseline AND
+    progressive, decodes standard libjpeg files incl. 4:2:0), PNG
+    (stdlib-zlib inflate + filter reversal), and binary netpbm.
+    Anything else raises at the documented codec seam — plug PIL/av in
+    here for further formats / video codecs."""
     if payload[:2] == b"\xff\xd8":
         from secure_agent_api_vector_search_spark.operators.jpeg import decode_jpeg
 
