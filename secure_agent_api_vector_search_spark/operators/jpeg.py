@@ -17,13 +17,16 @@ AND progressive decode, baseline encode:
   optimized-Huffman and progressive files included — validated against
   the real sample JPEGs this container ships, with the progressive
   grayscale decode cross-checked against the baseline color decode of
-  the same scene at corr ≈ 0.999). 12-bit, arithmetic coding,
-  hierarchical, and restart intervals raise descriptive errors.
+  the same scene at corr ≈ 0.999). Restart intervals (DRI/RSTn) are
+  honored in both baseline and progressive scans: predictors + EOB
+  runs reset and marker numbers are sequence-checked at every
+  boundary. 12-bit, arithmetic coding, and hierarchical raise
+  descriptive errors.
 - :func:`encode_jpeg`: the fixture/sink inverse — 4:4:4 baseline
   encoder with IJG-scaled Annex-K quantization tables and per-image
   canonical Huffman tables built from the actual symbol stream (legal
   fixed-length codes; the all-ones code word stays reserved per spec
-  §C.2). Grayscale and RGB.
+  §C.2). Grayscale and RGB; optional DRI/RSTn emission.
 
 Exactness structure (what the gate pins): a block-flat grayscale image
 round-trips BIT-EXACTLY through the codec whenever the DC quantizer
@@ -148,11 +151,22 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # stuffing
+        # keep only the live low bits: an unmasked accumulator grows to the
+        # full stream length and makes every shift O(stream) → quadratic
+        self._acc &= (1 << self._n) - 1
 
-    def flush(self) -> bytes:
+    def pad_align(self) -> None:
         if self._n:
             pad = 8 - self._n
             self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+
+    def emit_marker(self, marker: int) -> None:
+        """Byte-align and append a bare marker (markers are never stuffed)."""
+        self.pad_align()
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.pad_align()
         return bytes(self.out)
 
 
@@ -175,7 +189,9 @@ class _BitReader:
                 )
         else:
             self.pos += 1
-        self._acc = (self._acc << 8) | b
+        # mask to the live bits before shifting (same quadratic hazard as
+        # _BitWriter.write: an ever-growing int makes decode O(n²))
+        self._acc = ((self._acc & ((1 << self._n) - 1)) << 8) | b
         self._n += 8
 
     def bit(self) -> int:
@@ -189,6 +205,24 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> int:
+        """Consume an RSTn marker at an interval boundary (spec
+        F.2.1.3.1 / E.2.4): discard the partial byte's padding bits,
+        expect 0xFFD0+n, return n. The interval's final byte (if any)
+        was already pulled into the accumulator by _fill, so dropping
+        the accumulator IS the byte-align."""
+        self._acc = 0
+        self._n = 0
+        if (self.data[self.pos] != 0xFF
+                or not 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError(
+                "corrupt JPEG: expected RST marker at restart interval, got "
+                f"0x{self.data[self.pos]:02X}{self.data[self.pos + 1]:02X}"
+            )
+        n = self.data[self.pos + 1] & 0x07
+        self.pos += 2
+        return n
 
 
 # ---------------------------------------------------------------------------
@@ -280,10 +314,13 @@ def _block_symbols(coef: np.ndarray, prev_dc: int) -> tuple[list, list, int]:
     return dcs, acs, dc
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
+def encode_jpeg(img: np.ndarray, quality: int = 95,
+                restart_interval: int = 0) -> bytes:
     """Baseline 4:4:4 JPEG for (h, w, 1) grayscale or (h, w, 3) RGB
     uint8 arrays. Per-image canonical Huffman tables; edge-replicated
-    padding to 8×8 blocks."""
+    padding to 8×8 blocks. A nonzero ``restart_interval`` emits a DRI
+    segment and RSTn markers every that many MCUs (DC predictors reset
+    at each boundary, marker numbers cycling 0..7, spec E.2.4)."""
     h, w, nc = img.shape
     if nc == 3:
         planes = [rgb_to_ycbcr(img)[:, :, i].astype(np.float64) for i in range(3)]
@@ -312,14 +349,18 @@ def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
                 blocks.append(np.round(coef / q).astype(np.int64))
         comp_blocks.append(blocks)
 
-    # pass 1: symbol streams (one shared DC table, one shared AC table)
+    # pass 1: symbol streams (one shared DC table, one shared AC table).
+    # 4:4:4 → MCU index == block index, so restart boundaries (which
+    # reset the DC predictor) fall at bi % restart_interval == 0.
     dc_syms: set[int] = set()
     ac_syms: set[int] = set()
     streams: list[list[tuple]] = []
     for blocks in comp_blocks:
         prev = 0
         stream: list[tuple] = []
-        for coef in blocks:
+        for bi, coef in enumerate(blocks):
+            if restart_interval and bi and bi % restart_interval == 0:
+                prev = 0
             dcs, acs, prev = _block_symbols(coef, prev)
             stream.append((dcs, acs))
             dc_syms.update(s for s, _, _ in dcs)
@@ -334,6 +375,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
     bw = _BitWriter()
     n_blocks = len(comp_blocks[0])
     for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.emit_marker(0xD0 + ((bi // restart_interval - 1) & 7))
         for stream in streams:
             dcs, acs = stream[bi]
             for sym, extra, n in dcs:
@@ -363,6 +406,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
     out += seg(0xC0, bytes(sof))
     out += seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
     out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytearray([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
@@ -386,9 +431,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     entropy-decodes into per-component COEFFICIENT stores (progressive
     DC/AC first + refinement passes accumulate bitplanes there, spec
     G.1.2 / libjpeg's decode_mcu_*_first/_refine structure); one
-    dequantize + IDCT pass at the end renders the planes. Arithmetic
-    coding, 12-bit, hierarchical, and restart intervals raise
-    descriptive errors."""
+    dequantize + IDCT pass at the end renders the planes. Restart
+    intervals are honored (DRI parsed, RSTn consumed + sequence-checked,
+    predictors/EOB runs reset). Arithmetic coding, 12-bit, and
+    hierarchical raise descriptive errors."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError(f"not a JPEG payload: {payload[:2]!r}")
     pos = 2
@@ -396,9 +442,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode map
     frame = None
     coefs: dict[int, np.ndarray] = {}  # comp id → (n_block_rows, n_block_cols, 64)
+    ri = 0  # restart interval in MCUs (0 = none), set by DRI
     while True:
         if payload[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        while payload[pos + 1] == 0xFF:
+            pos += 1  # legal 0xFF fill bytes before a marker (B.1.1.2)
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -464,9 +513,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"unsupported JPEG process (marker 0xFF{marker:02X}): "
                 "baseline (SOF0/SOF1) and progressive (SOF2) are implemented"
             )
-        elif marker == 0xDD:  # DRI
-            if int.from_bytes(body, "big") != 0:
-                raise ValueError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI: applies to every following scan
+            ri = int.from_bytes(body, "big")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
@@ -480,7 +528,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             br = _BitReader(payload, pos + size)
-            _decode_one_scan(br, frame, scan, huff, coefs, ss, se, ah, al)
+            _decode_one_scan(br, frame, scan, huff, coefs, ss, se, ah, al, ri)
             # entropy data ends at the next true marker (skip stuffing
             # and any stray RSTn)
             p = br.pos
@@ -508,25 +556,52 @@ def _read_symbol(br: _BitReader, table: dict) -> int:
     raise ValueError("corrupt JPEG: invalid Huffman code")
 
 
-def _decode_one_scan(br, frame, scan, huff, coefs, ss, se, ah, al) -> None:
+def _decode_one_scan(br, frame, scan, huff, coefs, ss, se, ah, al,
+                     ri: int = 0) -> None:
     """Entropy-decode ONE scan into the coefficient stores. Baseline is
-    the ss=0,se=63,ah=al=0 interleaved case of the same machinery."""
+    the ss=0,se=63,ah=al=0 interleaved case of the same machinery. With
+    a nonzero restart interval ``ri``, an RSTn marker is consumed every
+    ``ri`` MCUs (between intervals only, never after the last): DC
+    predictors and the EOB run reset, marker numbers must cycle 0..7
+    (spec E.2.4 / F.2.1.3.1)."""
     progressive = frame["progressive"]
     eobrun = [0]
     pred = {c["id"]: 0 for c in scan}
+    expect_rst = [0]
+
+    def at_boundary(unit: int) -> None:
+        if ri and unit and unit % ri == 0:
+            n = br.restart()
+            if n != expect_rst[0]:
+                raise ValueError(
+                    f"corrupt JPEG: RST{n} out of sequence "
+                    f"(expected RST{expect_rst[0]})"
+                )
+            expect_rst[0] = (expect_rst[0] + 1) & 7
+            for k in pred:
+                pred[k] = 0
+            eobrun[0] = 0
+
     if len(scan) == 1:
-        # non-interleaved: row-major over the component's REAL block grid
+        # non-interleaved: row-major over the component's REAL block
+        # grid; the restart unit is one block (spec's MCU for ns=1)
         c = scan[0]
+        unit = 0
         for by in range(c["bh"]):
             for bx in range(c["bw"]):
+                at_boundary(unit)
+                unit += 1
                 _decode_block(
                     br, frame, c, huff, coefs[c["id"]][by, bx],
                     pred, ss, se, ah, al, eobrun, progressive,
                 )
         return
     # interleaved MCU order
+    unit = 0
     for my in range(frame["mcuy"]):
         for mx in range(frame["mcux"]):
+            at_boundary(unit)
+            unit += 1
             for c in scan:
                 for by in range(c["v"]):
                     for bx in range(c["h"]):

@@ -250,7 +250,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color_type == 3:
         if plte is None:
             raise ValueError("corrupt PNG: palette image without PLTE")
+        if len(plte) % 3 != 0:
+            raise ValueError("corrupt PNG: PLTE length not a multiple of 3")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(img[:, :, 0].max()) >= len(pal):
+            raise ValueError("corrupt PNG: palette index out of range")
         img = pal[img[:, :, 0]]
     return img
 

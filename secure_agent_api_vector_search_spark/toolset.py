@@ -147,7 +147,39 @@ def _find_similar_page(
     return join_back_documents(top, docs)
 
 
-_ANN_STORE: dict[str, object] = {}
+_ANN_STORE: dict[str, tuple[str, object]] = {}  # sf_dir → (fingerprint, index)
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap content-change detector for the documents corpus under
+    ``sf_dir``: (relpath, size, mtime_ns) of every parquet file. Keys
+    the memoized ANN index so a rewritten corpus invalidates the store
+    instead of serving a stale index while the exact tool reads fresh
+    data (the advertised full-probe ≡ exact identity must hold)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    parts: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), path)
+                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
+def invalidate_ann_store(sf_dir: str | None = None) -> None:
+    """Explicit rebuild hook: drop the memoized IVF index (and release
+    its persisted assignment frame) for one corpus dir, or all."""
+    keys = [sf_dir] if sf_dir is not None else list(_ANN_STORE)
+    for k in keys:
+        entry = _ANN_STORE.pop(k, None)
+        if entry is not None:
+            entry[1].assigned.unpersist()
 
 
 def _find_similar_ann(
@@ -181,15 +213,20 @@ def _find_similar_ann(
     from secure_agent_api_vector_search_spark.sources.tables import load_documents
 
     docs = load_documents(spark, sf_dir)
-    index = _ANN_STORE.get(sf_dir)
-    if index is None:
+    fp = _corpus_fingerprint(sf_dir)
+    cached = _ANN_STORE.get(sf_dir)
+    if cached is not None and cached[0] == fp:
+        index = cached[1]
+    else:
+        if cached is not None:  # corpus changed under us: release + rebuild
+            cached[1].assigned.unpersist()
         emb = docs.select(
             F.col("doc_id").alias("vec_id"),
             embed_udf(64)(F.col("text")).alias("embedding"),
         )
         index = build_ivf(emb, n_lists=16, seed=42)
         index.assigned.persist().count()  # serve probes from a hot store
-        _ANN_STORE[sf_dir] = index
+        _ANN_STORE[sf_dir] = (fp, index)
     n_lists = len(index.centroids)
     top = ivf_search(
         index,

@@ -595,3 +595,120 @@ def test_jpeg_progressive_white_stripes_decode_bright():
     assert img.shape == (312, 493, 3)
     assert float(img.mean()) > 240  # predominantly white
     assert float((img > 250).mean()) > 0.8  # most pixels near-white
+
+
+def test_jpeg_restart_intervals_roundtrip_and_identity():
+    """DRI/RSTn support (T.81 E.2.4): a restart-marker stream must
+    decode to EXACTLY the same pixels as the marker-free encoding of
+    the same image (identical quantized coefficients, different
+    entropy framing) — and flat blocks stay bit-exact through it."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(29, 43, 3), dtype=np.uint8)
+    plain = J.decode_jpeg(J.encode_jpeg(img, quality=90))
+    for ri in (1, 2, 5, 1000):
+        enc = J.encode_jpeg(img, quality=90, restart_interval=ri)
+        if ri <= 20:  # enough MCUs for at least one boundary
+            assert b"\xff\xdd" in enc and any(
+                bytes([0xFF, 0xD0 + n]) in enc for n in range(8)
+            )
+        assert (J.decode_jpeg(enc) == plain).all()
+    blocks = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+    flat = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:, :, None]
+    got = J.decode_jpeg(J.encode_jpeg(flat, quality=95, restart_interval=2))
+    assert (got == flat).all()
+
+
+def test_jpeg_restart_marker_sequence_is_checked():
+    """RSTn numbers must cycle 0..7 — a swapped marker is corruption
+    (a decoder that ignores the sequence silently mis-frames resync
+    after data loss)."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(16, 48, 1), dtype=np.uint8)
+    enc = bytearray(J.encode_jpeg(img, quality=90, restart_interval=1))
+    i = enc.find(bytes([0xFF, 0xD0]))
+    assert i > 0
+    enc[i + 1] = 0xD3  # out of sequence
+    with pytest.raises(ValueError, match="out of sequence"):
+        J.decode_jpeg(bytes(enc))
+
+
+def test_jpeg_fill_bytes_before_markers_are_legal():
+    """0xFF fill bytes may pad in front of any marker (T.81 B.1.1.2);
+    the segment walk must skip them instead of misreading a length."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(16, 16, 1), dtype=np.uint8)
+    enc = J.encode_jpeg(img, quality=90)
+    # insert fill bytes before the DQT marker (0xFFDB) and before EOI
+    i = enc.find(b"\xff\xdb")
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    assert padded.rstrip().endswith(b"\xff\xd9")
+    padded = padded[:-2] + b"\xff" + padded[-2:]
+    assert (J.decode_jpeg(padded) == J.decode_jpeg(enc)).all()
+
+
+def test_jpeg_bit_io_is_linear_time():
+    """The bit reader/writer must mask their accumulators to the live
+    bits — an unmasked int grows with the stream and turns the codec
+    quadratic (a multi-MB photo would effectively hang an executor).
+    A 256×256 noise image (~70KB entropy) decodes in well under a
+    second when linear; the quadratic version took ~9s for 100KB."""
+    import time
+
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, size=(256, 256, 1), dtype=np.uint8)
+    t0 = time.monotonic()
+    enc = J.encode_jpeg(img, quality=95)
+    dec = J.decode_jpeg(enc)
+    elapsed = time.monotonic() - t0
+    assert len(enc) > 50_000  # genuinely high-entropy stream
+    assert (dec.shape == img.shape) and _psnr(dec, img) > 35
+    assert elapsed < 10.0  # linear ≈ 0.3s; quadratic ≫ 40s
+
+
+def test_png_palette_index_out_of_range_is_descriptive():
+    """A palette pixel index past the PLTE entry count is corrupt
+    input and must raise the module's descriptive ValueError, not a
+    bare numpy IndexError."""
+    import zlib
+
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)  # needs 4 entries
+    ihdr = (
+        (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+        + bytes([8, 3, 0, 0, 0])
+    )
+    plte = bytes([0, 0, 0, 255, 255, 255])  # only 2 entries
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    png = (
+        M.PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index out of range"):
+        M.decode_png(png)
+    # and a PLTE whose length is not a multiple of 3 is caught first
+    png_bad = (
+        M.PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte + b"\x07")
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="multiple of 3"):
+        M.decode_png(png_bad)

@@ -135,3 +135,37 @@ def test_paged_search_embeds_corpus_once(spark, sf_dir):
     # count only the final section
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("ArrowEvalPython") == 1
+
+
+def test_ann_store_invalidates_on_corpus_change(spark, sf_dir, tmp_path):
+    """The memoized IVF index is keyed on a corpus content fingerprint:
+    rewriting the parquet under the same dir must rebuild the index
+    (stale-index serving would silently break the advertised
+    nprobe=n_lists ≡ exact identity), and invalidate_ann_store is the
+    explicit drop hook."""
+    import shutil
+
+    from secure_agent_api_vector_search_spark import toolset as T
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    src = f"{sf_dir}/documents.parquet"
+    shutil.copy(src, corpus / "documents.parquet")
+    d = str(corpus)
+
+    T._find_similar_ann(spark, d, "water damage", 3, nprobe=16).collect()
+    idx1 = T._ANN_STORE[d][1]
+    T._find_similar_ann(spark, d, "water damage", 3, nprobe=16).collect()
+    assert T._ANN_STORE[d][1] is idx1  # unchanged corpus → cache hit
+
+    # rewrite the corpus file (same content, new mtime) → rebuild
+    shutil.copy(src, corpus / "documents.parquet")
+    import os
+
+    os.utime(corpus / "documents.parquet")
+    T._find_similar_ann(spark, d, "water damage", 3, nprobe=16).collect()
+    assert T._ANN_STORE[d][1] is not idx1
+
+    T.invalidate_ann_store(d)
+    assert d not in T._ANN_STORE
+    T.invalidate_ann_store()  # idempotent full drop
