@@ -1985,6 +1985,18 @@ def video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_features(M.synthetic_video_payloads(docs))
 
 
+def video_frame_features_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-CODEC video decode path: Motion-JPEG payloads (every frame
+    a genuine entropy-coded baseline JPEG with restart markers,
+    operators/jpeg.py) → per-frame Huffman + dequant + IDCT decode →
+    the same frame-sampling/luminance/scene-cut features as the RAWV
+    path. Block-flat fixture frames decode losslessly, so the gate is
+    hard and codec-free on the oracle side. Same map-only single-pass
+    plan shape."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    return M.video_features(M.synthetic_mjpeg_payloads(docs))
+
+
 def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode path: deterministic PCM WAV payloads →
     whole-batch vectorized PCM feature pass (header walk + reduceat;
@@ -4022,6 +4034,20 @@ FROM p ORDER BY doc_id""",
                     "container-free fixture replay (oracle_gen.py); "
                     "planted-cut ground truth tested in "
                     "tests/test_multimodal_decode.py",
+        tags=("multimodal",)))
+    r.register(NamedQuery(
+        "video_frame_features_mjpeg", video_frame_features_mjpeg,
+        oracle_sql=OG.video_frame_features_mjpeg_oracle,  # generated:
+        # block-flat fixture-spec replay straight to features — flat
+        # blocks decode losslessly, so the replay (no codec code) IS
+        # the expected output of the full per-frame JPEG decode
+        description="[EXT] REAL-CODEC video decode: Motion-JPEG "
+                    "elementary stream (concatenated SOI..EOI baseline "
+                    "JPEGs with restart markers — the AVI 'MJPG' frame "
+                    "layout), per-frame Huffman + dequant + IDCT via "
+                    "operators/jpeg.py, exact frame-boundary walk from "
+                    "decoder-reported consumed bytes; same frame-sample/"
+                    "luminance/scene-cut features as the RAWV path",
         tags=("multimodal",)))
     r.register(NamedQuery(
         "audio_decode_features", audio_decode_features,

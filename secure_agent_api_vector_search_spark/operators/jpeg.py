@@ -424,7 +424,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 95,
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0/SOF1) or PROGRESSIVE (SOF2) JPEG to
+    """Decode one JPEG — see :func:`decode_jpeg_consumed`."""
+    return decode_jpeg_consumed(payload)[0]
+
+
+def decode_jpeg_consumed(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode the baseline (SOF0/SOF1) or PROGRESSIVE (SOF2) JPEG at
+    the START of ``payload``, returning (image, bytes consumed through
+    EOI) — the consumed count is what lets a Motion-JPEG stream
+    (concatenated SOI..EOI frames, multimodal.py::decode_video) walk
+    frame boundaries exactly instead of scanning for markers that can
+    also occur inside segment bodies. Image is
     (h, w, channels) uint8 (1 = grayscale, 3 = YCbCr→RGB). Supports the
     sampling factors real encoders emit (4:4:4, 4:2:2, 4:2:0, 4:4:0)
     with nearest-neighbor chroma upsampling. Architecture: every scan
@@ -453,7 +463,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI
             if frame is None or not coefs:
                 raise ValueError("corrupt JPEG: EOI before any scan")
-            return _render(frame, quant, coefs)
+            return _render(frame, quant, coefs), pos
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
         size = int.from_bytes(payload[pos:pos + 2], "big")

@@ -702,12 +702,45 @@ def encode_video(frames: list[np.ndarray]) -> bytes:
     )
 
 
+def encode_video_mjpeg(
+    frames: list[np.ndarray], quality: int = 95, restart_interval: int = 0
+) -> bytes:
+    """Encode frames as a Motion-JPEG elementary stream: concatenated
+    SOI..EOI baseline JPEGs (the frame layout inside AVI 'MJPG' chunks
+    and multipart-HTTP camera streams) — a REAL video codec end to end,
+    every frame genuine entropy-coded DCT data (operators/jpeg.py)."""
+    from secure_agent_api_vector_search_spark.operators.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("a video needs at least one frame")
+    return b"".join(
+        encode_jpeg(f, quality=quality, restart_interval=restart_interval)
+        for f in frames
+    )
+
+
 def decode_video(payload: bytes) -> list[np.ndarray]:
-    """Decode a RAWV payload to its frames ((h, w, c) uint8 arrays).
-    Walks the container frame by frame: each netpbm header declares
-    its raster size, so the walk is exact with no sentinel scanning."""
+    """Decode a video payload to its frames ((h, w, c) uint8 arrays),
+    sniffing the container: RAWV (netpbm frame walk — each header
+    declares its raster size, so the walk is exact with no sentinel
+    scanning) or Motion-JPEG (SOI magic — each frame's decoder reports
+    the bytes it consumed through EOI, so boundaries are exact even
+    though 0xFFD9 can occur inside segment bodies). Other codecs
+    (H.264/VP9/MP4 containers) remain the documented stub seam."""
+    if payload[:2] == b"\xff\xd8":  # Motion-JPEG elementary stream
+        from secure_agent_api_vector_search_spark.operators.jpeg import (
+            decode_jpeg_consumed,
+        )
+
+        frames = []
+        i = 0
+        while i < len(payload):
+            frame, consumed = decode_jpeg_consumed(payload[i:])
+            frames.append(frame)
+            i += consumed
+        return frames
     if payload[:4] != VIDEO_MAGIC:
-        raise ValueError(f"not a RAWV payload: {payload[:4]!r}")
+        raise ValueError(f"not a RAWV or MJPEG payload: {payload[:4]!r}")
     nl = payload.index(b"\n", 4)
     n = int(payload[4:nl])
     if n < 1:
@@ -808,6 +841,54 @@ def synthetic_video_payloads(documents: DataFrame, n_frames: int = 8) -> DataFra
                     f = np.clip(base.astype(np.int32) + shift, 0, 255)
                     frames.append(f.astype(np.uint8))
                 rows.append((doc_id, encode_video(frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, payload binary"
+    )
+
+
+def synthetic_mjpeg_payloads(
+    documents: DataFrame, n_frames: int = 8, quality: int = 95,
+    restart_interval: int = 2,
+) -> DataFrame:
+    """Deterministic REAL Motion-JPEG videos from each document's text:
+    (doc_id, payload), every frame a genuine entropy-coded baseline
+    JPEG (with restart markers, so DRI/RSTn sits on the hard gate).
+    Frames are BLOCK-FLAT grayscale — base 8×8-block values from the
+    digest (indices 6/7 size the block grid, so the rasters differ
+    from the RAWV fixture's), clipped to [120, 230], +4t luminance
+    drift, and the planted −100 mid-video scene cut. Uniform shifts of
+    flat blocks stay flat, and a flat block's DC is always even while
+    AC is exactly zero, so at the default tables (q_DC = 2) EVERY
+    frame decodes LOSSLESSLY: the expected features derive with no
+    codec code at all (oracle_gen.py), while the operator runs the
+    full per-frame Huffman + dequant + IDCT chain."""
+    from secure_agent_api_vector_search_spark.operators.jpeg import encode_jpeg
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.sha256((text or "").encode()).digest()
+                bh, bw = 2 + d[6] % 3, 2 + d[7] % 3  # blocks per side
+                vals = np.frombuffer(
+                    (d * ((bh * bw) // len(d) + 1))[: bh * bw], dtype=np.uint8
+                ).reshape(bh, bw)
+                base = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:, :, None]
+                base = np.clip(base, 120, 230)
+                frames = []
+                for t in range(n_frames):
+                    shift = 4 * t - (100 if t >= n_frames // 2 else 0)
+                    f = np.clip(base.astype(np.int32) + shift, 0, 255)
+                    frames.append(f.astype(np.uint8))
+                rows.append((
+                    doc_id,
+                    encode_video_mjpeg(
+                        frames, quality=quality,
+                        restart_interval=restart_interval,
+                    ),
+                ))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return documents.select("doc_id", "text").mapInPandas(

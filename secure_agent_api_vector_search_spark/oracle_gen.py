@@ -469,6 +469,57 @@ def video_frame_features_oracle(
     return with_corpus_guard(core, "documents", "doc_id", sf_dir)
 
 
+@_memo_sql
+def video_frame_features_mjpeg_oracle(
+    n_frames: int = 8, sample_every: int = 2, cut_threshold: float = 24.0
+) -> str:
+    """Expected per-document features for
+    catalog.video_frame_features_mjpeg, derived straight from the
+    fixture spec (multimodal.py::synthetic_mjpeg_payloads): block-flat
+    base raster (digest indices 6/7 size the 8×8-block grid), clip to
+    [120, 230], +4t drift, the planted −100 mid-video cut. Flat blocks
+    decode LOSSLESSLY through the baseline JPEG tables (AC exactly
+    zero, DC always even at q_DC = 2), so this replay — which runs NO
+    codec code — is the exact expected output of the operator's full
+    per-frame Huffman + dequant + IDCT + restart-marker chain."""
+    sf_dir = oracle_sf_dir()
+    rows: list[str] = []
+    for doc_id, text in _load_documents(sf_dir):
+        d = hashlib.sha256((text or "").encode()).digest()
+        bh, bw = 2 + d[6] % 3, 2 + d[7] % 3
+        vals = np.frombuffer(
+            (d * ((bh * bw) // len(d) + 1))[: bh * bw], dtype=np.uint8
+        ).reshape(bh, bw)
+        base = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:, :, None]
+        base = np.clip(base, 120, 230)
+        frames = []
+        for t in range(n_frames):
+            shift = 4 * t - (100 if t >= n_frames // 2 else 0)
+            frames.append(
+                np.clip(base.astype(np.int32) + shift, 0, 255).astype(np.uint8)
+            )
+        lumas = np.array([float(f.mean()) for f in frames])
+        cuts = int(np.sum(np.abs(np.diff(lumas)) > cut_threshold))
+        sampled = frames[::sample_every]
+        digest = hashlib.sha256()
+        for f in sampled:
+            digest.update(f.tobytes())
+        rows.append(
+            f"({doc_id}, {n_frames}, {len(sampled)}, {8 * bw}, {8 * bh}, "
+            f"{_sql_float(lumas.mean())}, {cuts}, '{digest.hexdigest()}')"
+        )
+    core = f"""
+  WITH v(doc_id, n_frames, n_sampled, width, height, mean_luma,
+         n_scene_cuts, sampled_sha256) AS (VALUES
+  {_values_rows(rows)})
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_frames AS INT) AS n_frames,
+         CAST(n_sampled AS INT) AS n_sampled, CAST(width AS INT) AS width,
+         CAST(height AS INT) AS height, CAST(mean_luma AS DOUBLE) AS mean_luma,
+         CAST(n_scene_cuts AS INT) AS n_scene_cuts, sampled_sha256
+  FROM v"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # shared k-means replay pieces (IVF / PQ / SemDeDup)
 # ---------------------------------------------------------------------------

@@ -712,3 +712,44 @@ def test_png_palette_index_out_of_range_is_descriptive():
     )
     with pytest.raises(ValueError, match="multiple of 3"):
         M.decode_png(png_bad)
+
+
+def test_mjpeg_roundtrip_and_sniffing():
+    """Motion-JPEG container: block-flat frames round-trip bit-exactly
+    (frames are genuine entropy-coded JPEGs with restart markers), the
+    frame walk is exact via decoder-reported consumed bytes, and
+    decode_video sniffs RAWV vs MJPEG by magic."""
+    rng = np.random.default_rng(21)
+    blocks = [rng.integers(120, 231, size=(2, 3), dtype=np.uint8) for _ in range(5)]
+    frames = [
+        np.repeat(np.repeat(b, 8, axis=0), 8, axis=1)[:, :, None] for b in blocks
+    ]
+    enc = M.encode_video_mjpeg(frames, quality=95, restart_interval=2)
+    assert enc[:2] == b"\xff\xd8" and b"\xff\xdd" in enc  # SOI + DRI
+    got = M.decode_video(enc)
+    assert len(got) == 5 and all((a == b).all() for a, b in zip(got, frames))
+    # RAWV payloads still route to the netpbm walk
+    raw = M.decode_video(M.encode_video(frames))
+    assert all((a == b).all() for a, b in zip(raw, frames))
+    # lossy frames: shapes exact, content close
+    noisy = [rng.integers(0, 256, (24, 40, 3), dtype=np.uint8) for _ in range(3)]
+    dn = M.decode_video(M.encode_video_mjpeg(noisy, quality=95))
+    assert [f.shape for f in dn] == [f.shape for f in noisy]
+    with pytest.raises(ValueError, match="at least one frame"):
+        M.encode_video_mjpeg([])
+    with pytest.raises(ValueError, match="not a RAWV or MJPEG"):
+        M.decode_video(b"XXXX....")
+
+
+def test_mjpeg_video_features_planted_scene_cut(spark, docs):
+    """The MJPEG fixture plants the same −100 mid-video cut as the RAWV
+    fixture: every document must report exactly one scene cut, 8 frames,
+    4 sampled, and block-multiple dimensions."""
+    few = docs.filter("doc_id < 6")
+    out = M.video_features(M.synthetic_mjpeg_payloads(few)).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.n_frames == 8 and r.n_sampled == 4
+        assert r.n_scene_cuts == 1
+        assert r.width % 8 == 0 and r.height % 8 == 0
+        assert 16 <= r.width <= 32 and 16 <= r.height <= 32
