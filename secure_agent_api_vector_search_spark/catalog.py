@@ -3173,9 +3173,15 @@ FROM per_seq""",
 
     r.register(NamedQuery(
         "corpus_stats_approx", corpus_stats_approx,
+        oracle_sql=OG.corpus_stats_approx_oracle,  # generated: HLL++
+        # registers + quantile summary replayed in pure Python (XXH64
+        # seed 42 + linear counting / exact order statistics), exact
+        # columns recomputed relationally — the full sketch row is
+        # value-checked, closing the registry's last rows-only entry
         description="[EXT] sketch corpus summary: HLL++ vocabulary + quantile-sketch "
-                    "token lengths (one-pass mergeable partials; error bound tested "
-                    "vs exact in tests/test_text.py)",
+                    "token lengths (one-pass mergeable partials); gated by a "
+                    "register-level HLL++/quantile replay (oracle_gen.py) plus "
+                    "error bounds vs exact in tests/test_text.py",
         tags=("text", "agg", "sketch")))
 
     r.register(NamedQuery(

@@ -521,6 +521,100 @@ def video_frame_features_mjpeg_oracle(
 
 
 # ---------------------------------------------------------------------------
+# corpus_stats_approx: HyperLogLog++ + quantile-summary replay
+# ---------------------------------------------------------------------------
+
+# HLL++ linear-counting thresholds, p = 4..18 (Heule et al., "HyperLogLog
+# in Practice", appendix) — the same table Spark's HyperLogLogPlusPlusHelper
+# switches estimators on.
+_HLL_THRESHOLDS = (
+    10, 20, 40, 80, 220, 400, 900, 1800, 3100, 6500, 11500, 20000,
+    50000, 120000, 350000,
+)
+
+
+def _hll_replay(values: list[str], rsd: float) -> int:
+    """Replay Spark's ``approx_count_distinct`` register math exactly
+    (catalyst HyperLogLogPlusPlusHelper): xxhash64(seed 42) per value —
+    the same pure-Python XXH64 that replays the simhash gates — index =
+    top p bits, rho = leading zeros of the remaining bits + 1, then the
+    LINEAR-COUNTING estimator (m·ln(m/V), Java Math.round). The gate
+    corpora's vocabularies sit far below the p=12 linear threshold
+    (3100); a corpus outside that regime would need the paper's bias
+    tables, so refuse loudly rather than replay approximately — the
+    corpus-fingerprint guard makes this unreachable on a gated run."""
+    import math
+
+    p = int(math.ceil(2.0 * math.log(1.106 / rsd) / math.log(2.0)))
+    m = 1 << p
+    regs = [0] * m
+    for v in set(values):
+        x = xxh64(v.encode(), 42) & 0xFFFFFFFFFFFFFFFF
+        idx = x >> (64 - p)
+        w = ((x << p) & 0xFFFFFFFFFFFFFFFF) | (1 << (p - 1))
+        rho = 64 - w.bit_length() + 1
+        if rho > regs[idx]:
+            regs[idx] = rho
+    v_zero = regs.count(0)
+    if v_zero == 0:
+        raise RuntimeError(
+            "HLL++ replay: no zero registers — cardinality beyond the "
+            "linear-counting regime; this oracle only replays gate-sized "
+            "vocabularies"
+        )
+    h = m * math.log(m / v_zero)
+    if h > _HLL_THRESHOLDS[p - 4]:
+        raise RuntimeError(
+            f"HLL++ replay: linear-counting estimate {h:.1f} above the "
+            f"p={p} threshold {_HLL_THRESHOLDS[p - 4]} — the bias-corrected "
+            "estimator is not replayed here"
+        )
+    return int(math.floor(h + 0.5))  # Java Math.round
+
+
+def _quantile_summary_replay(lens: list[int], qs: tuple[float, ...]) -> list[int]:
+    """Replay ``percentile_approx(col, qs, 10000)`` for gate-sized
+    inputs: at accuracy 10000 the QuantileSummaries buffer holds every
+    observation uncompressed (g=1, delta=0), so the query returns the
+    exact order statistic at rank ceil(q·n) — pinned bit-identical to
+    Spark at all three testdata scales in tests/test_oracle_gen.py."""
+    import math
+
+    s = sorted(lens)
+    n = len(s)
+    return [s[int(math.ceil(q * n)) - 1] for q in qs]
+
+
+@_memo_sql
+def corpus_stats_approx_oracle(rsd: float = 0.02) -> str:
+    """Full-row oracle for catalog.corpus_stats_approx: the exact
+    columns (n_docs, total_tokens) recomputed relationally in DuckDB,
+    the sketch columns (HLL++ distinct, quantile-summary percentiles)
+    replayed register-for-register in pure Python from the same
+    public algorithms Spark implements — the same trick that closed
+    simhash via the XXH64 replay. Closes the registry's last
+    rows-only entry."""
+    sf_dir = oracle_sf_dir()
+    toks: list[str] = []
+    lens: list[int] = []
+    for _doc_id, text in _load_documents(sf_dir):
+        parts = (text or "").split(" ")
+        toks.extend(parts)
+        lens.append(len(parts))
+    approx_distinct = _hll_replay(toks, rsd)
+    p50, p90, p99 = _quantile_summary_replay(lens, (0.5, 0.9, 0.99))
+    core = f"""
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+          FROM documents) AS total_tokens,
+         CAST({approx_distinct} AS BIGINT) AS approx_distinct_tokens,
+         CAST({p50} AS BIGINT) AS tokens_p50,
+         CAST({p90} AS BIGINT) AS tokens_p90,
+         CAST({p99} AS BIGINT) AS tokens_p99"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # shared k-means replay pieces (IVF / PQ / SemDeDup)
 # ---------------------------------------------------------------------------
 

@@ -122,3 +122,40 @@ def test_xxh64_replay_matches_spark_xxhash64(spark):
     for c, jvm in zip(cases, got):
         mine = OG.xxh64(c.encode("utf-8"), 42)
         assert mine - (1 << 64 if mine >= (1 << 63) else 0) == jvm, c
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_hll_and_quantile_replays_match_spark(spark, sf):
+    """The corpus_stats_approx oracle rests on these identities: the
+    pure-Python HLL++ register replay (XXH64 seed 42, linear counting)
+    must be bit-identical to Spark's approx_count_distinct at rsd=0.02,
+    and the exact-order-statistic replay must match percentile_approx
+    at accuracy 10000 — at all three testdata scales."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sf_dir = f"/root/testdata/{sf}"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        pytest.skip(f"{sf} testdata not present")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    jvm_hll = toks.agg(F.approx_count_distinct("tok", 0.02)).collect()[0][0]
+    jvm_q = docs.select(
+        F.percentile_approx(
+            F.size(F.split("text", " ")).cast("long"), [0.5, 0.9, 0.99], 10000
+        ).alias("q")
+    ).collect()[0].q
+    texts = [r.text for r in docs.select("text").collect()]
+    values = [t for text in texts for t in (text or "").split(" ")]
+    lens = [len((text or "").split(" ")) for text in texts]
+    assert OG._hll_replay(values, 0.02) == jvm_hll
+    assert OG._quantile_summary_replay(lens, (0.5, 0.9, 0.99)) == list(jvm_q)
+
+
+def test_hll_replay_refuses_beyond_linear_regime():
+    """Past the linear-counting threshold the oracle would need the
+    bias tables — it must refuse loudly, not replay approximately."""
+    values = [f"tok{i}" for i in range(20000)]  # >> p=12 threshold 3100
+    with pytest.raises(RuntimeError, match="linear-counting|zero registers"):
+        OG._hll_replay(values, 0.02)
