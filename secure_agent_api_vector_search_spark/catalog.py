@@ -1440,39 +1440,67 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clustered corpora clear it at far lower nprobe, see
     # `ann_crossover`). The benched default carries the audit-grade
     # setting, not the fastest one.
-    index = _IVF_CACHE.get(sf_dir)
-    if index is None:
-        index = I.build_ivf(load_embeddings(spark, sf_dir), n_lists=16, seed=42)
-        _IVF_CACHE[sf_dir] = index
+    index = _ivf_cached(spark, sf_dir)
     return I.ivf_search(index, _query_vec(spark, sf_dir), k=10, nprobe=10)
 
 
 _PQ_CACHE: dict[str, tuple] = {}
 
 
-def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ compressed-scan top-k with exact re-rank (operators/pq.py):
-    16-byte codes instead of 256-byte vectors at scan time, shortlist
-    re-ranked with the exact metric. Build+encode memoized per corpus
-    (the index lifecycle, like _IVF_CACHE)."""
+def _pq_cached(spark: SparkSession, sf_dir: str) -> tuple:
+    """(codebook, persisted codes) memoized per corpus — the PQ index
+    lifecycle, like _IVF_CACHE. m=16 (dsub=4 at dim 64): the benched
+    codes carry rerank recall >= the 0.85 contract in tests/test_pq.py
+    on the iid gate corpus (m=8 measured 0.75 at shortlist=100 — bench
+    `recall.pq_rerank`); 16-byte codes are still 16x smaller than the
+    stored vectors."""
     from secure_agent_api_vector_search_spark.operators import pq as PQ
 
     cached = _PQ_CACHE.get(sf_dir)
     if cached is None:
         emb = load_embeddings(spark, sf_dir)
-        # m=16 (dsub=4 at dim 64): the benched codes carry rerank
-        # recall >= the 0.85 contract in tests/test_pq.py on the iid
-        # gate corpus (m=8 measured 0.75 at shortlist=100 — bench
-        # `recall.pq_rerank`); 16-byte codes are still 16x smaller
-        # than the stored vectors
         book = PQ.build_pq(emb, m=16, ksub=32, seed=42)
         codes = PQ.encode_pq(emb, book).persist()
         codes.count()
         cached = (book, codes)
         _PQ_CACHE[sf_dir] = cached
-    book, codes = cached
+    return cached
+
+
+def _ivf_cached(spark: SparkSession, sf_dir: str):
+    index = _IVF_CACHE.get(sf_dir)
+    if index is None:
+        index = I.build_ivf(load_embeddings(spark, sf_dir), n_lists=16, seed=42)
+        _IVF_CACHE[sf_dir] = index
+    return index
+
+
+def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compressed-scan top-k with exact re-rank (operators/pq.py):
+    16-byte codes instead of 256-byte vectors at scan time, shortlist
+    re-ranked with the exact metric."""
+    from secure_agent_api_vector_search_spark.operators import pq as PQ
+
+    book, codes = _pq_cached(spark, sf_dir)
     return PQ.pq_topk_rerank(
         codes, load_embeddings(spark, sf_dir), book, _query_vec(spark, sf_dir), k=10
+    )
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The faiss-style composed production tier (operators/pq.py::
+    ivfpq_topk): IVF coarse quantizer bounds the ROWS touched (nprobe=4
+    of 16 lists), PQ bounds the BYTES per row (16-byte ADC codes), and
+    only the 100-row shortlist reads full vectors for the exact
+    re-rank. Reuses the same cached IVF index and PQ codebook as the
+    single-tier gates, so the witness oracle replays one build."""
+    from secure_agent_api_vector_search_spark.operators import pq as PQ
+
+    index = _ivf_cached(spark, sf_dir)
+    book, codes = _pq_cached(spark, sf_dir)
+    return PQ.ivfpq_topk(
+        index, codes, load_embeddings(spark, sf_dir), book,
+        _query_vec(spark, sf_dir), k=10, nprobe=4, shortlist=100,
     )
 
 
@@ -1480,10 +1508,7 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-routed batch kNN: every 50th corpus vector as the query set,
     routed through the cached IVF index (nprobe list equi-join instead
     of a query × corpus cross product — the large-|Q| scale path)."""
-    index = _IVF_CACHE.get(sf_dir)
-    if index is None:
-        index = I.build_ivf(load_embeddings(spark, sf_dir), n_lists=16, seed=42)
-        _IVF_CACHE[sf_dir] = index
+    index = _ivf_cached(spark, sf_dir)
     q = load_embeddings(spark, sf_dir).filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -1513,10 +1538,7 @@ def ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the union of probed lists IS the corpus and the answer is the exact
     top-k — whatever centroids k-means produced. DuckDB checks it
     value-for-value against the exact cosine scan."""
-    index = _IVF_CACHE.get(sf_dir)
-    if index is None:
-        index = I.build_ivf(load_embeddings(spark, sf_dir), n_lists=16, seed=42)
-        _IVF_CACHE[sf_dir] = index
+    index = _ivf_cached(spark, sf_dir)
     return I.ivf_search(index, _query_vec(spark, sf_dir), k=10, nprobe=16)
 
 
@@ -1526,10 +1548,7 @@ def ivf_filtered_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity tests/test_ivf.py::test_filtered_ivf_full_probe... asserts,
     promoted to the hard gate) — pins that the predicate composes with
     list pruning without recall loss at the exact limit."""
-    index = _IVF_CACHE.get(sf_dir)
-    if index is None:
-        index = I.build_ivf(load_embeddings(spark, sf_dir), n_lists=16, seed=42)
-        _IVF_CACHE[sf_dir] = index
+    index = _ivf_cached(spark, sf_dir)
     return I.ivf_search_filtered(
         index, _query_vec(spark, sf_dir), "label = 1", k=10, nprobe=16
     )
@@ -1540,10 +1559,7 @@ def knn_join_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     list, so the routed join degenerates to the exact batch kNN and the
     knn_join oracle applies verbatim. A corpus row lives in exactly one
     list, so full probe double-counts nothing."""
-    index = _IVF_CACHE.get(sf_dir)
-    if index is None:
-        index = I.build_ivf(load_embeddings(spark, sf_dir), n_lists=16, seed=42)
-        _IVF_CACHE[sf_dir] = index
+    index = _ivf_cached(spark, sf_dir)
     q = load_embeddings(spark, sf_dir).filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -1558,24 +1574,29 @@ def pq_rerank_exact_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the approximate configuration stays in `pq_topk_rerank`."""
     from secure_agent_api_vector_search_spark.operators import pq as PQ
 
-    cached = _PQ_CACHE.get(sf_dir)
-    if cached is None:
-        emb = load_embeddings(spark, sf_dir)
-        # m=16 (dsub=4 at dim 64): the benched codes carry rerank
-        # recall >= the 0.85 contract in tests/test_pq.py on the iid
-        # gate corpus (m=8 measured 0.75 at shortlist=100 — bench
-        # `recall.pq_rerank`); 16-byte codes are still 16x smaller
-        # than the stored vectors
-        book = PQ.build_pq(emb, m=16, ksub=32, seed=42)
-        codes = PQ.encode_pq(emb, book).persist()
-        codes.count()
-        cached = (book, codes)
-        _PQ_CACHE[sf_dir] = cached
-    book, codes = cached
+    book, codes = _pq_cached(spark, sf_dir)
     emb = load_embeddings(spark, sf_dir)
     n = int(emb.count())
     return PQ.pq_topk_rerank(codes, emb, book, _query_vec(spark, sf_dir), k=10,
                              shortlist=n)
+
+
+def ivfpq_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probed at nprobe = n_lists: every list is probed, so the
+    routed code subset IS the whole code table and the composed tier
+    degenerates EXACTLY to plain pq_topk_rerank (a corpus row lives in
+    exactly one list — full probe drops nothing, duplicates nothing).
+    The pq_topk_rerank witness oracle therefore applies verbatim,
+    pinning the IVF routing join's no-loss contract on the hard gate
+    (the pytest identity tests/test_pq.py asserts, promoted)."""
+    from secure_agent_api_vector_search_spark.operators import pq as PQ
+
+    index = _ivf_cached(spark, sf_dir)
+    book, codes = _pq_cached(spark, sf_dir)
+    return PQ.ivfpq_topk(
+        index, codes, load_embeddings(spark, sf_dir), book,
+        _query_vec(spark, sf_dir), k=10, nprobe=16, shortlist=100,
+    )
 
 
 _DIFF_SCHEMA_ORACLE = """
@@ -4094,6 +4115,26 @@ FROM p ORDER BY doc_id""",
                     "oracle with the rerank recomputed relationally "
                     "(oracle_gen.py); recall and exact-metric contracts in "
                     "tests/test_pq.py", tags=("vector", "index", "sketch")))
+    r.register(NamedQuery(
+        "ivfpq_topk", ivfpq_topk,
+        oracle_sql=OG.ivfpq_topk_oracle,  # generated: IVF routing +
+        # PQ codebook/ADC replayed to the probed shortlist; DuckDB
+        # recomputes the exact-L2sq rerank relationally
+        description="[EXT] faiss-style IVF-PQ composed tier: coarse "
+                    "quantizer prunes rows (nprobe=4/16), 16-byte ADC "
+                    "codes prune bytes, exact re-rank on the shortlist; "
+                    "gated via a routed-shortlist witness with the rerank "
+                    "recomputed relationally (oracle_gen.py)",
+        tags=("vector", "index", "sketch")))
+    r.register(NamedQuery(
+        "ivfpq_topk_fullprobe", ivfpq_topk_fullprobe,
+        oracle_sql=OG.pq_topk_rerank_oracle,  # the plain-PQ witness
+        # verbatim: full probe routes every code, so IVF-PQ ≡ PQ exactly
+        description="[EXT] exactness-limit gate: IVF-PQ at nprobe = "
+                    "n_lists degenerates exactly to plain PQ rerank (one "
+                    "list per row, full probe loses nothing) — the "
+                    "routing join's no-loss contract on the hard gate",
+        tags=("vector", "index", "gate")))
     r.register(NamedQuery(
         "knn_join_ivf", knn_join_ivf,
         oracle_sql=OG.knn_join_ivf_oracle,  # generated: fit/assign/

@@ -732,6 +732,75 @@ def pq_topk_rerank_oracle(
     return with_corpus_guard(core, "embeddings", "vec_id", sf_dir)
 
 
+@_memo_sql
+def ivfpq_topk_oracle(
+    n_lists: int = 16, nprobe: int = 4, m: int = 16, ksub: int = 32,
+    seed: int = 42, shortlist: int = 100, k: int = 10,
+) -> str:
+    """Oracle for catalog.ivfpq_topk — the composed faiss-style tier.
+    Both index halves are replayed with the shared seeded k-means
+    (functions/kmeans.py::lloyd): the IVF fit + assignment + top-nprobe
+    routing picks the probed row set (the knn_join_ivf recipe), the PQ
+    codebook + ADC scan — restricted to the probed rows — derives the
+    shortlist (the pq_topk_rerank recipe); DuckDB then recomputes the
+    exact-L2² re-rank over the embedded shortlist from the raw parquet
+    vectors. Exactness of the composition at the probe limit is pinned
+    by ivfpq_topk_fullprobe, which reuses the plain-PQ oracle verbatim."""
+    sf_dir = oracle_sf_dir()
+    ids, x = _load_embeddings(sf_dir)
+    # IVF half: routing witness
+    c = _fit_centroids_replay(x, n_lists, seed)
+    assign = _assign_replay(x, c)
+    q = x[int(np.flatnonzero(ids == 0)[0])]
+    probes = {int(v) for v in _rank_lists_replay(c, q)[:nprobe]}
+    probed = np.array([int(a) in probes for a in assign])
+    # PQ half: codebook + ADC over the probed rows only
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    from secure_agent_api_vector_search_spark.functions.kmeans import lloyd
+
+    rng = np.random.default_rng(seed)
+    books = [
+        np.asarray(
+            [[float(v) for v in row]
+             for row in lloyd(x[:, j * dsub:(j + 1) * dsub], ksub, rng)]
+        )
+        for j in range(m)
+    ]
+    codes = np.empty((len(x), m), dtype=np.int64)
+    luts = []
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        cb = books[j]
+        d = (sub**2).sum(1)[:, None] - 2.0 * (sub @ cb.T) + (cb**2).sum(1)[None, :]
+        codes[:, j] = d.argmin(axis=1)
+        qs = q[j * dsub:(j + 1) * dsub]
+        luts.append([float(v) for v in ((cb - qs[None, :]) ** 2).sum(axis=1)])
+    dists = {}
+    for i in np.flatnonzero(probed):
+        s = 0.0  # the operator's codegen left-fold, in subspace order
+        for j in range(m):
+            s = s + luts[j][codes[i, j]]
+        dists[int(i)] = s
+    order = sorted(dists, key=lambda i: (dists[i], int(ids[i])))[:shortlist]
+    vals = ",".join(f"({int(ids[i])})" for i in order)
+    core = f"""
+  WITH sl(vec_id) AS (VALUES {vals}),
+  q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+  top AS (
+    SELECT e.vec_id,
+           list_dot_product(q.qe, q.qe) - 2.0 * list_dot_product({_E}, q.qe)
+             + list_dot_product({_E}, {_E}) AS l2sq
+    FROM embeddings e JOIN sl USING (vec_id) CROSS JOIN q
+    ORDER BY l2sq ASC, e.vec_id LIMIT {k})
+  SELECT vec_id, l2sq,
+         CAST(ROW_NUMBER() OVER (ORDER BY l2sq ASC, vec_id) AS INT) AS rank
+  FROM top ORDER BY rank"""
+    return with_corpus_guard(core, "embeddings", "vec_id", sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # simhash_near_dup: pure-Python XXH64 + sign-sum fingerprint replay
 # ---------------------------------------------------------------------------
