@@ -64,6 +64,7 @@ def _fit_centroids(
     seed: int = 42,
     sample_cap: int = 262_144,
     metric: str = "l2",
+    order_col: str | None = None,
 ) -> list[list[float]]:
     """Coarse-quantizer training: k-means on a bounded driver sample,
     with a DISTRIBUTED escape hatch above the sample budget.
@@ -102,14 +103,15 @@ def _fit_centroids(
     from secure_agent_api_vector_search_spark.functions.kmeans import lloyd
     from secure_agent_api_vector_search_spark.functions.vector import normalize
 
+    key = [F.col(order_col).alias("_oid")] if order_col else []
     vecs = embeddings.filter(F.col(vec_col).isNotNull()).select(
-        F.col(vec_col).cast("array<double>").alias(vec_col)
+        *key, F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     if metric == "cosine":
         # zero-norm vectors normalize to NULL — no direction, nothing to train on
-        vecs = vecs.select(normalize(vec_col).alias(vec_col)).filter(
-            F.col(vec_col).isNotNull()
-        )
+        vecs = vecs.select(
+            *(["_oid"] if order_col else []), normalize(vec_col).alias(vec_col)
+        ).filter(F.col(vec_col).isNotNull())
     elif metric != "l2":
         raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
 
@@ -119,7 +121,18 @@ def _fit_centroids(
         n = vecs.count()
         frac = min(1.0, sample_cap / max(n, 1))
         sample = vecs if frac >= 1.0 else vecs.sample(fraction=frac, seed=seed)
-        x = np.array([r[0] for r in sample.collect()])
+        rows = sample.collect()
+        if order_col:
+            # driver-side id sort (no extra shuffle): collect order is
+            # file/partition order, which happens to equal id order on a
+            # single-file corpus but NOT on a multi-file or re-sorted
+            # one — witness-replay oracles (oracle_gen.py) re-fit lloyd
+            # on the id-ordered matrix, so the training order must be a
+            # property of the data, not of the parquet layout
+            rows.sort(key=lambda r: r["_oid"])
+            x = np.array([r[vec_col] for r in rows])
+        else:
+            x = np.array([r[0] for r in rows])
         # O(k·n) k-means++ seeding + chunked Lloyd (functions/kmeans.py) —
         # keeps the √n list sizing honest: k≈10k on the 256k-cap sample
         # seeds in seconds, not the hours of the naive O(k²·n) loop.
@@ -222,7 +235,7 @@ def build_ivf(
         n_lists = max(2, int(math.sqrt(embeddings.count())))
     centroids = _fit_centroids(
         embeddings, vec_col, n_lists, seed=seed, metric=metric,
-        sample_cap=sample_cap,
+        sample_cap=sample_cap, order_col=id_col,
     )
     return IvfIndex(
         assign_lists(embeddings, centroids, vec_col), centroids, id_col, vec_col, metric

@@ -70,17 +70,32 @@ def build_pq(
     ksub: int = 32,
     seed: int = 42,
     sample_cap: int = 262_144,
+    order_col: str | None = "vec_id",
 ) -> PqCodebook:
     """Train the codebooks on a bounded driver sample (one collect,
-    then m small in-memory k-means runs)."""
+    then m small in-memory k-means runs). The sample is sorted by
+    ``order_col`` ON THE DRIVER before the fit (no extra shuffle), so
+    the trained codebooks are a property of the data, not of parquet
+    file layout — witness-replay oracles (oracle_gen.py) re-fit on the
+    id-ordered matrix and must stay bit-identical on a multi-file or
+    re-sorted corpus. Pass ``order_col=None`` only for frames with no
+    id column (determinism then depends on collect order)."""
     import numpy as np
 
     n = embeddings.count()
     frac = min(1.0, sample_cap / max(n, 1))
     sample = embeddings if frac >= 1.0 else embeddings.sample(fraction=frac, seed=seed)
-    x = np.array(
-        [r[0] for r in sample.select(F.col(vec_col).cast("array<double>")).collect()]
-    )
+    if order_col is not None and order_col in embeddings.columns:
+        rows = sample.select(
+            F.col(order_col).alias("_oid"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).collect()
+        rows.sort(key=lambda r: r["_oid"])
+        x = np.array([r["_v"] for r in rows])
+    else:
+        x = np.array(
+            [r[0] for r in sample.select(F.col(vec_col).cast("array<double>")).collect()]
+        )
     dim = x.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")

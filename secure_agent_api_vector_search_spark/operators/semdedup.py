@@ -177,10 +177,11 @@ def _harden_skew(
             cid, size = int(r["cluster_id"]), int(r["n"])
             k = max(2, min(int(math.ceil(size / max(cap // 2, 1))), 256))
             cents = _fit_centroids(
-                big.filter(F.col("cluster_id") == cid).select("_vec"),
+                big.filter(F.col("cluster_id") == cid).select(id_col, "_vec"),
                 "_vec",
                 k,
                 seed=seed + 1000 * (rnd + 1) + cid,
+                order_col=id_col,
             )
             sub[cid] = (np.asarray(cents, dtype=np.float64), next_id)
             next_id += k
@@ -240,7 +241,9 @@ def semantic_dedup(
     if n_clusters is None:
         n_clusters = max(2, -(-int(embeddings.count()) // 1024))
     nonnull = embeddings.filter(F.col(vec_col).isNotNull())
-    centroids = _fit_centroids(nonnull, vec_col, n_clusters, seed=seed)
+    centroids = _fit_centroids(
+        nonnull, vec_col, n_clusters, seed=seed, order_col=id_col
+    )
     assigned = assign_lists(nonnull, centroids, vec_col).select(
         F.col(id_col),
         F.col("list_id").alias("cluster_id"),

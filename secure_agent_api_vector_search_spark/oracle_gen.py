@@ -622,10 +622,12 @@ def corpus_stats_approx_oracle(rsd: float = 0.02) -> str:
 def _fit_centroids_replay(x: np.ndarray, k: int, seed: int) -> np.ndarray:
     """The operators' own driver k-means (functions/kmeans.py::lloyd —
     pure numpy, deterministic for a given input matrix and seed), run on
-    the DuckDB-loaded corpus in id order. Spark's single-file scan
-    collects in the same order (file order == id order for the gate
-    parquet), so the centroids replayed here are bit-identical to the
-    ones _fit_centroids trains below its sample cap."""
+    the DuckDB-loaded corpus in id order. The identity with the operator
+    is STRUCTURAL, not a file-layout accident: ivf._fit_centroids and
+    pq.build_pq sort their collected sample by id on the driver before
+    fitting (order_col), so the training matrix is id-ordered on any
+    corpus — single-file, multi-file, or re-sorted (pinned by the
+    repartitioned-corpus test in tests/test_ivf.py)."""
     from secure_agent_api_vector_search_spark.functions.kmeans import lloyd
 
     return lloyd(x, k, np.random.default_rng(seed), iters=20)

@@ -170,3 +170,35 @@ def test_filtered_ivf_full_probe_equals_filtered_exact(index, emb, qvecs):
     labels = {r["vec_id"] for r in emb.filter(pred).select("vec_id").collect()}
     part = I.ivf_search_filtered(index, q, pred, k=10, nprobe=2).collect()
     assert all(r["vec_id"] in labels for r in part)
+
+
+def test_fit_is_invariant_to_parquet_layout(spark, emb, tmp_path):
+    """The witness-replay oracles re-fit lloyd on the id-ORDERED matrix;
+    that identity must be structural, not a single-file-layout accident:
+    the same corpus rewritten as a 2-file, row-scrambled parquet must
+    train bit-identical IVF centroids and PQ codebooks (ivf_topk's gate
+    replay would silently break otherwise)."""
+    from secure_agent_api_vector_search_spark.operators import pq as PQ
+
+    scrambled_dir = str(tmp_path / "scrambled")
+    # scramble row order, split into 2 files
+    (
+        emb.orderBy(F.xxhash64("vec_id"))
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(scrambled_dir)
+    )
+    scrambled = spark.read.parquet(scrambled_dir)
+    files = [f for f in __import__("os").listdir(scrambled_dir) if f.endswith(".parquet")]
+    assert len(files) == 2
+    # collect order genuinely differs from id order on the scrambled copy
+    ids = [r[0] for r in scrambled.select("vec_id").collect()]
+    assert ids != sorted(ids)
+
+    a = I.build_ivf(emb, n_lists=8, seed=42)
+    b = I.build_ivf(scrambled, n_lists=8, seed=42)
+    assert a.centroids == b.centroids
+
+    ba = PQ.build_pq(emb, m=16, ksub=8, seed=42)
+    bb = PQ.build_pq(scrambled, m=16, ksub=8, seed=42)
+    assert ba.codebooks == bb.codebooks
