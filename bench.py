@@ -591,12 +591,44 @@ def _pipeline_probe(spark, sf_dir: str) -> dict:
             )
             html_sec = round(time.perf_counter() - t0, 3)
             spark.catalog.clearCache()
+
+            # amortized leakage audit (VERDICT r8 item 7): the banded-
+            # pair build is paid ONCE (reported as pairs_build_sec);
+            # the pairs= audit is then one filter + two split joins —
+            # compare leakage_audit_pairs_supplied_sec against the
+            # shared31 split_leakage_check number, which self-builds
+            # its pairs on every call
+            from secure_agent_api_vector_search_spark.operators.curation import (
+                _lsh_family_for,
+                split_leakage_check,
+            )
+            from secure_agent_api_vector_search_spark.operators.dedup import (
+                ngram_jaccard_pairs_lsh,
+            )
+
+            t0 = time.perf_counter()
+            r_rows, n_bands = _lsh_family_for(0.6)
+            pairs = ngram_jaccard_pairs_lsh(
+                docs, n=3, threshold=0.6,
+                num_hashes=r_rows * n_bands, num_bands=n_bands,
+            )
+            n_pairs = pairs.count()
+            pairs_build_sec = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n_leaks = split_leakage_check(docs, threshold=0.6, pairs=pairs).count()
+            audit_sec = round(time.perf_counter() - t0, 3)
+            pairs.unpersist()
+
             return {
                 "fixture_prep_sec": prep_sec,
                 "curate_corpus_sec": plain_sec,
                 "curate_corpus_html_sec": html_sec,
                 "counts": counts,
                 "counts_html": counts_html,
+                "pairs_build_sec": pairs_build_sec,
+                "leakage_audit_pairs_supplied_sec": audit_sec,
+                "leakage_n_pairs": n_pairs,
+                "leakage_n_cross_split": n_leaks,
             }
         finally:
             shutil.rmtree(root, ignore_errors=True)

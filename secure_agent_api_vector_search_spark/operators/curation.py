@@ -774,6 +774,7 @@ def split_leakage_check(
     id_col: str = "doc_id",
     seed: str = "split-v1",
     via: str = "lsh",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Train/test LEAKAGE audit: near-duplicate pairs that CROSS the
     dataset-split boundary. :func:`contamination_check` asks "does a
@@ -815,6 +816,17 @@ def split_leakage_check(
       ground truth and the agreement test.
     The audit itself is O(pairs) either way.
 
+    ``pairs`` is the AMORTIZED shape: a caller-supplied verified
+    near-dup pair frame (id_a, id_b, jaccard — e.g. the one the
+    pipeline's dedup stage already computed, pipelines.curate_corpus)
+    skips the banded-pair build entirely; the audit is then one
+    threshold filter + two split joins, O(pairs) with sub-second wall
+    (bench `pipeline.leakage_audit_pairs_supplied`). The supplied
+    frame must have been built at a threshold ≤ this audit's (rows
+    below ``threshold`` are filtered here; rows it never contained
+    cannot be recovered). ``via``/``n``/``block_col`` are ignored, and
+    the caller keeps ownership of the frame's persistence.
+
     Output: (id_a, id_b, jaccard, split_a, split_b). With via="lsh"
     the returned frame is persisted (the banded pair intermediate is
     released before returning — no session-lifetime cache leaks per
@@ -828,6 +840,24 @@ def split_leakage_check(
     splits = dataset_split(documents, id_col=id_col, seed=seed).select(
         id_col, "split"
     )
+    if pairs is not None:
+        return (
+            pairs.filter(F.col("jaccard") >= threshold)
+            .join(
+                splits.select(
+                    F.col(id_col).alias("id_a"), F.col("split").alias("split_a")
+                ),
+                "id_a",
+            )
+            .join(
+                splits.select(
+                    F.col(id_col).alias("id_b"), F.col("split").alias("split_b")
+                ),
+                "id_b",
+            )
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+        )
     if via == "lsh":
         if block_col is not None:
             raise ValueError("block_col is only supported with via='exact'")

@@ -330,6 +330,7 @@ def curate_corpus(
     html_input: bool = False,
     max_link_density: float = 0.5,
     expectations: list[tuple] | None = None,
+    leakage_audit: bool = False,
 ) -> dict:
     """The end-to-end training-corpus curation job, raw dump → training
     shards — every stage an operator this engine already gates:
@@ -527,6 +528,29 @@ def curate_corpus(
     split = clean.join(
         dataset_split(clean).select("doc_id", "split"), "doc_id"
     ).persist()  # consumed by three count+write passes
+
+    if leakage_audit:
+        from secure_agent_api_vector_search_spark.operators.curation import (
+            split_leakage_check,
+        )
+
+        # AMORTIZED audit: reuse the verified near-dup pair frame the
+        # dedup stage already computed (pairs=) instead of rebuilding
+        # the banded pairs — the audit is O(pairs), sub-second. Same
+        # default seed as the dataset_split above, so the audited
+        # split IS the shipped split. Over dedup's own pair frame this
+        # is the pipeline's no-leakage POSTCONDITION: keep_first drops
+        # one member of every pair, so a nonzero count means the
+        # dedup/keep-first stage regressed (an audit at a looser
+        # threshold than dedup's needs a pair frame built at that
+        # threshold — pass it straight to split_leakage_check).
+        leaks = split_leakage_check(
+            clean, threshold=near_dup_threshold, pairs=pairs
+        )
+        leaks.write.mode("overwrite").parquet(f"{out_dir}/leakage_audit")
+        counts["leakage_pairs"] = spark.read.parquet(
+            f"{out_dir}/leakage_audit"
+        ).count()
     for name in ("train", "val", "test"):
         part = split.filter(F.col("split") == name).drop("split")
         counts[f"split_{name}"] = part.count()

@@ -563,3 +563,28 @@ def test_split_leakage_lsh_releases_intermediate_caches(spark):
     assert after == before + 1  # exactly the result — intermediates freed
     out.unpersist()
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_split_leakage_pairs_supplied_matches_built_forms(spark, docs):
+    """The amortized pairs= form must agree with the self-built exact
+    form when fed the same verified pair frame, filter rows below the
+    audit threshold, and never touch the banded-pair build."""
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        split_leakage_check,
+    )
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    built = {
+        (r.id_a, r.id_b): (r.jaccard, r.split_a, r.split_b)
+        for r in split_leakage_check(docs, via="exact", threshold=0.6).collect()
+    }
+    # pairs computed once at a LOWER threshold (the pipeline's dedup
+    # stage shape) — the audit re-filters to its own threshold
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+    supplied = {
+        (r.id_a, r.id_b): (r.jaccard, r.split_a, r.split_b)
+        for r in split_leakage_check(docs, threshold=0.6, pairs=pairs).collect()
+    }
+    assert supplied == built

@@ -479,3 +479,34 @@ def test_curate_corpus_expectations_preflight(spark, docs, tmp_path):
     )
     assert counts["expectations_failed"] == 0
     assert counts["ingested"] == len(sample)
+
+
+def test_curate_corpus_leakage_audit_postcondition(spark, docs, tmp_path):
+    """leakage_audit=True reuses the dedup stage's verified pair frame
+    (the amortized pairs= shape) as the pipeline's no-leakage
+    postcondition: keep_first drops one member of every near-dup pair,
+    so the shipped splits must contain ZERO cross-split pairs at the
+    dedup threshold — and the audit parquet must land queryable."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.pipelines import curate_corpus
+
+    raw = tmp_path / "raw.jsonl"
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    sample = [
+        {k: r[k] for k in cols} for r in docs.filter(F.col("doc_id") < 120).collect()
+    ]
+    dup_src = next(s for s in sample if s["doc_id"] == 30)
+    sample.append({**dup_src, "doc_id": 700001})  # verbatim near-dup
+    raw.write_text("\n".join(_json.dumps(s) for s in sample) + "\n")
+
+    out = str(tmp_path / "curated")
+    counts = curate_corpus(
+        spark, str(raw), out, n_shards=4, min_quality=0.25, leakage_audit=True
+    )
+    assert counts["leakage_pairs"] == 0
+    audit = spark.read.parquet(f"{out}/leakage_audit")
+    assert set(audit.columns) == {"id_a", "id_b", "jaccard", "split_a", "split_b"}
+    assert audit.count() == 0
