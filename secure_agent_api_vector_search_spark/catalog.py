@@ -4567,71 +4567,73 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
-    # --- round-8 window. Composition rule unchanged: (A) entries that
+    # --- round-9 window. Composition rule unchanged: (A) entries that
     # are new, were red, or whose code/oracle moved this round; then
-    # (B-C) the oracle entries with the OLDEST driver coverage (last
-    # green r5 -> r6, CORRECTNESS_r0*.json); then the standing ANN
-    # guard. Everything rotated out was green in r7 and stays on the
-    # local full gate every round.
-    # A: the six rows-only entries upgraded to GENERATED oracles this
-    # round (oracle_gen.py — fixed-seed replays; VERDICT r7 item 1)
-    "bpe_tokenize_corpus",
-    "image_neardup",
+    # (B) the never-driver-green backlog VERDICT r8 item 1 ordered
+    # newest-first; then (C) the 29 oracle entries with the OLDEST
+    # driver coverage (last green r6); then the standing ANN guard.
+    # Everything rotated out was green in r7/r8 and stays on the local
+    # full gate every round.
+    # A: new gate entries this round (MJPEG video decode, the IVF-PQ
+    # composed tier + its exactness twin), plus the three r8-green
+    # entries whose operator code moved this round (decode_video
+    # sniffing; id-ordered centroid fits in ivf/semdedup)
+    "video_frame_features_mjpeg",
+    "ivfpq_topk",
+    "ivfpq_topk_fullprobe",
     "video_frame_features",
-    "semantic_dedup",
     "ivf_topk",
-    "pq_topk_rerank",
-    # A: oracle/operator moved this round — corpus-fingerprint guard +
-    # explicit whitespace class (bpe pair), zero-word-group filter
-    # (fertility), audit persist restructure (split_leakage_check)
-    "bpe_encode",
-    "tokenizer_fertility",
-    "split_leakage_check",
-    # B: the 26 oracle entries last green in round 5 (every one of them
-    # re-verified on the local full gate each round since)
-    "embedding_lsh_vs_exact_diff",
-    "events_json_stats",
-    "hybrid_search",
-    "ivf_filtered_fullprobe",
-    "knn_classify",
-    "knn_join",
-    "knn_join_grouped",
-    "knn_join_ivf_fullprobe",
-    "minhash_vs_exact_diff",
-    "mmr_exact_limit",
-    "multimodal_features",
-    "ngram_jaccard_dedup",
-    "ngram_lsh_vs_exact_diff",
-    "orders_asof_event",
-    "part_type_stats",
-    "pii_redact",
-    "pq_rerank_exact_limit",
-    "price_quantiles_by_brand",
-    "rrf_search",
-    "simhash_vs_exact_diff",
-    "simjoin_lsh_vs_exact_diff",
-    "sq_topk_rerank",
-    "textjoin_lsh_vs_exact_diff",
-    "token_counts_bpe",
-    "token_stats",
-    "vector_topk_grouped",
-    # C: 14 of the 43 entries last green in round 6 — the reference-
-    # surface ones VERDICT r7 item 7 named first, then alphabetical;
-    # the remaining 29 are next round's window
-    "point_lookup",
-    "vector_topk_cosine",
-    "vector_topk_page2",
-    "find_similar_records",
-    "find_similar_by_text",
-    "minhash_near_dup",
-    "similarity_join_exact",
-    "brand_setops",
-    "build_vocab",
-    "chunk_documents",
-    "contamination_check",
-    "corpus_curation",
-    "data_expectations",
-    "dedup_components_keep_first",
+    "semantic_dedup",
+    # B: the 14 never-driver-green entries (VERDICT r8 item 1 order):
+    # the three registered after the r8 rotation — the JPEG/PNG codec
+    # gates are the highest-risk unverified code — then the eleven
+    # whose last driver record is r4 no_oracle (oracles added r5-r9;
+    # corpus_stats_approx gained its HLL++ replay oracle this round)
+    "image_decode_jpeg",
+    "image_decode_png",
+    "bpe_encode_pipeline",
+    "simhash_near_dup",
+    "embedding_neardup_lsh",
+    "image_decode_features",
+    "audio_decode_features",
+    "ngram_jaccard_lsh",
+    "vector_topk_mmr",
+    "dedup_near_keep_first",
+    "knn_join_ivf",
+    "similarity_join_lsh",
+    "text_similarity_join",
+    "corpus_stats_approx",
+    # C: the 29 oracle entries last green in round 6 (CORRECTNESS_r06;
+    # every one re-verified on the local full gate each round since)
+    "dedup_exact_keep_first",
+    "dedup_incremental_bloom",
+    "doc_repetition",
+    "doc_winnow_fingerprints",
+    "duplicate_ngram_stats",
+    "epoch_shuffle",
+    "events_funnel",
+    "events_hourly_anomaly",
+    "events_sessionize",
+    "hard_negatives",
+    "heavy_hitter_ngrams",
+    "html_extract",
+    "lang_profile",
+    "lm_likelihood_buckets",
+    "mixture_upsample",
+    "orders_window_top3",
+    "pack_sequences",
+    "per_source_cap",
+    "q18_large_volume_customer",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "quality_percentile_cut",
+    "quality_percentile_filter",
+    "revenue_rollup",
+    "sessionize_streaming",
+    "source_drift_tvd",
+    "token_budget_sample",
     # standing ANN-family guard: the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate
     "ivf_topk_fullprobe",
