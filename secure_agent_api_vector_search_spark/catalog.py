@@ -2018,6 +2018,20 @@ def video_frame_features_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_features(M.synthetic_mjpeg_payloads(docs))
 
 
+def video_frame_features_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-CONTAINER video decode path: ISO-BMFF MP4 payloads
+    (operators/mp4.py — full box walk, stsd sample-format dispatch,
+    stsc/stsz/stco sample-table expansion to byte ranges) whose video
+    track's samples are genuine entropy-coded baseline JPEGs, decoded
+    per-sample through operators/jpeg.py, then the same frame-sampling/
+    luminance/scene-cut features as the RAWV and MJPEG paths.
+    Block-flat fixture frames decode losslessly, so the gate is hard
+    and container-free on the oracle side. Same map-only single-pass
+    plan shape."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    return M.video_features(M.synthetic_mp4_payloads(docs))
+
+
 def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode path: deterministic PCM WAV payloads →
     whole-batch vectorized PCM feature pass (header walk + reduceat;
@@ -4075,6 +4089,21 @@ FROM p ORDER BY doc_id""",
                     "operators/jpeg.py, exact frame-boundary walk from "
                     "decoder-reported consumed bytes; same frame-sample/"
                     "luminance/scene-cut features as the RAWV path",
+        tags=("multimodal",)))
+    r.register(NamedQuery(
+        "video_frame_features_mp4", video_frame_features_mp4,
+        oracle_sql=OG.video_frame_features_mp4_oracle,  # generated:
+        # block-flat fixture-spec replay straight to features — the
+        # replay runs no container OR codec code, so it pins the whole
+        # box walk + sample-table expansion + per-sample JPEG decode
+        description="[EXT] REAL-CONTAINER video decode: ISO-BMFF "
+                    "MP4/QuickTime box walk (ftyp/moov/trak/stbl; "
+                    "64-bit largesize and co64 handled; compressed "
+                    "codecs rejected by name), stsc/stsz/stco "
+                    "sample-table expansion to exact byte ranges, "
+                    "per-sample baseline-JPEG decode via "
+                    "operators/jpeg.py; same frame-sample/luminance/"
+                    "scene-cut features as the RAWV and MJPEG paths",
         tags=("multimodal",)))
     r.register(NamedQuery(
         "audio_decode_features", audio_decode_features,

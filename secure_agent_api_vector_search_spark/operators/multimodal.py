@@ -723,10 +723,16 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
     """Decode a video payload to its frames ((h, w, c) uint8 arrays),
     sniffing the container: RAWV (netpbm frame walk — each header
     declares its raster size, so the walk is exact with no sentinel
-    scanning) or Motion-JPEG (SOI magic — each frame's decoder reports
+    scanning), Motion-JPEG (SOI magic — each frame's decoder reports
     the bytes it consumed through EOI, so boundaries are exact even
-    though 0xFFD9 can occur inside segment bodies). Other codecs
-    (H.264/VP9/MP4 containers) remain the documented stub seam."""
+    though 0xFFD9 can occur inside segment bodies), or ISO-BMFF
+    MP4/QuickTime (ftyp magic — full box + sample-table walk,
+    operators/mp4.py; MJPEG tracks decode for real, compressed codecs
+    raise by name). H.264/VP9/AV1 bitstreams remain the stub seam."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":  # ISO-BMFF container
+        from secure_agent_api_vector_search_spark.operators.mp4 import decode_mp4
+
+        return decode_mp4(payload)
     if payload[:2] == b"\xff\xd8":  # Motion-JPEG elementary stream
         from secure_agent_api_vector_search_spark.operators.jpeg import (
             decode_jpeg_consumed,
@@ -887,6 +893,54 @@ def synthetic_mjpeg_payloads(
                     encode_video_mjpeg(
                         frames, quality=quality,
                         restart_interval=restart_interval,
+                    ),
+                ))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, payload binary"
+    )
+
+
+def synthetic_mp4_payloads(
+    documents: DataFrame, n_frames: int = 8, quality: int = 95,
+    samples_per_chunk: int = 3,
+) -> DataFrame:
+    """Deterministic REAL MP4 videos from each document's text:
+    (doc_id, payload) — a genuine ISO-BMFF container (ftyp + mdat +
+    moov with a full stsd/stts/stsc/stsz/stco sample table,
+    operators/mp4.py) whose video track's samples are entropy-coded
+    baseline JPEGs. Frames are BLOCK-FLAT grayscale like the MJPEG
+    fixture but sized from digest indices 8/9 (so the rasters differ
+    from both the RAWV and MJPEG fixtures), clipped to [120, 230],
+    +4t drift, the planted −100 mid-video scene cut — every frame
+    decodes LOSSLESSLY, so the expected features derive with no
+    container or codec code at all (oracle_gen.py) while the operator
+    runs the full box walk + sample-table expansion + per-sample
+    Huffman + dequant + IDCT chain."""
+    from secure_agent_api_vector_search_spark.operators.mp4 import encode_mp4_mjpeg
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.sha256((text or "").encode()).digest()
+                bh, bw = 2 + d[8] % 3, 2 + d[9] % 3  # blocks per side
+                vals = np.frombuffer(
+                    (d * ((bh * bw) // len(d) + 1))[: bh * bw], dtype=np.uint8
+                ).reshape(bh, bw)
+                base = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:, :, None]
+                base = np.clip(base, 120, 230)
+                frames = []
+                for t in range(n_frames):
+                    shift = 4 * t - (100 if t >= n_frames // 2 else 0)
+                    f = np.clip(base.astype(np.int32) + shift, 0, 255)
+                    frames.append(f.astype(np.uint8))
+                rows.append((
+                    doc_id,
+                    encode_mp4_mjpeg(
+                        frames, quality=quality,
+                        samples_per_chunk=samples_per_chunk,
                     ),
                 ))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
