@@ -1968,6 +1968,17 @@ def image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_features(M.synthetic_png_payloads(docs))
 
 
+def image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec decode path #3: deterministic palettized
+    GIF payloads (genuine variable-width LZW streams) → block walk +
+    LZW decompression + palette expansion (operators/gif.py, dispatched
+    by the magic-sniffing decode_image) → the same feature projection
+    as the netpbm/PNG/JPEG paths. GIF is lossless, so the gate needs no
+    block-flat trick. Same map-only single-pass plan shape."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    return M.image_features(M.synthetic_gif_payloads(docs))
+
+
 def image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec decode path: deterministic baseline JPEG
     payloads (genuine Huffman-coded DCT data, operators/jpeg.py) →
@@ -4048,6 +4059,18 @@ FROM p ORDER BY doc_id""",
                     "feature projection; magic-sniffing dispatch lets PNG "
                     "and netpbm payloads mix in one corpus "
                     "(operators/multimodal.py::decode_image)",
+        tags=("multimodal",)))
+    r.register(NamedQuery(
+        "image_decode_gif", image_decode_gif,
+        oracle_sql=OG.image_decode_gif_oracle,  # generated: raster
+        # replay skipping the LZW container — the gate pins the real
+        # variable-width-LZW + palette-expansion codec path
+        description="[EXT] REAL compressed-codec decode: GIF "
+                    "(variable-width LZW with the GIF code-growth rule, "
+                    "interlace, frame compositing for animations, "
+                    "operators/gif.py — interop-tested on real "
+                    "tk/idlelib GIFs) → the shared image feature "
+                    "projection via decode_image's magic sniffing",
         tags=("multimodal",)))
     r.register(NamedQuery(
         "image_neardup", image_neardup,

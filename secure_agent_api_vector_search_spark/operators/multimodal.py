@@ -294,7 +294,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Format-sniffing image decode — all REAL decoders: JPEG
     (operators/jpeg.py: Huffman + DCT in numpy — baseline AND
     progressive, decodes standard libjpeg files incl. 4:2:0), PNG
-    (stdlib-zlib inflate + filter reversal), and binary netpbm.
+    (stdlib-zlib inflate + filter reversal), GIF (operators/gif.py:
+    variable-width LZW, interlace, first frame), and binary netpbm.
     Anything else raises at the documented codec seam — plug PIL/av in
     here for further formats / video codecs."""
     if payload[:2] == b"\xff\xd8":
@@ -303,12 +304,16 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from secure_agent_api_vector_search_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
     raise NotImplementedError(
         f"no decoder for image magic {payload[:4]!r}; plug an image "
         "library (PIL.Image.open) in here for formats beyond "
-        "JPEG-baseline/PNG/netpbm"
+        "JPEG-baseline/PNG/GIF/netpbm"
     )
 
 
@@ -445,6 +450,37 @@ def synthetic_png_payloads(documents: DataFrame) -> DataFrame:
                     (d * ((h * w * 3) // len(d) + 1))[: h * w * 3], dtype=np.uint8
                 ).reshape(h, w, 3)
                 rows.append((doc_id, encode_png(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, payload binary"
+    )
+
+
+def synthetic_gif_payloads(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL GIFs from each document's text: (doc_id,
+    payload). Digest indices 10/11 size the raster (distinct from the
+    netpbm/PNG/JPEG fixtures); a 64-entry palette and the index map
+    both derive from the digest stream, so the raster is exactly
+    reconstructible with no codec code (oracle_gen.py::_gif_raster)
+    while the payload is genuine variable-width LZW the decoder must
+    actually decompress. GIF is lossless by design — no block-flat
+    trick needed."""
+    from secure_agent_api_vector_search_spark.operators.gif import encode_gif
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.sha256((text or "").encode()).digest()
+                h, w = 16 + d[10] % 32, 16 + d[11] % 32
+                pal = np.frombuffer(
+                    (d * 6)[: 64 * 3], dtype=np.uint8
+                ).reshape(64, 3)
+                stream = np.frombuffer(
+                    (d * ((h * w) // len(d) + 1))[: h * w], dtype=np.uint8
+                )
+                rows.append((doc_id, encode_gif(pal[(stream % 64).reshape(h, w)])))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return documents.select("doc_id", "text").mapInPandas(

@@ -330,6 +330,33 @@ def _png_raster(text: str) -> np.ndarray:
     ).reshape(h, w, 3)
 
 
+def _gif_raster(text: str) -> np.ndarray:
+    """The GIF fixture spec (multimodal.py::synthetic_gif_payloads):
+    digest indices 10/11 for dimensions, a 64-entry digest-derived
+    palette indexed by the repeated digest stream mod 64."""
+    d = hashlib.sha256((text or "").encode()).digest()
+    h, w = 16 + d[10] % 32, 16 + d[11] % 32
+    pal = np.frombuffer((d * 6)[: 64 * 3], dtype=np.uint8).reshape(64, 3)
+    stream = np.frombuffer(
+        (d * ((h * w) // len(d) + 1))[: h * w], dtype=np.uint8
+    )
+    return pal[(stream % 64).reshape(h, w)]
+
+
+@_memo_sql
+def image_decode_gif_oracle() -> str:
+    """Expected features for catalog.image_decode_gif: the palettized
+    raster rebuilt directly, skipping the LZW-compressed GIF container
+    the operator decodes — so the gate pins the REAL codec path
+    (variable-width LZW + palette expansion) against a container-free
+    derivation. GIF is lossless, so equality is exact."""
+    sf_dir = oracle_sf_dir()
+    rasters = [(i, _gif_raster(t)) for i, t in _load_documents(sf_dir)]
+    return with_corpus_guard(
+        _image_features_core(rasters), "documents", "doc_id", sf_dir
+    )
+
+
 @_memo_sql
 def image_decode_png_oracle() -> str:
     """Expected features for catalog.image_decode_png: the RGB raster
