@@ -2053,6 +2053,18 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(M.synthetic_wav_payloads(docs))
 
 
+def audio_mp3_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural MPEG-audio pass: deterministic MPEG-1 Layer III
+    streams (structurally valid frames, digest-derived bitrate
+    sequences, optional ID3v2 tags) → the real tag-skip + frame-sync
+    walk + table/size arithmetic of operators/mp3.py → per-stream
+    frame count / duration / mean bitrate / VBR flag. The classify-
+    before-decode stage an audio corpus scan runs first; PCM decode
+    stays the documented seam. Map-only single-pass plan shape."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    return M.mp3_stream_summary(M.synthetic_mp3_payloads(docs))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4137,6 +4149,20 @@ FROM p ORDER BY doc_id""",
                     "rate, duration, RMS, energy-envelope activity windows "
                     "via mapInPandas; gated against a container-free "
                     "synthesis replay (oracle_gen.py)",
+        tags=("multimodal",)))
+    r.register(NamedQuery(
+        "audio_mp3_summary", audio_mp3_summary,
+        oracle_sql=OG.audio_mp3_summary_oracle,  # generated: fixture-
+        # spec replay with the operator's division order — no parser
+        # code, so the gate pins the tag skip + sync walk + size math
+        description="[EXT] structural MPEG-audio pass: ID3v2/v1 tag "
+                    "skip, frame-sync walk with the full MPEG-1/2/2.5 "
+                    "x Layer I/II/III bitrate/sample-rate tables, "
+                    "per-frame size arithmetic, Xing VBR detection "
+                    "(operators/mp3.py) -> frame count / duration / "
+                    "mean bitrate / VBR per stream; the cheap "
+                    "classify-before-decode stage of an audio corpus "
+                    "scan (PCM decode is the documented seam)",
         tags=("multimodal",)))
     r.register(NamedQuery(
         "dedup_near_keep_first", dedup_near_keep_first,

@@ -715,6 +715,76 @@ def audio_features(
     return with_payload.mapInPandas(op, schema=AUDIO_FEATURE_SCHEMA)
 
 
+MP3_SUMMARY_SCHEMA = (
+    "doc_id long, n_frames int, duration_sec double, sample_rate int, "
+    "bitrate_kbps_mean double, vbr boolean, layer int, mpeg_version string"
+)
+
+
+def mp3_stream_summary(with_payload: DataFrame) -> DataFrame:
+    """Structural MPEG-audio pass over (doc_id, payload): the frame-
+    sync walk of operators/mp3.py per payload — frame count, duration,
+    sample rate, mean bitrate, VBR flag — the cheap classify-before-
+    decode stage a 100 TB audio corpus runs first. Map-only, Arrow-
+    batched, no shuffle."""
+    from secure_agent_api_vector_search_spark.operators.mp3 import mp3_summary
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = mp3_summary(bytes(payload))
+                rows.append((
+                    doc_id, s["n_frames"], s["duration_sec"], s["sample_rate"],
+                    s["bitrate_kbps_mean"], s["vbr"], s["layer"], s["version"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "duration_sec", "sample_rate",
+                    "bitrate_kbps_mean", "vbr", "layer", "mpeg_version",
+                ],
+            )
+
+    return with_payload.mapInPandas(op, schema=MP3_SUMMARY_SCHEMA)
+
+
+def synthetic_mp3_payloads(documents: DataFrame) -> DataFrame:
+    """Deterministic structurally-valid MPEG-1 Layer III streams from
+    each document's text: (doc_id, payload). Digest index 12 sizes the
+    frame count, successive digest bytes pick each frame's bitrate
+    from the Layer-III table and its padding bit, index 13 decides
+    whether an ID3v2 tag leads — so the expected summary derives with
+    no parser code at all (oracle_gen.py) while the operator runs the
+    real tag-skip + frame-sync walk + size arithmetic."""
+    from secure_agent_api_vector_search_spark.operators.mp3 import (
+        _BITRATES,
+        encode_mp3_frames,
+    )
+
+    table = _BITRATES[("1", 3)]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.sha256((text or "").encode()).digest()
+                n = 6 + d[12] % 8
+                specs = [
+                    (table[d[(14 + i) % 32] % 14], d[(14 + i) % 32] >> 7)
+                    for i in range(n)
+                ]
+                rows.append((
+                    doc_id,
+                    encode_mp3_frames(specs, id3v2_bytes=(d[13] % 2) * 17),
+                ))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, payload binary"
+    )
+
+
 # ---------------------------------------------------------------------------
 # video: frame container, REAL decode, frame sampling, scene cuts
 # ---------------------------------------------------------------------------

@@ -446,6 +446,48 @@ def audio_decode_features_oracle(
     return with_corpus_guard(core, "documents", "doc_id", sf_dir)
 
 
+# the MPEG-1 Layer III bitrate table (kbps) — restated here rather than
+# imported so the replay stays independent of operators/mp3.py
+_MP3_L3_KBPS = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+
+@_memo_sql
+def audio_mp3_summary_oracle() -> str:
+    """Expected stream summaries for catalog.audio_mp3_summary,
+    replayed from the fixture spec (multimodal.py::
+    synthetic_mp3_payloads): digest index 12 sizes the frame count,
+    bytes 14.. pick each frame's Layer-III bitrate, index 13 gates the
+    ID3v2 tag. The replay runs NO parser code — the frame-size
+    arithmetic, tag skip, and sync walk are exactly what the gate then
+    pins. Float columns reproduce the operator's division order
+    (total_samples/rate; sum_bps/n/1000), so equality is bit-exact."""
+    sf_dir = oracle_sf_dir()
+    rows = []
+    for doc_id, text in _load_documents(sf_dir):
+        d = hashlib.sha256((text or "").encode()).digest()
+        n = 6 + d[12] % 8
+        kbps = [_MP3_L3_KBPS[d[(14 + i) % 32] % 14] for i in range(n)]
+        duration = (n * 1152) / 44100
+        mean_kbps = sum(k * 1000 for k in kbps) / n / 1000.0
+        vbr = "TRUE" if len(set(kbps)) > 1 else "FALSE"
+        rows.append(
+            f"({doc_id}, {n}, {_sql_float(duration)}, 44100, "
+            f"{_sql_float(mean_kbps)}, {vbr}, 3, '1')"
+        )
+    core = f"""
+  WITH m(doc_id, n_frames, duration_sec, sample_rate, bitrate_kbps_mean,
+         vbr, layer, mpeg_version) AS (VALUES
+  {_values_rows(rows)})
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_frames AS INT) AS n_frames,
+         CAST(duration_sec AS DOUBLE) AS duration_sec,
+         CAST(sample_rate AS INT) AS sample_rate,
+         CAST(bitrate_kbps_mean AS DOUBLE) AS bitrate_kbps_mean,
+         CAST(vbr AS BOOLEAN) AS vbr, CAST(layer AS INT) AS layer,
+         mpeg_version
+  FROM m"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # video_frame_features: frame-feature replay
 # ---------------------------------------------------------------------------
