@@ -4652,10 +4652,14 @@ CHECK_FIRST: tuple[str, ...] = (
     # driver coverage (last green r6); then the standing ANN guard.
     # Everything rotated out was green in r7/r8 and stays on the local
     # full gate every round.
-    # A: new gate entries this round (MJPEG video decode, the IVF-PQ
-    # composed tier + its exactness twin), plus the three r8-green
-    # entries whose operator code moved this round (decode_video
+    # A: new gate entries this round (MP4 container decode, GIF codec,
+    # MPEG-audio walk, MJPEG video decode, the IVF-PQ composed tier +
+    # its exactness twin), plus the three r8-green entries whose
+    # operator code moved this round (decode_video/decode_image
     # sniffing; id-ordered centroid fits in ivf/semdedup)
+    "video_frame_features_mp4",
+    "image_decode_gif",
+    "audio_mp3_summary",
     "video_frame_features_mjpeg",
     "ivfpq_topk",
     "ivfpq_topk_fullprobe",
@@ -4681,14 +4685,13 @@ CHECK_FIRST: tuple[str, ...] = (
     "similarity_join_lsh",
     "text_similarity_join",
     "corpus_stats_approx",
-    # C: the 29 oracle entries last green in round 6 (CORRECTNESS_r06;
-    # every one re-verified on the local full gate each round since)
-    "dedup_exact_keep_first",
+    # C: oracle entries last green in round 6 (CORRECTNESS_r06; every
+    # one re-verified on the local full gate each round since; three
+    # rotated back out to make room for this round's new entries —
+    # dedup_exact_keep_first, doc_repetition, epoch_shuffle)
     "dedup_incremental_bloom",
-    "doc_repetition",
     "doc_winnow_fingerprints",
     "duplicate_ngram_stats",
-    "epoch_shuffle",
     "events_funnel",
     "events_hourly_anomaly",
     "events_sessionize",
