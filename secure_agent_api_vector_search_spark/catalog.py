@@ -2043,6 +2043,18 @@ def video_frame_features_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_features(M.synthetic_mp4_payloads(docs))
 
 
+def video_frame_features_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-CONTAINER video decode path #2: RIFF/AVI payloads
+    (operators/avi.py — chunk walk with word alignment, hdrl stream
+    headers for the codec fourcc, movi frame chunks, compressed codecs
+    rejected by name) whose 'MJPG' frames decode per-chunk through
+    operators/jpeg.py, then the shared frame features. Block-flat
+    fixture frames decode losslessly, so the gate is container-free on
+    the oracle side. Same map-only single-pass plan shape."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    return M.video_features(M.synthetic_avi_payloads(docs))
+
+
 def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode path: deterministic PCM WAV payloads →
     whole-batch vectorized PCM feature pass (header walk + reduceat;
@@ -4141,6 +4153,17 @@ FROM p ORDER BY doc_id""",
                     "scene-cut features as the RAWV and MJPEG paths",
         tags=("multimodal",)))
     r.register(NamedQuery(
+        "video_frame_features_avi", video_frame_features_avi,
+        oracle_sql=OG.video_frame_features_avi_oracle,  # generated:
+        # block-flat fixture-spec replay — no container or codec code
+        description="[EXT] REAL-CONTAINER video decode #2: RIFF/AVI "
+                    "chunk walk (word-aligned chunks, hdrl/strh codec "
+                    "fourcc dispatch, movi '##dc' frames, idx1 "
+                    "emitted), per-chunk baseline-JPEG decode via "
+                    "operators/jpeg.py — the camera/scanner MJPEG "
+                    "wrapper; compressed fourccs rejected by name",
+        tags=("multimodal",)))
+    r.register(NamedQuery(
         "audio_decode_features", audio_decode_features,
         oracle_sql=OG.audio_decode_features_oracle,  # generated:
         # fixture samples synthesized directly (no RIFF container),
@@ -4658,6 +4681,7 @@ CHECK_FIRST: tuple[str, ...] = (
     # operator code moved this round (decode_video/decode_image
     # sniffing; id-ordered centroid fits in ivf/semdedup)
     "video_frame_features_mp4",
+    "video_frame_features_avi",
     "image_decode_gif",
     "audio_mp3_summary",
     "video_frame_features_mjpeg",
@@ -4686,12 +4710,12 @@ CHECK_FIRST: tuple[str, ...] = (
     "text_similarity_join",
     "corpus_stats_approx",
     # C: oracle entries last green in round 6 (CORRECTNESS_r06; every
-    # one re-verified on the local full gate each round since; three
+    # one re-verified on the local full gate each round since; four
     # rotated back out to make room for this round's new entries —
-    # dedup_exact_keep_first, doc_repetition, epoch_shuffle)
+    # dedup_exact_keep_first, doc_repetition, epoch_shuffle,
+    # duplicate_ngram_stats)
     "dedup_incremental_bloom",
     "doc_winnow_fingerprints",
-    "duplicate_ngram_stats",
     "events_funnel",
     "events_hourly_anomaly",
     "events_sessionize",

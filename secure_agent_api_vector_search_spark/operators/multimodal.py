@@ -839,6 +839,10 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
         from secure_agent_api_vector_search_spark.operators.mp4 import decode_mp4
 
         return decode_mp4(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":  # AVI container
+        from secure_agent_api_vector_search_spark.operators.avi import decode_avi
+
+        return decode_avi(payload)
     if payload[:2] == b"\xff\xd8":  # Motion-JPEG elementary stream
         from secure_agent_api_vector_search_spark.operators.jpeg import (
             decode_jpeg_consumed,
@@ -1049,6 +1053,43 @@ def synthetic_mp4_payloads(
                         samples_per_chunk=samples_per_chunk,
                     ),
                 ))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, payload binary"
+    )
+
+
+def synthetic_avi_payloads(
+    documents: DataFrame, n_frames: int = 8, quality: int = 95,
+) -> DataFrame:
+    """Deterministic REAL AVI videos from each document's text:
+    (doc_id, payload) — a genuine RIFF container (hdrl stream headers,
+    movi frame chunks, idx1 index; operators/avi.py) whose 'MJPG'
+    frames are entropy-coded baseline JPEGs. Block-flat frames sized
+    from digest indices 16/17 (distinct from every other fixture's
+    rasters), clipped to [120, 230], +4t drift, the planted −100
+    mid-video scene cut — lossless decode, so the expected features
+    derive with no container or codec code at all (oracle_gen.py)."""
+    from secure_agent_api_vector_search_spark.operators.avi import encode_avi_mjpeg
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.sha256((text or "").encode()).digest()
+                bh, bw = 2 + d[16] % 3, 2 + d[17] % 3  # blocks per side
+                vals = np.frombuffer(
+                    (d * ((bh * bw) // len(d) + 1))[: bh * bw], dtype=np.uint8
+                ).reshape(bh, bw)
+                base = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:, :, None]
+                base = np.clip(base, 120, 230)
+                frames = []
+                for t in range(n_frames):
+                    shift = 4 * t - (100 if t >= n_frames // 2 else 0)
+                    f = np.clip(base.astype(np.int32) + shift, 0, 255)
+                    frames.append(f.astype(np.uint8))
+                rows.append((doc_id, encode_avi_mjpeg(frames, quality=quality)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return documents.select("doc_id", "text").mapInPandas(

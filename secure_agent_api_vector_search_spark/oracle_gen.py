@@ -640,6 +640,54 @@ def video_frame_features_mp4_oracle(
     return with_corpus_guard(core, "documents", "doc_id", sf_dir)
 
 
+@_memo_sql
+def video_frame_features_avi_oracle(
+    n_frames: int = 8, sample_every: int = 2, cut_threshold: float = 24.0
+) -> str:
+    """Expected per-document features for
+    catalog.video_frame_features_avi, derived straight from the
+    fixture spec (multimodal.py::synthetic_avi_payloads, digest
+    indices 16/17) with NO container or codec code — pins the RIFF
+    chunk walk + per-frame JPEG decode chain, same recipe as the
+    MJPEG/MP4 twins."""
+    sf_dir = oracle_sf_dir()
+    rows: list[str] = []
+    for doc_id, text in _load_documents(sf_dir):
+        d = hashlib.sha256((text or "").encode()).digest()
+        bh, bw = 2 + d[16] % 3, 2 + d[17] % 3
+        vals = np.frombuffer(
+            (d * ((bh * bw) // len(d) + 1))[: bh * bw], dtype=np.uint8
+        ).reshape(bh, bw)
+        base = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:, :, None]
+        base = np.clip(base, 120, 230)
+        frames = []
+        for t in range(n_frames):
+            shift = 4 * t - (100 if t >= n_frames // 2 else 0)
+            frames.append(
+                np.clip(base.astype(np.int32) + shift, 0, 255).astype(np.uint8)
+            )
+        lumas = np.array([float(f.mean()) for f in frames])
+        cuts = int(np.sum(np.abs(np.diff(lumas)) > cut_threshold))
+        sampled = frames[::sample_every]
+        digest = hashlib.sha256()
+        for f in sampled:
+            digest.update(f.tobytes())
+        rows.append(
+            f"({doc_id}, {n_frames}, {len(sampled)}, {8 * bw}, {8 * bh}, "
+            f"{_sql_float(lumas.mean())}, {cuts}, '{digest.hexdigest()}')"
+        )
+    core = f"""
+  WITH v(doc_id, n_frames, n_sampled, width, height, mean_luma,
+         n_scene_cuts, sampled_sha256) AS (VALUES
+  {_values_rows(rows)})
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_frames AS INT) AS n_frames,
+         CAST(n_sampled AS INT) AS n_sampled, CAST(width AS INT) AS width,
+         CAST(height AS INT) AS height, CAST(mean_luma AS DOUBLE) AS mean_luma,
+         CAST(n_scene_cuts AS INT) AS n_scene_cuts, sampled_sha256
+  FROM v"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # corpus_stats_approx: HyperLogLog++ + quantile-summary replay
 # ---------------------------------------------------------------------------
