@@ -636,6 +636,59 @@ def _pipeline_probe(spark, sf_dir: str) -> dict:
         return {"error": repr(exc)}
 
 
+def _codec_throughput_probe() -> dict:
+    """Decode throughput on realistic payload sizes — the regression
+    guard for the defect class round-8 ADVICE caught (a quadratic bit
+    reader that was invisible on tiny gate fixtures but would hang on
+    a multi-MB photo). Driver-side pure Python on one core; decode
+    MB/s is the per-task number an executor core would see."""
+    import numpy as np
+
+    from secure_agent_api_vector_search_spark.operators import gif as G
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+    from secure_agent_api_vector_search_spark.operators import multimodal as M
+
+    out: dict[str, dict] = {}
+    rng = np.random.default_rng(42)
+    # photo-like raster: smooth gradient + noise = dense entropy data
+    yy, xx = np.mgrid[0:512, 0:512]
+    base = (yy // 4 + xx // 4) % 256
+    img = np.clip(
+        base[:, :, None] + rng.normal(0, 20, (512, 512, 3)), 0, 255
+    ).astype(np.uint8)
+    try:
+        for name, enc, dec in (
+            ("jpeg", lambda x: J.encode_jpeg(x, quality=85), J.decode_jpeg),
+            ("png", M.encode_png, M.decode_png),
+        ):
+            payload = enc(img)
+            t0 = time.perf_counter()
+            dec(payload)
+            dt = time.perf_counter() - t0
+            out[name] = {
+                "payload_kb": round(len(payload) / 1024, 1),
+                "decode_sec": round(dt, 3),
+                "decode_mb_per_sec": round(len(payload) / dt / 1e6, 2),
+                "megapixels_per_sec": round(512 * 512 / dt / 1e6, 2),
+            }
+        # GIF needs <=256 colors: posterize the same raster
+        gimg = (img // 32 * 32).astype(np.uint8)
+        gimg = gimg[:, :, :1]  # grayscale keeps the palette small
+        payload = G.encode_gif(gimg)
+        t0 = time.perf_counter()
+        G.decode_gif(payload)
+        dt = time.perf_counter() - t0
+        out["gif"] = {
+            "payload_kb": round(len(payload) / 1024, 1),
+            "decode_sec": round(dt, 3),
+            "decode_mb_per_sec": round(len(payload) / dt / 1e6, 2),
+            "megapixels_per_sec": round(512 * 512 / dt / 1e6, 2),
+        }
+    except Exception as exc:  # diagnostics never fail the bench
+        out["error"] = repr(exc)
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -729,6 +782,7 @@ def main() -> int:
         "recall": _recall_probe(spark, sf_dir),
         "ann_crossover": _ann_crossover_probe(spark, sf_dir),
         "pipeline_e2e": _pipeline_probe(spark, sf_dir),
+        "codec_throughput": _codec_throughput_probe(),
         "warm_total": round(sum(warm.values()), 3),
         "warm_median_total": round(sum(warm_median.values()), 3),
         "shared31_total": round(sum(cold.get(q, 0.0) for q in SHARED31), 3),
