@@ -344,6 +344,34 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.q5_local_supplier_volume(spark, sf_dir)
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q7_volume_shipping(spark, sf_dir)
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q8_market_share(spark, sf_dir)
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q9_product_type_profit(spark, sf_dir)
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q10_returned_items(spark, sf_dir)
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q14_promo_revenue(spark, sf_dir)
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q16_supplier_part_counts(spark, sf_dir)
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q19_disjunctive_revenue(spark, sf_dir)
+
+
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.top_customers_by_revenue(spark, sf_dir)
 
@@ -2452,6 +2480,129 @@ WHERE r_name = 'EUROPE' AND n_regionkey = r_regionkey AND s_nationkey = n_nation
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
         description="[EXT] TPC-H Q5 shape: 6-table join, all dims broadcast",
         tags=("relational", "join")))
+
+    r.register(NamedQuery(
+        "q7_volume_shipping", q7_volume_shipping,
+        oracle_sql=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem, orders, customer, supplier, nation n1, nation n2
+WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+  AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year""",
+        description="[EXT] TPC-H Q7 shape: bidirectional nation-pair trade "
+                    "by year — the nation dim joins twice under different "
+                    "roles, OR-pair filter spans both",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q8_market_share", q8_market_share,
+        oracle_sql=f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       CAST(COALESCE(SUM(CASE WHEN n1.n_name = 'NATION_3' THEN {_REV} END), 0)
+            AS DOUBLE)
+       / CAST(SUM({_REV}) AS DOUBLE) AS mkt_share
+FROM lineitem, part, supplier, orders, customer, nation n1, nation n2, region
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+  AND s_nationkey = n1.n_nationkey
+  AND r_name = 'ASIA' AND p_type = 'PROMO'
+GROUP BY o_year ORDER BY o_year""",
+        description="[EXT] TPC-H Q8 shape: per-year market share — "
+                    "conditional-aggregate ratio over a 7-table join, exact "
+                    "decimal sums, one double division",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q9_product_type_profit", q9_product_type_profit,
+        oracle_sql=f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM({_REV}
+                - CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST('0.1' AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+FROM lineitem, part, supplier, orders, nation
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%red%'
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+ORDER BY nation ASC, o_year DESC""",
+        description="[EXT] TPC-H Q9 shape: profit by (supplier nation, year) "
+                    "over LIKE-matched parts; supply cost proxied at 10% of "
+                    "retail price (no partsupp in this schema)",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q10_returned_items", q10_returned_items,
+        oracle_sql=f"""
+SELECT c_custkey, c_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        description="[EXT] TPC-H Q10 shape: revenue lost to returns per "
+                    "customer in one quarter; 4-table join + top-20 "
+                    "(TakeOrderedAndProject, no global sort)",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q14_promo_revenue", q14_promo_revenue,
+        oracle_sql=f"""
+SELECT 100.0 * CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} END), 0)
+                    AS DOUBLE)
+       / CAST(SUM({_REV}) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'""",
+        description="[EXT] TPC-H Q14 shape: promotion share of one month's "
+                    "revenue — conditional-aggregate ratio, one row out",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q16_supplier_part_counts", q16_supplier_part_counts,
+        oracle_sql="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        description="[EXT] TPC-H Q16 shape: distinct-supplier counts per "
+                    "part descriptor with a NOT-IN exclusion (left-anti "
+                    "join); lineitem stands in for partsupp",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q19_disjunctive_revenue", q19_disjunctive_revenue,
+        oracle_sql=f"""
+SELECT CAST(COALESCE(SUM({_REV}), 0) AS DOUBLE) AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 1 AND 20)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20
+        AND l_quantity BETWEEN 5 AND 25)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30
+        AND l_quantity BETWEEN 10 AND 30))""",
+        description="[EXT] TPC-H Q19 shape: OR-of-ANDs predicate spanning "
+                    "both join sides — the disjunctive-pushdown optimizer "
+                    "test; one decimal sum out",
+        tags=("relational", "join", "agg")))
 
     r.register(NamedQuery(
         "top_customers_by_revenue", top_customers_by_revenue,
@@ -4684,6 +4835,13 @@ CHECK_FIRST: tuple[str, ...] = (
     "video_frame_features_avi",
     "image_decode_gif",
     "audio_mp3_summary",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
     "video_frame_features_mjpeg",
     "ivfpq_topk",
     "ivfpq_topk_fullprobe",
@@ -4710,17 +4868,13 @@ CHECK_FIRST: tuple[str, ...] = (
     "text_similarity_join",
     "corpus_stats_approx",
     # C: oracle entries last green in round 6 (CORRECTNESS_r06; every
-    # one re-verified on the local full gate each round since; four
-    # rotated back out to make room for this round's new entries —
-    # dedup_exact_keep_first, doc_repetition, epoch_shuffle,
-    # duplicate_ngram_stats)
-    "dedup_incremental_bloom",
-    "doc_winnow_fingerprints",
-    "events_funnel",
-    "events_hourly_anomaly",
-    "events_sessionize",
-    "hard_negatives",
-    "heavy_hitter_ngrams",
+    # one re-verified on the local full gate each round since; eleven
+    # rotated back out to make room for this round's eleven new
+    # entries — dedup_exact_keep_first, doc_repetition, epoch_shuffle,
+    # duplicate_ngram_stats, dedup_incremental_bloom,
+    # doc_winnow_fingerprints, events_funnel, events_hourly_anomaly,
+    # events_sessionize, hard_negatives, heavy_hitter_ngrams — they
+    # rotate back in next round)
     "html_extract",
     "lang_profile",
     "lm_likelihood_buckets",

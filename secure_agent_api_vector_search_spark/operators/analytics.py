@@ -221,6 +221,270 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str, brand: str = "Brand#1
     )
 
 
+def q7_volume_shipping(
+    spark: SparkSession, sf_dir: str,
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    The nation dim joins TWICE under different roles (supplier side /
+    customer side) — alias-disambiguated self-reuse of one broadcast —
+    and the pair filter is the OR of both directions, evaluated after
+    both joins (predicate references columns of both). Aggregate keys:
+    (supp_nation, cust_nation, year)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n1k"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2k"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(3,0)") - _dec("l_discount", 8, 4)
+    )
+    return (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).alias("_rev"))
+        .select(
+            "supp_nation", "cust_nation",
+            F.col("l_year").cast("int").alias("l_year"),
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(
+    spark: SparkSession, sf_dir: str,
+    nation: str = "NATION_3", region: str = "ASIA", p_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 shape: per-year market share — a conditional-aggregate
+    RATIO (nation's revenue / all revenue) over a 7-table join. Both
+    sums stay exact DECIMAL; the share is ONE double division, so the
+    oracle comparison is bit-exact. The numerator's CASE keys on the
+    supplier nation resolved through the second nation role."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == p_type)
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    n2 = load_table(spark, sf_dir, "nation")  # customer side, region-gated
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n1k"), F.col("n_name").alias("supp_nation")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(3,0)") - _dec("l_discount", 8, 4)
+    )
+    joined = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), c["c_nationkey"] == n2["n_nationkey"])
+        .join(F.broadcast(r), n2["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("_n1k"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("supp_nation") == nation, revenue)),
+                F.lit(0).cast("decimal(38,6)"),
+            ).alias("_nat"),
+            F.sum(revenue).alias("_all"),
+        )
+        .select(
+            F.col("o_year").cast("int").alias("o_year"),
+            (F.col("_nat").cast("double") / F.col("_all").cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_type_profit(
+    spark: SparkSession, sf_dir: str, name_like: str = "%red%"
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by (supplier nation, year) over parts
+    matching a name pattern. The schema has no partsupp, so supply
+    cost is proxied as 10% of the part's retail price per unit —
+    decimal end to end, preserving Q9's amount expression shape
+    (rev − qty·cost) and its 5-table join + LIKE + year rollup."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like(name_like))
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(3,0)") - _dec("l_discount", 8, 4)
+    ) - _dec("l_quantity", 12, 2) * _dec("p_retailprice", 12, 2) * F.lit(
+        "0.1"
+    ).cast("decimal(2,1)")
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).alias("_profit"))
+        .select(
+            "nation",
+            F.col("o_year").cast("int").alias("o_year"),
+            F.col("_profit").cast("double").alias("sum_profit"),
+        )
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter — selective order-date range, returnflag filter on the
+    fact, 4-table join, TakeOrderedAndProject top-k (no global
+    sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(3,0)") - _dec("l_discount", 8, 4)
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).alias("_rev"))
+        .select(
+            "c_custkey", "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "c_acctbal", "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(
+    spark: SparkSession, sf_dir: str, month: str = "1997-09"
+) -> DataFrame:
+    """TPC-H Q14 shape: promotion share of one month's revenue — a
+    conditional-aggregate ratio over a part join. One row out; both
+    sums exact decimal, one double division, scaled by an exact
+    literal."""
+    y, m = (int(x) for x in month.split("-"))
+    nxt = f"{y + (m == 12)}-{m % 12 + 1:02d}-01"
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{month}-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(nxt).cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(3,0)") - _dec("l_discount", 8, 4)
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("p_type") == "PROMO", revenue)),
+                F.lit(0).cast("decimal(38,6)"),
+            ).alias("_promo"),
+            F.sum(revenue).alias("_all"),
+        )
+        .select(
+            (
+                F.lit(100.0)
+                * F.col("_promo").cast("double")
+                / F.col("_all").cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part descriptor
+    with a NOT-IN exclusion subquery. The schema has no partsupp, so
+    lineitem stands in as the part↔supplier relation (distinct pairs);
+    the exclusion (suppliers in bad standing, s_acctbal < 0) runs as a
+    LEFT ANTI join — the decorrelated NOT IN. COUNT(DISTINCT) keys the
+    one real shuffle; part filters prune first."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("_bad"))
+    return (
+        l.join(F.broadcast(bad), l["l_suppkey"] == F.col("_bad"), "left_anti")
+        .join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(), F.col("p_type").asc(), F.col("p_size").asc(),
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides (brand × size-band × quantity-band). The join is a
+    plain equi-join on partkey; the disjunction stays ONE post-join
+    filter Catalyst can partially push (each side's common conjuncts),
+    exactly Q19's optimizer test. One decimal sum out."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(3,0)") - _dec("l_discount", 8, 4)
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 20)
+            & F.col("l_quantity").between(5, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(21, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .filter(band)
+        .agg(F.coalesce(
+            F.sum(revenue), F.lit(0).cast("decimal(38,6)")
+        ).alias("_rev"))
+        .select(F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
