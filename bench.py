@@ -684,6 +684,18 @@ def _codec_throughput_probe() -> dict:
             "decode_mb_per_sec": round(len(payload) / dt / 1e6, 2),
             "megapixels_per_sec": round(512 * 512 / dt / 1e6, 2),
         }
+        from secure_agent_api_vector_search_spark.operators import webp as WP
+
+        payload = WP.encode_webp_lossless(img, subtract_green=True)
+        t0 = time.perf_counter()
+        WP.decode_webp(payload)
+        dt = time.perf_counter() - t0
+        out["webp_lossless"] = {
+            "payload_kb": round(len(payload) / 1024, 1),
+            "decode_sec": round(dt, 3),
+            "decode_mb_per_sec": round(len(payload) / dt / 1e6, 2),
+            "megapixels_per_sec": round(512 * 512 / dt / 1e6, 2),
+        }
     except Exception as exc:  # diagnostics never fail the bench
         out["error"] = repr(exc)
     return out

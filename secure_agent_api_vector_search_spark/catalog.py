@@ -2007,6 +2007,19 @@ def image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_features(M.synthetic_gif_payloads(docs))
 
 
+def image_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec decode path #4: deterministic lossless
+    WebP payloads — the fixture mixes five VP8L encode shapes (plain
+    literals, subtract-green transform, LZ77 runs, color cache,
+    uniform predictor) — decoded through the from-spec VP8L decoder
+    (operators/webp.py: canonical prefix codes, LZ77 + distance map,
+    color cache, all four transforms), dispatched by the magic-
+    sniffing decode_image, then the shared feature projection. Same
+    map-only single-pass plan shape."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    return M.image_features(M.synthetic_webp_payloads(docs))
+
+
 def image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec decode path: deterministic baseline JPEG
     payloads (genuine Huffman-coded DCT data, operators/jpeg.py) →
@@ -4236,6 +4249,19 @@ FROM p ORDER BY doc_id""",
                     "(operators/multimodal.py::decode_image)",
         tags=("multimodal",)))
     r.register(NamedQuery(
+        "image_decode_webp", image_decode_webp,
+        oracle_sql=OG.image_decode_webp_oracle,  # generated: raster
+        # replay skipping the VP8L container — the gate pins prefix
+        # decode + LZ77 + cache + transform paths (5 encode variants)
+        description="[EXT] REAL compressed-codec decode: lossless WebP "
+                    "(VP8L from the public spec: canonical prefix codes "
+                    "incl. the code-length code, LZ77 with the 2D "
+                    "distance map, color cache, meta prefix groups, all "
+                    "four transforms with sub-byte palette bundling, "
+                    "operators/webp.py; lossy VP8 rejected by name) → "
+                    "the shared image feature projection",
+        tags=("multimodal",)))
+    r.register(NamedQuery(
         "image_decode_gif", image_decode_gif,
         oracle_sql=OG.image_decode_gif_oracle,  # generated: raster
         # replay skipping the LZW container — the gate pins the real
@@ -4834,6 +4860,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "video_frame_features_mp4",
     "video_frame_features_avi",
     "image_decode_gif",
+    "image_decode_webp",
     "audio_mp3_summary",
     "q7_volume_shipping",
     "q8_market_share",
@@ -4873,9 +4900,8 @@ CHECK_FIRST: tuple[str, ...] = (
     # entries — dedup_exact_keep_first, doc_repetition, epoch_shuffle,
     # duplicate_ngram_stats, dedup_incremental_bloom,
     # doc_winnow_fingerprints, events_funnel, events_hourly_anomaly,
-    # events_sessionize, hard_negatives, heavy_hitter_ngrams — they
-    # rotate back in next round)
-    "html_extract",
+    # events_sessionize, hard_negatives, heavy_hitter_ngrams,
+    # html_extract — they rotate back in next round)
     "lang_profile",
     "lm_likelihood_buckets",
     "mixture_upsample",

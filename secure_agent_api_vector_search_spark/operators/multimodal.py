@@ -308,12 +308,16 @@ def decode_image(payload: bytes) -> np.ndarray:
         from secure_agent_api_vector_search_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from secure_agent_api_vector_search_spark.operators.webp import decode_webp
+
+        return decode_webp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
     raise NotImplementedError(
         f"no decoder for image magic {payload[:4]!r}; plug an image "
         "library (PIL.Image.open) in here for formats beyond "
-        "JPEG-baseline/PNG/GIF/netpbm"
+        "JPEG/PNG/GIF/WebP-lossless/netpbm"
     )
 
 
@@ -481,6 +485,47 @@ def synthetic_gif_payloads(documents: DataFrame) -> DataFrame:
                     (d * ((h * w) // len(d) + 1))[: h * w], dtype=np.uint8
                 )
                 rows.append((doc_id, encode_gif(pal[(stream % 64).reshape(h, w)])))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, payload binary"
+    )
+
+
+def synthetic_webp_payloads(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL lossless-WebP payloads from each document's
+    text: (doc_id, payload). Digest indices 18/19 size the raster
+    (distinct from every other fixture's); digest index 20 picks the
+    encode shape per document — plain literals, subtract-green,
+    LZ77 runs, color cache, or a uniform predictor — so one corpus
+    exercises several VP8L decoder paths. WebP-lossless is lossless by
+    definition: the raster reconstructs exactly, and the expected
+    features derive with no codec code at all (oracle_gen.py)."""
+    from secure_agent_api_vector_search_spark.operators.webp import (
+        encode_webp_lossless,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.sha256((text or "").encode()).digest()
+                h, w = 8 + d[18] % 16, 8 + d[19] % 16
+                px = np.frombuffer(
+                    (d * ((h * w * 3) // len(d) + 1))[: h * w * 3], dtype=np.uint8
+                ).reshape(h, w, 3)
+                variant = d[20] % 5
+                if variant == 0:
+                    payload = encode_webp_lossless(px)
+                elif variant == 1:
+                    payload = encode_webp_lossless(px, subtract_green=True)
+                elif variant == 2:
+                    payload = encode_webp_lossless(px, lz_runs=True)
+                elif variant == 3:
+                    payload = encode_webp_lossless(px, cache_bits=4)
+                else:
+                    payload = encode_webp_lossless(px, predictor_mode=d[21] % 14)
+                rows.append((doc_id, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return documents.select("doc_id", "text").mapInPandas(

@@ -1,0 +1,1009 @@
+"""WebP lossless (VP8L) codec — pure stdlib/numpy, from the public
+"WebP Lossless Bitstream Specification".
+
+The fourth real compressed image format in the decode-everything stack
+(JPEG/PNG/GIF, operators/jpeg.py, multimodal.py, gif.py): web crawls
+carry WebP in volume and rising. Implemented from the spec:
+
+decoder (the full lossless feature set):
+- RIFF walk: 'WEBP' + 'VP8L' payload; extended 'VP8X' containers are
+  searched for a VP8L chunk; lossy 'VP8 ' is rejected BY NAME (the
+  documented seam — same contract as compressed video codecs);
+- LSB-first bit reader; canonical prefix codes read per the DEFLATE
+  convention (MSB of the code first), built from code lengths;
+- both prefix-code representations: "simple" (1-2 symbols) and
+  "normal" (code-length code over the 19-symbol alphabet in the spec's
+  kCodeLengthCodeOrder, repeat codes 16/17/18, optional max_symbol);
+- the LZ77 layer: length/distance prefix coding ((2+(c&1))<<extra
+  offsets), the 120-entry 2D distance-neighbor map, color-cache
+  hashing (0x1e35a7bd multiplier), and literal ARGB decoding through
+  per-channel codes;
+- meta prefix codes (the entropy-image group lookup) for the main
+  image;
+- all four transforms, applied in reverse reading order: PREDICTOR
+  (all 14 modes incl. Select and ClampAddSubtract half/full), COLOR
+  (signed 3.5 fixed-point cross-channel deltas), SUBTRACT-GREEN, and
+  COLOR-INDEXING with sub-byte pixel bundling (8/4/2 indices per
+  byte);
+
+encoder (a genuine two-pass compressor, the test pair):
+- per-alphabet Huffman codes built from the real symbol frequencies
+  (depth-limited, canonical), written as simple codes for 1-2 symbol
+  alphabets and through an always-complete fixed 4-bit code-length
+  code otherwise;
+- optional subtract-green transform, optional color-indexing palette
+  (with mandatory sub-byte bundling for ≤16-color palettes), optional
+  run-length LZ77 (distance-1 back-references through the full
+  length/distance prefix path), optional color cache;
+
+Corrupt input raises a descriptive ValueError, never garbage output —
+the module contract shared by every codec here. Spark-side the decode
+rides decode_image's magic sniffing into the shared Arrow-batched
+image stages.
+"""
+from __future__ import annotations
+
+import heapq
+import struct
+
+import numpy as np
+
+__all__ = ["decode_webp", "encode_webp_lossless"]
+
+_CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+_CACHE_MULT = 0x1E35A7BD
+
+
+# ---------------------------------------------------------------------------
+# bit I/O (LSB-first), canonical prefix codes
+# ---------------------------------------------------------------------------
+
+
+class _Reader:
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("corrupt VP8L: bitstream exhausted")
+            self.acc |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        v = self.acc & ((1 << k) - 1)
+        self.acc >>= k
+        self.n -= k
+        return v
+
+
+class _Writer:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v: int, k: int):
+        self.acc |= (v & ((1 << k) - 1)) << self.n
+        self.n += k
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def done(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical per RFC1951 (sorted by
+    (length, symbol), codes assigned in increasing order)."""
+    code = 0
+    prev_len = 0
+    out: dict[int, tuple[int, int]] = {}
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        code <<= lengths[sym] - prev_len
+        prev_len = lengths[sym]
+        out[sym] = (code, lengths[sym])
+        code += 1
+    return out
+
+
+class _PrefixCode:
+    """Decode side: walk bits MSB-of-code-first through a (code,len) map."""
+
+    __slots__ = ("map", "max_len", "single")
+
+    def __init__(self, lengths: dict[int, int], single: int | None = None):
+        self.single = single
+        if single is not None:
+            self.map = {}
+            self.max_len = 0
+            return
+        if not lengths:
+            raise ValueError("corrupt VP8L: empty prefix code")
+        # completeness check: sum of 2^-len must equal 1
+        kraft = sum(1 << (15 - l) for l in lengths.values())
+        if kraft != 1 << 15:
+            raise ValueError("corrupt VP8L: prefix code is not complete")
+        self.map = {
+            (c, l): sym for sym, (c, l) in _canonical_codes(lengths).items()
+        }
+        self.max_len = max(lengths.values())
+
+    def read(self, r: _Reader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for length in range(1, self.max_len + 1):
+            code = (code << 1) | r.bits(1)
+            sym = self.map.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt VP8L: invalid prefix code word")
+
+
+def _read_prefix_code(r: _Reader, alphabet_size: int) -> _PrefixCode:
+    if r.bits(1):  # simple code
+        n_sym = r.bits(1) + 1
+        if r.bits(1):  # first symbol is 8 bits
+            s0 = r.bits(8)
+        else:
+            s0 = r.bits(1)
+        if n_sym == 1:
+            return _PrefixCode({}, single=s0)
+        s1 = r.bits(8)
+        return _PrefixCode({s0: 1, s1: 1})
+    # normal: code lengths coded by the 19-symbol code-length code
+    n_codes = r.bits(4) + 4
+    cl_lengths: dict[int, int] = {}
+    for i in range(n_codes):
+        l = r.bits(3)
+        if l:
+            cl_lengths[_CODE_LENGTH_ORDER[i]] = l
+    if len(cl_lengths) == 1:
+        cl_code = _PrefixCode({}, single=next(iter(cl_lengths)))
+    else:
+        cl_code = _PrefixCode(cl_lengths)
+    if r.bits(1):  # use max_symbol
+        length_nbits = 2 + 2 * r.bits(3)
+        max_symbol = 2 + r.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths: dict[int, int] = {}
+    prev = 8
+    sym = 0
+    while sym < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        c = cl_code.read(r)
+        if c < 16:
+            if c:
+                lengths[sym] = c
+                prev = c
+            sym += 1
+        elif c == 16:
+            for _ in range(3 + r.bits(2)):
+                if sym < alphabet_size:
+                    lengths[sym] = prev
+                    sym += 1
+        elif c == 17:
+            sym += 3 + r.bits(3)
+        else:  # 18
+            sym += 11 + r.bits(7)
+    if len(lengths) == 1:
+        return _PrefixCode({}, single=next(iter(lengths)))
+    return _PrefixCode(lengths)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 prefix value coding
+# ---------------------------------------------------------------------------
+
+
+def _prefix_decode_value(code: int, r: _Reader) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + r.bits(extra) + 1
+
+
+def _prefix_encode_value(v: int) -> tuple[int, int, int]:
+    """value -> (code, extra_bits_value, extra_bits_count)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for code in range(4, 40):
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        if offset + 1 <= v <= offset + (1 << extra):
+            return code, v - offset - 1, extra
+    raise ValueError(f"LZ77 value {v} out of range")
+
+
+# the 120-entry 2D distance map: (dy, dx) neighbors in scan order
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (-2, 8), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5),
+    (8, 4), (3, 8), (-3, 8), (8, 5), (6, 7), (-6, 7), (7, 6), (-7, 6),
+]
+# NOTE: the spec's table is (xoffset, yoffset) pairs; entries above are
+# (dx, dy) in that order as published.
+
+
+def _plane_distance(code: int, xsize: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DIST_MAP[code - 1]
+    d = dy * xsize + dx
+    return max(d, 1)
+
+
+# ---------------------------------------------------------------------------
+# entropy-coded image decoding
+# ---------------------------------------------------------------------------
+
+
+def _read_code_group(r: _Reader, cache_size: int) -> list[_PrefixCode]:
+    return [
+        _read_prefix_code(r, 256 + 24 + cache_size),  # green+len+cache
+        _read_prefix_code(r, 256),                    # red
+        _read_prefix_code(r, 256),                    # blue
+        _read_prefix_code(r, 256),                    # alpha
+        _read_prefix_code(r, 40),                     # distance
+    ]
+
+
+def _decode_entropy_image(
+    r: _Reader, w: int, h: int, is_main: bool
+) -> np.ndarray:
+    """Decode one (sub-)image to an (h, w, 4) uint8 RGBA array."""
+    cache_bits = 0
+    if r.bits(1):
+        cache_bits = r.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"corrupt VP8L: cache bits {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    groups: list[list[_PrefixCode]]
+    meta = None
+    meta_bits = 0
+    if is_main and r.bits(1):  # meta prefix codes
+        meta_bits = r.bits(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_image(r, mw, mh, False)
+        meta = (
+            meta_img[:, :, 0].astype(np.int64) << 8
+        ) | meta_img[:, :, 1].astype(np.int64)
+        n_groups = int(meta.max()) + 1
+    else:
+        n_groups = 1
+    groups = [_read_code_group(r, cache_size) for _ in range(n_groups)]
+
+    cache = [0] * cache_size
+    out = np.zeros((h * w, 4), dtype=np.uint8)  # RGBA
+    pos = 0
+    n_px = h * w
+    while pos < n_px:
+        if meta is not None:
+            y, x = divmod(pos, w)
+            g = groups[int(meta[y >> meta_bits, x >> meta_bits])]
+        else:
+            g = groups[0]
+        s = g[0].read(r)
+        if s < 256:
+            red = g[1].read(r)
+            blue = g[2].read(r)
+            alpha = g[3].read(r)
+            out[pos] = (red, s, blue, alpha)
+            pos += 1
+            if cache_size:
+                argb = (alpha << 24) | (red << 16) | (s << 8) | blue
+                cache[(_CACHE_MULT * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+        elif s < 256 + 24:
+            length = _prefix_decode_value(s - 256, r)
+            dist_code = _prefix_decode_value(g[4].read(r), r)
+            dist = _plane_distance(dist_code, w)
+            if dist > pos:
+                raise ValueError("corrupt VP8L: back-reference before start")
+            if pos + length > n_px:
+                raise ValueError("corrupt VP8L: back-reference past end")
+            for i in range(length):  # may self-overlap: element-wise
+                out[pos + i] = out[pos + i - dist]
+            if cache_size:
+                for i in range(length):
+                    px = out[pos + i]
+                    argb = (
+                        (int(px[3]) << 24) | (int(px[0]) << 16)
+                        | (int(px[1]) << 8) | int(px[2])
+                    )
+                    cache[
+                        (_CACHE_MULT * argb & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = argb
+            pos += length
+        else:
+            argb = cache[s - 256 - 24]
+            out[pos] = (
+                (argb >> 16) & 0xFF, (argb >> 8) & 0xFF,
+                argb & 0xFF, (argb >> 24) & 0xFF,
+            )
+            pos += 1
+    return out.reshape(h, w, 4)
+
+
+# ---------------------------------------------------------------------------
+# transforms (inverse, decode side)
+# ---------------------------------------------------------------------------
+
+
+def _inv_subtract_green(img: np.ndarray) -> np.ndarray:
+    g = img[:, :, 1].astype(np.uint16)
+    img[:, :, 0] = ((img[:, :, 0] + g) & 0xFF).astype(np.uint8)
+    img[:, :, 2] = ((img[:, :, 2] + g) & 0xFF).astype(np.uint8)
+    return img
+
+
+def _delta(t: int) -> int:
+    """Sign-extend a color-transform byte (3.5 fixed point)."""
+    return t - 256 if t >= 128 else t
+
+
+def _inv_color_transform(img: np.ndarray, bits: int, data: np.ndarray) -> np.ndarray:
+    h, w, _ = img.shape
+    for y in range(h):
+        for x in range(w):
+            cx = data[y >> bits, x >> bits]
+            # ColorTransformElement packing (spec §4.3): green_to_red
+            # rides the element's BLUE channel, green_to_blue its GREEN
+            # channel, red_to_blue its RED channel; all signed 3.5
+            # fixed point, multiplied by the SIGNED channel value with
+            # an arithmetic >>5
+            g2r = _delta(int(cx[2]))
+            g2b = _delta(int(cx[1]))
+            r2b = _delta(int(cx[0]))
+            g = _delta(int(img[y, x, 1]))
+            red = (int(img[y, x, 0]) + ((g2r * g) >> 5)) & 0xFF
+            r_s = _delta(red)
+            blue = (
+                int(img[y, x, 2]) + ((g2b * g) >> 5) + ((r2b * r_s) >> 5)
+            ) & 0xFF
+            img[y, x, 0] = red
+            img[y, x, 2] = blue
+    return img
+
+
+def _avg2(a: int, b: int) -> int:
+    return (a + b) >> 1
+
+
+def _clamp_add_sub_full(a: int, b: int, c: int) -> int:
+    return min(255, max(0, a + b - c))
+
+
+def _clamp_add_sub_half(a: int, b: int) -> int:
+    # (a - b) / 2 with C truncation-toward-zero (libwebp uses int
+    # division), not Python floor
+    d = a - b
+    half = abs(d) // 2
+    return min(255, max(0, a + (half if d >= 0 else -half)))
+
+
+def _predict(mode: int, L, T, TL, TR) -> list[int]:
+    """One predictor mode over 4-channel neighbor pixels (plain int
+    lists). Modes per spec §4.1."""
+    if mode == 0:
+        return [0, 0, 0, 255]
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return [_avg2(_avg2(L[i], TR[i]), T[i]) for i in range(4)]
+    if mode == 6:
+        return [_avg2(L[i], TL[i]) for i in range(4)]
+    if mode == 7:
+        return [_avg2(L[i], T[i]) for i in range(4)]
+    if mode == 8:
+        return [_avg2(TL[i], T[i]) for i in range(4)]
+    if mode == 9:
+        return [_avg2(T[i], TR[i]) for i in range(4)]
+    if mode == 10:
+        return [_avg2(_avg2(L[i], TL[i]), _avg2(T[i], TR[i])) for i in range(4)]
+    if mode == 11:  # Select
+        p = [L[i] + T[i] - TL[i] for i in range(4)]
+        pl = sum(abs(p[i] - L[i]) for i in range(4))
+        pt = sum(abs(p[i] - T[i]) for i in range(4))
+        return L if pl < pt else T
+    if mode == 12:
+        return [_clamp_add_sub_full(L[i], T[i], TL[i]) for i in range(4)]
+    if mode == 13:
+        return [_clamp_add_sub_half(_avg2(L[i], T[i]), TL[i]) for i in range(4)]
+    raise ValueError(f"corrupt VP8L: predictor mode {mode}")
+
+
+def _neighbors(px, y: int, x: int, w: int):
+    """(L, T, TL, TR) of a pixel in the linear scan, with the spec's
+    border rule: TR of the rightmost column is the pixel at linear
+    offset pos - w + 1, i.e. the FIRST pixel of the current row."""
+    L = px[y][x - 1]
+    T = px[y - 1][x]
+    TL = px[y - 1][x - 1]
+    TR = px[y - 1][x + 1] if x + 1 < w else px[y][0]
+    return L, T, TL, TR
+
+
+def _inv_predictor(img: np.ndarray, bits: int, modes: np.ndarray) -> np.ndarray:
+    h, w, _ = img.shape
+    px = [[list(map(int, img[y, x])) for x in range(w)] for y in range(h)]
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = [0, 0, 0, 255]
+            elif y == 0:
+                pred = px[0][x - 1]
+            elif x == 0:
+                pred = px[y - 1][0]
+            else:
+                mode = int(modes[y >> bits, x >> bits])
+                pred = _predict(mode, *_neighbors(px, y, x, w))
+            cur = px[y][x]
+            for i in range(4):
+                cur[i] = (cur[i] + pred[i]) & 0xFF
+    return np.array(px, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# decoder top level
+# ---------------------------------------------------------------------------
+
+
+def _decode_vp8l_payload(data: bytes) -> np.ndarray:
+    r = _Reader(data)
+    if r.bits(8) != 0x2F:
+        raise ValueError("corrupt VP8L: bad signature byte")
+    w = r.bits(14) + 1
+    h = r.bits(14) + 1
+    r.bits(1)  # alpha hint
+    if r.bits(3) != 0:
+        raise ValueError("corrupt VP8L: unknown version")
+
+    transforms: list[tuple[int, object]] = []
+    seen: set[int] = set()
+    palette = None
+    eff_w = w
+    while r.bits(1):
+        t = r.bits(2)
+        if t in seen:
+            raise ValueError(f"corrupt VP8L: transform {t} repeated")
+        seen.add(t)
+        if t == 0:  # predictor
+            bits = r.bits(3) + 2
+            sw = (eff_w + (1 << bits) - 1) >> bits
+            sh = (h + (1 << bits) - 1) >> bits
+            sub = _decode_entropy_image(r, sw, sh, False)
+            transforms.append((0, (bits, sub[:, :, 1].copy())))
+        elif t == 1:  # color transform
+            bits = r.bits(3) + 2
+            sw = (eff_w + (1 << bits) - 1) >> bits
+            sh = (h + (1 << bits) - 1) >> bits
+            sub = _decode_entropy_image(r, sw, sh, False)
+            transforms.append((1, (bits, sub)))
+        elif t == 2:  # subtract green
+            transforms.append((2, None))
+        else:  # color indexing
+            n_colors = r.bits(8) + 1
+            pal_img = _decode_entropy_image(r, n_colors, 1, False)
+            pal = pal_img[0].astype(np.uint16)
+            # palette entries are delta-coded per channel
+            for i in range(1, n_colors):
+                pal[i] = (pal[i] + pal[i - 1]) & 0xFF
+            palette = pal.astype(np.uint8)
+            if n_colors <= 2:
+                pack_bits = 3
+            elif n_colors <= 4:
+                pack_bits = 2
+            elif n_colors <= 16:
+                pack_bits = 1
+            else:
+                pack_bits = 0
+            transforms.append((3, (pack_bits, palette)))
+            eff_w = (eff_w + (1 << pack_bits) - 1) >> pack_bits
+
+    img = _decode_entropy_image(r, eff_w, h, True)
+
+    for t, arg in reversed(transforms):
+        if t == 3:
+            pack_bits, pal = arg
+            idx = img[:, :, 1]  # indices live in the green channel
+            if pack_bits:
+                per = 1 << pack_bits
+                ib = 8 >> pack_bits
+                mask = (1 << ib) - 1
+                cols = []
+                for j in range(per):
+                    cols.append((idx >> (ib * j)) & mask)
+                idx = np.stack(cols, axis=2).reshape(h, -1)[:, :w]
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("corrupt VP8L: palette index out of range")
+            img = pal[idx]
+        elif t == 2:
+            img = _inv_subtract_green(img)
+        elif t == 1:
+            bits, sub = arg
+            img = _inv_color_transform(img, bits, sub)
+        else:
+            bits, modes = arg
+            img = _inv_predictor(img, bits, modes)
+    if img.shape[1] != w:
+        img = img[:, :w]
+    if (img[:, :, 3] == 255).all():
+        return img[:, :, :3].copy()
+    return img.copy()
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """Decode a WebP file to (h, w, 3|4) uint8 RGB(A). Lossless (VP8L)
+    decodes for real; lossy VP8 is rejected by name (documented
+    seam)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload (no RIFF/WEBP magic)")
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    pos = 12
+    saw_lossy = False
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(f"corrupt WebP: chunk {fourcc!r} overruns file")
+        if fourcc == b"VP8L":
+            return _decode_vp8l_payload(payload[body : body + size])
+        if fourcc == b"VP8 ":
+            saw_lossy = True
+        pos = body + size + (size & 1)
+    if saw_lossy:
+        raise NotImplementedError(
+            "WebP lossy (VP8) decode not implemented (documented seam: "
+            "only lossless VP8L decodes)"
+        )
+    raise ValueError("corrupt WebP: no VP8L chunk")
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _huffman_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int, int]:
+    """Real Huffman code lengths from frequencies; depth-limited by
+    frequency flooring (rare for our alphabets)."""
+    syms = [s for s, f in freqs.items() if f > 0]
+    if len(syms) <= 1:
+        return {s: 1 for s in syms}
+    floor = 1
+    while True:
+        heap = [(max(f, floor), i, (s,)) for i, (s, f) in enumerate(freqs.items()) if f > 0]
+        heapq.heapify(heap)
+        i = len(heap)
+        depth: dict[int, int] = {s: 0 for s in syms}
+        while len(heap) > 1:
+            fa, _, sa = heapq.heappop(heap)
+            fb, _, sb = heapq.heappop(heap)
+            for s in sa + sb:
+                depth[s] += 1
+            heapq.heappush(heap, (fa + fb, i, sa + sb))
+            i += 1
+        if max(depth.values()) <= max_len:
+            return depth
+        floor *= 2
+
+
+def _write_prefix_code(
+    wtr: _Writer, lengths: dict[int, int], alphabet_size: int
+):
+    """Emit a prefix code: simple form for <=2 symbols, else normal
+    form with a fixed complete 4-bit code-length code (all 16 literal
+    length symbols at 4 bits — Kraft-complete by construction) and no
+    repeat codes (every symbol length written literally)."""
+    syms = sorted(lengths)
+    if len(syms) <= 2 and all(s < 256 for s in syms):
+        wtr.bits(1, 1)  # simple
+        wtr.bits(len(syms) - 1, 1)
+        if syms[0] < 2 and len(syms) == 1:
+            wtr.bits(0, 1)  # first symbol in 1 bit
+            wtr.bits(syms[0], 1)
+        else:
+            wtr.bits(1, 1)
+            wtr.bits(syms[0], 8)
+        if len(syms) == 2:
+            wtr.bits(syms[1], 8)
+        return
+    wtr.bits(0, 1)  # normal
+    wtr.bits(15, 4)  # num_code_lengths = 19
+    cl_lens = {s: 4 for s in range(16)}  # complete: 16 * 2^-4 == 1
+    for sym in _CODE_LENGTH_ORDER:
+        wtr.bits(cl_lens.get(sym, 0), 3)
+    cl_codes = _canonical_codes(cl_lens)
+    wtr.bits(0, 1)  # no max_symbol: read all alphabet_size lengths
+
+    def emit_cl(symbol_length: int):
+        code, ln = cl_codes[symbol_length]
+        for b in range(ln - 1, -1, -1):
+            wtr.bits((code >> b) & 1, 1)
+
+    for s in range(alphabet_size):
+        emit_cl(lengths.get(s, 0))
+
+
+def _emit_code(wtr: _Writer, codes: dict[int, tuple[int, int]], sym: int):
+    code, ln = codes[sym]
+    for b in range(ln - 1, -1, -1):
+        wtr.bits((code >> b) & 1, 1)
+
+
+def encode_webp_lossless(
+    img: np.ndarray,
+    subtract_green: bool = False,
+    use_palette: bool = False,
+    lz_runs: bool = False,
+    cache_bits: int = 0,
+    predictor_mode: int | None = None,
+    color_cte: tuple[int, int, int] | None = None,
+    meta_split: bool = False,
+) -> bytes:
+    """Encode (h, w, 3|4) RGB(A) or (h, w, 1) grayscale as lossless
+    WebP. Options exercise specific decoder paths (one transform at a
+    time): ``subtract_green``, ``use_palette`` (≤256 distinct colors;
+    ≤16-color palettes bundle sub-byte indices per the spec),
+    ``predictor_mode`` (0..13, applied uniformly — forward residuals
+    against the same neighbor rules the decoder inverts),
+    ``color_cte`` (a fixed (g2r, g2b, r2b) signed 3.5 fixed-point
+    element applied uniformly), ``lz_runs`` (distance-1
+    back-references for pixel runs), ``cache_bits`` (color cache)."""
+    if img.ndim != 3 or img.shape[2] not in (1, 3, 4):
+        raise ValueError(f"expected (h, w, 1|3|4) uint8, got {img.shape}")
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    h, w, ch = img.shape
+    rgba = np.zeros((h, w, 4), dtype=np.uint8)
+    rgba[:, :, :ch] = img
+    if ch == 3:
+        rgba[:, :, 3] = 255
+    if not 0 <= cache_bits <= 11:
+        raise ValueError(f"cache_bits {cache_bits} out of range")
+    n_transforms = sum(
+        1 for t in (subtract_green, use_palette, predictor_mode is not None,
+                    color_cte is not None) if t
+    )
+    if n_transforms > 1:
+        raise ValueError("fixture encoder: one transform at a time")
+
+    wtr = _Writer()
+    wtr.bits(0x2F, 8)
+    wtr.bits(w - 1, 14)
+    wtr.bits(h - 1, 14)
+    wtr.bits(0 if ch == 3 else 1, 1)  # alpha hint
+    wtr.bits(0, 3)  # version
+
+    work = rgba
+    eff_w = w
+    if use_palette:
+        flat = work.reshape(-1, 4)
+        pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError(f"palette mode needs <=256 colors, got {len(pal)}")
+        wtr.bits(1, 1)  # transform present
+        wtr.bits(3, 2)  # color indexing
+        wtr.bits(len(pal) - 1, 8)
+        # palette written delta-coded as a (1, n) entropy sub-image
+        deltas = pal.astype(np.int16)
+        deltas[1:] = (deltas[1:] - deltas[:-1]) % 256
+        _encode_entropy_image(
+            wtr, deltas.astype(np.uint8).reshape(1, -1, 4), lz_runs=False,
+            cache_bits=0, is_main=False,
+        )
+        idx = inverse.astype(np.uint8).reshape(h, w)
+        n_colors = len(pal)
+        if n_colors <= 2:
+            pack_bits = 3
+        elif n_colors <= 4:
+            pack_bits = 2
+        elif n_colors <= 16:
+            pack_bits = 1
+        else:
+            pack_bits = 0
+        if pack_bits:
+            per = 1 << pack_bits
+            ib = 8 >> pack_bits
+            pw = (w + per - 1) // per
+            padded = np.zeros((h, pw * per), dtype=np.uint8)
+            padded[:, :w] = idx
+            grouped = padded.reshape(h, pw, per)
+            packed = np.zeros((h, pw), dtype=np.uint8)
+            for j in range(per):
+                packed |= grouped[:, :, j] << (ib * j)
+            idx = packed
+            eff_w = pw
+        work = np.zeros((h, eff_w, 4), dtype=np.uint8)
+        work[:, :, 1] = idx  # indices ride the green channel
+        work[:, :, 3] = 255
+    if subtract_green:
+        wtr.bits(1, 1)
+        wtr.bits(2, 2)
+        work = work.copy()
+        g = work[:, :, 1].astype(np.int16)
+        work[:, :, 0] = ((work[:, :, 0] - g) % 256).astype(np.uint8)
+        work[:, :, 2] = ((work[:, :, 2] - g) % 256).astype(np.uint8)
+    if predictor_mode is not None:
+        if not 0 <= predictor_mode <= 13:
+            raise ValueError(f"predictor mode {predictor_mode} out of range")
+        bits = 4  # 16x16 blocks
+        wtr.bits(1, 1)
+        wtr.bits(0, 2)
+        wtr.bits(bits - 2, 3)
+        sw = (eff_w + (1 << bits) - 1) >> bits
+        sh = (h + (1 << bits) - 1) >> bits
+        sub = np.zeros((sh, sw, 4), dtype=np.uint8)
+        sub[:, :, 1] = predictor_mode  # mode rides the green channel
+        sub[:, :, 3] = 255
+        _encode_entropy_image(wtr, sub, lz_runs=False, cache_bits=0, is_main=False)
+        # forward residuals: pred() over the ORIGINAL pixels — the
+        # decoder reconstructs them exactly, so neighbors agree
+        orig = [[list(map(int, work[y, x])) for x in range(eff_w)] for y in range(h)]
+        res = np.zeros_like(work)
+        for y in range(h):
+            for x in range(eff_w):
+                if y == 0 and x == 0:
+                    pred = [0, 0, 0, 255]
+                elif y == 0:
+                    pred = orig[0][x - 1]
+                elif x == 0:
+                    pred = orig[y - 1][0]
+                else:
+                    pred = _predict(
+                        predictor_mode, *_neighbors(orig, y, x, eff_w)
+                    )
+                for i in range(4):
+                    res[y, x, i] = (orig[y][x][i] - pred[i]) & 0xFF
+        work = res
+    if color_cte is not None:
+        g2r, g2b, r2b = color_cte
+        for v in color_cte:
+            if not -128 <= v <= 127:
+                raise ValueError(f"color transform delta {v} out of int8 range")
+        bits = 4
+        wtr.bits(1, 1)
+        wtr.bits(1, 2)
+        wtr.bits(bits - 2, 3)
+        sw = (eff_w + (1 << bits) - 1) >> bits
+        sh = (h + (1 << bits) - 1) >> bits
+        sub = np.zeros((sh, sw, 4), dtype=np.uint8)
+        sub[:, :, 2] = g2r & 0xFF   # blue channel: green_to_red
+        sub[:, :, 1] = g2b & 0xFF   # green channel: green_to_blue
+        sub[:, :, 0] = r2b & 0xFF   # red channel: red_to_blue
+        sub[:, :, 3] = 255
+        _encode_entropy_image(wtr, sub, lz_runs=False, cache_bits=0, is_main=False)
+        work = work.copy()
+        for y in range(h):
+            for x in range(eff_w):
+                g_s = _delta(int(work[y, x, 1]))
+                red0 = int(work[y, x, 0])
+                r_s = _delta(red0)  # decoder sees the ORIGINAL red
+                work[y, x, 0] = (red0 - ((g2r * g_s) >> 5)) & 0xFF
+                work[y, x, 2] = (
+                    int(work[y, x, 2]) - ((g2b * g_s) >> 5) - ((r2b * r_s) >> 5)
+                ) & 0xFF
+    wtr.bits(0, 1)  # end of transforms
+
+    if meta_split:
+        if lz_runs or cache_bits or n_transforms:
+            raise ValueError("fixture encoder: meta_split is literals-only")
+        _encode_meta_split_image(wtr, work)
+    else:
+        _encode_entropy_image(
+            wtr, work, lz_runs=lz_runs, cache_bits=cache_bits, is_main=True
+        )
+    payload = wtr.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _encode_entropy_image(
+    wtr: _Writer, rgba: np.ndarray, lz_runs: bool, cache_bits: int,
+    is_main: bool = True,
+):
+    """Two-pass: tokenize the pixel stream (literals / run refs / cache
+    hits), build real Huffman codes per alphabet, emit."""
+    h, w, _ = rgba.shape
+    flat = rgba.reshape(-1, 4).astype(np.int64)
+    n_px = len(flat)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    # tokenize
+    tokens: list[tuple] = []  # ("lit", r,g,b,a) | ("run", length) | ("cache", idx)
+    cache = [None] * cache_size
+    pos = 0
+    while pos < n_px:
+        r_, g_, b_, a_ = (int(v) for v in flat[pos])
+        argb = (a_ << 24) | (r_ << 16) | (g_ << 8) | b_
+        if lz_runs and pos > 0 and (flat[pos] == flat[pos - 1]).all():
+            run = 1
+            while (
+                pos + run < n_px
+                and run < 16
+                and (flat[pos + run] == flat[pos - 1]).all()
+            ):
+                run += 1
+            tokens.append(("run", run))
+            if cache_size:
+                # the DECODER inserts every back-reference-copied pixel
+                # into its cache; mirror it or the two cache states
+                # diverge and a later encoder cache-hit would decode to
+                # a stale pixel (idempotent here: the run is one value)
+                cache[(_CACHE_MULT * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+            pos += run
+            continue
+        if cache_size:
+            slot = (_CACHE_MULT * argb & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[slot] == argb:
+                tokens.append(("cache", slot))
+                pos += 1
+                continue
+            cache[slot] = argb
+        tokens.append(("lit", r_, g_, b_, a_))
+        pos += 1
+
+    # frequencies
+    fg: dict[int, int] = {}
+    fr: dict[int, int] = {}
+    fb: dict[int, int] = {}
+    fa: dict[int, int] = {}
+    fd: dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            _, r_, g_, b_, a_ = t
+            fg[g_] = fg.get(g_, 0) + 1
+            fr[r_] = fr.get(r_, 0) + 1
+            fb[b_] = fb.get(b_, 0) + 1
+            fa[a_] = fa.get(a_, 0) + 1
+        elif t[0] == "run":
+            code, _, _ = _prefix_encode_value(t[1])
+            fg[256 + code] = fg.get(256 + code, 0) + 1
+            dcode, _, _ = _prefix_encode_value(121)  # plain distance 1
+            fd[dcode] = fd.get(dcode, 0) + 1
+        else:
+            fg[256 + 24 + t[1]] = fg.get(256 + 24 + t[1], 0) + 1
+    for f in (fr, fb, fa, fd):
+        if not f:
+            f[0] = 1  # unused alphabet: single-symbol simple code
+
+    wtr.bits(1 if cache_bits else 0, 1)
+    if cache_bits:
+        wtr.bits(cache_bits, 4)
+    if is_main:
+        wtr.bits(0, 1)  # no meta prefix codes (sub-images have no bit)
+
+    lg = _huffman_lengths(fg)
+    lr = _huffman_lengths(fr)
+    lb = _huffman_lengths(fb)
+    la = _huffman_lengths(fa)
+    ld = _huffman_lengths(fd)
+    for lengths, size in (
+        (lg, 256 + 24 + cache_size), (lr, 256), (lb, 256), (la, 256), (ld, 40)
+    ):
+        _write_prefix_code(wtr, lengths, size)
+    cg, cr, cb, ca, cd = (
+        _canonical_codes(lg), _canonical_codes(lr), _canonical_codes(lb),
+        _canonical_codes(la), _canonical_codes(ld),
+    )
+
+    def emit(codes, sym):
+        if len(codes) == 1:
+            return  # single-symbol simple code: zero bits on the wire
+        _emit_code(wtr, codes, sym)
+
+    for t in tokens:
+        if t[0] == "lit":
+            _, r_, g_, b_, a_ = t
+            emit(cg, g_)
+            emit(cr, r_)
+            emit(cb, b_)
+            emit(ca, a_)
+        elif t[0] == "run":
+            code, extra_v, extra_n = _prefix_encode_value(t[1])
+            emit(cg, 256 + code)
+            if extra_n:
+                wtr.bits(extra_v, extra_n)
+            dcode, dextra_v, dextra_n = _prefix_encode_value(121)
+            emit(cd, dcode)
+            if dextra_n:
+                wtr.bits(dextra_v, dextra_n)
+        else:
+            emit(cg, 256 + 24 + t[1])
+
+
+def _encode_meta_split_image(wtr: _Writer, rgba: np.ndarray):
+    """Literals-only main image with TWO prefix-code groups selected by
+    a meta prefix image (left half of each 16-px block row = group 0,
+    right half = group 1) — exercises the decoder's meta-code lookup
+    with genuinely different per-group Huffman codes."""
+    h, w, _ = rgba.shape
+    meta_bits = 4
+    mw = (w + 15) >> 4
+    mh = (h + 15) >> 4
+    groups = np.zeros((mh, mw), dtype=np.uint8)
+    groups[:, mw // 2 :] = 1 if mw > 1 else 0
+    n_groups = int(groups.max()) + 1
+
+    wtr.bits(0, 1)  # no color cache
+    wtr.bits(1, 1)  # meta prefix codes present
+    wtr.bits(meta_bits - 2, 3)
+    meta_img = np.zeros((mh, mw, 4), dtype=np.uint8)
+    meta_img[:, :, 1] = groups  # group index: (red << 8) | green
+    meta_img[:, :, 3] = 255
+    _encode_entropy_image(wtr, meta_img, lz_runs=False, cache_bits=0, is_main=False)
+
+    # per-group frequencies, then codes, then one literal stream
+    freqs = [
+        {"g": {}, "r": {}, "b": {}, "a": {}} for _ in range(n_groups)
+    ]
+    for y in range(h):
+        for x in range(w):
+            f = freqs[int(groups[y >> meta_bits, x >> meta_bits])]
+            r_, g_, b_, a_ = (int(v) for v in rgba[y, x])
+            f["g"][g_] = f["g"].get(g_, 0) + 1
+            f["r"][r_] = f["r"].get(r_, 0) + 1
+            f["b"][b_] = f["b"].get(b_, 0) + 1
+            f["a"][a_] = f["a"].get(a_, 0) + 1
+    group_codes = []
+    for f in freqs:
+        fd = {0: 1}  # unused distance alphabet
+        lengths = [
+            _huffman_lengths(f["g"]), _huffman_lengths(f["r"]),
+            _huffman_lengths(f["b"]), _huffman_lengths(f["a"]),
+            _huffman_lengths(fd),
+        ]
+        for l, size in zip(lengths, (256 + 24, 256, 256, 256, 40)):
+            _write_prefix_code(wtr, l, size)
+        group_codes.append([_canonical_codes(l) for l in lengths])
+
+    for y in range(h):
+        for x in range(w):
+            cg, cr, cb, ca, _ = group_codes[
+                int(groups[y >> meta_bits, x >> meta_bits])
+            ]
+            r_, g_, b_, a_ = (int(v) for v in rgba[y, x])
+            for codes, sym in ((cg, g_), (cr, r_), (cb, b_), (ca, a_)):
+                if len(codes) > 1:
+                    _emit_code(wtr, codes, sym)

@@ -357,6 +357,32 @@ def image_decode_gif_oracle() -> str:
     )
 
 
+def _webp_raster(text: str) -> np.ndarray:
+    """The WebP fixture spec (multimodal.py::synthetic_webp_payloads):
+    digest indices 18/19 for dimensions, h·w·3 repeated-digest bytes.
+    The encode-shape variant (index 20) does not change the raster —
+    every VP8L path is lossless."""
+    d = hashlib.sha256((text or "").encode()).digest()
+    h, w = 8 + d[18] % 16, 8 + d[19] % 16
+    return np.frombuffer(
+        (d * ((h * w * 3) // len(d) + 1))[: h * w * 3], dtype=np.uint8
+    ).reshape(h, w, 3)
+
+
+@_memo_sql
+def image_decode_webp_oracle() -> str:
+    """Expected features for catalog.image_decode_webp: the raster
+    rebuilt directly, skipping the VP8L container — the gate pins the
+    REAL codec paths (prefix decode, LZ77, cache, transforms; the
+    fixture mixes five encode shapes) against a container-free
+    derivation. Lossless, so equality is exact."""
+    sf_dir = oracle_sf_dir()
+    rasters = [(i, _webp_raster(t)) for i, t in _load_documents(sf_dir)]
+    return with_corpus_guard(
+        _image_features_core(rasters), "documents", "doc_id", sf_dir
+    )
+
+
 @_memo_sql
 def image_decode_png_oracle() -> str:
     """Expected features for catalog.image_decode_png: the RGB raster

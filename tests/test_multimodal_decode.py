@@ -403,9 +403,13 @@ def test_png_rejects_corruption_and_unsupported():
         M.decode_png(bytes(bad))
     with pytest.raises(ValueError, match="not a PNG"):
         M.decode_png(b"JFIF not a png")
-    # JPEG now has a real decoder — the stub seam starts beyond it
+    # JPEG/GIF/WebP all have real decoders now — the stub seam starts
+    # beyond them (e.g. BMP)
     with pytest.raises(NotImplementedError, match="magic"):
-        M.decode_image(b"GIF89a not supported")
+        M.decode_image(b"BM not supported....")
+    # a GIF magic with garbage after it is CORRUPT input, not a seam
+    with pytest.raises(ValueError, match="corrupt GIF"):
+        M.decode_image(b"GIF89a" + b"\x10\x00\x10\x00\x00\x00\x00" + b"pad")
 
 
 def test_decode_image_sniffs_formats_and_mixed_corpus_dedups(spark):

@@ -1,0 +1,126 @@
+"""VP8L lossless WebP codec (operators/webp.py): every decoder path is
+round-trip tested against the genuine two-pass encoder — plain
+literals, simple vs normal prefix codes, LZ77 runs, color cache, meta
+prefix groups, all four transforms (with every sub-byte bundling
+width and all 14 predictor modes), plus descriptive rejection seams."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from secure_agent_api_vector_search_spark.operators import webp as W
+from secure_agent_api_vector_search_spark.operators.multimodal import decode_image
+
+
+def _rand(h, w, c=3, seed=3):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+
+
+def test_webp_plain_roundtrip_rgb_and_alpha():
+    img = _rand(13, 17)
+    assert np.array_equal(W.decode_webp(W.encode_webp_lossless(img)), img)
+    rgba = _rand(9, 7, 4, seed=5)
+    out = W.decode_webp(W.encode_webp_lossless(rgba))
+    assert out.shape == (9, 7, 4)
+    assert np.array_equal(out, rgba)
+
+
+def test_webp_grayscale_expands():
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+    assert np.array_equal(
+        W.decode_webp(W.encode_webp_lossless(g)), np.repeat(g, 3, axis=2)
+    )
+
+
+def test_webp_subtract_green_transform():
+    img = _rand(21, 19, seed=7)
+    assert np.array_equal(
+        W.decode_webp(W.encode_webp_lossless(img, subtract_green=True)), img
+    )
+
+
+def test_webp_lz77_runs():
+    runs = np.repeat(_rand(8, 5, seed=11), 4, axis=1)
+    p = W.encode_webp_lossless(runs, lz_runs=True)
+    assert np.array_equal(W.decode_webp(p), runs)
+    # the stream must actually be smaller than the literal form
+    assert len(p) < len(W.encode_webp_lossless(runs))
+
+
+def test_webp_color_cache():
+    few = (_rand(16, 16, seed=13) % 4) * 60
+    p = W.encode_webp_lossless(few, cache_bits=4)
+    assert np.array_equal(W.decode_webp(p), few)
+    # cache + LZ77 interact (the decoder inserts copied pixels too)
+    tall = np.repeat(few, 3, axis=0)
+    p2 = W.encode_webp_lossless(tall, cache_bits=4, lz_runs=True)
+    assert np.array_equal(W.decode_webp(p2), tall)
+
+
+@pytest.mark.parametrize("n,label", [(2, "1bit"), (4, "2bit"), (13, "4bit"), (40, "none")])
+def test_webp_palette_bundling_widths(n, label):
+    rng = np.random.default_rng(n)
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    pal[:, 0] = np.arange(n) * (250 // max(n - 1, 1))  # force distinct
+    img = pal[rng.integers(0, n, (11, 27))]
+    p = W.encode_webp_lossless(img, use_palette=True)
+    assert np.array_equal(W.decode_webp(p), img)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_webp_all_predictor_modes(mode):
+    img = _rand(37, 33, seed=mode + 1)
+    p = W.encode_webp_lossless(img, predictor_mode=mode)
+    assert np.array_equal(W.decode_webp(p), img)
+
+
+@pytest.mark.parametrize("cte", [(0, 0, 0), (16, -16, 8), (-128, 127, 33)])
+def test_webp_color_transform(cte):
+    img = _rand(19, 23, seed=sum(abs(c) for c in cte) + 1)
+    p = W.encode_webp_lossless(img, color_cte=cte)
+    assert np.array_equal(W.decode_webp(p), img)
+
+
+def test_webp_meta_prefix_groups():
+    rng = np.random.default_rng(23)
+    img = np.zeros((20, 64, 3), dtype=np.uint8)
+    img[:, :32] = rng.integers(0, 64, (20, 32, 3))
+    img[:, 32:] = rng.integers(192, 256, (20, 32, 3))
+    p = W.encode_webp_lossless(img, meta_split=True)
+    assert np.array_equal(W.decode_webp(p), img)
+
+
+def test_webp_decode_image_dispatch():
+    img = _rand(12, 12, seed=29)
+    assert np.array_equal(decode_image(W.encode_webp_lossless(img)), img)
+
+
+def test_webp_lossy_rejected_by_name():
+    lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError, match="VP8"):
+        W.decode_webp(lossy)
+
+
+def test_webp_corruption_is_descriptive():
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        W.decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
+    p = W.encode_webp_lossless(_rand(9, 9, seed=31))
+    with pytest.raises(ValueError, match="corrupt|exhausted"):
+        W.decode_webp(p[: len(p) - 6])
+    bad = bytearray(p)
+    i = bad.index(b"VP8L") + 8
+    bad[i] = 0x00  # break the VP8L signature byte
+    with pytest.raises(ValueError, match="signature"):
+        W.decode_webp(bytes(bad))
+
+
+def test_webp_too_many_palette_colors_rejected():
+    img = _rand(64, 64, seed=37)  # ~4k distinct colors
+    with pytest.raises(ValueError, match="<=256 colors"):
+        W.encode_webp_lossless(img, use_palette=True)
