@@ -124,3 +124,20 @@ def test_webp_too_many_palette_colors_rejected():
     img = _rand(64, 64, seed=37)  # ~4k distinct colors
     with pytest.raises(ValueError, match="<=256 colors"):
         W.encode_webp_lossless(img, use_palette=True)
+
+
+def test_webp_real_file_lossy_rejected_cleanly():
+    """The real python.webp this container's stdlib test data ships is
+    a VP8X-wrapped LOSSY file (ALPH + VP8 chunks): the decoder must
+    walk the extended container and reject the codec BY NAME — never
+    crash on or mis-decode a real file."""
+    import glob
+
+    files = glob.glob(
+        "/root/.pyenv/versions/*/lib/python3*/test/imghdrdata/python.webp"
+    )
+    if not files:
+        pytest.skip("stdlib webp sample not present")
+    payload = open(files[0], "rb").read()
+    with pytest.raises(NotImplementedError, match="VP8"):
+        W.decode_webp(payload)
