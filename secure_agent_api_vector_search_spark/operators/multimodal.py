@@ -901,7 +901,9 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
             i += consumed
         return frames
     if payload[:4] != VIDEO_MAGIC:
-        raise ValueError(f"not a RAWV or MJPEG payload: {payload[:4]!r}")
+        raise ValueError(
+            f"not a RAWV or MJPEG/MP4/AVI payload: {payload[:4]!r}"
+        )
     nl = payload.index(b"\n", 4)
     n = int(payload[4:nl])
     if n < 1:

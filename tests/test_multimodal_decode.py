@@ -413,27 +413,32 @@ def test_png_rejects_corruption_and_unsupported():
 
 
 def test_decode_image_sniffs_formats_and_mixed_corpus_dedups(spark):
-    """PNG, netpbm, and GIF copies of the SAME raster must all land at
-    Hamming 0 through the mixed-format scan — the format-sniffing
-    dispatch makes the perceptual dedup codec-agnostic."""
+    """PNG, netpbm, GIF, and lossless-WebP copies of the SAME raster
+    must all land at Hamming 0 through the mixed-format scan — the
+    format-sniffing dispatch makes the perceptual dedup
+    codec-agnostic."""
     from secure_agent_api_vector_search_spark.operators.gif import encode_gif
+    from secure_agent_api_vector_search_spark.operators.webp import (
+        encode_webp_lossless,
+    )
 
     rng = np.random.default_rng(13)
     img = rng.integers(0, 256, size=(24, 16, 1), dtype=np.uint8)
     assert (M.decode_image(M.encode_png(img)) == M.decode_image(
         M.encode_netpbm(img)
     )).all()
-    # GIF expands grayscale to replicated RGB; the perceptual hash is
-    # luma-based, so the fingerprint must be identical anyway
+    # GIF/WebP expand grayscale to replicated RGB; the perceptual hash
+    # is luma-based, so the fingerprint must be identical anyway
     rows = [
         (1, bytearray(M.encode_netpbm(img))),
         (2, bytearray(M.encode_png(img))),
         (3, bytearray(encode_gif(img))),
+        (4, bytearray(encode_webp_lossless(img, subtract_green=True))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     pairs = M.image_neardup_pairs(df).collect()
     assert sorted((r.id_a, r.id_b, r.hamming) for r in pairs) == [
-        (1, 2, 0), (1, 3, 0), (2, 3, 0)
+        (1, 2, 0), (1, 3, 0), (1, 4, 0), (2, 3, 0), (2, 4, 0), (3, 4, 0)
     ]
 
 
