@@ -2106,6 +2106,38 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(M.synthetic_wav_payloads(docs))
 
 
+def image_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING perceptual image dedup run as a finite two-epoch
+    stream (streaming/ingest.py::start_image_dedup_ingest): epoch 1
+    delivers every document's netpbm fixture image; epoch 2 delivers
+    PNG re-encodes and GIF copies of admitted images under new ids
+    (must be dropped — the Hamming screen crosses format boundaries)
+    plus genuinely new rasters (must be admitted). Returns the admitted
+    corpus as (doc_id, fp); the oracle replays decode→aHash→banded
+    component policy with NO operator code (independent numpy aHash +
+    exact all-pairs Hamming + the same first-epoch-wins/min-id rules).
+    A VALUE-CHECKED streaming operator, like sessionize/anomaly."""
+    import tempfile
+
+    from secure_agent_api_vector_search_spark.streaming.ingest import (
+        start_image_dedup_ingest,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    ep1, ep2 = M.synthetic_image_stream_epochs(docs)
+    root = tempfile.mkdtemp(prefix="img_dedup_stream_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    ep1.coalesce(1).write.mode("append").parquet(in_dir)
+    q = start_image_dedup_ingest(spark, in_dir, out_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        ep2.coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select("doc_id", "fp")
+
+
 def audio_mp3_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural MPEG-audio pass: deterministic MPEG-1 Layer III
     streams (structurally valid frames, digest-derived bitrate
@@ -4274,6 +4306,21 @@ FROM p ORDER BY doc_id""",
                     "projection via decode_image's magic sniffing",
         tags=("multimodal",)))
     r.register(NamedQuery(
+        "image_dedup_streaming", image_dedup_streaming,
+        oracle_sql=OG.image_dedup_streaming_oracle,  # generated:
+        # independent numpy aHash + exact-Hamming union-find replay of
+        # the two-epoch admit policy — no operator code runs
+        description="[EXT] STREAMING perceptual image dedup "
+                    "(streaming/ingest.py::start_image_dedup_ingest): "
+                    "decode (real codecs, magic-sniffed) -> aHash -> "
+                    "banded Hamming screen vs batch AND admitted "
+                    "corpus per micro-batch; PNG/GIF re-encodes of "
+                    "admitted images dropped across format boundaries, "
+                    "new rasters admitted; sink stores fingerprints so "
+                    "the seen side never re-decodes; epoch-partitioned "
+                    "dynamic overwrite = exactly-once replay",
+        tags=("multimodal", "streaming")))
+    r.register(NamedQuery(
         "image_neardup", image_neardup,
         oracle_sql=OG.image_neardup_oracle,  # generated: independent
         # aHash replay over the fixture spec, EXACT all-pairs Hamming<=3
@@ -4859,6 +4906,7 @@ CHECK_FIRST: tuple[str, ...] = (
     # sniffing; id-ordered centroid fits in ivf/semdedup)
     "video_frame_features_mp4",
     "video_frame_features_avi",
+    "image_dedup_streaming",
     "image_decode_gif",
     "image_decode_webp",
     "audio_mp3_summary",
@@ -4895,14 +4943,13 @@ CHECK_FIRST: tuple[str, ...] = (
     "text_similarity_join",
     "corpus_stats_approx",
     # C: oracle entries last green in round 6 (CORRECTNESS_r06; every
-    # one re-verified on the local full gate each round since; eleven
-    # rotated back out to make room for this round's eleven new
+    # one re-verified on the local full gate each round since; thirteen
+    # rotated back out to make room for this round's thirteen new
     # entries — dedup_exact_keep_first, doc_repetition, epoch_shuffle,
     # duplicate_ngram_stats, dedup_incremental_bloom,
     # doc_winnow_fingerprints, events_funnel, events_hourly_anomaly,
     # events_sessionize, hard_negatives, heavy_hitter_ngrams,
-    # html_extract — they rotate back in next round)
-    "lang_profile",
+    # html_extract, lang_profile — they rotate back in next round)
     "lm_likelihood_buckets",
     "mixture_upsample",
     "orders_window_top3",

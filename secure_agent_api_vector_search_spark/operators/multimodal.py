@@ -461,6 +461,63 @@ def synthetic_png_payloads(documents: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_image_stream_epochs(
+    documents: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic image-delivery epochs for the streaming
+    perceptual-dedup surface: epoch 1 is every document's netpbm
+    fixture raster; epoch 2 plants PNG re-encodes (doc_id % 7 == 0,
+    ids +1_000_000), GIF copies (doc_id % 11 == 0, ids +2_000_000) —
+    both decode to the SAME raster, so they must be dropped against
+    the admitted corpus across a format change — plus genuinely new
+    rasters (doc_id % 13 == 0, ids +3_000_000, digest indices 22/23)
+    that must be admitted. Fully replayable with no codec code
+    (oracle_gen.py::image_dedup_streaming_oracle)."""
+    from secure_agent_api_vector_search_spark.operators.gif import encode_gif
+
+    def raster(text: str) -> np.ndarray:
+        # the same spec as synthetic_image_payloads / oracle_gen's
+        # _image_raster — the copies must be perceptual twins of the
+        # batch images the other gates already pin
+        d = hashlib.sha256((text or "").encode()).digest()
+        h, w = 16 + d[0] % 48, 16 + d[1] % 48
+        return np.frombuffer(
+            (d * ((h * w) // len(d) + 1))[: h * w], dtype=np.uint8
+        ).reshape(h, w, 1)
+
+    def op1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (doc_id, encode_netpbm(raster(text)))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def op2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id % 7 == 0:
+                    rows.append((doc_id + 1_000_000, encode_png(raster(text))))
+                if doc_id % 11 == 0:
+                    rows.append((doc_id + 2_000_000, encode_gif(raster(text))))
+                if doc_id % 13 == 0:
+                    d = hashlib.sha256((text or "").encode()).digest()
+                    h, w = 8 + d[22] % 16, 8 + d[23] % 16
+                    fresh = np.frombuffer(
+                        (d[::-1] * ((h * w) // len(d) + 1))[: h * w],
+                        dtype=np.uint8,
+                    ).reshape(h, w, 1)
+                    rows.append((doc_id + 3_000_000, encode_netpbm(fresh)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    base = documents.select("doc_id", "text")
+    schema = "doc_id long, payload binary"
+    return base.mapInPandas(op1, schema=schema), base.mapInPandas(
+        op2, schema=schema
+    )
+
+
 def synthetic_gif_payloads(documents: DataFrame) -> DataFrame:
     """Deterministic REAL GIFs from each document's text: (doc_id,
     payload). Digest indices 10/11 size the raster (distinct from the

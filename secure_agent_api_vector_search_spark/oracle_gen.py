@@ -282,6 +282,103 @@ def image_neardup_oracle(max_hamming: int = 3, chunk: int = 1024) -> str:
     return with_corpus_guard(core, "documents", "doc_id", sf_dir)
 
 
+def _hamming_components(
+    ids: np.ndarray, fps: np.ndarray, max_hamming: int, chunk: int = 1024
+) -> dict[int, int]:
+    """id -> component root over the EXACT all-pairs Hamming ≤ budget
+    graph (union-find; legitimate as the banded operator's expected
+    components by the 4-chunk pigeonhole at budget ≤ 3)."""
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    fp_u = fps.view(np.uint64)
+    n = len(ids)
+    for s in range(0, n, chunk):
+        hams = _hamming_block(fp_u[s : s + chunk], fp_u)
+        for bi, gj in zip(*np.nonzero(hams <= max_hamming)):
+            i, j = s + int(bi), int(gj)
+            if i < j:
+                ra, rb = find(int(ids[i])), find(int(ids[j]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in parent}
+
+
+@_memo_sql
+def image_dedup_streaming_oracle(max_hamming: int = 3) -> str:
+    """Expected admitted corpus for catalog.image_dedup_streaming:
+    replay the two delivery epochs (multimodal.py::
+    synthetic_image_stream_epochs) with the INDEPENDENT numpy aHash
+    (_ahash64_replay) and exact all-pairs Hamming components, applying
+    the stream's policy — epoch 1 keeps each component's min id;
+    epoch 2 drops nodes whose component touches any admitted image and
+    keeps min id among the rest. No operator code runs: decode, hash,
+    banding, and the streaming admit policy are all pinned."""
+    sf_dir = oracle_sf_dir()
+    ep1: list[tuple[int, int]] = []  # (id, fp)
+    ep2: list[tuple[int, int]] = []
+    for doc_id, text in _load_documents(sf_dir):
+        base = _image_raster(text)
+        ep1.append((doc_id, _ahash64_replay(base)))
+        if doc_id % 7 == 0:
+            ep2.append((doc_id + 1_000_000, _ahash64_replay(base)))
+        if doc_id % 11 == 0:
+            ep2.append((doc_id + 2_000_000, _ahash64_replay(base)))
+        if doc_id % 13 == 0:
+            d = hashlib.sha256((text or "").encode()).digest()
+            h, w = 8 + d[22] % 16, 8 + d[23] % 16
+            fresh = np.frombuffer(
+                (d[::-1] * ((h * w) // len(d) + 1))[: h * w], dtype=np.uint8
+            ).reshape(h, w, 1)
+            ep2.append((doc_id + 3_000_000, _ahash64_replay(fresh)))
+
+    # epoch 1: min id per component
+    ids1 = np.array([i for i, _ in ep1], dtype=np.int64)
+    fps1 = np.array([f for _, f in ep1], dtype=np.int64)
+    roots1 = _hamming_components(ids1, fps1, max_hamming)
+    keep_min: dict[int, int] = {}
+    for i in roots1:
+        r = roots1[i]
+        keep_min[r] = min(keep_min.get(r, i), i)
+    admitted = {keep_min[roots1[int(i)]] for i in ids1}
+    fp_of = dict(zip(ids1.tolist(), fps1.tolist()))
+
+    # epoch 2: components over (epoch-2 ∪ admitted) fingerprints
+    ids2 = np.array(
+        [i for i, _ in ep2] + sorted(admitted), dtype=np.int64
+    )
+    fps2 = np.array(
+        [f for _, f in ep2] + [fp_of[a] for a in sorted(admitted)],
+        dtype=np.int64,
+    )
+    roots2 = _hamming_components(ids2, fps2, max_hamming)
+    admitted_roots = {roots2[a] for a in admitted}
+    keep2: dict[int, int] = {}
+    for i, _ in ep2:
+        r = roots2[i]
+        if r in admitted_roots:
+            continue
+        keep2[r] = min(keep2.get(r, i), i)
+    for i, f in ep2:
+        r = roots2[i]
+        if r not in admitted_roots and keep2[r] == i:
+            admitted.add(i)
+            fp_of[i] = f
+
+    rows = [f"({i}, {fp_of[i]})" for i in sorted(admitted)]
+    core = f"""
+  WITH a(doc_id, fp) AS (VALUES
+  {_values_rows(rows)})
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(fp AS BIGINT) AS fp
+  FROM a"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
 def _thumb_sha(img: np.ndarray) -> str:
     """Independent 8×8 nearest-neighbor thumbnail digest (the resize
     stage's output, multimodal.py::thumbnail + sha256)."""

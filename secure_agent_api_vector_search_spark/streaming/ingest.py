@@ -14,7 +14,7 @@ event-time analytics (events.py covers that).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -484,6 +484,119 @@ def start_neardup_dedup_ingest(
             _epoch_overwrite(embed_documents(fresh, dim), out_dir, epoch_id)
         finally:
             fresh.unpersist()
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_dedup)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+IMAGE_DOCS_SCHEMA = "doc_id long, payload binary"
+
+
+def start_image_dedup_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+) -> StreamingQuery:
+    """Streaming PERCEPTUAL image dedup: the multimodal completion of
+    :func:`start_neardup_dedup_ingest`. Each micro-batch of (doc_id,
+    payload) images is decoded through the real codecs (JPEG/PNG/GIF/
+    WebP-lossless/netpbm, magic-sniffed), fingerprinted with the 64-bit
+    average hash, and screened at Hamming ≤ ``max_hamming`` against
+    BOTH the batch itself and the admitted corpus of all prior epochs:
+    a re-encode or near-copy of an admitted image is dropped (format
+    changes don't evade the screen — the mixed-format tests pin
+    PNG/GIF/WebP/netpbm copies of one raster at Hamming 0); the batch's
+    own near-dup clusters collapse to their min-id representative; a
+    batch doc transitively linked to an admitted image (via another
+    batch doc) is dropped too — component semantics, not pairwise.
+
+    Determinism/replay contract (same as the text surfaces): keep-min-id
+    holds WITHIN a micro-batch; ACROSS epochs first-epoch-wins; the
+    seen-side read excludes the current epoch and the sink is an
+    epoch-partitioned dynamic overwrite, so a replayed epoch re-derives
+    byte-identical output.
+
+    Scale shape — and one improvement over the text surface: the sink
+    STORES each admitted image's fingerprint, so the per-epoch seen
+    side is a 2-column (doc_id, fp) parquet scan — no re-decode of the
+    admitted corpus, ever. The Hamming screen is the shared banded
+    core (4×16-bit chunk buckets, vectorized XOR+popcount verify), so
+    per-epoch cost is O(batch + seen-fp-scan) with the pigeonhole
+    recall guarantee at ``max_hamming`` ≤ 3.
+    """
+    from secure_agent_api_vector_search_spark.operators.components import (
+        connected_components,
+    )
+    from secure_agent_api_vector_search_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from secure_agent_api_vector_search_spark.operators.multimodal import image_ahash
+
+    stream = (
+        spark.readStream.schema(IMAGE_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+    sink_schema = IMAGE_DOCS_SCHEMA + ", fp long, _epoch_id int"
+
+    def _dedup(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        if batch_df.isEmpty():
+            return
+        try:
+            seen_fp = (
+                spark.read.schema(sink_schema)
+                .parquet(out_dir)
+                .filter(F.col("_epoch_id") < int(epoch_id))
+                .select("doc_id", "fp")
+            )
+        except AnalysisException:  # first epoch: nothing admitted yet
+            seen_fp = spark.createDataFrame([], "doc_id long, fp long")
+        batch_fp = image_ahash(batch_df.select("doc_id", "payload")).persist()
+        try:
+            pairs = hamming_neardup_pairs(
+                batch_fp.unionByName(seen_fp), id_col="doc_id",
+                max_hamming=max_hamming,
+            )
+            comp = connected_components(pairs)
+            seen_ids = seen_fp.select(F.col("doc_id").alias("node"))
+            # components touching ANY admitted image drop entirely
+            # (covers transitive batch→batch→seen links); remaining
+            # batch nodes keep the component minimum
+            seen_comps = comp.join(seen_ids, "node").select("comp").distinct()
+            batch_nodes = comp.join(
+                batch_fp.select(F.col("doc_id").alias("node")), "node"
+            )
+            drop = (
+                batch_nodes.join(F.broadcast(seen_comps), "comp", "left_semi")
+                .select("node")
+                .unionByName(
+                    batch_nodes.join(
+                        F.broadcast(seen_comps), "comp", "left_anti"
+                    )
+                    .withColumn(
+                        "_min", F.min("node").over(Window.partitionBy("comp"))
+                    )
+                    .filter(F.col("node") != F.col("_min"))
+                    .select("node")
+                )
+                .withColumnRenamed("node", "doc_id")
+            )
+            fresh = (
+                batch_df.join(batch_fp, "doc_id")
+                .join(drop, "doc_id", "left_anti")
+                .select("doc_id", "payload", "fp")
+            )
+            _epoch_overwrite(fresh, out_dir, epoch_id)
+        finally:
+            batch_fp.unpersist()
 
     return (
         stream.writeStream.outputMode("append")

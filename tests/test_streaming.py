@@ -629,3 +629,56 @@ def test_sink_compaction_between_batches_is_replay_safe(spark, docs, tmp_path):
         q3.stop()
     with _pytest.raises(ValueError, match="_spark_metadata"):
         compact_parquet(spark, fs_out, target_file_bytes=1 << 20)
+
+
+def test_image_dedup_ingest_drops_perceptual_copies_across_formats(spark, tmp_path):
+    """Streaming perceptual image dedup: a PNG re-encode of an admitted
+    netpbm image delivered in a LATER epoch under a new id must be
+    dropped (format change does not evade the screen); a within-batch
+    GIF copy collapses to the min id; genuinely different images pass.
+    The sink stores fingerprints, so the seen side never re-decodes."""
+    import numpy as np
+
+    from secure_agent_api_vector_search_spark.operators import multimodal as M
+    from secure_agent_api_vector_search_spark.operators.gif import encode_gif
+    from secure_agent_api_vector_search_spark.streaming.ingest import (
+        start_image_dedup_ingest,
+    )
+
+    rng = np.random.default_rng(41)
+    imgs = [rng.integers(0, 256, (24, 16, 1), dtype=np.uint8) for _ in range(6)]
+
+    # epoch 1: five originals as netpbm + a GIF copy of img 1 (id 700)
+    first = [(i, bytearray(M.encode_netpbm(imgs[i]))) for i in range(5)]
+    first.append((700, bytearray(encode_gif(imgs[1]))))
+    # epoch 2: one new image + PNG re-encodes of imgs 0 and 2 (new ids)
+    second = [(10, bytearray(M.encode_netpbm(imgs[5])))]
+    second += [(900 + i, bytearray(M.encode_png(imgs[i]))) for i in (0, 2)]
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    schema = "doc_id long, payload binary"
+    spark.createDataFrame(first, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    q = start_image_dedup_ingest(spark, in_dir, out_dir, ckpt)
+    try:
+        _wait(q)
+        spark.createDataFrame(second, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        _wait(q)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_dir)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # GIF copy 700 collapsed to min-id 1; PNG re-encodes 900/902
+    # dropped against the admitted corpus; new image 10 admitted
+    assert ids == [0, 1, 2, 3, 4, 10]
+    assert "fp" in out.columns
+    # the stored fingerprints equal a fresh fingerprint pass (the seen
+    # side reads these instead of re-decoding payloads)
+    fresh = {
+        r["doc_id"]: r["fp"]
+        for r in M.image_ahash(out.select("doc_id", "payload")).collect()
+    }
+    stored = {r["doc_id"]: r["fp"] for r in out.select("doc_id", "fp").collect()}
+    assert stored == fresh
