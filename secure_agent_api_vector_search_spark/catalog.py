@@ -2007,6 +2007,18 @@ def image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_features(M.synthetic_gif_payloads(docs))
 
 
+def image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-format decode path: BMP/ICO payloads (the
+    fixture mixes 24-bit BMP, 8-bit palettized grayscale BMP, and
+    classic ICO per document) → bottom-up row flip, BGR reorder,
+    palette expansion, stride handling, icon-directory walk
+    (operators/bmp.py — interop-tested on the container's real
+    python.bmp and idle.ico incl. its PNG-compressed entry) → the
+    shared feature projection. Same map-only single-pass plan shape."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    return M.image_features(M.synthetic_bmp_payloads(docs))
+
+
 def image_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-codec decode path #4: deterministic lossless
     WebP payloads — the fixture mixes five VP8L encode shapes (plain
@@ -4281,6 +4293,19 @@ FROM p ORDER BY doc_id""",
                     "(operators/multimodal.py::decode_image)",
         tags=("multimodal",)))
     r.register(NamedQuery(
+        "image_decode_bmp", image_decode_bmp,
+        oracle_sql=OG.image_decode_bmp_oracle,  # generated: raster
+        # replay skipping both containers — pins row order, channel
+        # order, palette expansion, stride, and the ICO walk
+        description="[EXT] REAL format decode: BMP (BITMAPINFOHEADER "
+                    "family — 1/4/8/16/24/32-bit, bitfields, RLE8/RLE4, "
+                    "top-down and bottom-up) and ICO (directory walk, "
+                    "classic DIB entries with AND-mask alpha, PNG "
+                    "entries routed through decode_png) via "
+                    "operators/bmp.py; real-file interop on python.bmp "
+                    "and idle.ico",
+        tags=("multimodal",)))
+    r.register(NamedQuery(
         "image_decode_webp", image_decode_webp,
         oracle_sql=OG.image_decode_webp_oracle,  # generated: raster
         # replay skipping the VP8L container — the gate pins prefix
@@ -4909,6 +4934,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "image_dedup_streaming",
     "image_decode_gif",
     "image_decode_webp",
+    "image_decode_bmp",
     "audio_mp3_summary",
     "q7_volume_shipping",
     "q8_market_share",
@@ -4949,8 +4975,8 @@ CHECK_FIRST: tuple[str, ...] = (
     # duplicate_ngram_stats, dedup_incremental_bloom,
     # doc_winnow_fingerprints, events_funnel, events_hourly_anomaly,
     # events_sessionize, hard_negatives, heavy_hitter_ngrams,
-    # html_extract, lang_profile — they rotate back in next round)
-    "lm_likelihood_buckets",
+    # html_extract, lang_profile, lm_likelihood_buckets — they rotate
+    # back in next round)
     "mixture_upsample",
     "orders_window_top3",
     "pack_sequences",

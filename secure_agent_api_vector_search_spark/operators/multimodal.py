@@ -312,12 +312,20 @@ def decode_image(payload: bytes) -> np.ndarray:
         from secure_agent_api_vector_search_spark.operators.webp import decode_webp
 
         return decode_webp(payload)
+    if payload[:2] == b"BM":
+        from secure_agent_api_vector_search_spark.operators.bmp import decode_bmp
+
+        return decode_bmp(payload)
+    if payload[:4] == b"\x00\x00\x01\x00":
+        from secure_agent_api_vector_search_spark.operators.bmp import decode_ico
+
+        return decode_ico(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
     raise NotImplementedError(
         f"no decoder for image magic {payload[:4]!r}; plug an image "
         "library (PIL.Image.open) in here for formats beyond "
-        "JPEG/PNG/GIF/WebP-lossless/netpbm"
+        "JPEG/PNG/GIF/WebP-lossless/BMP/ICO/netpbm"
     )
 
 
@@ -582,6 +590,45 @@ def synthetic_webp_payloads(documents: DataFrame) -> DataFrame:
                     payload = encode_webp_lossless(px, cache_bits=4)
                 else:
                     payload = encode_webp_lossless(px, predictor_mode=d[21] % 14)
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, payload binary"
+    )
+
+
+def synthetic_bmp_payloads(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL BMP/ICO payloads from each document's text:
+    (doc_id, payload). Digest indices 24/25 size the raster; index 26
+    picks the container shape — 24-bit BMP, 8-bit palettized grayscale
+    BMP, or a classic ICO (headerless DIB + AND mask) — so one corpus
+    exercises the bottom-up row flip, BGR ordering, palette expansion,
+    stride padding, and the icon-directory walk. All three are
+    lossless; the expected raster derives with no codec code
+    (oracle_gen.py::_bmp_raster)."""
+    from secure_agent_api_vector_search_spark.operators.bmp import (
+        encode_bmp,
+        encode_ico,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.sha256((text or "").encode()).digest()
+                h, w = 8 + d[24] % 24, 8 + d[25] % 24
+                px = np.frombuffer(
+                    (d * ((h * w * 3) // len(d) + 1))[: h * w * 3],
+                    dtype=np.uint8,
+                ).reshape(h, w, 3)
+                variant = d[26] % 3
+                if variant == 0:
+                    payload = encode_bmp(px)
+                elif variant == 1:
+                    payload = encode_bmp(px[:, :, :1])  # 8-bit grayscale
+                else:
+                    payload = encode_ico(px)
                 rows.append((doc_id, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 

@@ -480,6 +480,33 @@ def image_decode_webp_oracle() -> str:
     )
 
 
+def _bmp_raster(text: str) -> np.ndarray:
+    """The BMP/ICO fixture spec (multimodal.py::synthetic_bmp_payloads):
+    digest indices 24/25 for dimensions, variant by index 26 — the
+    8-bit grayscale variant decodes to its replicated-RGB form."""
+    d = hashlib.sha256((text or "").encode()).digest()
+    h, w = 8 + d[24] % 24, 8 + d[25] % 24
+    px = np.frombuffer(
+        (d * ((h * w * 3) // len(d) + 1))[: h * w * 3], dtype=np.uint8
+    ).reshape(h, w, 3)
+    if d[26] % 3 == 1:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    return px
+
+
+@_memo_sql
+def image_decode_bmp_oracle() -> str:
+    """Expected features for catalog.image_decode_bmp: the raster
+    rebuilt directly, skipping the BMP/ICO containers — pins bottom-up
+    row order, BGR channel order, palette expansion, stride padding,
+    and the ICO directory walk against a container-free derivation."""
+    sf_dir = oracle_sf_dir()
+    rasters = [(i, _bmp_raster(t)) for i, t in _load_documents(sf_dir)]
+    return with_corpus_guard(
+        _image_features_core(rasters), "documents", "doc_id", sf_dir
+    )
+
+
 @_memo_sql
 def image_decode_png_oracle() -> str:
     """Expected features for catalog.image_decode_png: the RGB raster

@@ -1,0 +1,119 @@
+"""BMP/DIB and ICO decoders (operators/bmp.py): round trips across bit
+depths, RLE streams, row orders, real-file interop (the container's
+python.bmp and idle.ico), and descriptive corruption errors."""
+
+from __future__ import annotations
+
+import glob
+import struct
+
+import numpy as np
+import pytest
+
+from secure_agent_api_vector_search_spark.operators import bmp as B
+from secure_agent_api_vector_search_spark.operators.multimodal import decode_image
+
+
+def _rand(h, w, c=3, seed=3):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+
+
+def test_bmp_24bit_roundtrip_with_stride_padding():
+    for w in (7, 8, 17):  # 7/17 force stride padding
+        img = _rand(5, w, seed=w)
+        assert np.array_equal(B.decode_bmp(B.encode_bmp(img)), img)
+
+
+def test_bmp_8bit_palettized_grayscale():
+    g = _rand(9, 11, c=1, seed=5)
+    out = B.decode_bmp(B.encode_bmp(g))
+    assert np.array_equal(out, np.repeat(g, 3, axis=2))
+
+
+def test_bmp_top_down_rows():
+    """A negative height means top-down storage — flip must not apply."""
+    img = _rand(6, 4, seed=7)
+    payload = bytearray(B.encode_bmp(img))
+    # negate the height field and un-flip the pixel rows
+    h = struct.unpack("<i", payload[14 + 8 : 14 + 12])[0]
+    struct.pack_into("<i", payload, 14 + 8, -h)
+    stride = (4 * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload[54:], dtype=np.uint8).reshape(h, stride)
+    payload[54:] = rows[::-1].tobytes()
+    assert np.array_equal(B.decode_bmp(bytes(payload)), img)
+
+
+def test_bmp_rle8_with_all_escapes():
+    """Hand-built RLE8: runs, end-of-line, absolute literals, delta,
+    end-of-bitmap — pinned against the expected index grid."""
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    rle = bytes([
+        4, 10, 0, 0,          # row 0 (stored bottom-up): run of 4
+        2, 20, 2, 30, 0, 0,   # row 1: two runs
+        3, 40, 1, 50, 0, 1,   # row 2: run 3 + run 1, end of bitmap
+    ])
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 3, 1, 8, 1, len(rle), 0, 0, 256, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + 1024 + len(rle), 0, 0,
+                       14 + 40 + 1024)
+    out = B.decode_bmp(head + info + pal + rle)
+    expect = np.zeros((3, 4, 3), np.uint8)
+    expect[2] = 10
+    expect[1, :2] = 20
+    expect[1, 2:] = 30
+    expect[0, :3] = 40
+    expect[0, 3] = 50
+    assert np.array_equal(out, expect)
+
+
+def test_ico_roundtrip_and_dispatch():
+    img = _rand(13, 17, seed=11)
+    ico = B.encode_ico(img)
+    assert np.array_equal(B.decode_ico(ico), img)
+    assert np.array_equal(decode_image(ico), img)
+    assert np.array_equal(decode_image(B.encode_bmp(img)), img)
+
+
+def test_bmp_real_file_interop():
+    files = glob.glob(
+        "/root/.pyenv/versions/*/lib/python3*/test/imghdrdata/python.bmp"
+    )
+    if not files:
+        pytest.skip("stdlib bmp sample not present")
+    img = B.decode_bmp(open(files[0], "rb").read())
+    assert img.shape == (16, 16, 4)  # real file is 32-bit BGRA
+    assert img.dtype == np.uint8
+
+
+def test_ico_real_file_all_entries_decode():
+    """idle.ico carries classic DIB entries AND a 256x256 PNG entry —
+    the directory walk must decode every one, routing PNG through the
+    PNG decoder."""
+    files = glob.glob("/root/.pyenv/versions/*/lib/python3*/idlelib/Icons/idle.ico")
+    if not files:
+        pytest.skip("idle.ico not present")
+    payload = open(files[0], "rb").read()
+    n = struct.unpack("<H", payload[4:6])[0]
+    assert n >= 2
+    sizes = set()
+    for i in range(n):
+        img = B.decode_ico(payload, entry=i)
+        assert img.ndim == 3 and img.dtype == np.uint8
+        sizes.add(img.shape[:2])
+    assert (256, 256) in sizes  # the PNG-compressed entry
+    # default = largest entry
+    assert B.decode_ico(payload).shape[:2] == (256, 256)
+
+
+def test_bmp_corruption_is_descriptive():
+    with pytest.raises(ValueError, match="not a BMP"):
+        B.decode_bmp(b"XX" + b"\x00" * 60)
+    img = _rand(5, 5, seed=13)
+    payload = B.encode_bmp(img)
+    with pytest.raises(ValueError, match="corrupt BMP"):
+        B.decode_bmp(payload[:40])
+    with pytest.raises(ValueError, match="not an ICO"):
+        B.decode_ico(b"\x00\x00\x02\x00" + b"\x00" * 20)  # CUR, not ICO
+    trunc = bytearray(B.encode_ico(img))
+    struct.pack_into("<I", trunc, 6 + 8, 1 << 24)  # entry size overruns
+    with pytest.raises(ValueError, match="corrupt ICO"):
+        B.decode_ico(bytes(trunc))
