@@ -2019,6 +2019,18 @@ def image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_features(M.synthetic_bmp_payloads(docs))
 
 
+def image_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL document-format decode path: baseline TIFF payloads (the
+    fixture mixes uncompressed single-strip, PackBits multi-strip, and
+    LZW multi-strip with the horizontal predictor) → IFD walk, strip
+    assembly, RLE/LZW decompression, predictor reversal
+    (operators/tiff.py — interop-tested on the container's real
+    python.tiff) → the shared feature projection. Same map-only
+    single-pass plan shape."""
+    docs = rebalance_if_narrow(load_documents(spark, sf_dir))
+    return M.image_features(M.synthetic_tiff_payloads(docs))
+
+
 def image_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-codec decode path #4: deterministic lossless
     WebP payloads — the fixture mixes five VP8L encode shapes (plain
@@ -4306,6 +4318,20 @@ FROM p ORDER BY doc_id""",
                     "and idle.ico",
         tags=("multimodal",)))
     r.register(NamedQuery(
+        "image_decode_tiff", image_decode_tiff,
+        oracle_sql=OG.image_decode_tiff_oracle,  # generated: raster
+        # replay skipping the containers — pins IFD walk, strips,
+        # PackBits, early-change LZW, and the predictor
+        description="[EXT] REAL document-format decode: baseline TIFF "
+                    "(both byte orders, IFD tag walk, multi-strip "
+                    "assembly, photometric 0/1/2/3 with 16-bit "
+                    "ColorMap, PackBits, TIFF-variant LZW with the "
+                    "early-change width rule + horizontal predictor; "
+                    "JPEG-in-TIFF/CCITT rejected by name) via "
+                    "operators/tiff.py; real-file interop on "
+                    "python.tiff",
+        tags=("multimodal",)))
+    r.register(NamedQuery(
         "image_decode_webp", image_decode_webp,
         oracle_sql=OG.image_decode_webp_oracle,  # generated: raster
         # replay skipping the VP8L container — the gate pins prefix
@@ -4935,6 +4961,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "image_decode_gif",
     "image_decode_webp",
     "image_decode_bmp",
+    "image_decode_tiff",
     "audio_mp3_summary",
     "q7_volume_shipping",
     "q8_market_share",
@@ -4975,9 +5002,8 @@ CHECK_FIRST: tuple[str, ...] = (
     # duplicate_ngram_stats, dedup_incremental_bloom,
     # doc_winnow_fingerprints, events_funnel, events_hourly_anomaly,
     # events_sessionize, hard_negatives, heavy_hitter_ngrams,
-    # html_extract, lang_profile, lm_likelihood_buckets — they rotate
-    # back in next round)
-    "mixture_upsample",
+    # html_extract, lang_profile, lm_likelihood_buckets,
+    # mixture_upsample — they rotate back in next round)
     "orders_window_top3",
     "pack_sequences",
     "per_source_cap",

@@ -320,12 +320,16 @@ def decode_image(payload: bytes) -> np.ndarray:
         from secure_agent_api_vector_search_spark.operators.bmp import decode_ico
 
         return decode_ico(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from secure_agent_api_vector_search_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
     raise NotImplementedError(
         f"no decoder for image magic {payload[:4]!r}; plug an image "
         "library (PIL.Image.open) in here for formats beyond "
-        "JPEG/PNG/GIF/WebP-lossless/BMP/ICO/netpbm"
+        "JPEG/PNG/GIF/WebP-lossless/TIFF-baseline/BMP/ICO/netpbm"
     )
 
 
@@ -629,6 +633,45 @@ def synthetic_bmp_payloads(documents: DataFrame) -> DataFrame:
                     payload = encode_bmp(px[:, :, :1])  # 8-bit grayscale
                 else:
                     payload = encode_ico(px)
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, payload binary"
+    )
+
+
+def synthetic_tiff_payloads(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL baseline-TIFF payloads from each document's
+    text: (doc_id, payload). Digest indices 27/28 size the raster;
+    index 29 picks the encode shape — uncompressed single-strip,
+    PackBits multi-strip, or LZW multi-strip with the horizontal
+    predictor — so one corpus exercises the IFD walk, strip assembly,
+    both RLE/LZW paths, and the predictor reversal. All lossless; the
+    raster derives with no codec code (oracle_gen.py::_tiff_raster)."""
+    from secure_agent_api_vector_search_spark.operators.tiff import encode_tiff
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.sha256((text or "").encode()).digest()
+                h, w = 8 + d[27] % 24, 8 + d[28] % 24
+                px = np.frombuffer(
+                    (d * ((h * w * 3) // len(d) + 1))[: h * w * 3],
+                    dtype=np.uint8,
+                ).reshape(h, w, 3)
+                variant = d[29] % 3
+                if variant == 0:
+                    payload = encode_tiff(px)
+                elif variant == 1:
+                    payload = encode_tiff(
+                        px, compression="packbits", rows_per_strip=4
+                    )
+                else:
+                    payload = encode_tiff(
+                        px, compression="lzw", rows_per_strip=6, predictor=True
+                    )
                 rows.append((doc_id, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 

@@ -507,6 +507,30 @@ def image_decode_bmp_oracle() -> str:
     )
 
 
+def _tiff_raster(text: str) -> np.ndarray:
+    """The TIFF fixture spec (multimodal.py::synthetic_tiff_payloads):
+    digest indices 27/28 for dimensions; every encode variant is
+    lossless, so the raster is variant-independent."""
+    d = hashlib.sha256((text or "").encode()).digest()
+    h, w = 8 + d[27] % 24, 8 + d[28] % 24
+    return np.frombuffer(
+        (d * ((h * w * 3) // len(d) + 1))[: h * w * 3], dtype=np.uint8
+    ).reshape(h, w, 3)
+
+
+@_memo_sql
+def image_decode_tiff_oracle() -> str:
+    """Expected features for catalog.image_decode_tiff: the raster
+    rebuilt directly, skipping the TIFF containers — pins the IFD walk,
+    strip assembly, PackBits and early-change LZW decompression, and
+    predictor reversal against a container-free derivation."""
+    sf_dir = oracle_sf_dir()
+    rasters = [(i, _tiff_raster(t)) for i, t in _load_documents(sf_dir)]
+    return with_corpus_guard(
+        _image_features_core(rasters), "documents", "doc_id", sf_dir
+    )
+
+
 @_memo_sql
 def image_decode_png_oracle() -> str:
     """Expected features for catalog.image_decode_png: the RGB raster
