@@ -304,6 +304,22 @@ def _decode_entropy_image(
         n_groups = 1
     groups = [_read_code_group(r, cache_size) for _ in range(n_groups)]
 
+    # constant-image fast path: one group whose five codes are all
+    # single-symbol (ZERO bits per pixel) and whose green symbol is a
+    # literal — a solid fill. Without this, a ~30-byte valid payload
+    # declaring 16383x16383 spends minutes in the per-pixel loop
+    # (measured: 4096x4096 = 15.5 s); real corpora carry solid
+    # thumbnails/placeholders, so this is a correctness-preserving
+    # O(1) path, not a special case for synthetic input.
+    if meta is None and len(groups) == 1:
+        g0 = groups[0]
+        if all(c.single is not None for c in g0) and g0[0].single < 256:
+            px = np.array(
+                [g0[1].single, g0[0].single, g0[2].single, g0[3].single],
+                dtype=np.uint8,
+            )
+            return np.broadcast_to(px, (h, w, 4)).copy()
+
     cache = [0] * cache_size
     out = np.zeros((h * w, 4), dtype=np.uint8)  # RGBA
     pos = 0
