@@ -25,6 +25,10 @@ import numpy as np
 
 __all__ = ["decode_bmp", "encode_bmp", "decode_ico", "encode_ico"]
 
+# allocation guard: corrupt headers can declare ~1-TB index grids
+# (2^20 x 2^20 RLE) before any pixel data validates
+_MAX_PIXELS = 1 << 26
+
 
 def _decode_dib(
     payload: bytes, off: int, ico_mask: bool = False
@@ -45,8 +49,11 @@ def _decode_dib(
         h_raw //= 2
     top_down = h_raw < 0
     h = abs(h_raw)
-    if w <= 0 or h == 0 or w > 1 << 20 or h > 1 << 20:
-        raise ValueError(f"corrupt BMP: dimensions {w}x{h_raw}")
+    if w <= 0 or h == 0 or w * h > _MAX_PIXELS:
+        raise ValueError(
+            f"corrupt BMP: dimensions {w}x{h_raw} (allocation guard "
+            f"{_MAX_PIXELS} pixels)"
+        )
     if planes != 1:
         raise ValueError(f"corrupt BMP: planes {planes}")
 

@@ -38,6 +38,10 @@ import numpy as np
 __all__ = ["decode_gif", "decode_gif_frames", "encode_gif"]
 
 _MAX_WIDTH = 12  # GIF LZW code width ceiling (spec appendix F)
+# allocation guard: a corrupt 13-byte header can declare a 65535x65535
+# logical screen (a ~12 GB canvas) before any block validates — cap
+# total pixels at 64 MP with a descriptive error instead
+_MAX_PIXELS = 1 << 26
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +192,11 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     if len(payload) < 13:
         raise ValueError("corrupt GIF: truncated logical screen descriptor")
     sw, sh = struct.unpack("<HH", payload[6:10])
+    if sw * sh > _MAX_PIXELS:
+        raise ValueError(
+            f"corrupt GIF: logical screen {sw}x{sh} exceeds the "
+            f"{_MAX_PIXELS}-pixel allocation guard"
+        )
     packed, bg_index, _aspect = payload[10], payload[11], payload[12]
     pos = 13
     gct = None

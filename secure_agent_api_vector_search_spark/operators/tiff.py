@@ -227,6 +227,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         bo = ">"
     else:
         raise ValueError("not a TIFF payload (no II*/MM* magic)")
+    if len(payload) < 8:
+        raise ValueError("corrupt TIFF: truncated header")
     ifd_off = struct.unpack(bo + "I", payload[4:8])[0]
     if ifd_off + 2 > len(payload):
         raise ValueError("corrupt TIFF: IFD offset beyond file end")
@@ -248,8 +250,11 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         return v[0]
 
     w, h = one(256), one(257)
-    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
-        raise ValueError(f"corrupt TIFF: dimensions {w}x{h}")
+    if not (0 < w and 0 < h and w * h <= 1 << 26):
+        raise ValueError(
+            f"corrupt TIFF: dimensions {w}x{h} (allocation guard "
+            "67108864 pixels)"
+        )
     spp = one(277, 1)
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits):

@@ -52,6 +52,11 @@ __all__ = ["decode_webp", "encode_webp_lossless"]
 
 _CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 _CACHE_MULT = 0x1E35A7BD
+# allocation guard for the per-pixel Python decode loop: 14-bit dims
+# allow 16383x16383 (268 MP) from a tiny header; cap at 64 MP with a
+# descriptive error (the constant-fill fast path bypasses the loop,
+# but literal-coded giants would take hours)
+_MAX_PIXELS = 1 << 26
 
 
 # ---------------------------------------------------------------------------
@@ -507,6 +512,11 @@ def _decode_vp8l_payload(data: bytes) -> np.ndarray:
         raise ValueError("corrupt VP8L: bad signature byte")
     w = r.bits(14) + 1
     h = r.bits(14) + 1
+    if w * h > _MAX_PIXELS:
+        raise ValueError(
+            f"corrupt VP8L: {w}x{h} exceeds the {_MAX_PIXELS}-pixel "
+            "allocation guard"
+        )
     r.bits(1)  # alpha hint
     if r.bits(3) != 0:
         raise ValueError("corrupt VP8L: unknown version")
