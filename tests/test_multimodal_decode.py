@@ -403,13 +403,15 @@ def test_png_rejects_corruption_and_unsupported():
         M.decode_png(bytes(bad))
     with pytest.raises(ValueError, match="not a PNG"):
         M.decode_png(b"JFIF not a png")
-    # JPEG/GIF/WebP all have real decoders now — the stub seam starts
-    # beyond them (e.g. BMP)
+    # JPEG/GIF/WebP/BMP/ICO/TIFF all have real decoders now — the stub
+    # seam starts beyond them (e.g. JPEG 2000)
     with pytest.raises(NotImplementedError, match="magic"):
-        M.decode_image(b"BM not supported....")
-    # a GIF magic with garbage after it is CORRUPT input, not a seam
+        M.decode_image(b"\x00\x00\x00\x0cjP  \r\n\x87\n")
+    # known magics with garbage after them are CORRUPT input, not seams
     with pytest.raises(ValueError, match="corrupt GIF"):
         M.decode_image(b"GIF89a" + b"\x10\x00\x10\x00\x00\x00\x00" + b"pad")
+    with pytest.raises(ValueError, match="corrupt BMP"):
+        M.decode_image(b"BM not supported....")
 
 
 def test_decode_image_sniffs_formats_and_mixed_corpus_dedups(spark):
