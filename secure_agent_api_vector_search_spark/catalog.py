@@ -372,6 +372,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.q19_disjunctive_revenue(spark, sf_dir)
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q15_top_supplier(spark, sf_dir)
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q22_global_sales_opportunity(spark, sf_dir)
+
+
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.top_customers_by_revenue(spark, sf_dir)
 
@@ -2674,6 +2682,47 @@ WHERE l_partkey = p_partkey
         tags=("relational", "join", "agg")))
 
     r.register(NamedQuery(
+        "q15_top_supplier", q15_top_supplier,
+        oracle_sql=f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REV}) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+FROM rev, supplier
+WHERE l_suppkey = s_suppkey AND total = (SELECT MAX(total) FROM rev)
+ORDER BY s_suppkey""",
+        description="[EXT] TPC-H Q15 shape: quarterly revenue view + "
+                    "scalar max subquery, ties kept — decorrelated to "
+                    "one aggregate + broadcast one-row max equality join",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q22_global_sales_opportunity", q22_global_sales_opportunity,
+        oracle_sql="""
+SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+  AND CAST(c_acctbal AS DOUBLE) > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE)
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntrycode ORDER BY cntrycode""",
+        description="[EXT] TPC-H Q22 shape: scalar-average subquery "
+                    "(broadcast one-row) + NOT EXISTS (left-anti on "
+                    "recent orders — dormant customers; every customer "
+                    "here has SOME order) + bounded-code rollup; "
+                    "country code derived as c_nationkey % 10 (no "
+                    "phone column in this schema)",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
         "top_customers_by_revenue", top_customers_by_revenue,
         oracle_sql="""
 SELECT c_custkey, c_name,
@@ -4970,6 +5019,8 @@ CHECK_FIRST: tuple[str, ...] = (
     "q14_promo_revenue",
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
     "video_frame_features_mjpeg",
     "ivfpq_topk",
     "ivfpq_topk_fullprobe",
@@ -5003,9 +5054,8 @@ CHECK_FIRST: tuple[str, ...] = (
     # doc_winnow_fingerprints, events_funnel, events_hourly_anomaly,
     # events_sessionize, hard_negatives, heavy_hitter_ngrams,
     # html_extract, lang_profile, lm_likelihood_buckets,
-    # mixture_upsample — they rotate back in next round)
-    "orders_window_top3",
-    "pack_sequences",
+    # mixture_upsample, orders_window_top3, pack_sequences — they
+    # rotate back in next round)
     "per_source_cap",
     "q18_large_volume_customer",
     "q1_pricing_summary",

@@ -485,6 +485,74 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the maximum — the "revenue view + scalar max subquery" pattern,
+    decorrelated to one aggregate + a broadcast one-row max joined back
+    on equality (ties kept, the Q15 contract). Revenue stays exact
+    DECIMAL through the max/equality so the tie set cannot drift."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(3,0)") - _dec("l_discount", 8, 4)
+    )
+    rev = l.groupBy("l_suppkey").agg(F.sum(revenue).alias("_rev"))
+    best = rev.agg(F.max("_rev").alias("_best"))
+    return (
+        rev.join(F.broadcast(best), rev["_rev"] == best["_best"])
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("s_suppkey"), F.col("s_name"),
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in selected
+    country codes with NO RECENT orders — a scalar-average subquery
+    (broadcast one-row) + NOT EXISTS (left-anti on a date-filtered
+    order set) + group-by-code rollup. Two schema adaptations, same
+    shape: the country code derives as c_nationkey % 10 (no phone
+    column), and the anti-join keys on recent orders (every customer
+    in this corpus has SOME order, so Q22's literal "no orders ever"
+    is degenerate — dormancy keeps the anti-join semantics and a
+    non-empty result the gate can actually value-check). The average
+    is one double division of exact sums."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", (F.col("c_nationkey") % 10).cast("int")
+    )
+    codes = [1, 3, 5, 7, 9]
+    pos = c.filter(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(
+        (
+            F.sum(_dec("c_acctbal", 12, 2)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("_avg")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("_ck"))
+    )
+    return (
+        c.filter(F.col("cntrycode").isin(codes))
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("_avg"))
+        .join(o, F.col("c_custkey") == F.col("_ck"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal", 12, 2)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
