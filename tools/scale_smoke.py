@@ -158,7 +158,25 @@ def run_suite(spark, base: str) -> dict[str, dict[str, float]]:
         )
         return knn_join(qs, c, k=3, dim=DIM, match_col="g")
 
+    from secure_agent_api_vector_search_spark.operators import multimodal as MM
+
+    def _mixed_image_features():
+        # the three compressed-codec fixtures split by doc_id so one
+        # pass decodes GIF + WebP + TIFF payloads; all map-only — the
+        # growth claim is decode cost ~ corpus bytes, zero shuffles
+        gif = MM.synthetic_gif_payloads(docs.filter(F.col("doc_id") % 3 == 0))
+        wbp = MM.synthetic_webp_payloads(docs.filter(F.col("doc_id") % 3 == 1))
+        tif = MM.synthetic_tiff_payloads(docs.filter(F.col("doc_id") % 3 == 2))
+        return MM.image_features(gif.unionByName(wbp).unionByName(tif))
+
     ops = {
+        "image_decode_mixed_codecs": _mixed_image_features,
+        "image_neardup_pairs": lambda: MM.image_neardup_pairs(
+            MM.synthetic_image_payloads(docs)
+        ),
+        "video_decode_mp4": lambda: MM.video_features(
+            MM.synthetic_mp4_payloads(docs, n_frames=4)
+        ),
         "token_stats": lambda: TX.token_stats(docs),
         "duplicate_ngram_stats": lambda: TX.duplicate_ngram_stats(docs),
         "pack_sequences": lambda: PK.pack_sequences(docs, max_tokens=2048),
