@@ -1035,6 +1035,12 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
         from secure_agent_api_vector_search_spark.operators.avi import decode_avi
 
         return decode_avi(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":  # animated WebP
+        from secure_agent_api_vector_search_spark.operators.webp import (
+            decode_webp_frames,
+        )
+
+        return decode_webp_frames(payload)
     if payload[:2] == b"\xff\xd8":  # Motion-JPEG elementary stream
         from secure_agent_api_vector_search_spark.operators.jpeg import (
             decode_jpeg_consumed,

@@ -1033,3 +1033,127 @@ def _encode_meta_split_image(wtr: _Writer, rgba: np.ndarray):
             for codes, sym in ((cg, g_), (cr, r_), (cb, b_), (ca, a_)):
                 if len(codes) > 1:
                     _emit_code(wtr, codes, sym)
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF, lossless frames)
+# ---------------------------------------------------------------------------
+
+
+def decode_webp_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode an ANIMATED WebP (VP8X container, ANIM + ANMF chunks) to
+    its composited (h, w, 3|4) frames. Each ANMF's 16-byte header
+    carries 24-bit frame x/2, y/2, width-1, height-1, duration, and a
+    flags byte (bit 1: dispose-to-background, bit 0: blend) — frames
+    composite onto the canvas at their offsets, the GIF model with
+    24-bit fields. Lossless (VP8L) frames decode for real; lossy
+    frames reject by name. A non-animated payload returns its single
+    image as one frame, so this is the decode_video entry point."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload (no RIFF/WEBP magic)")
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    canvas = None
+    frames: list[np.ndarray] = []
+    pos = 12
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(f"corrupt WebP: chunk {fourcc!r} overruns file")
+        if fourcc == b"VP8X":
+            cw = 1 + int.from_bytes(payload[body + 4 : body + 7], "little")
+            ch = 1 + int.from_bytes(payload[body + 7 : body + 10], "little")
+            if cw * ch > _MAX_PIXELS:
+                raise ValueError(
+                    f"corrupt WebP: canvas {cw}x{ch} exceeds the "
+                    f"{_MAX_PIXELS}-pixel allocation guard"
+                )
+            canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("corrupt WebP: ANMF before VP8X")
+            fx = 2 * int.from_bytes(payload[body : body + 3], "little")
+            fy = 2 * int.from_bytes(payload[body + 3 : body + 6], "little")
+            fw = 1 + int.from_bytes(payload[body + 6 : body + 9], "little")
+            fh = 1 + int.from_bytes(payload[body + 9 : body + 12], "little")
+            flags = payload[body + 15]
+            # the frame's own image chunk follows the 16-byte header
+            sub = payload[body + 16 : body + size]
+            if sub[:4] == b"VP8 ":
+                raise NotImplementedError(
+                    "WebP lossy (VP8) animation frame decode not "
+                    "implemented (documented seam)"
+                )
+            if sub[:4] != b"VP8L":
+                raise ValueError(
+                    f"corrupt WebP: ANMF frame chunk {sub[:4]!r}"
+                )
+            sub_size = struct.unpack("<I", sub[4:8])[0]
+            img = _decode_vp8l_payload(sub[8 : 8 + sub_size])
+            if img.shape[:2] != (fh, fw):
+                raise ValueError(
+                    f"corrupt WebP: ANMF declares {fw}x{fh}, frame is "
+                    f"{img.shape[1]}x{img.shape[0]}"
+                )
+            if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
+                raise ValueError("corrupt WebP: frame exceeds canvas")
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            region[:, :, : img.shape[2]] = img
+            if img.shape[2] == 3:
+                region[:, :, 3] = 255
+            frames.append(canvas.copy())
+            if flags & 0x02:  # dispose to background (transparent black)
+                canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif fourcc == b"VP8L":
+            frames.append(
+                _to_rgba(_decode_vp8l_payload(payload[body : body + size]))
+            )
+        pos = body + size + (size & 1)
+    if not frames:
+        raise ValueError("WebP has no decodable frames")
+    if all((f[:, :, 3] == 255).all() for f in frames):
+        return [f[:, :, :3].copy() for f in frames]
+    return frames
+
+
+def _to_rgba(img: np.ndarray) -> np.ndarray:
+    if img.shape[2] == 4:
+        return img
+    out = np.zeros((*img.shape[:2], 4), dtype=np.uint8)
+    out[:, :, :3] = img
+    out[:, :, 3] = 255
+    return out
+
+
+def encode_webp_animation(
+    frames: list[np.ndarray], duration_ms: int = 100
+) -> bytes:
+    """Encode full-canvas frames as an animated lossless WebP (VP8X +
+    ANIM + one ANMF per frame, each a real VP8L stream)."""
+    if not frames:
+        raise ValueError("an animation needs at least one frame")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    chunks = bytearray()
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    vp8x = bytes([0x02, 0, 0, 0])  # animation flag
+    vp8x += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    chunks += chunk(b"VP8X", vp8x)
+    chunks += chunk(b"ANIM", struct.pack("<IH", 0xFFFFFFFF, 0))  # bg, loop
+    for f in frames:
+        if f.shape[0] != h or f.shape[1] != w:
+            raise ValueError("fixture encoder: frames must be full-canvas")
+        sub = encode_webp_lossless(f)
+        vp8l = sub[12:]  # strip RIFF/WEBP header, keep the VP8L chunk
+        anmf = (
+            (0).to_bytes(3, "little") + (0).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+            + duration_ms.to_bytes(3, "little") + bytes([0x00])
+        )
+        chunks += chunk(b"ANMF", anmf + vp8l)
+    riff = b"WEBP" + bytes(chunks)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

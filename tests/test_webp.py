@@ -141,3 +141,37 @@ def test_webp_real_file_lossy_rejected_cleanly():
     payload = open(files[0], "rb").read()
     with pytest.raises(NotImplementedError, match="VP8"):
         W.decode_webp(payload)
+
+
+def test_webp_animation_roundtrip_and_video_dispatch():
+    """Animated WebP (VP8X + ANIM/ANMF with real VP8L frames): frames
+    round trip exactly and decode_video dispatches on the RIFF/WEBP
+    magic alongside RAWV/MJPEG/MP4/AVI."""
+    from secure_agent_api_vector_search_spark.operators.multimodal import (
+        decode_video,
+    )
+
+    rng = np.random.default_rng(43)
+    frames = [rng.integers(0, 256, (10, 14, 3), dtype=np.uint8) for _ in range(5)]
+    payload = W.encode_webp_animation(frames)
+    out = W.decode_webp_frames(payload)
+    assert len(out) == 5
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+    out2 = decode_video(payload)
+    assert len(out2) == 5 and np.array_equal(out2[3], frames[3])
+    # a single-image WebP is a one-frame video through the same entry
+    assert len(W.decode_webp_frames(W.encode_webp_lossless(frames[0]))) == 1
+
+
+def test_webp_animation_corruption_and_guards():
+    rng = np.random.default_rng(47)
+    frames = [rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)]
+    payload = bytearray(W.encode_webp_animation(frames))
+    # declare an oversized canvas: the allocation guard must fire
+    i = payload.index(b"VP8X") + 8 + 4
+    payload[i : i + 3] = (0xFFFFFF).to_bytes(3, "little")
+    with pytest.raises(ValueError, match="allocation guard"):
+        W.decode_webp_frames(bytes(payload))
+    with pytest.raises(ValueError, match="at least one frame"):
+        W.encode_webp_animation([])
