@@ -30,6 +30,17 @@ __all__ = ["decode_bmp", "encode_bmp", "decode_ico", "encode_ico"]
 _MAX_PIXELS = 1 << 26
 
 
+def _mask_chan(vals: np.ndarray, mask: int) -> np.ndarray:
+    """Extract one BI_BITFIELDS channel: shift to the mask's low bit and
+    rescale its bit width to 0..255 (0-mask channels come back 0)."""
+    if mask == 0:
+        return np.zeros(vals.shape, dtype=np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    width = int(mask >> shift).bit_length()
+    v = (vals & mask) >> shift
+    return (v * 255 // ((1 << width) - 1)).astype(np.uint8)
+
+
 def _decode_dib(
     payload: bytes, off: int, ico_mask: bool = False
 ) -> np.ndarray:
@@ -101,22 +112,35 @@ def _decode_dib(
         img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
         out = rows_bottom_up(img.copy())
     elif bpp == 32:
-        px = rows[:, : w * 4].reshape(h, w, 4)
-        img = px[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
-        out = rows_bottom_up(img.copy())
+        if masks is not None and tuple(masks) != (0xFF0000, 0x00FF00, 0x0000FF):
+            # BI_BITFIELDS with a non-BGRA layout (RGBA/BGRX variants
+            # some tools write): honor the declared masks. V4+ headers
+            # carry an alpha mask at off+52; 40-byte headers don't.
+            am = 0
+            if hdr_size >= 56:
+                am = struct.unpack("<I", payload[off + 52 : off + 56])[0]
+            vals = (
+                np.frombuffer(raw, dtype="<u4")
+                .reshape(h, stride // 4)[:, :w]
+                .astype(np.uint64)
+            )
+            chans = [_mask_chan(vals, m) for m in (*masks, am)]
+            if am:
+                img = np.stack(chans, axis=2)
+            else:
+                img = np.stack(chans[:3], axis=2)
+            out = rows_bottom_up(img)
+        else:
+            px = rows[:, : w * 4].reshape(h, w, 4)
+            img = px[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
+            out = rows_bottom_up(img.copy())
     elif bpp == 16:
         vals = rows.view("<u2")[:, :w].astype(np.uint32)
         rm, gm, bm = masks if masks else (0x7C00, 0x03E0, 0x001F)
-
-        def chan(mask: int) -> np.ndarray:
-            if mask == 0:
-                return np.zeros_like(vals, dtype=np.uint8)
-            shift = (mask & -mask).bit_length() - 1
-            width = int(mask >> shift).bit_length()
-            v = (vals & mask) >> shift
-            return (v * 255 // ((1 << width) - 1)).astype(np.uint8)
-
-        img = np.stack([chan(rm), chan(gm), chan(bm)], axis=2)
+        img = np.stack(
+            [_mask_chan(vals, rm), _mask_chan(vals, gm), _mask_chan(vals, bm)],
+            axis=2,
+        )
         out = rows_bottom_up(img)
     elif bpp in (1, 4, 8):
         if bpp == 8:

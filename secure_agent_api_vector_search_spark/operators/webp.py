@@ -1044,15 +1044,18 @@ def decode_webp_frames(payload: bytes) -> list[np.ndarray]:
     """Decode an ANIMATED WebP (VP8X container, ANIM + ANMF chunks) to
     its composited (h, w, 3|4) frames. Each ANMF's 16-byte header
     carries 24-bit frame x/2, y/2, width-1, height-1, duration, and a
-    flags byte (bit 1: dispose-to-background, bit 0: blend) — frames
-    composite onto the canvas at their offsets, the GIF model with
-    24-bit fields. Lossless (VP8L) frames decode for real; lossy
-    frames reject by name. A non-animated payload returns its single
-    image as one frame, so this is the decode_video entry point."""
+    flags byte laid out Reserved(6)|B(1)|D(1): bit 0x01 is D
+    (dispose-to-background AFTER the frame), bit 0x02 is B (1 = do
+    NOT blend, overwrite; 0 = alpha-composite onto the canvas) —
+    the GIF model with 24-bit fields. Lossless (VP8L) frames decode
+    for real; lossy frames reject by name. A non-animated payload
+    returns its single image as one frame, so this is the
+    decode_video entry point."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload (no RIFF/WEBP magic)")
     end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
     canvas = None
+    saw_lossy = False
     frames: list[np.ndarray] = []
     pos = 12
     while pos + 8 <= end:
@@ -1099,18 +1102,43 @@ def decode_webp_frames(payload: bytes) -> list[np.ndarray]:
             if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
                 raise ValueError("corrupt WebP: frame exceeds canvas")
             region = canvas[fy : fy + fh, fx : fx + fw]
-            region[:, :, : img.shape[2]] = img
-            if img.shape[2] == 3:
-                region[:, :, 3] = 255
+            rgba = _to_rgba(img)
+            if flags & 0x02:  # B=1: do not blend — overwrite the region
+                region[:] = rgba
+            else:
+                # B=0 (default): straight-alpha "over" per the container
+                # spec — out.A = src.A + dst.A*(1-src.A); out.RGB =
+                # (src.RGB*src.A + dst.RGB*dst.A*(1-src.A)) / out.A
+                sa = rgba[:, :, 3:4].astype(np.float64) / 255.0
+                da = region[:, :, 3:4].astype(np.float64) / 255.0
+                oa = sa + da * (1.0 - sa)
+                num = (
+                    rgba[:, :, :3].astype(np.float64) * sa
+                    + region[:, :, :3].astype(np.float64) * da * (1.0 - sa)
+                )
+                rgb = np.where(oa > 0, num / np.where(oa > 0, oa, 1.0), 0.0)
+                region[:, :, :3] = np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+                region[:, :, 3] = np.clip(
+                    oa[:, :, 0] * 255.0 + 0.5, 0, 255
+                ).astype(np.uint8)
             frames.append(canvas.copy())
-            if flags & 0x02:  # dispose to background (transparent black)
+            if flags & 0x01:  # D=1: dispose to background (transparent black)
                 canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif fourcc == b"VP8 ":
+            saw_lossy = True
         elif fourcc == b"VP8L":
             frames.append(
                 _to_rgba(_decode_vp8l_payload(payload[body : body + size]))
             )
         pos = body + size + (size & 1)
     if not frames:
+        if saw_lossy:
+            # mirror decode_webp's seam contract: a lossy still inside a
+            # VP8X container rejects by codec name, not as "no frames"
+            raise NotImplementedError(
+                "WebP lossy (VP8) still-image decode not implemented "
+                "(documented seam)"
+            )
         raise ValueError("WebP has no decodable frames")
     if all((f[:, :, 3] == 255).all() for f in frames):
         return [f[:, :, :3].copy() for f in frames]

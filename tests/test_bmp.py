@@ -117,3 +117,46 @@ def test_bmp_corruption_is_descriptive():
     struct.pack_into("<I", trunc, 6 + 8, 1 << 24)  # entry size overruns
     with pytest.raises(ValueError, match="corrupt ICO"):
         B.decode_ico(bytes(trunc))
+
+
+def test_bmp_32bpp_bitfields_nonstandard_masks():
+    """A 32-bpp BI_BITFIELDS BMP with RGBA-byte-order masks (R low
+    byte) must decode through the declared masks, not the assumed
+    BGRA layout (ADVICE r9)."""
+    h, w = 3, 5
+    img = _rand(h, w, seed=21)
+    # pack pixels as little-endian uint32 with R in the LOW byte
+    vals = (
+        img[:, :, 0].astype(np.uint32)
+        | (img[:, :, 1].astype(np.uint32) << 8)
+        | (img[:, :, 2].astype(np.uint32) << 16)
+    )
+    pix = vals[::-1].astype("<u4").tobytes()  # bottom-up rows
+    masks = struct.pack("<III", 0x000000FF, 0x0000FF00, 0x00FF0000)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 3, len(pix), 0, 0, 0, 0)
+    head = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + 12 + len(pix), 0, 0, 14 + 40 + 12
+    )
+    out = B.decode_bmp(head + info + masks + pix)
+    assert np.array_equal(out, img)
+
+
+def test_bmp_32bpp_bitfields_v4_alpha_mask():
+    """A BITMAPV4 (108-byte header) bitfields BMP with a declared alpha
+    mask decodes to RGBA through all four masks."""
+    h, w = 2, 3
+    img = _rand(h, w, c=4, seed=22)
+    vals = (
+        (img[:, :, 0].astype(np.uint32) << 24)   # R high byte
+        | (img[:, :, 1].astype(np.uint32) << 16)
+        | (img[:, :, 2].astype(np.uint32) << 8)
+        | img[:, :, 3].astype(np.uint32)          # A low byte
+    )
+    pix = vals[::-1].astype("<u4").tobytes()
+    v4 = struct.pack("<IiiHHIIiiII", 108, w, h, 1, 32, 3, len(pix), 0, 0, 0, 0)
+    v4 += struct.pack("<IIII", 0xFF000000, 0x00FF0000, 0x0000FF00, 0x000000FF)
+    v4 += b"\x00" * (108 - len(v4))
+    head = struct.pack("<2sIHHI", b"BM", 14 + 108 + len(pix), 0, 0, 14 + 108)
+    out = B.decode_bmp(head + v4 + pix)
+    assert out.shape == (h, w, 4)
+    assert np.array_equal(out, img)

@@ -175,3 +175,88 @@ def test_webp_animation_corruption_and_guards():
         W.decode_webp_frames(bytes(payload))
     with pytest.raises(ValueError, match="at least one frame"):
         W.encode_webp_animation([])
+
+
+def _anim_container(canvas_wh, frames):
+    """Hand-build a VP8X+ANIM+ANMF container from (x, y, img, flags)
+    tuples — the repo encoder always writes full-canvas flags=0x00, so
+    disposal/blend tests need explicit header bytes."""
+    w, h = canvas_wh
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    chunks = bytearray()
+    vp8x = bytes([0x02, 0, 0, 0])
+    vp8x += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    chunks += chunk(b"VP8X", vp8x)
+    chunks += chunk(b"ANIM", struct.pack("<IH", 0, 0))
+    for fx, fy, img, flags in frames:
+        vp8l = W.encode_webp_lossless(img)[12:]
+        anmf = (
+            (fx // 2).to_bytes(3, "little") + (fy // 2).to_bytes(3, "little")
+            + (img.shape[1] - 1).to_bytes(3, "little")
+            + (img.shape[0] - 1).to_bytes(3, "little")
+            + (100).to_bytes(3, "little") + bytes([flags])
+        )
+        chunks += chunk(b"ANMF", anmf + vp8l)
+    riff = b"WEBP" + bytes(chunks)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_webp_anmf_dispose_flag_is_bit0():
+    """Container spec: ANMF flags byte is Reserved(6)|B(1)|D(1) — D
+    (dispose to transparent black AFTER the frame) is bit 0x01, not
+    0x02. A full-canvas red frame with D=1 followed by a partial blue
+    patch must leave the uncovered region transparent."""
+    red = np.zeros((8, 8, 3), np.uint8)
+    red[:, :, 0] = 255
+    blue = np.zeros((4, 4, 4), np.uint8)
+    blue[:, :, 2] = 255
+    blue[:, :, 3] = 255
+    out = W.decode_webp_frames(
+        _anim_container((8, 8), [(0, 0, red, 0x01), (0, 0, blue, 0x02)])
+    )
+    assert len(out) == 2
+    assert np.array_equal(out[0][:, :, :3][0, 0], [255, 0, 0])
+    # frame 2: disposed canvas, blue patch at (0,0), rest transparent
+    assert out[1].shape[2] == 4
+    assert tuple(out[1][0, 0]) == (0, 0, 255, 255)
+    assert tuple(out[1][6, 6]) == (0, 0, 0, 0)
+
+
+def test_webp_anmf_blend_flag_is_bit1():
+    """B (bit 0x02) SET means overwrite; CLEAR (the default) means
+    alpha-composite. A half-transparent white patch over a black
+    canvas must mix to gray when B=0 and overwrite when B=2."""
+    black = np.zeros((4, 4, 4), np.uint8)
+    black[:, :, 3] = 255
+    half = np.full((4, 4, 4), 255, np.uint8)
+    half[:, :, 3] = 128
+    blended = W.decode_webp_frames(
+        _anim_container((4, 4), [(0, 0, black, 0x00), (0, 0, half, 0x00)])
+    )[1]
+    # over: (255*128/255 + 0*(1-128/255)) / 1.0 = 128; all-opaque
+    # frames collapse to RGB
+    assert tuple(blended[0, 0]) == (128, 128, 128)
+    overwritten = W.decode_webp_frames(
+        _anim_container((4, 4), [(0, 0, black, 0x00), (0, 0, half, 0x02)])
+    )[1]
+    assert tuple(overwritten[0, 0]) == (255, 255, 255, 128)
+
+
+def test_webp_frames_lossy_still_rejects_by_name():
+    """A VP8X container holding only a lossy VP8 still must raise the
+    same by-name NotImplementedError from decode_webp_frames that
+    decode_webp emits — not the generic no-frames ValueError."""
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    vp8x = bytes([0x00, 0, 0, 0]) + (7).to_bytes(3, "little") + (7).to_bytes(3, "little")
+    chunks = chunk(b"VP8X", vp8x) + chunk(b"VP8 ", b"\x00" * 20)
+    riff = b"WEBP" + chunks
+    payload = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(NotImplementedError, match="VP8"):
+        W.decode_webp_frames(payload)
