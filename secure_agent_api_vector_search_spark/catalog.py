@@ -368,6 +368,22 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.q16_supplier_part_counts(spark, sf_dir)
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q4_order_priority(spark, sf_dir)
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q12_shipmode_priority(spark, sf_dir)
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q13_customer_distribution(spark, sf_dir)
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q21_suppliers_kept_waiting(spark, sf_dir)
+
+
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.q19_disjunctive_revenue(spark, sf_dir)
 
@@ -2662,6 +2678,86 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
         description="[EXT] TPC-H Q16 shape: distinct-supplier counts per "
                     "part descriptor with a NOT-IN exclusion (left-anti "
                     "join); lineitem stands in for partsupp",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q4_order_priority", q4_order_priority,
+        oracle_sql="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority""",
+        description="[EXT] TPC-H Q4: orders per priority with a late line "
+                    "— EXISTS decorrelated to a semi join whose condition "
+                    "mixes the equi key with a cross-table non-equi "
+                    "conjunct (late = shipdate > orderdate + 90d proxy)",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q12_shipmode_priority", q12_shipmode_priority,
+        oracle_sql="""
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+  AND l_returnflag IN ('A','N')
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag""",
+        description="[EXT] TPC-H Q12: late-line counts by priority class "
+                    "per lineitem attribute (returnflag proxies shipmode); "
+                    "map-side conditional aggregation",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q13_customer_distribution", q13_customer_distribution,
+        oracle_sql="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""",
+        description="[EXT] TPC-H Q13: orders-per-customer distribution "
+                    "including zero-order customers — left-outer join with "
+                    "an ON-clause predicate, two-level count",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q21_suppliers_kept_waiting", q21_suppliers_kept_waiting,
+        oracle_sql="""
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, n_name, COUNT(*) AS numwait
+FROM flagged l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM flagged l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM flagged l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name LIMIT 100""",
+        description="[EXT] TPC-H Q21: the only-late supplier on finished "
+                    "multi-supplier orders — semi + anti self-joins over "
+                    "one derived relation, all hashed on orderkey",
         tags=("relational", "join", "agg")))
 
     r.register(NamedQuery(

@@ -1029,3 +1029,143 @@ def events_hourly_anomaly(
         z.alias("z"),
         (F.abs(z) > z_thresh).alias("is_anomaly"),
     )
+
+
+# -- round-10 TPC-H shapes: Q4 / Q12 / Q13 / Q21 -----------------------------
+# The synthetic lineitem carries no commit/receipt dates or ship mode
+# (TESTDATA.md), so "late" is proxied as l_shipdate > o_orderdate + N
+# days (same proxy discipline as q9's supply cost) and l_returnflag
+# stands in for l_shipmode. The PLAN shapes are the real ones: Q4's
+# decorrelated EXISTS becomes a semi join whose condition mixes an
+# equi key with a cross-table non-equi conjunct; Q13 is the left-outer
+# two-level count distribution; Q21 is the semi + anti lineitem
+# self-join over a shared derived relation.
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders per priority in one quarter having at least one
+    late line. The EXISTS is a LEFT SEMI join on (orderkey, shipdate >
+    orderdate + 90d) — the non-equi conjunct rides on the hash-join
+    output rows, so the plan stays a single shuffle on orderkey and
+    lineitem contributes only two columns."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o["o_orderkey"] == l["l_orderkey"])
+            & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: late-line counts split by order priority class,
+    grouped by a lineitem attribute (l_returnflag proxies the absent
+    l_shipmode). Conditional aggregation over one fact-fact join; the
+    priority CASE runs map-side so the shuffle carries two ints per
+    group."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_returnflag").isin("A", "N")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer including
+    zero-order customers — customer LEFT OUTER orders (with a
+    predicate that must stay in the join's ON clause, not a WHERE,
+    or the outer rows vanish), per-customer count, then a second
+    count over the counts. Two shuffles by construction; the second
+    one is tiny (distinct counts ≤ max orders/customer)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers whose line was the ONLY late one on a
+    finished multi-supplier order. One derived relation (lineitem ⋈
+    finished orders, with a boolean `late` column) feeds all three
+    roles: l1 (late lines), the EXISTS (semi join: another supplier on
+    the same order), and the NOT EXISTS (anti join: another supplier
+    also late). All three branches hash on l_orderkey — the classic
+    three-scan Q21 plan — with the suppkey inequality left as a cheap
+    residual on the sort-merge output; supplier/nation are broadcast
+    dims."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    flagged = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    l1 = flagged.filter(F.col("late")).alias("l1")
+    l2 = flagged.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = flagged.filter(F.col("late")).select("l_orderkey", "l_suppkey").alias("l3")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l1.l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )

@@ -124,3 +124,43 @@ def test_no_cartesian_products_or_row_udfs_anywhere(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, name
     assert "BatchEvalPython" not in plan, name
+
+
+def test_q4_q21_decorrelate_to_semi_anti_joins(spark, sf_dir):
+    """The round-10 TPC-H shapes must keep their decorrelated plan
+    forms: Q4's EXISTS is a LeftSemi with the non-equi late conjunct
+    in the join condition (not a post-filter over a materialized
+    join), and Q21 carries exactly one LeftSemi and one LeftAnti over
+    the derived relation — never a CartesianProduct."""
+    from secure_agent_api_vector_search_spark.operators import analytics as A
+
+    p4 = A.q4_order_priority(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p4 and "CartesianProduct" not in p4
+    p21 = (
+        A.q21_suppliers_kept_waiting(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "CartesianProduct" not in p21
+
+
+def test_q13_keeps_zero_order_customers(spark, sf_dir):
+    """Q13's outer-join predicate must live in the ON clause: the
+    distribution includes a c_count=0 bucket exactly as large as the
+    set of customers with no qualifying orders."""
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators import analytics as A
+    from secure_agent_api_vector_search_spark.sources.tables import load_table
+
+    rows = {r["c_count"]: r["custdist"]
+            for r in A.q13_customer_distribution(spark, sf_dir).collect()}
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    zero = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").count()
+    )
+    assert rows.get(0, 0) == zero
+    assert sum(rows.values()) == c.count()
