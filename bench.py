@@ -577,9 +577,11 @@ def _pipeline_probe(spark, sf_dir: str) -> dict:
             prep_sec = round(time.perf_counter() - t0, 3)
 
             t0 = time.perf_counter()
+            stage_sec: dict = {}
             counts = curate_corpus(
                 spark, f"{root}/raw", f"{root}/curated",
                 n_shards=32, min_quality=0.25,
+                leakage_audit=True, stage_seconds=stage_sec,
             )
             plain_sec = round(time.perf_counter() - t0, 3)
             spark.catalog.clearCache()
@@ -626,12 +628,78 @@ def _pipeline_probe(spark, sf_dir: str) -> dict:
                 "counts": counts,
                 "counts_html": counts_html,
                 "pairs_build_sec": pairs_build_sec,
+                "leakage_audit_in_pipeline_sec": stage_sec.get("leakage_audit"),
                 "leakage_audit_pairs_supplied_sec": audit_sec,
                 "leakage_n_pairs": n_pairs,
                 "leakage_n_cross_split": n_leaks,
             }
         finally:
             shutil.rmtree(root, ignore_errors=True)
+    except Exception as exc:
+        return {"error": repr(exc)}
+
+
+def _stage_evidence_probe(spark, sf_dir: str) -> dict:
+    """Per-STAGE metrics (task count, executor run time, shuffle
+    read/write bytes, input bytes) for three representative shared31
+    plans, via the local status REST API (VERDICT r9 item 5). Purpose:
+    make environment drift distinguishable from plan drift at a glance
+    — a plan regression moves shuffle bytes / task counts / stage
+    structure; box noise moves only wall. One untimed warm-up pass per
+    query, then one measured pass whose new stages are recorded."""
+    import urllib.request
+
+    probes = ["q1_pricing_summary", "q3_shipping_priority",
+              "top_customers_by_revenue"]
+    try:
+        qs = queries()
+        base = (
+            f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+            f"{spark.sparkContext.applicationId}/stages"
+        )
+
+        def stages() -> list[dict]:
+            with urllib.request.urlopen(base, timeout=10) as r:
+                return json.load(r)
+
+        out: dict = {}
+        for name in probes:
+            try:
+                fn = qs[name]
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                seen = {s["stageId"] for s in stages()}
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                wall = round(time.perf_counter() - t0, 3)
+                new = [s for s in stages()
+                       if s["stageId"] not in seen and s["status"] == "COMPLETE"]
+                out[name] = {
+                    "wall_sec": wall,
+                    "n_stages": len(new),
+                    "total_tasks": sum(s["numTasks"] for s in new),
+                    "executor_run_time_ms": sum(
+                        s["executorRunTime"] for s in new),
+                    "shuffle_read_bytes": sum(
+                        s["shuffleReadBytes"] for s in new),
+                    "shuffle_write_bytes": sum(
+                        s["shuffleWriteBytes"] for s in new),
+                    "input_bytes": sum(s["inputBytes"] for s in new),
+                    "stages": [
+                        {
+                            "id": s["stageId"],
+                            "tasks": s["numTasks"],
+                            "run_ms": s["executorRunTime"],
+                            "shuf_r": s["shuffleReadBytes"],
+                            "shuf_w": s["shuffleWriteBytes"],
+                            "input": s["inputBytes"],
+                        }
+                        for s in sorted(new, key=lambda s: s["stageId"])
+                    ],
+                }
+            except Exception as exc:  # keep the artifact alive per query
+                out[name] = {"error": repr(exc)}
+            spark.catalog.clearCache()
+        return out
     except Exception as exc:
         return {"error": repr(exc)}
 
@@ -770,6 +838,7 @@ def main() -> int:
     # comparability depends on the accumulated-state regime staying
     # identical to rounds 1-6.
     spark.stop()
+    os.environ["SPARK_GRAFT_UI"] = "1"  # stage_evidence reads the REST API
     spark = get_session("bench-probes")
     _warm2 = F.pandas_udf("long")(lambda s: s)
     spark.range(256).repartition(32).select(_warm2("id").alias("v")).count()
@@ -794,6 +863,7 @@ def main() -> int:
         "recall": _recall_probe(spark, sf_dir),
         "ann_crossover": _ann_crossover_probe(spark, sf_dir),
         "pipeline_e2e": _pipeline_probe(spark, sf_dir),
+        "stage_evidence": _stage_evidence_probe(spark, sf_dir),
         "codec_throughput": _codec_throughput_probe(),
         "warm_total": round(sum(warm.values()), 3),
         "warm_median_total": round(sum(warm_median.values()), 3),

@@ -331,6 +331,7 @@ def curate_corpus(
     max_link_density: float = 0.5,
     expectations: list[tuple] | None = None,
     leakage_audit: bool = False,
+    stage_seconds: dict | None = None,
 ) -> dict:
     """The end-to-end training-corpus curation job, raw dump → training
     shards — every stage an operator this engine already gates:
@@ -544,6 +545,9 @@ def curate_corpus(
         # dedup/keep-first stage regressed (an audit at a looser
         # threshold than dedup's needs a pair frame built at that
         # threshold — pass it straight to split_leakage_check).
+        import time as _time
+
+        _t0 = _time.perf_counter()
         leaks = split_leakage_check(
             clean, threshold=near_dup_threshold, pairs=pairs
         )
@@ -551,6 +555,13 @@ def curate_corpus(
         counts["leakage_pairs"] = spark.read.parquet(
             f"{out_dir}/leakage_audit"
         ).count()
+        if stage_seconds is not None:
+            # in-pipeline audit cost: with pairs= supplied this is a
+            # filter + two split joins, NOT a banded rebuild — the
+            # bench records it next to the self-building shared31 form
+            stage_seconds["leakage_audit"] = round(
+                _time.perf_counter() - _t0, 3
+            )
     for name in ("train", "val", "test"):
         part = split.filter(F.col("split") == name).drop("split")
         counts[f"split_{name}"] = part.count()

@@ -39,7 +39,13 @@ def get_session(app_name: str = "secure_agent_api_vector_search_spark",
         # loader truncates to µs). Set here, not per-read, so loaders
         # never mutate shared session conf.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (port + thread overhead in tests); the bench
+        # enables it per-session to read per-stage shuffle metrics from
+        # the status REST API ($SPARK_GRAFT_UI=1)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         # local mode runs driver + all executor threads in ONE JVM, so
         # this heap backs 32 concurrent tasks' shuffle/cache/UDF buffers;
         # 8g GC-thrashed under the LSH band joins (2x run-to-run swings).
