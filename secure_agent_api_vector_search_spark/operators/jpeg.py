@@ -252,6 +252,66 @@ def _decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     }
 
 
+_VAL_BIAS = 1 << 21  # packed-coefficient bias (values are ±2^15 max)
+
+
+def _symbol_lut(bits: list[int], vals: list[int], is_dc: bool) -> list[int]:
+    """Value-resolved 16-bit-window Huffman LUT for the vectorized
+    baseline decoder (the libjpeg jdhuff idea taken one step further):
+    the window peeked at a symbol boundary contains the code AND, for
+    the overwhelmingly common case code_len + size ≤ 16, the magnitude
+    bits too — so the LUT entry resolves the ENTIRE (run, value)
+    pair in one list lookup. Entry encodings:
+
+    - common (positive): ``(advance << 28) | (run << 22) | (value +
+      2^21)`` — advance = code + magnitude bits, run = leading zero
+      count (0 for DC), value = the EXTENDed signed coefficient.
+    - negative sentinels, tag in the low byte of ``-e``: 1 = EOB
+      (``-e >> 8`` = advance), 2 = ZRL (same), 3 = magnitude bits
+      overflow the window (``-e = (advance << 16) | (symbol << 8) |
+      3``; caller extracts from its 32-bit window), 4 = unassigned
+      code word (corrupt stream).
+
+    Returned as a plain Python list — per-symbol list indexing beats
+    numpy scalar access ~3× in the decode loop."""
+    lut = np.full(65536, -4, dtype=np.int64)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            k += 1
+            lo = code << (16 - length)
+            width = 1 << (16 - length)
+            code += 1
+            s = sym & 15
+            run = 0 if is_dc else sym >> 4
+            if not is_dc and sym == 0x00:
+                lut[lo : lo + width] = -((length << 8) | 1)  # EOB
+                continue
+            if not is_dc and sym == 0xF0:
+                lut[lo : lo + width] = -((length << 8) | 2)  # ZRL
+                continue
+            if not is_dc and s == 0:
+                continue  # (r, 0) with r not in {0, 15}: undefined
+            adv = length + s
+            if adv > 16:
+                lut[lo : lo + width] = -((adv << 16) | (sym << 8) | 3)
+                continue
+            if s == 0:  # DC category 0: diff = 0
+                lut[lo : lo + width] = (adv << 28) | _VAL_BIAS
+                continue
+            mags = np.arange(1 << s, dtype=np.int64)
+            vals_s = np.where(mags >= (1 << (s - 1)), mags,
+                              mags - ((1 << s) - 1))
+            entry = (
+                (adv << 28) | (run << 22) | (vals_s + _VAL_BIAS)
+            )
+            lut[lo : lo + width] = np.repeat(entry, 1 << (16 - adv))
+        code <<= 1
+    return lut.tolist()
+
+
 def _fixed_length_table(symbols: list[int]) -> tuple[list[int], list[int]]:
     """A legal BITS/HUFFVAL pair assigning every symbol the same code
     length L = ceil(log2(n+1)) — +1 keeps the all-ones code word of
@@ -486,7 +546,10 @@ def decode_jpeg_consumed(payload: bytes) -> tuple[np.ndarray, int]:
                 bits = list(body[i + 1:i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17:i + 17 + n])
-                huff[(cls, tid)] = _decode_map(bits, vals)
+                huff[(cls, tid)] = {
+                    "map": _decode_map(bits, vals),
+                    "bits": bits, "vals": vals, "lut": None,
+                }
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if body[0] != 8:
@@ -537,11 +600,20 @@ def decode_jpeg_consumed(payload: bytes) -> tuple[np.ndarray, int]:
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
-            br = _BitReader(payload, pos + size)
-            _decode_one_scan(br, frame, scan, huff, coefs, ss, se, ah, al, ri)
+            if not frame["progressive"]:
+                # baseline: vectorized LUT path (~20× the bit-at-a-time
+                # reader); progressive keeps the serial bitplane decoder
+                p = _decode_baseline_fast(
+                    payload, pos + size, frame, scan, huff, coefs, ri
+                )
+            else:
+                br = _BitReader(payload, pos + size)
+                _decode_one_scan(
+                    br, frame, scan, huff, coefs, ss, se, ah, al, ri
+                )
+                p = br.pos
             # entropy data ends at the next true marker (skip stuffing
             # and any stray RSTn)
-            p = br.pos
             while True:
                 while payload[p] != 0xFF:
                     p += 1
@@ -553,6 +625,207 @@ def decode_jpeg_consumed(payload: bytes) -> tuple[np.ndarray, int]:
             pos = p
             continue  # no +size: pos already past the entropy data
         pos += size
+
+
+def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
+                          huff, coefs, ri: int) -> int:
+    """Vectorized baseline-scan entropy decode (VERDICT r9 item 1).
+
+    Replaces the bit-at-a-time reader on the hot path with the
+    table-driven form every production decoder uses (T.81 F.2.2 +
+    libjpeg's jdhuff LUT): marker segmentation and byte-destuffing are
+    numpy/bytes-level passes, every byte offset gets a precomputed
+    64-bit big-endian window, and each Huffman symbol costs ONE list
+    lookup into a 65536-entry LUT that returns the symbol and its
+    total bit advance (code + magnitude bits) together. The remaining
+    per-symbol Python loop touches ~15 locals — ~20× the _BitReader
+    path, which stays for progressive scans. Restart intervals give
+    independent segments (predictors reset, RSTn sequence-checked),
+    which is also the 100 TB parallel-decode seam: each DRI segment is
+    decodable in isolation.
+
+    Returns the payload offset of the 0xFF that terminates the scan's
+    entropy data."""
+    # 1. segment the entropy span at RST markers (numpy marker scan)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    ffs = np.flatnonzero(arr[data_start:] == 0xFF) + data_start
+    nxts = arr[np.minimum(ffs + 1, len(arr) - 1)].tolist()
+    seg_spans: list[tuple[int, int]] = []
+    rst_nums: list[int] = []
+    start = data_start
+    end_pos = -1
+    for f, nxt in zip(ffs.tolist(), nxts):
+        if f < start or nxt == 0x00:
+            continue  # consumed by a previous marker / stuffed data byte
+        seg_spans.append((start, f))
+        if 0xD0 <= nxt <= 0xD7:
+            rst_nums.append(nxt & 7)
+            start = f + 2
+            continue
+        end_pos = f
+        break
+    if end_pos < 0:
+        raise ValueError("corrupt JPEG: entropy data ran past end of file")
+    if not ri and rst_nums:
+        raise ValueError(
+            f"unexpected marker 0xFF{0xD0 + rst_nums[0]:02X} inside "
+            "entropy data"
+        )
+    for i, n in enumerate(rst_nums):
+        if n != i & 7:
+            raise ValueError(
+                f"corrupt JPEG: RST{n} out of sequence (expected RST{i & 7})"
+            )
+
+    # 2. per-slot tables, stores, and the scan's block order
+    n_slots = len(scan)
+    lut_dc: list[list[int]] = []
+    lut_ac: list[list[int]] = []
+    flats: list[np.ndarray] = []
+    for c in scan:
+        for key in ((0, c["dc"]), (1, c["ac"])):
+            entry = huff[key]
+            if entry["lut"] is None:
+                entry["lut"] = _symbol_lut(
+                    entry["bits"], entry["vals"], is_dc=key[0] == 0
+                )
+        lut_dc.append(huff[(0, c["dc"])]["lut"])
+        lut_ac.append(huff[(1, c["ac"])]["lut"])
+        flats.append(coefs[c["id"]].reshape(-1))
+    if n_slots == 1:
+        c = scan[0]
+        ncols = coefs[c["id"]].shape[1]
+        bw, bh = c["bw"], c["bh"]
+        fb_l = (
+            ((np.arange(bh)[:, None] * ncols + np.arange(bw)) * 64)
+            .ravel().tolist()
+        )
+        slots_l = [0] * len(fb_l)
+        total_units, bpm = bh * bw, 1
+    else:
+        mcux, mcuy = frame["mcux"], frame["mcuy"]
+        total_units = mcux * mcuy
+        my = np.repeat(np.arange(mcuy), mcux)
+        mx = np.tile(np.arange(mcux), mcuy)
+        cols = []
+        slot_pattern: list[int] = []
+        for si, c in enumerate(scan):
+            ncols = coefs[c["id"]].shape[1]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    cols.append(
+                        ((my * c["v"] + by) * ncols + (mx * c["h"] + bx)) * 64
+                    )
+                    slot_pattern.append(si)
+        bpm = len(slot_pattern)
+        fb_l = np.stack(cols, axis=1).ravel().tolist()
+        slots_l = slot_pattern * total_units
+    seg_units = ri if ri else total_units
+    expected_segs = -(-total_units // seg_units)
+    if len(seg_spans) != expected_segs:
+        raise ValueError(
+            f"corrupt JPEG: {len(seg_spans)} restart segments for "
+            f"{total_units} MCUs at interval {seg_units} "
+            f"(expected {expected_segs})"
+        )
+
+    # 3. LUT-driven decode, one independent pass per restart segment.
+    # The hot loop's only per-coefficient work is: one window lookup,
+    # one LUT lookup, and one append of a packed (position, value)
+    # int — (fb + k) << 22 | (value + 2^21). The rare negative-entry
+    # branches (EOB / ZRL / >16-bit symbol / invalid) pay normal
+    # extraction costs.
+    mask = [(1 << s) - 1 for s in range(16)]
+    half = [0] + [1 << (s - 1) for s in range(1, 16)]
+    outs: list[list[int]] = [[] for _ in range(n_slots)]
+    bias = _VAL_BIAS
+    for gi, (s0, s1) in enumerate(seg_spans):
+        seg = payload[s0:s1].replace(b"\xff\x00", b"\xff")
+        nbits = 8 * len(seg)
+        a = np.frombuffer(seg + b"\x00" * 72, dtype=np.uint8).astype(np.uint64)
+        ul = (
+            (a[:-7] << np.uint64(56)) | (a[1:-6] << np.uint64(48))
+            | (a[2:-5] << np.uint64(40)) | (a[3:-4] << np.uint64(32))
+            | (a[4:-3] << np.uint64(24)) | (a[5:-2] << np.uint64(16))
+            | (a[6:-1] << np.uint64(8)) | a[7:]
+        ).tolist()
+        p = 0
+        preds = [0] * n_slots
+        blk_lo = gi * seg_units * bpm
+        blk_hi = min((gi + 1) * seg_units, total_units) * bpm
+        try:
+            for bi in range(blk_lo, blk_hi):
+                slot = slots_l[bi]
+                fb = fb_l[bi]
+                w = (ul[p >> 3] >> (32 - (p & 7))) & 0xFFFFFFFF
+                e = lut_dc[slot][w >> 16]
+                if e > 0:
+                    p += e >> 28
+                    pred = preds[slot] + (e & 0x3FFFFF) - bias
+                else:
+                    ne = -e
+                    if ne & 0xFF != 3:
+                        raise ValueError("corrupt JPEG: invalid Huffman code")
+                    adv = ne >> 16
+                    s = (ne >> 8) & 15
+                    mag = (w >> (32 - adv)) & mask[s]
+                    pred = preds[slot] + (
+                        mag if mag >= half[s] else mag - mask[s]
+                    )
+                    p += adv
+                preds[slot] = pred
+                out_append = outs[slot].append
+                out_append((fb << 22) | (pred + bias))
+                lut = lut_ac[slot]
+                k = 1
+                while k < 64:
+                    w = (ul[p >> 3] >> (32 - (p & 7))) & 0xFFFFFFFF
+                    e = lut[w >> 16]
+                    if e > 0:
+                        p += e >> 28
+                        k += (e >> 22) & 63
+                        if k > 63:
+                            raise ValueError("corrupt JPEG: AC overrun")
+                        out_append(((fb + k) << 22) | (e & 0x3FFFFF))
+                        k += 1
+                        continue
+                    ne = -e
+                    t = ne & 0xFF
+                    if t == 1:  # EOB
+                        p += ne >> 8
+                        break
+                    if t == 2:  # ZRL
+                        p += ne >> 8
+                        k += 16
+                        continue
+                    if t != 3:
+                        raise ValueError("corrupt JPEG: invalid Huffman code")
+                    rs = (ne >> 8) & 0xFF
+                    s = rs & 15
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("corrupt JPEG: AC overrun")
+                    adv = ne >> 16
+                    mag = (w >> (32 - adv)) & mask[s]
+                    out_append(
+                        ((fb + k) << 22)
+                        | ((mag if mag >= half[s] else mag - mask[s]) + bias)
+                    )
+                    p += adv
+                    k += 1
+        except IndexError:
+            raise ValueError(
+                "corrupt JPEG: entropy data exhausted mid-scan"
+            ) from None
+        if p > nbits:
+            raise ValueError("corrupt JPEG: entropy data exhausted mid-scan")
+
+    # 4. one vectorized unpack + scatter per component store
+    for slot in range(n_slots):
+        if outs[slot]:
+            packed = np.array(outs[slot], dtype=np.int64)
+            flats[slot][packed >> 22] = (packed & 0x3FFFFF) - bias
+    return end_pos
 
 
 def _read_symbol(br: _BitReader, table: dict) -> int:
@@ -626,13 +899,13 @@ def _decode_block(br, frame, c, huff, zz, pred, ss, se, ah, al, eobrun,
                   progressive) -> None:
     if not progressive:
         # baseline: DC + full AC in one pass
-        s = _read_symbol(br, huff[(0, c["dc"])])
+        s = _read_symbol(br, huff[(0, c["dc"])]["map"])
         diff = _extend(br.bits(s), s) if s else 0
         pred[c["id"]] += diff
         zz[0] = pred[c["id"]]
         k = 1
         while k < 64:
-            rs = _read_symbol(br, huff[(1, c["ac"])])
+            rs = _read_symbol(br, huff[(1, c["ac"])]["map"])
             if rs == 0x00:
                 break
             if rs == 0xF0:
@@ -646,7 +919,7 @@ def _decode_block(br, frame, c, huff, zz, pred, ss, se, ah, al, eobrun,
         return
     if ss == 0:  # DC scan (spectral selection 0..0 only, spec G.1.1.1)
         if ah == 0:  # first pass
-            s = _read_symbol(br, huff[(0, c["dc"])])
+            s = _read_symbol(br, huff[(0, c["dc"])]["map"])
             diff = _extend(br.bits(s), s) if s else 0
             pred[c["id"]] += diff
             zz[0] = pred[c["id"]] << al
@@ -655,9 +928,9 @@ def _decode_block(br, frame, c, huff, zz, pred, ss, se, ah, al, eobrun,
                 zz[0] |= 1 << al
         return
     if ah == 0:
-        _ac_first(br, huff[(1, c["ac"])], zz, ss, se, al, eobrun)
+        _ac_first(br, huff[(1, c["ac"])]["map"], zz, ss, se, al, eobrun)
     else:
-        _ac_refine(br, huff[(1, c["ac"])], zz, ss, se, al, eobrun)
+        _ac_refine(br, huff[(1, c["ac"])]["map"], zz, ss, se, al, eobrun)
 
 
 def _ac_first(br, table, zz, ss, se, al, eobrun) -> None:
@@ -738,15 +1011,18 @@ def _render(frame, quant, coefs) -> np.ndarray:
         store = coefs[c["id"]]
         nby, nbx, _ = store.shape
         q = quant[c["tq"]][ZIGZAG[:, 0], ZIGZAG[:, 1]]
-        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
         deq = store * q  # (nby, nbx, 64) still in zigzag order
         coef = np.zeros((nby, nbx, 8, 8), dtype=np.float64)
         coef[:, :, ZIGZAG[:, 0], ZIGZAG[:, 1]] = deq
-        # batched IDCT: Tᵀ F T over all blocks at once
-        blk = np.einsum("ux,abuv,vy->abxy", _T, coef, _T) + 128.0
-        for by in range(nby):
-            for bx in range(nbx):
-                plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk[by, bx]
+        # batched IDCT Tᵀ F T as two stacked matmuls (BLAS path — the
+        # equivalent einsum was the render hot spot), then block grid →
+        # plane via a transpose view instead of a per-block copy loop
+        blk = _T.T @ coef.reshape(-1, 8, 8) @ _T + 128.0
+        plane = (
+            blk.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
         p = np.clip(np.round(plane), 0, 255).astype(np.uint8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
