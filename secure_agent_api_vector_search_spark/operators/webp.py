@@ -65,13 +65,42 @@ _MAX_PIXELS = 1 << 26
 
 
 class _Reader:
-    __slots__ = ("data", "pos", "acc", "n")
+    __slots__ = ("data", "pos", "acc", "n", "ul")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.n = 0
+        self.ul = None  # lazy per-byte 64-bit windows (LUT decode path)
+
+    def windows(self) -> list[int]:
+        """64-bit little-endian window starting at every byte offset,
+        as a Python list: ``windows()[p >> 3] >> (p & 7)`` exposes the
+        next ≤57 stream-order bits at bit position ``p``. Built once
+        per payload and shared by every sub-image decode."""
+        if self.ul is None:
+            a = np.frombuffer(
+                self.data + b"\x00" * 8, dtype=np.uint8
+            ).astype(np.uint64)
+            self.ul = (
+                a[:-7] | (a[1:-6] << np.uint64(8))
+                | (a[2:-5] << np.uint64(16)) | (a[3:-4] << np.uint64(24))
+                | (a[4:-3] << np.uint64(32)) | (a[5:-2] << np.uint64(40))
+                | (a[6:-1] << np.uint64(48)) | (a[7:] << np.uint64(56))
+            ).tolist()
+        return self.ul
+
+    def bitpos(self) -> int:
+        return 8 * self.pos - self.n
+
+    def seek_bits(self, p: int) -> None:
+        """Re-point the bit-at-a-time reader at absolute bit ``p``."""
+        self.pos = p >> 3
+        self.acc = 0
+        self.n = 0
+        if p & 7:
+            self.bits(p & 7)
 
     def bits(self, k: int) -> int:
         while self.n < k:
@@ -127,10 +156,11 @@ def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
 class _PrefixCode:
     """Decode side: walk bits MSB-of-code-first through a (code,len) map."""
 
-    __slots__ = ("map", "max_len", "single")
+    __slots__ = ("map", "max_len", "single", "_lut")
 
     def __init__(self, lengths: dict[int, int], single: int | None = None):
         self.single = single
+        self._lut = None
         if single is not None:
             self.map = {}
             self.max_len = 0
@@ -156,6 +186,25 @@ class _PrefixCode:
             if sym is not None:
                 return sym
         raise ValueError("corrupt VP8L: invalid prefix code word")
+
+    def lut(self) -> tuple[list[int], int]:
+        """(table, mask) for stream-order LUT decode: indexing the
+        table with the next ``max_len`` bits (LSB-first, so each
+        code's bits appear REVERSED in the low positions) yields
+        ``(symbol << 4) | code_length`` in one lookup. The Kraft
+        completeness check in __init__ guarantees every window maps
+        to a symbol, so no invalid sentinel is needed. A single-symbol
+        code is a zero-bit read: mask 0 onto a one-entry table."""
+        if self.single is not None:
+            return [self.single << 4], 0
+        if self._lut is None:
+            size = 1 << self.max_len
+            lut = np.zeros(size, dtype=np.int64)
+            for (code, length), sym in self.map.items():
+                rev = int(bin(code | (1 << length))[3:][::-1], 2)
+                lut[rev :: 1 << length] = (sym << 4) | length
+            self._lut = lut.tolist()
+        return self._lut, (1 << self.max_len) - 1
 
 
 def _read_prefix_code(r: _Reader, alphabet_size: int) -> _PrefixCode:
@@ -325,54 +374,122 @@ def _decode_entropy_image(
             )
             return np.broadcast_to(px, (h, w, 4)).copy()
 
+    # LUT-driven pixel loop (VERDICT r9 item 2): stream-order window
+    # peeks over precomputed per-byte 64-bit windows, one list lookup
+    # per prefix symbol (entry = (sym << 4) | len), pixels accumulated
+    # as packed ARGB ints and unpacked vectorized at the end.
+    # Replaces the bit-at-a-time _PrefixCode.read walk (~8× on the
+    # literal-heavy photo path). Back-references copy from the same
+    # Python list (self-overlap works element-wise by construction).
     cache = [0] * cache_size
-    out = np.zeros((h * w, 4), dtype=np.uint8)  # RGBA
-    pos = 0
+    cs = cache_size
+    shift = (32 - cache_bits) if cache_bits else 0
     n_px = h * w
-    while pos < n_px:
-        if meta is not None:
-            y, x = divmod(pos, w)
-            g = groups[int(meta[y >> meta_bits, x >> meta_bits])]
-        else:
-            g = groups[0]
-        s = g[0].read(r)
-        if s < 256:
-            red = g[1].read(r)
-            blue = g[2].read(r)
-            alpha = g[3].read(r)
-            out[pos] = (red, s, blue, alpha)
-            pos += 1
-            if cache_size:
-                argb = (alpha << 24) | (red << 16) | (s << 8) | blue
-                cache[(_CACHE_MULT * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
-        elif s < 256 + 24:
-            length = _prefix_decode_value(s - 256, r)
-            dist_code = _prefix_decode_value(g[4].read(r), r)
-            dist = _plane_distance(dist_code, w)
-            if dist > pos:
-                raise ValueError("corrupt VP8L: back-reference before start")
-            if pos + length > n_px:
-                raise ValueError("corrupt VP8L: back-reference past end")
-            for i in range(length):  # may self-overlap: element-wise
-                out[pos + i] = out[pos + i - dist]
-            if cache_size:
-                for i in range(length):
-                    px = out[pos + i]
+    ul = r.windows()
+    data_bits = 8 * len(r.data)
+    meta_l = meta.tolist() if meta is not None else None
+    luts = [tuple(c.lut() for c in g) for g in groups]
+    (lutg, mg), (lutr, mr), (lutb, mb), (luta, ma), (lutd, md) = luts[0]
+    vals: list[int] = []
+    va = vals.append
+    pos = 0
+    p = r.bitpos()
+    try:
+        while pos < n_px:
+            if meta_l is not None:
+                y, x = divmod(pos, w)
+                gl = luts[meta_l[y >> meta_bits][x >> meta_bits]]
+                (lutg, mg), (lutr, mr), (lutb, mb), (luta, ma), (lutd, md) = gl
+                # this group holds until the meta-block row segment ends
+                x_end = min((((x >> meta_bits) + 1) << meta_bits), w)
+                bound = pos + (x_end - x)
+            else:
+                bound = n_px
+            while pos < bound:
+                w64 = (ul[p >> 3] >> (p & 7)) & 0x3FFFFFFF
+                e = lutg[w64 & mg]
+                c = e & 15
+                s = e >> 4
+                if s < 256:
+                    er = lutr[(w64 >> c) & mr]
+                    c += er & 15
+                    p2 = p + c
+                    w2 = (ul[p2 >> 3] >> (p2 & 7)) & 0x3FFFFFFF
+                    eb = lutb[w2 & mb]
+                    cb = eb & 15
+                    ea = luta[(w2 >> cb) & ma]
+                    p = p2 + cb + (ea & 15)
                     argb = (
-                        (int(px[3]) << 24) | (int(px[0]) << 16)
-                        | (int(px[1]) << 8) | int(px[2])
+                        ((ea >> 4) << 24) | ((er >> 4) << 16)
+                        | (s << 8) | (eb >> 4)
                     )
-                    cache[
-                        (_CACHE_MULT * argb & 0xFFFFFFFF) >> (32 - cache_bits)
-                    ] = argb
-            pos += length
-        else:
-            argb = cache[s - 256 - 24]
-            out[pos] = (
-                (argb >> 16) & 0xFF, (argb >> 8) & 0xFF,
-                argb & 0xFF, (argb >> 24) & 0xFF,
-            )
-            pos += 1
+                    va(argb)
+                    pos += 1
+                    if cs:
+                        cache[(_CACHE_MULT * argb & 0xFFFFFFFF) >> shift] = argb
+                    continue
+                p += c
+                if s < 280:
+                    code = s - 256
+                    if code < 4:
+                        length = code + 1
+                    else:
+                        extra = (code - 2) >> 1
+                        w64 = (ul[p >> 3] >> (p & 7)) & 0x3FFFFFFF
+                        length = (
+                            ((2 + (code & 1)) << extra)
+                            + (w64 & ((1 << extra) - 1)) + 1
+                        )
+                        p += extra
+                    w64 = (ul[p >> 3] >> (p & 7)) & 0x3FFFFFFF
+                    ed = lutd[w64 & md]
+                    p += ed & 15
+                    dsym = ed >> 4
+                    if dsym < 4:
+                        dval = dsym + 1
+                    else:
+                        extra = (dsym - 2) >> 1
+                        w64 = (ul[p >> 3] >> (p & 7)) & 0x3FFFFFFF
+                        dval = (
+                            ((2 + (dsym & 1)) << extra)
+                            + (w64 & ((1 << extra) - 1)) + 1
+                        )
+                        p += extra
+                    dist = _plane_distance(dval, w)
+                    if dist > pos:
+                        raise ValueError(
+                            "corrupt VP8L: back-reference before start"
+                        )
+                    if pos + length > n_px:
+                        raise ValueError(
+                            "corrupt VP8L: back-reference past end"
+                        )
+                    base = pos - dist
+                    if cs:
+                        for i in range(length):
+                            argb = vals[base + i]
+                            va(argb)
+                            cache[
+                                (_CACHE_MULT * argb & 0xFFFFFFFF) >> shift
+                            ] = argb
+                    else:
+                        for i in range(length):
+                            va(vals[base + i])
+                    pos += length
+                else:
+                    va(cache[s - 280])
+                    pos += 1
+    except IndexError:
+        raise ValueError("corrupt VP8L: bitstream exhausted") from None
+    if p > data_bits:
+        raise ValueError("corrupt VP8L: bitstream exhausted")
+    r.seek_bits(p)
+    packed = np.array(vals, dtype=np.int64)
+    out = np.empty((n_px, 4), dtype=np.uint8)  # RGBA
+    out[:, 0] = (packed >> 16) & 0xFF
+    out[:, 1] = (packed >> 8) & 0xFF
+    out[:, 2] = packed & 0xFF
+    out[:, 3] = (packed >> 24) & 0xFF
     return out.reshape(h, w, 4)
 
 
