@@ -5088,82 +5088,69 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
-    # --- round-9 window. Composition rule unchanged: (A) entries that
-    # are new, were red, or whose code/oracle moved this round; then
-    # (B) the never-driver-green backlog VERDICT r8 item 1 ordered
-    # newest-first; then (C) the 29 oracle entries with the OLDEST
-    # driver coverage (last green r6); then the standing ANN guard.
-    # Everything rotated out was green in r7/r8 and stays on the local
-    # full gate every round.
-    # A: new gate entries this round (MP4 container decode, GIF codec,
-    # MPEG-audio walk, MJPEG video decode, the IVF-PQ composed tier +
-    # its exactness twin), plus the three r8-green entries whose
-    # operator code moved this round (decode_video/decode_image
-    # sniffing; id-ordered centroid fits in ivf/semdedup)
-    "video_frame_features_mp4",
-    "video_frame_features_avi",
-    "image_dedup_streaming",
-    "image_decode_gif",
-    "image_decode_webp",
-    "image_decode_bmp",
-    "image_decode_tiff",
-    "audio_mp3_summary",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q15_top_supplier",
-    "q22_global_sales_opportunity",
-    "video_frame_features_mjpeg",
-    "ivfpq_topk",
-    "ivfpq_topk_fullprobe",
-    "video_frame_features",
-    "ivf_topk",
-    "semantic_dedup",
-    # B: the 14 never-driver-green entries (VERDICT r8 item 1 order):
-    # the three registered after the r8 rotation — the JPEG/PNG codec
-    # gates are the highest-risk unverified code — then the eleven
-    # whose last driver record is r4 no_oracle (oracles added r5-r9;
-    # corpus_stats_approx gained its HLL++ replay oracle this round)
-    "image_decode_jpeg",
-    "image_decode_png",
-    "bpe_encode_pipeline",
-    "simhash_near_dup",
-    "embedding_neardup_lsh",
-    "image_decode_features",
-    "audio_decode_features",
-    "ngram_jaccard_lsh",
-    "vector_topk_mmr",
-    "dedup_near_keep_first",
-    "knn_join_ivf",
-    "similarity_join_lsh",
-    "text_similarity_join",
-    "corpus_stats_approx",
-    # C: oracle entries last green in round 6 (CORRECTNESS_r06; every
-    # one re-verified on the local full gate each round since; thirteen
-    # rotated back out to make room for this round's thirteen new
-    # entries — dedup_exact_keep_first, doc_repetition, epoch_shuffle,
-    # duplicate_ngram_stats, dedup_incremental_bloom,
-    # doc_winnow_fingerprints, events_funnel, events_hourly_anomaly,
-    # events_sessionize, hard_negatives, heavy_hitter_ngrams,
-    # html_extract, lang_profile, lm_likelihood_buckets,
-    # mixture_upsample, orders_window_top3, pack_sequences — they
-    # rotate back in next round)
-    "per_source_cap",
-    "q18_large_volume_customer",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "quality_percentile_cut",
-    "quality_percentile_filter",
-    "revenue_rollup",
-    "sessionize_streaming",
-    "source_drift_tvd",
-    "token_budget_sample",
+    # --- round-10 window. Composition rule unchanged: (A) entries that
+    # are new this round (never driver-gated); then (B) oldest official
+    # coverage first — the 17 entries last driver-green in r06, then
+    # the 28 oldest of the 40 last green in r07 (the remaining 12 r07
+    # entries rotate in next round); then the standing ANN guard.
+    # Everything rotated out was green in r08/r09 and stays on the
+    # local full gate every round.
+    # A: the four TPC-H shapes added this round
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q21_suppliers_kept_waiting",
+    # B1: last official driver record r06
+    "hard_negatives",
+    "orders_window_top3",
+    "events_hourly_anomaly",
+    "events_funnel",
+    "events_sessionize",
+    "dedup_exact_keep_first",
+    "dedup_incremental_bloom",
+    "doc_repetition",
+    "duplicate_ngram_stats",
+    "heavy_hitter_ngrams",
+    "html_extract",
+    "pack_sequences",
+    "mixture_upsample",
+    "lm_likelihood_buckets",
+    "epoch_shuffle",
+    "lang_profile",
+    "doc_winnow_fingerprints",
+    # B2: last official driver record r07, registry order (the tail —
+    # stratified_sample, token_budget_by_lang, top_terms_by_lang,
+    # lang_id_eval, bm25_search, revenue_cube, corpus_stats_gate,
+    # embed_texts, duplicated_spans, exact_substring_stats,
+    # strip_dup_spans, dedup_incremental — next round's B1)
+    "vector_topk_filtered",
+    "vector_topk_l2",
+    "vector_topk_dot",
+    "similar_to_doc",
+    "embedding_coverage",
+    "embedding_stats",
+    "neardup_pairs_cosine",
+    "q5_local_supplier_volume",
+    "top_customers_by_revenue",
+    "revenue_by_region",
+    "events_hourly",
+    "events_funnel_summary",
+    "events_retention",
+    "events_engagement",
+    "anomaly_streaming",
+    "orders_semi_late_lines",
+    "customers_without_orders",
+    "region_priority_pivot",
+    "part_small_qty_revenue",
+    "events_interval_join",
+    "dedup_normalized",
+    "doc_fingerprints",
+    "corpus_token_totals",
+    "doc_quality",
+    "pack_sequence_stats",
+    "dataset_split",
+    "tokenize_to_ids",
+    "vocab_coverage",
     # standing ANN-family guard: the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate
     "ivf_topk_fullprobe",

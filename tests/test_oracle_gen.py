@@ -159,3 +159,61 @@ def test_hll_replay_refuses_beyond_linear_regime():
     values = [f"tok{i}" for i in range(20000)]  # >> p=12 threshold 3100
     with pytest.raises(RuntimeError, match="linear-counting|zero registers"):
         OG._hll_replay(values, 0.02)
+
+
+def test_independent_lloyd_canary_matches_ivf_witness():
+    """Shared-bug canary (VERDICT r9 item 10): a from-scratch Lloyd
+    re-implementation — no functions/kmeans import — must reproduce
+    the exact ivf_topk witness on the gate corpus: centroids,
+    assignment, and the probed-list set. The per-row distance kernel
+    keeps the same expanded float expression (bit-identity requires an
+    identical float op order); everything AROUND it is re-derived
+    independently: the centroid update uses np.add.at scatter instead
+    of argsort+reduceat, empty clusters via np.where instead of masked
+    assignment, convergence spelled out instead of np.allclose, and
+    the probe ranking via lexsort instead of stable argsort."""
+    import numpy as np
+
+    sf_dir = "/root/testdata/sf0.001"
+    ids, x = OG._load_embeddings(sf_dir)
+    k, nprobe, seed = 16, 10, 42
+
+    rng = np.random.default_rng(seed)
+    n, d = x.shape
+    xsq = np.einsum("ij,ij->i", x, x)
+    c = np.empty((k, d), dtype=np.float64)
+    c[0] = x[rng.integers(n)]
+    d2 = np.maximum(xsq - 2.0 * (x @ c[0]) + c[0] @ c[0], 0.0)
+    for i in range(1, k):
+        tot = d2.sum()
+        p = d2 / tot if tot > 0 else None
+        pick = x[rng.choice(n, p=p)]
+        c[i] = pick
+        np.minimum(d2, np.maximum(xsq - 2.0 * (x @ pick) + pick @ pick, 0.0),
+                   out=d2)
+    for _ in range(20):
+        dist = xsq[:, None] - 2.0 * (x @ c.T) + np.einsum("ij,ij->i", c, c)[None, :]
+        a = dist.argmin(axis=1)
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, a, x)
+        cnt = np.zeros(k, dtype=np.int64)
+        np.add.at(cnt, a, 1)
+        nc = np.where(cnt[:, None] > 0, sums / np.maximum(cnt, 1)[:, None], c)
+        if bool((np.abs(nc - c) <= 1e-8 + 1e-5 * np.abs(c)).all()):
+            break
+        c = nc
+
+    ref = OG._fit_centroids_replay(x, k, seed)
+    assert np.allclose(c, ref, rtol=1e-10, atol=1e-12)
+    # the decisions derived from the centroids must be IDENTICAL
+    assign_ind = (
+        xsq[:, None] - 2.0 * (x @ c.T)
+        + np.einsum("ij,ij->i", c, c)[None, :]
+    ).argmin(axis=1)
+    assert np.array_equal(assign_ind, OG._assign_replay(x, ref))
+    q = x[int(np.flatnonzero(ids == 0)[0])]
+    dq = np.einsum("ij,ij->i", c, c) - 2.0 * (c @ q)
+    probes_ind = np.lexsort((np.arange(k), dq))[:nprobe]
+    assert set(map(int, probes_ind)) == set(
+        int(p) for p in OG._rank_lists_replay(ref, q)[:nprobe]
+    )
