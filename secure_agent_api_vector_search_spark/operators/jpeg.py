@@ -254,8 +254,32 @@ def _decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
 
 _VAL_BIAS = 1 << 21  # packed-coefficient bias (values are ±2^15 max)
 
+# cross-file LUT cache: MJPEG/MP4/AVI streams repeat the same DHT in
+# every frame, so keying on the raw table definition amortizes the
+# 65536-entry build over the whole video. The cache holds NUMPY
+# arrays, not Python lists: long-lived 65536-element lists of ints
+# make every gc generation-2 pass traverse millions of pointers
+# (measured: ~25× slowdown on a 50-distinct-frame stream); the
+# per-file list conversion the hot loop wants lives on the file's own
+# huff entry and dies with the decode. Bounded FIFO.
+_LUT_CACHE: dict[tuple, np.ndarray] = {}
+_LUT_CACHE_MAX = 64
 
-def _symbol_lut(bits: list[int], vals: list[int], is_dc: bool) -> list[int]:
+
+def _symbol_lut_cached(
+    bits: list[int], vals: list[int], is_dc: bool
+) -> np.ndarray:
+    key = (tuple(bits), tuple(vals), is_dc)
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        lut = _symbol_lut(bits, vals, is_dc)
+        if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+            _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
+        _LUT_CACHE[key] = lut
+    return lut
+
+
+def _symbol_lut(bits: list[int], vals: list[int], is_dc: bool) -> np.ndarray:
     """Value-resolved 16-bit-window Huffman LUT for the vectorized
     baseline decoder (the libjpeg jdhuff idea taken one step further):
     the window peeked at a symbol boundary contains the code AND, for
@@ -272,8 +296,10 @@ def _symbol_lut(bits: list[int], vals: list[int], is_dc: bool) -> list[int]:
       3``; caller extracts from its 32-bit window), 4 = unassigned
       code word (corrupt stream).
 
-    Returned as a plain Python list — per-symbol list indexing beats
-    numpy scalar access ~3× in the decode loop."""
+    Returned as a numpy int64 array (GC-traversal-free in the
+    cross-file cache); the decode converts to a plain Python list once
+    per file — per-symbol list indexing beats numpy scalar access ~3×
+    in the hot loop."""
     lut = np.full(65536, -4, dtype=np.int64)
     code = 0
     k = 0
@@ -309,7 +335,7 @@ def _symbol_lut(bits: list[int], vals: list[int], is_dc: bool) -> list[int]:
             )
             lut[lo : lo + width] = np.repeat(entry, 1 << (16 - adv))
         code <<= 1
-    return lut.tolist()
+    return lut
 
 
 def _fixed_length_table(symbols: list[int]) -> tuple[list[int], list[int]]:
@@ -686,9 +712,11 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
         for key in ((0, c["dc"]), (1, c["ac"])):
             entry = huff[key]
             if entry["lut"] is None:
-                entry["lut"] = _symbol_lut(
+                # per-file list conversion of the cached numpy LUT —
+                # transient, so the GC never owns long-lived int lists
+                entry["lut"] = _symbol_lut_cached(
                     entry["bits"], entry["vals"], is_dc=key[0] == 0
-                )
+                ).tolist()
         lut_dc.append(huff[(0, c["dc"])]["lut"])
         lut_ac.append(huff[(1, c["ac"])]["lut"])
         flats.append(coefs[c["id"]].reshape(-1))

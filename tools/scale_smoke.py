@@ -261,6 +261,20 @@ def run_suite(spark, base: str) -> dict[str, dict[str, float]]:
         # the generator's 50k cap)
         "bpe_train_distributed": lambda: _bpe_df(docs),
     }
+    # $SPARK_GRAFT_SMOKE_OPS=a,b,c restricts the suite to named ops
+    # (used for the big-corpus LSH/banding tier, where the full suite
+    # would dominate the wall for no growth signal); pair-producing
+    # ops also record their candidate-pair count so banding growth is
+    # measured, not inferred from timings.
+    only = os.environ.get("SPARK_GRAFT_SMOKE_OPS")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        ops = {k: v for k, v in ops.items() if k in keep}
+    pair_ops = {
+        "minhash_near_dup", "simhash_near_dup", "ngram_jaccard_lsh",
+        "embedding_neardup_lsh", "semantic_dedup", "semantic_dedup_hot",
+        "image_neardup_pairs",
+    }
     out: dict[str, float] = {}
     warm: dict[str, float] = {}
     extra: dict[str, dict] = {}
@@ -276,6 +290,8 @@ def run_suite(spark, base: str) -> dict[str, dict[str, float]]:
         t0 = time.perf_counter()
         build().write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 2)
+        if name in pair_ops:
+            extra[name] = {"pairs_out": build().count()}
         # queries are isolated from each other's operator-internal
         # persists (minhash signatures, LSH gram frames) — the same
         # per-query discipline bench.py applies; without it late ops
@@ -289,6 +305,9 @@ def run_suite(spark, base: str) -> dict[str, dict[str, float]]:
     # corpus size) next to the wall time (must track the ~50k-word
     # vocabulary, which saturates at the generator cap — so wall stays
     # ~flat across 5k/20k/80k docs while rows grow 16x).
+    if only:
+        return {"sec": out, "sec_warm": warm, "extra": extra}
+
     from secure_agent_api_vector_search_spark.operators.bpe import train_bpe
 
     st: dict = {}
