@@ -452,6 +452,11 @@ def curate_corpus(
     # near-dup collapse at scale: banded MinHash pairs → components
     norm = exact_kept.select("doc_id", X.normalized_text("text").alias("text"))
     pairs = D.minhash_near_dup_pairs(norm, threshold=near_dup_threshold)
+    if leakage_audit:
+        # the audit reuses this exact pair frame (pairs=); without a
+        # persist it would re-run the band join + verify from the
+        # operator's cached signatures (~10× the O(pairs) audit cost)
+        pairs = pairs.persist()
     deduped = keep_first(exact_kept, pairs.select("id_a", "id_b"), id_col="doc_id")
     deduped = deduped.persist()
     counts["after_dedup"] = deduped.count()
@@ -575,4 +580,6 @@ def curate_corpus(
 
     for frame in (docs, quarantine, gated, deduped, clean, split):
         frame.unpersist()
+    if leakage_audit:
+        pairs.unpersist()
     return counts
