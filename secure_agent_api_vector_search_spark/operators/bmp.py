@@ -112,13 +112,22 @@ def _decode_dib(
         img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
         out = rows_bottom_up(img.copy())
     elif bpp == 32:
-        if masks is not None and tuple(masks) != (0xFF0000, 0x00FF00, 0x0000FF):
+        # V4+ headers declare an alpha mask at off+52; 40-byte
+        # BI_BITFIELDS headers don't (the alpha byte then keeps the
+        # historical opaque-BGRA reading, am treated as the full byte).
+        am = 0xFF000000
+        if masks is not None and hdr_size >= 56:
+            am = struct.unpack("<I", payload[off + 52 : off + 56])[0]
+        if masks is not None and (
+            tuple(masks) != (0xFF0000, 0x00FF00, 0x0000FF) or am != 0xFF000000
+        ):
             # BI_BITFIELDS with a non-BGRA layout (RGBA/BGRX variants
-            # some tools write): honor the declared masks. V4+ headers
-            # carry an alpha mask at off+52; 40-byte headers don't.
-            am = 0
-            if hdr_size >= 56:
-                am = struct.unpack("<I", payload[off + 52 : off + 56])[0]
+            # some tools write), or a V4+ header whose declared alpha
+            # mask differs from plain BGRA (am == 0 means NO alpha
+            # channel → 3-channel output, not a transparent image):
+            # decode through the declared masks.
+            if hdr_size < 56:
+                am = 0  # undeclared: nonstandard-mask BMPs emit RGB
             vals = (
                 np.frombuffer(raw, dtype="<u4")
                 .reshape(h, stride // 4)[:, :w]

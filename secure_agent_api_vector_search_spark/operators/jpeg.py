@@ -254,6 +254,34 @@ def _decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
 
 _VAL_BIAS = 1 << 21  # packed-coefficient bias (values are ±2^15 max)
 
+
+class _ChunkedWindows:
+    """Monotone-access window store for entropy segments too large to
+    materialize as one Python-int list (~40 bytes/entry): serves the
+    same ``ul[b] -> int`` contract from 1M-entry tolist chunks, so the
+    hot loop's arithmetic stays Python-int (a raw numpy uint64 element
+    would silently WRAP on the ``mag - mask`` extend step). Bit
+    positions only move forward in both codecs, so each chunk is
+    materialized once; memory is bounded at ~40 MB regardless of
+    payload size."""
+
+    __slots__ = ("ua", "base", "hi", "chunk")
+    _CH = 1 << 20
+
+    def __init__(self, ua: np.ndarray):
+        self.ua = ua
+        self.base = 0
+        self.hi = min(len(ua), self._CH)
+        self.chunk = ua[: self.hi].tolist()
+
+    def __getitem__(self, b: int) -> int:
+        if b >= self.hi or b < self.base:
+            hi = min(len(self.ua), b + self._CH)
+            self.chunk = self.ua[b:hi].tolist()
+            self.base = b
+            self.hi = hi
+        return self.chunk[b - self.base]
+
 # cross-file LUT cache: MJPEG/MP4/AVI streams repeat the same DHT in
 # every frame, so keying on the raw table definition amortizes the
 # 65536-entry build over the whole video. The cache holds NUMPY
@@ -692,11 +720,16 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
         break
     if end_pos < 0:
         raise ValueError("corrupt JPEG: entropy data ran past end of file")
+    stray_rst = 0
     if not ri and rst_nums:
-        raise ValueError(
-            f"unexpected marker 0xFF{0xD0 + rst_nums[0]:02X} inside "
-            "entropy data"
-        )
+        # without DRI, an RSTn *inside* the scan's data is corrupt, but
+        # one *after* it (before the next true marker) is the stray the
+        # segment walk has always skipped: decode the first span only —
+        # if the scan under-runs it, the marker really was mid-data and
+        # the under-run check below raises the in-data marker error
+        stray_rst = 0xD0 + rst_nums[0]
+        seg_spans = seg_spans[:1]
+        rst_nums = []
     for i, n in enumerate(rst_nums):
         if n != i & 7:
             raise ValueError(
@@ -750,7 +783,7 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
         slots_l = slot_pattern * total_units
     seg_units = ri if ri else total_units
     expected_segs = -(-total_units // seg_units)
-    if len(seg_spans) != expected_segs:
+    if ri and len(seg_spans) != expected_segs:
         raise ValueError(
             f"corrupt JPEG: {len(seg_spans)} restart segments for "
             f"{total_units} MCUs at interval {seg_units} "
@@ -771,12 +804,16 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
         seg = payload[s0:s1].replace(b"\xff\x00", b"\xff")
         nbits = 8 * len(seg)
         a = np.frombuffer(seg + b"\x00" * 72, dtype=np.uint8).astype(np.uint64)
-        ul = (
+        ua = (
             (a[:-7] << np.uint64(56)) | (a[1:-6] << np.uint64(48))
             | (a[2:-5] << np.uint64(40)) | (a[3:-4] << np.uint64(32))
             | (a[4:-3] << np.uint64(24)) | (a[5:-2] << np.uint64(16))
             | (a[6:-1] << np.uint64(8)) | a[7:]
-        ).tolist()
+        )
+        # full-list windows are fastest but cost ~40 bytes/entry; past
+        # 8 MB of entropy data per segment, serve them through the
+        # chunked reader so one huge scan can't balloon a task to GBs
+        ul = ua.tolist() if len(seg) <= (8 << 20) else _ChunkedWindows(ua)
         p = 0
         preds = [0] * n_slots
         blk_lo = gi * seg_units * bpm
@@ -801,6 +838,14 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
                         mag if mag >= half[s] else mag - mask[s]
                     )
                     p += adv
+                if not -2097152 <= pred < 2097152:
+                    # a legal 8-bit-precision DC value is |pred| ≤ 2047;
+                    # only a corrupt stream can walk the predictor out of
+                    # the packed 22-bit value field — raise, never let it
+                    # spill into the scatter-position bits
+                    raise ValueError(
+                        "corrupt JPEG: DC predictor out of range"
+                    )
                 preds[slot] = pred
                 out_append = outs[slot].append
                 out_append((fb << 22) | (pred + bias))
@@ -846,6 +891,11 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
                 "corrupt JPEG: entropy data exhausted mid-scan"
             ) from None
         if p > nbits:
+            if stray_rst:
+                raise ValueError(
+                    f"unexpected marker 0xFF{stray_rst:02X} inside "
+                    "entropy data"
+                )
             raise ValueError("corrupt JPEG: entropy data exhausted mid-scan")
 
     # 4. one vectorized unpack + scatter per component store

@@ -83,12 +83,23 @@ class _Reader:
             a = np.frombuffer(
                 self.data + b"\x00" * 8, dtype=np.uint8
             ).astype(np.uint64)
-            self.ul = (
+            ua = (
                 a[:-7] | (a[1:-6] << np.uint64(8))
                 | (a[2:-5] << np.uint64(16)) | (a[3:-4] << np.uint64(24))
                 | (a[4:-3] << np.uint64(32)) | (a[5:-2] << np.uint64(40))
                 | (a[6:-1] << np.uint64(48)) | (a[7:] << np.uint64(56))
-            ).tolist()
+            )
+            # list windows are fastest at ~40 bytes each; past 8 MB of
+            # payload serve them through jpeg._ChunkedWindows (Python-
+            # int semantics, bounded memory, monotone access)
+            if len(self.data) <= (8 << 20):
+                self.ul = ua.tolist()
+            else:
+                from secure_agent_api_vector_search_spark.operators.jpeg import (
+                    _ChunkedWindows,
+                )
+
+                self.ul = _ChunkedWindows(ua)
         return self.ul
 
     def bitpos(self) -> int:

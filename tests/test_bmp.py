@@ -160,3 +160,46 @@ def test_bmp_32bpp_bitfields_v4_alpha_mask():
     out = B.decode_bmp(head + v4 + pix)
     assert out.shape == (h, w, 4)
     assert np.array_equal(out, img)
+
+
+def test_bmp_v4_standard_masks_zero_alpha_mask_is_rgb():
+    """A BITMAPV4 bitfields BMP with STANDARD BGR color masks but a
+    declared alpha mask of 0 has no alpha channel: it must decode to
+    3-channel RGB through the masks path, not publish the reserved
+    byte (often 0) as full transparency (code-review r10)."""
+    h, w = 2, 3
+    img = _rand(h, w, seed=31)
+    vals = (
+        (img[:, :, 0].astype(np.uint32) << 16)
+        | (img[:, :, 1].astype(np.uint32) << 8)
+        | img[:, :, 2].astype(np.uint32)
+    )  # standard BGRA byte order with reserved byte 0
+    pix = vals[::-1].astype("<u4").tobytes()
+    v4 = struct.pack("<IiiHHIIiiII", 108, w, h, 1, 32, 3, len(pix), 0, 0, 0, 0)
+    v4 += struct.pack("<IIII", 0x00FF0000, 0x0000FF00, 0x000000FF, 0)
+    v4 += b"\x00" * (108 - len(v4))
+    head = struct.pack("<2sIHHI", b"BM", 14 + 108 + len(pix), 0, 0, 14 + 108)
+    out = B.decode_bmp(head + v4 + pix)
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, img)
+
+
+def test_bmp_v4_standard_masks_standard_alpha_keeps_fast_path():
+    """Standard masks + am=0xFF000000 is exactly the BGRA layout — the
+    fast path must keep round-tripping RGBA."""
+    h, w = 2, 2
+    img = _rand(h, w, c=4, seed=32)
+    vals = (
+        (img[:, :, 3].astype(np.uint32) << 24)
+        | (img[:, :, 0].astype(np.uint32) << 16)
+        | (img[:, :, 1].astype(np.uint32) << 8)
+        | img[:, :, 2].astype(np.uint32)
+    )
+    pix = vals[::-1].astype("<u4").tobytes()
+    v4 = struct.pack("<IiiHHIIiiII", 108, w, h, 1, 32, 3, len(pix), 0, 0, 0, 0)
+    v4 += struct.pack("<IIII", 0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
+    v4 += b"\x00" * (108 - len(v4))
+    head = struct.pack("<2sIHHI", b"BM", 14 + 108 + len(pix), 0, 0, 14 + 108)
+    out = B.decode_bmp(head + v4 + pix)
+    assert out.shape == (h, w, 4)
+    assert np.array_equal(out, img)

@@ -774,3 +774,48 @@ def test_mjpeg_video_features_planted_scene_cut(spark, docs):
         assert r.n_scene_cuts == 1
         assert r.width % 8 == 0 and r.height % 8 == 0
         assert 16 <= r.width <= 32 and 16 <= r.height <= 32
+
+
+def test_jpeg_dc_predictor_overflow_raises_not_garbage():
+    """A corrupt stream whose DHT declares category-15 DC diffs can
+    walk the predictor past the packed 22-bit value field; the fast
+    decoder must raise, never scatter coefficients to wrong positions
+    (code-review r10). Hand-built: 72 blocks of +32767 DC diffs."""
+    import struct
+
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", 64, 72)
+              + bytes([1, 1, 0x11, 0]))
+    # DC table: symbols {0, 15} at length 2; AC table: {0} (EOB) at len 2
+    dht_dc = bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([0, 15])
+    dht_ac = bytes([0x10]) + bytes([0, 1] + [0] * 14) + bytes([0])
+    dht = seg(0xC4, dht_dc + dht_ac)
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    wtr = J._BitWriter()
+    for _ in range(72):  # 9x8 blocks of 64x72 px
+        wtr.write(0b01, 2)       # DC sym 15
+        wtr.write(0x7FFF, 15)    # diff +32767
+        wtr.write(0b00, 2)       # AC EOB
+    payload = (b"\xff\xd8" + dqt + sof + dht + sos + wtr.flush()
+               + b"\xff\xd9")
+    with pytest.raises(ValueError, match="DC predictor out of range"):
+        J.decode_jpeg(payload)
+
+
+def test_jpeg_stray_rst_after_entropy_data_is_skipped():
+    """An RSTn between the end of a DRI-free scan's entropy data and
+    the next marker is stray, not corruption — the segment walk has
+    always skipped it and the fast baseline path must too."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, size=(16, 16, 1), dtype=np.uint8)
+    enc = J.encode_jpeg(img, quality=90)
+    assert enc.endswith(b"\xff\xd9")
+    padded = enc[:-2] + b"\xff\xd0" + enc[-2:]
+    assert (J.decode_jpeg(padded) == J.decode_jpeg(enc)).all()

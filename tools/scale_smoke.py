@@ -270,10 +270,13 @@ def run_suite(spark, base: str) -> dict[str, dict[str, float]]:
     if only:
         keep = {s.strip() for s in only.split(",")}
         ops = {k: v for k, v in ops.items() if k in keep}
+    # pair-frame producers only (semantic_dedup returns kept DOCS, not
+    # pairs — counting it here would misread corpus survivors as
+    # banding growth). The count pass re-executes the op UNTIMED, after
+    # both timed passes, purely to record candidate growth.
     pair_ops = {
         "minhash_near_dup", "simhash_near_dup", "ngram_jaccard_lsh",
-        "embedding_neardup_lsh", "semantic_dedup", "semantic_dedup_hot",
-        "image_neardup_pairs",
+        "embedding_neardup_lsh", "image_neardup_pairs",
     }
     out: dict[str, float] = {}
     warm: dict[str, float] = {}
