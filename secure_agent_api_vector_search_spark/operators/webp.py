@@ -416,24 +416,32 @@ def _decode_entropy_image(
                 bound = pos + (x_end - x)
             else:
                 bound = n_px
+            # a 64-bit window exposes >= 57 stream bits, so three
+            # 15-bit-max codes (green+red+blue) always fit ONE fetch;
+            # alpha needs a second fetch only when its code is real —
+            # for the common opaque corpus alpha is a single-symbol
+            # (zero-bit) code and the whole literal pixel costs one
+            # window read
+            alpha_single = (luta[0] >> 4) << 24 if ma == 0 else None
             while pos < bound:
-                w64 = (ul[p >> 3] >> (p & 7)) & 0x3FFFFFFF
+                w64 = ul[p >> 3] >> (p & 7)
                 e = lutg[w64 & mg]
                 c = e & 15
                 s = e >> 4
                 if s < 256:
                     er = lutr[(w64 >> c) & mr]
                     c += er & 15
-                    p2 = p + c
-                    w2 = (ul[p2 >> 3] >> (p2 & 7)) & 0x3FFFFFFF
-                    eb = lutb[w2 & mb]
-                    cb = eb & 15
-                    ea = luta[(w2 >> cb) & ma]
-                    p = p2 + cb + (ea & 15)
-                    argb = (
-                        ((ea >> 4) << 24) | ((er >> 4) << 16)
-                        | (s << 8) | (eb >> 4)
-                    )
+                    eb = lutb[(w64 >> c) & mb]
+                    c += eb & 15
+                    if alpha_single is None:
+                        p2 = p + c
+                        ea = luta[(ul[p2 >> 3] >> (p2 & 7)) & ma]
+                        p = p2 + (ea & 15)
+                        ahi = (ea >> 4) << 24
+                    else:
+                        p += c
+                        ahi = alpha_single
+                    argb = ahi | ((er >> 4) << 16) | (s << 8) | (eb >> 4)
                     va(argb)
                     pos += 1
                     if cs:
