@@ -254,6 +254,11 @@ def _decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
 
 _VAL_BIAS = 1 << 21  # packed-coefficient bias (values are ±2^15 max)
 
+# segments larger than this decode through _ChunkedWindows instead of
+# one full Python-int window list (~40 bytes/entry); module-level so
+# tests can force the chunked path on small fixtures
+_LIST_WINDOWS_MAX = 8 << 20
+
 
 class _ChunkedWindows:
     """Monotone-access window store for entropy segments too large to
@@ -813,7 +818,8 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
         # full-list windows are fastest but cost ~40 bytes/entry; past
         # 8 MB of entropy data per segment, serve them through the
         # chunked reader so one huge scan can't balloon a task to GBs
-        ul = ua.tolist() if len(seg) <= (8 << 20) else _ChunkedWindows(ua)
+        ul = (ua.tolist() if len(seg) <= _LIST_WINDOWS_MAX
+              else _ChunkedWindows(ua))
         p = 0
         preds = [0] * n_slots
         blk_lo = gi * seg_units * bpm

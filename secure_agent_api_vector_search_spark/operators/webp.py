@@ -92,7 +92,11 @@ class _Reader:
             # list windows are fastest at ~40 bytes each; past 8 MB of
             # payload serve them through jpeg._ChunkedWindows (Python-
             # int semantics, bounded memory, monotone access)
-            if len(self.data) <= (8 << 20):
+            from secure_agent_api_vector_search_spark.operators.jpeg import (
+                _LIST_WINDOWS_MAX,
+            )
+
+            if len(self.data) <= _LIST_WINDOWS_MAX:
                 self.ul = ua.tolist()
             else:
                 from secure_agent_api_vector_search_spark.operators.jpeg import (

@@ -819,3 +819,23 @@ def test_jpeg_stray_rst_after_entropy_data_is_skipped():
     assert enc.endswith(b"\xff\xd9")
     padded = enc[:-2] + b"\xff\xd0" + enc[-2:]
     assert (J.decode_jpeg(padded) == J.decode_jpeg(enc)).all()
+
+
+def test_chunked_window_path_decodes_identically(monkeypatch):
+    """Forcing the >8MB chunked-window reader onto ordinary fixtures
+    must produce BIT-IDENTICAL decodes for both codecs (the huge-
+    payload memory path shares the hot loop, so this pins its
+    Python-int semantics end-to-end, incl. small chunk refills)."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+    from secure_agent_api_vector_search_spark.operators import webp as W
+
+    rng = np.random.default_rng(34)
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    jp = J.encode_jpeg(img, quality=88)
+    wp = W.encode_webp_lossless(img, subtract_green=True)
+    want_j = J.decode_jpeg(jp)
+    want_w = W.decode_webp(wp)
+    monkeypatch.setattr(J, "_LIST_WINDOWS_MAX", 0)
+    monkeypatch.setattr(J._ChunkedWindows, "_CH", 64)  # force refills
+    assert (J.decode_jpeg(jp) == want_j).all()
+    assert (W.decode_webp(wp) == want_w).all()
