@@ -2702,10 +2702,10 @@ ORDER BY o_orderpriority""",
         "q12_shipmode_priority", q12_shipmode_priority,
         oracle_sql="""
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem, orders
 WHERE l_orderkey = o_orderkey
   AND l_returnflag IN ('A','N')

@@ -72,10 +72,24 @@ def _decode_dib(
     masks = None
     if compression == 3:  # BI_BITFIELDS: masks precede/replace table
         if hdr_size == 40:
-            masks = struct.unpack("<III", payload[table_off : table_off + 12])
+            raw_masks = payload[table_off : table_off + 12]
+            if len(raw_masks) != 12:
+                raise ValueError("corrupt BMP: truncated bitfield masks")
+            masks = struct.unpack("<III", raw_masks)
             table_off += 12
+        elif hdr_size >= 52:  # V2+ headers carry the masks in-header
+            raw_masks = payload[off + 40 : off + 52]
+            if len(raw_masks) != 12:
+                raise ValueError("corrupt BMP: truncated bitfield masks")
+            masks = struct.unpack("<III", raw_masks)
         else:
-            masks = struct.unpack("<III", payload[off + 40 : off + 52])
+            # 40 < hdr_size < 52: no room for in-header masks; reading
+            # past the declared header would pick up palette/pixel bytes
+            # as channel masks (silently wrong colors)
+            raise ValueError(
+                f"corrupt BMP: BI_BITFIELDS header size {hdr_size} has "
+                "no room for channel masks"
+            )
     elif compression not in (0, 1, 2):
         raise ValueError(f"corrupt BMP: unsupported compression {compression}")
 

@@ -203,3 +203,30 @@ def test_bmp_v4_standard_masks_standard_alpha_keeps_fast_path():
     out = B.decode_bmp(head + v4 + pix)
     assert out.shape == (h, w, 4)
     assert np.array_equal(out, img)
+
+
+def test_bmp_bitfields_undersized_header_rejected():
+    """BI_BITFIELDS with 40 < hdr_size < 52 has no room for in-header
+    masks; reading past the declared header would treat palette/pixel
+    bytes as channel masks (ADVICE r10).  Must reject via the decoder's
+    ValueError contract, and a truncated mask block must not surface a
+    raw struct.error."""
+    h, w = 2, 2
+    img = _rand(h, w, seed=31)
+    vals = (
+        img[:, :, 2].astype(np.uint32)
+        | (img[:, :, 1].astype(np.uint32) << 8)
+        | (img[:, :, 0].astype(np.uint32) << 16)
+    )
+    pix = vals[::-1].astype("<u4").tobytes()
+    # declared header size 44: no in-header masks, no post-header masks
+    info = struct.pack("<IiiHHIIiiII", 44, w, h, 1, 32, 3, len(pix), 0, 0, 0, 0)
+    info += b"\x00" * 4  # the 4 declared-but-maskless extra header bytes
+    head = struct.pack("<2sIHHI", b"BM", 14 + len(info) + len(pix), 0, 0, 14 + len(info))
+    with pytest.raises(ValueError, match="no room for channel masks"):
+        B.decode_bmp(head + info + pix)
+    # hdr_size == 40 with the mask block truncated: ValueError, not struct.error
+    info40 = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 3, len(pix), 0, 0, 0, 0)
+    head40 = struct.pack("<2sIHHI", b"BM", 14 + 40 + 8, 0, 0, 14 + 40 + 12)
+    with pytest.raises(ValueError, match="truncated bitfield masks"):
+        B.decode_bmp(head40 + info40 + b"\x00" * 8)

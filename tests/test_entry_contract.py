@@ -116,3 +116,53 @@ def test_bench_headline_is_subset_of_queries():
     assert missing == []
     assert bench.SHARED31 == bench.HEADLINE[:31]
     assert len(bench.SHARED31) == 31
+
+
+def test_mini_driver_dtype_gate_catches_uncast_hugeint(con):
+    """The official driver hashes *pandas* frames; DuckDB types an uncast
+    SUM(int) as HUGEINT, which pandas renders float64 — values compare
+    equal in Python but the driver hash flips (the r10 q12 red).  The
+    mini_driver dtype gate must fail a deliberately uncast fixture."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from mini_driver import duck_num_kinds, spark_num_kinds
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("s", T.LongType()),
+    ])
+    rows = [("a", 3)]
+    sk = spark_num_kinds(schema, rows)
+    # deliberately uncast: DuckDB -> HUGEINT -> pandas float64
+    dk = duck_num_kinds(con.sql(
+        "SELECT 'a' AS k, SUM(x) AS s FROM (VALUES (1),(2)) t(x)").df())
+    assert sk["s"] == "i" and dk["s"] == "f"  # the gate must see a mismatch
+    # the cast form agrees
+    dk_ok = duck_num_kinds(con.sql(
+        "SELECT 'a' AS k, CAST(SUM(x) AS BIGINT) AS s "
+        "FROM (VALUES (1),(2)) t(x)").df())
+    assert dk_ok["s"] == "i" == sk["s"]
+    # null promotion: an integral Spark column containing nulls lands
+    # float64 after arrow->pandas on both engines - not a mismatch
+    assert spark_num_kinds(schema, [("a", None)])["s"] == "f"
+
+
+def test_no_oracle_yields_hugeint_columns(con):
+    """Sweep every registered oracle's FINAL relation type signature: a
+    HUGEINT/UHUGEINT output column cannot round-trip pandas as an integer
+    (no int128 dtype), so the driver-side hash silently floats it.  Every
+    integer aggregate in a final select list must be CAST ... AS BIGINT
+    (catalog.py convention; q12 was the one escapee)."""
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            rel = con.sql(sql)
+        except Exception:  # noqa: BLE001  validity is tested elsewhere
+            continue
+        for col, typ in zip(rel.columns, rel.types):
+            if "HUGEINT" in str(typ).upper():
+                bad.append(f"{name}.{col}")
+    assert bad == [], f"uncast int128 aggregate in final select: {bad}"

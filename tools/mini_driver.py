@@ -22,6 +22,45 @@ from secure_agent_api_vector_search_spark.session import get_session
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def spark_num_kinds(schema, rows) -> dict:
+    """Numeric dtype *kind* each Spark column lands on after the official
+    driver's pandas conversion: 'i' (integral) or 'f' (floating); non-numeric
+    columns are omitted.  An integral column containing nulls is promoted to
+    'f' — arrow→pandas coerces int-with-null to float64 on both engines, so
+    only genuine schema-type differences surface as mismatches."""
+    from pyspark.sql import types as T
+
+    kinds = {}
+    for i, f in enumerate(schema.fields):
+        dt = f.dataType
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            k = "i"
+            if any(r[i] is None for r in rows):
+                k = "f"
+        elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            k = "f"
+        else:
+            continue
+        kinds[f.name.lower()] = k
+    return kinds
+
+
+def duck_num_kinds(pdf) -> dict:
+    """Numeric dtype kinds of the DuckDB result after .df() — the same
+    pandas frame the official driver hashes.  DuckDB types an uncast
+    SUM(int) as HUGEINT, which pandas renders float64: that is the exact
+    class of silent value-repr flip (4109 vs 4109.0) this check catches
+    (VERDICT r10 task 1 — the q12_shipmode_priority red)."""
+    kinds = {}
+    for c in pdf.columns:
+        k = pdf[c].dtype.kind
+        if k in ("i", "u"):
+            kinds[c.lower()] = "i"
+        elif k == "f":
+            kinds[c.lower()] = "f"
+    return kinds
+
+
 def register(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
     for t in TABLES:
         con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -87,6 +126,31 @@ def main() -> int:
         ok_cols = sorted(c.lower() for c in scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         ok_vals = ok_cols and ok_count and rows_key(srows, [c.lower() for c in scols]) == rows_key(drows, dcols)
+        # dtype gate: the official driver hashes pandas frames, so an
+        # int column on one side that lands float64 on the other
+        # (uncast HUGEINT aggregate) is a hash red even when the Python
+        # values compare equal.  Re-run the oracle through .df() (cheap
+        # at sf0.01) and compare numeric kinds against the Spark schema.
+        dtype_bad = []
+        if ok_cols:
+            try:
+                sk = spark_num_kinds(sdf.schema, srows)
+                dk = duck_num_kinds(con.sql(oracles[name]).df())
+                dtype_bad = [
+                    (c, sk[c], dk[c])
+                    for c in sorted(set(sk) & set(dk))
+                    if sk[c] != dk[c]
+                ]
+            except Exception:  # noqa: BLE001  dtype probe is best-effort
+                dtype_bad = []
+        if dtype_bad:
+            print(
+                f"FAIL  {name}: dtype kind mismatch (driver hashes pandas "
+                f"frames): "
+                + ", ".join(f"{c}: spark={a} duckdb={b}" for c, a, b in dtype_bad)
+            )
+            n_fail += 1
+            continue
         if ok_cols and ok_count and ok_vals:
             print(f"PASS  {name}: {len(srows)} rows  [{dt:.1f}s]")
             n_pass += 1
