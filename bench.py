@@ -725,6 +725,42 @@ def _codec_throughput_probe() -> dict:
         base[:, :, None] + rng.normal(0, 20, (512, 512, 3)), 0, 255
     ).astype(np.uint8)
     try:
+        # the executor-core JPEG shape: mapInPandas hands each task a
+        # BATCH of payloads, and decode_jpeg_batch fuses their restart
+        # segments into one vectorized lane-engine pass (jpeg.py::
+        # _lane_engine — throughput is L/(a+b·L) in the lane count, so
+        # the batch, not the single image, is the per-core number).
+        # Encoded with one restart segment per MCU row, the layout real
+        # camera/libjpeg DRI emission produces.
+        # 64 payloads (4 distinct scenes x 16) = 4096 lanes: enough to
+        # amortize per-step dispatch; a real task's Arrow batch is
+        # larger still
+        distinct = [
+            np.clip(base[:, :, None] + rng.normal(0, 20, (512, 512, 3)),
+                    0, 255).astype(np.uint8)
+            for _ in range(4)
+        ]
+        batch = [J.encode_jpeg(im, quality=85, restart_interval=64)
+                 for im in distinct] * 16
+        # steady state: an executor core decodes batch after batch, so
+        # the second pass (allocator + page tables warm) is the
+        # representative per-core number; the first is recorded too
+        t0 = time.perf_counter()
+        J.decode_jpeg_batch(batch)
+        dt_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        J.decode_jpeg_batch(batch)
+        dt = time.perf_counter() - t0
+        out["jpeg_batch"] = {
+            "n_images": len(batch),
+            "payload_kb": round(sum(len(p) for p in batch) / 1024, 1),
+            "first_pass_sec": round(dt_cold, 3),
+            "decode_sec": round(dt, 3),
+            "decode_mb_per_sec": round(
+                sum(len(p) for p in batch) / dt / 1e6, 2),
+            "megapixels_per_sec": round(
+                len(batch) * 512 * 512 / dt / 1e6, 2),
+        }
         for name, enc, dec in (
             ("jpeg", lambda x: J.encode_jpeg(x, quality=85), J.decode_jpeg),
             ("png", M.encode_png, M.decode_png),

@@ -60,6 +60,10 @@ def _zigzag() -> np.ndarray:
 
 ZIGZAG = _zigzag()
 
+# inverse permutation: _ZIGZAG_INV[row*8 + col] = zigzag index of (row, col)
+_ZIGZAG_INV = np.empty(64, dtype=np.int64)
+_ZIGZAG_INV[ZIGZAG[:, 0] * 8 + ZIGZAG[:, 1]] = np.arange(64)
+
 # ITU-T T.81 Annex K.1 (the tables every IJG-derived encoder scales)
 QUANT_LUMA = np.array([
     [16, 11, 10, 16, 24, 40, 51, 61],
@@ -125,10 +129,16 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     y = ycc[..., 0].astype(np.float64)
     cb = ycc[..., 1].astype(np.float64) - 128.0
     cr = ycc[..., 2].astype(np.float64) - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    # channel-at-a-time into a preallocated frame (no 3-plane stack
+    # copy); np.rint is np.round's decimals=0 kernel, same results
+    out = np.empty(ycc.shape, dtype=np.uint8)
+    for ch, plane in enumerate((y + 1.402 * cr,
+                                y - 0.344136 * cb - 0.714136 * cr,
+                                y + 1.772 * cb)):
+        np.rint(plane, out=plane)
+        np.clip(plane, 0, 255, out=plane)
+        out[..., ch] = plane
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -258,6 +268,21 @@ _VAL_BIAS = 1 << 21  # packed-coefficient bias (values are ±2^15 max)
 # one full Python-int window list (~40 bytes/entry); module-level so
 # tests can force the chunked path on small fixtures
 _LIST_WINDOWS_MAX = 8 << 20
+
+# packed-coefficient append lists flush to numpy chunks at this size
+# (~40 MB of Python ints) so one giant scan can't balloon a task
+_OUT_FLUSH = 1 << 20
+
+# decode_jpeg_batch splits merged jobs into engine passes of at most
+# this many lanes (cache-resident step working set; swept 2k/4k/6k on
+# a 256-image batch — 2048 won at 3.0 MP/s)
+_LANE_CHUNK = 2048
+
+# scans with at least this many restart segments decode on the
+# vectorized lane engine (per-step numpy dispatch ~50 ops amortizes
+# over the lane count; below it the scalar LUT loop wins) —
+# module-level so tests can force either path on small fixtures
+_LANE_MIN_SEGS = 24
 
 
 class _ChunkedWindows:
@@ -547,7 +572,70 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     return decode_jpeg_consumed(payload)[0]
 
 
-def decode_jpeg_consumed(payload: bytes) -> tuple[np.ndarray, int]:
+class _NotBatchable(Exception):
+    """Raised inside a deferred walk when the payload needs the
+    serial machinery (progressive scans): the batch caller falls back
+    to an individual decode."""
+
+
+def decode_jpeg_batch(payloads: list[bytes]) -> list[np.ndarray]:
+    """Decode MANY JPEGs through ONE vectorized lane-engine pass —
+    the Arrow-batch shape a 100 TB multimodal scan actually executes
+    (mapInPandas hands each task hundreds of payloads; decoding them
+    jointly turns every restart segment of every image into a lane,
+    which is where _lane_engine's throughput lives — see its
+    docstring's L / (a + b·L) model).
+
+    Header walks, coefficient allocation, and the final
+    dequantize/IDCT render stay per-image; only entropy decode is
+    fused. Progressive payloads (and anything else the deferred walk
+    can't batch) silently fall back to the serial single-image
+    decoder, as does the whole batch when the combined lane count is
+    too small to amortize the engine's per-step dispatch. Raises on
+    the first corrupt payload, like mapping decode_jpeg would."""
+    results: list = [None] * len(payloads)
+    pend_jobs: list[dict] = []
+    pend_renders: list[tuple[int, object]] = []
+    glanes = 0
+
+    def _flush() -> None:
+        nonlocal glanes
+        if pend_jobs:
+            if glanes >= _LANE_MIN_SEGS:
+                _run_lane_jobs(pend_jobs)
+            else:
+                for j in pend_jobs:
+                    _decode_baseline_scalar(j)
+        for i, thunk in pend_renders:
+            results[i] = thunk()
+        pend_jobs.clear()
+        pend_renders.clear()
+        glanes = 0
+
+    for i, pl in enumerate(payloads):
+        sub: list[dict] = []
+        try:
+            thunk, _ = decode_jpeg_consumed(pl, _defer_jobs=sub)
+        except _NotBatchable:
+            results[i] = decode_jpeg(pl)
+            continue
+        jl = sum(len(j["seg_spans"]) for j in sub)
+        if pend_jobs and glanes + jl > _LANE_CHUNK:
+            # flush near the lane sweet spot: past ~6k lanes the step
+            # working set spills cache (measured 2.27 -> 1.36 MP/s at
+            # 16k lanes), and rendering + freeing each chunk's stores
+            # keeps peak memory at O(chunk), not O(batch)
+            _flush()
+        pend_jobs.extend(sub)
+        pend_renders.append((i, thunk))
+        glanes += jl
+    _flush()
+    return results
+
+
+def decode_jpeg_consumed(
+    payload: bytes, _defer_jobs: list | None = None
+) -> tuple[np.ndarray, int]:
     """Decode the baseline (SOF0/SOF1) or PROGRESSIVE (SOF2) JPEG at
     the START of ``payload``, returning (image, bytes consumed through
     EOI) — the consumed count is what lets a Motion-JPEG stream
@@ -582,6 +670,12 @@ def decode_jpeg_consumed(payload: bytes) -> tuple[np.ndarray, int]:
         if marker == 0xD9:  # EOI
             if frame is None or not coefs:
                 raise ValueError("corrupt JPEG: EOI before any scan")
+            if _defer_jobs is not None:
+                # batch mode: entropy decode is deferred to the shared
+                # lane engine; hand back a render thunk to run after it
+                def _thunk(f=frame, q=quant, c=coefs):
+                    return _render(f, q, c)
+                return _thunk, pos
             return _render(frame, quant, coefs), pos
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
@@ -663,9 +757,12 @@ def decode_jpeg_consumed(payload: bytes) -> tuple[np.ndarray, int]:
                 # baseline: vectorized LUT path (~20× the bit-at-a-time
                 # reader); progressive keeps the serial bitplane decoder
                 p = _decode_baseline_fast(
-                    payload, pos + size, frame, scan, huff, coefs, ri
+                    payload, pos + size, frame, scan, huff, coefs, ri,
+                    defer_jobs=_defer_jobs,
                 )
             else:
+                if _defer_jobs is not None:
+                    raise _NotBatchable("progressive scan")
                 br = _BitReader(payload, pos + size)
                 _decode_one_scan(
                     br, frame, scan, huff, coefs, ss, se, ah, al, ri
@@ -687,7 +784,8 @@ def decode_jpeg_consumed(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
-                          huff, coefs, ri: int) -> int:
+                          huff, coefs, ri: int,
+                          defer_jobs: list | None = None) -> int:
     """Vectorized baseline-scan entropy decode (VERDICT r9 item 1).
 
     Replaces the bit-at-a-time reader on the hot path with the
@@ -743,30 +841,18 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
 
     # 2. per-slot tables, stores, and the scan's block order
     n_slots = len(scan)
-    lut_dc: list[list[int]] = []
-    lut_ac: list[list[int]] = []
     flats: list[np.ndarray] = []
     for c in scan:
-        for key in ((0, c["dc"]), (1, c["ac"])):
-            entry = huff[key]
-            if entry["lut"] is None:
-                # per-file list conversion of the cached numpy LUT —
-                # transient, so the GC never owns long-lived int lists
-                entry["lut"] = _symbol_lut_cached(
-                    entry["bits"], entry["vals"], is_dc=key[0] == 0
-                ).tolist()
-        lut_dc.append(huff[(0, c["dc"])]["lut"])
-        lut_ac.append(huff[(1, c["ac"])]["lut"])
         flats.append(coefs[c["id"]].reshape(-1))
     if n_slots == 1:
         c = scan[0]
         ncols = coefs[c["id"]].shape[1]
         bw, bh = c["bw"], c["bh"]
-        fb_l = (
+        fb_arr = (
             ((np.arange(bh)[:, None] * ncols + np.arange(bw)) * 64)
-            .ravel().tolist()
+            .ravel().astype(np.int64)
         )
-        slots_l = [0] * len(fb_l)
+        slots_arr = np.zeros(len(fb_arr), dtype=np.int64)
         total_units, bpm = bh * bw, 1
     else:
         mcux, mcuy = frame["mcux"], frame["mcuy"]
@@ -784,16 +870,76 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
                     )
                     slot_pattern.append(si)
         bpm = len(slot_pattern)
-        fb_l = np.stack(cols, axis=1).ravel().tolist()
-        slots_l = slot_pattern * total_units
+        fb_arr = np.stack(cols, axis=1).ravel().astype(np.int64)
+        slots_arr = np.tile(np.array(slot_pattern, dtype=np.int64),
+                            total_units)
     seg_units = ri if ri else total_units
     expected_segs = -(-total_units // seg_units)
     if ri and len(seg_spans) != expected_segs:
-        raise ValueError(
-            f"corrupt JPEG: {len(seg_spans)} restart segments for "
-            f"{total_units} MCUs at interval {seg_units} "
-            f"(expected {expected_segs})"
-        )
+        if len(seg_spans) > expected_segs:
+            # trailing RSTn between the last restart segment's entropy
+            # data and the next true marker: decode only the expected
+            # segments and skip the strays, exactly as the ri == 0
+            # branch has always skipped a stray RSTn after the scan
+            # (ADVICE r10) — a genuine mid-data marker still fails the
+            # per-segment exhaustion check below
+            seg_spans = seg_spans[:expected_segs]
+            rst_nums = rst_nums[: max(0, expected_segs - 1)]
+        else:
+            raise ValueError(
+                f"corrupt JPEG: {len(seg_spans)} restart segments for "
+                f"{total_units} MCUs at interval {seg_units} "
+                f"(expected {expected_segs})"
+            )
+
+    job = {
+        "payload": payload, "seg_spans": seg_spans, "scan": scan,
+        "huff": huff, "flats": flats, "fb_arr": fb_arr,
+        "slots_arr": slots_arr, "seg_units": seg_units, "bpm": bpm,
+        "total_units": total_units, "stray_rst": stray_rst,
+        "end_pos": end_pos,
+    }
+    if defer_jobs is not None:
+        # batch caller collects jobs across MANY images and picks the
+        # engine or the scalar loop from the TOTAL lane count
+        defer_jobs.append(job)
+        return end_pos
+    if len(seg_spans) >= _LANE_MIN_SEGS:
+        # restart segments are bit-position- and predictor-independent
+        # (T.81 F.2.1.3.1): decode them as parallel numpy lanes — the
+        # same engine an executor core uses across a whole Arrow batch
+        _run_lane_jobs([job])
+        return end_pos
+    _decode_baseline_scalar(job)
+    return end_pos
+
+
+def _decode_baseline_scalar(job: dict) -> None:
+    """Serial per-segment LUT decode of one prepared baseline-scan job
+    — the fast path below _LANE_MIN_SEGS lanes, where the vectorized
+    engine's per-step numpy dispatch doesn't amortize."""
+    payload = job["payload"]
+    seg_spans = job["seg_spans"]
+    scan, huff, flats = job["scan"], job["huff"], job["flats"]
+    seg_units, bpm = job["seg_units"], job["bpm"]
+    total_units = job["total_units"]
+    stray_rst = job["stray_rst"]
+    n_slots = len(scan)
+    fb_l = job["fb_arr"].tolist()
+    slots_l = job["slots_arr"].tolist()
+    lut_dc: list[list[int]] = []
+    lut_ac: list[list[int]] = []
+    for c in scan:
+        for key in ((0, c["dc"]), (1, c["ac"])):
+            entry = huff[key]
+            if entry["lut"] is None:
+                # per-file list conversion of the cached numpy LUT —
+                # transient, so the GC never owns long-lived int lists
+                entry["lut"] = _symbol_lut_cached(
+                    entry["bits"], entry["vals"], is_dc=key[0] == 0
+                ).tolist()
+        lut_dc.append(huff[(0, c["dc"])]["lut"])
+        lut_ac.append(huff[(1, c["ac"])]["lut"])
 
     # 3. LUT-driven decode, one independent pass per restart segment.
     # The hot loop's only per-coefficient work is: one window lookup,
@@ -804,6 +950,12 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
     mask = [(1 << s) - 1 for s in range(16)]
     half = [0] + [1 << (s - 1) for s in range(1, 16)]
     outs: list[list[int]] = [[] for _ in range(n_slots)]
+    # flushed numpy chunks: the append lists are bounded (~1M packed
+    # ints, ~40 MB) no matter how large one scan's entropy data is —
+    # the same bounded-memory discipline as _ChunkedWindows (ADVICE
+    # r10: an unbounded `outs` list is multi-GB at the _MAX_PIXELS
+    # guard)
+    out_chunks: list[list[np.ndarray]] = [[] for _ in range(n_slots)]
     bias = _VAL_BIAS
     for gi, (s0, s1) in enumerate(seg_spans):
         seg = payload[s0:s1].replace(b"\xff\x00", b"\xff")
@@ -826,6 +978,16 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
         blk_hi = min((gi + 1) * seg_units, total_units) * bpm
         try:
             for bi in range(blk_lo, blk_hi):
+                if not bi & 0xFFF:
+                    # every 4096 blocks: bound the append lists even
+                    # inside one giant no-DRI segment (a block emits
+                    # ≤64 coefficients, so lists stay < ~1.3M entries)
+                    for _s in range(n_slots):
+                        if len(outs[_s]) >= _OUT_FLUSH:
+                            out_chunks[_s].append(
+                                np.array(outs[_s], dtype=np.int64)
+                            )
+                            outs[_s].clear()
                 slot = slots_l[bi]
                 fb = fb_l[bi]
                 w = (ul[p >> 3] >> (32 - (p & 7))) & 0xFFFFFFFF
@@ -903,13 +1065,289 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
                     "entropy data"
                 )
             raise ValueError("corrupt JPEG: entropy data exhausted mid-scan")
+        for slot in range(n_slots):
+            if len(outs[slot]) >= _OUT_FLUSH:
+                out_chunks[slot].append(np.array(outs[slot], dtype=np.int64))
+                outs[slot].clear()
 
     # 4. one vectorized unpack + scatter per component store
     for slot in range(n_slots):
         if outs[slot]:
-            packed = np.array(outs[slot], dtype=np.int64)
+            out_chunks[slot].append(np.array(outs[slot], dtype=np.int64))
+            outs[slot].clear()
+        if out_chunks[slot]:
+            packed = np.concatenate(out_chunks[slot])
             flats[slot][packed >> 22] = (packed & 0x3FFFFF) - bias
-    return end_pos
+
+
+_LANE_ERRORS = {
+    1: "corrupt JPEG: invalid Huffman code",
+    2: "corrupt JPEG: AC overrun",
+    3: "corrupt JPEG: DC predictor out of range",
+    4: "corrupt JPEG: entropy data exhausted mid-scan",
+}
+
+
+def _run_lane_jobs(jobs: list) -> None:
+    """Merge baseline-scan jobs (possibly from MANY images) into one
+    lane set, run the vectorized engine, scatter the coefficients back
+    into every job's component stores.
+
+    Per job: destuffed restart segments become lanes; Huffman tables
+    become rows of one stacked LUT; per-block arrays carry each
+    block's DC/AC LUT row and its position in a single global output
+    vector. Restart segments are bit-position- and DC-predictor-
+    independent (T.81 F.2.1.3.1), so lanes never interact."""
+    parts: list[bytes] = []
+    base_l: list[int] = []
+    nbits_l: list[int] = []
+    blk_lo_l: list[int] = []
+    blk_hi_l: list[int] = []
+    slot_blks: list[np.ndarray] = []
+    rowdc_blks: list[np.ndarray] = []
+    rowac_blks: list[np.ndarray] = []
+    gfb_blks: list[np.ndarray] = []
+    luts: list[np.ndarray] = []
+    stores: list[np.ndarray] = []
+    off_bytes = 0
+    blk_base = 0
+    out_off = 0
+    lut_rows: dict[int, int] = {}
+
+    def _lut_row(arr: np.ndarray) -> int:
+        # identical DHT definitions share one cached array object
+        # (_symbol_lut_cached), so identity-dedup keeps the stacked
+        # table tiny — a 64-image batch with stock tables gathers from
+        # 6 rows (~3 MB, cache-resident), not 384 (~200 MB)
+        r = lut_rows.get(id(arr))
+        if r is None:
+            r = len(luts)
+            lut_rows[id(arr)] = r
+            luts.append(arr)
+        return r
+
+    for job in jobs:
+        payload = job["payload"]
+        scan = job["scan"]
+        huff = job["huff"]
+        n_slots = len(scan)
+        rdc = np.array([_lut_row(_symbol_lut_cached(
+            huff[(0, c["dc"])]["bits"], huff[(0, c["dc"])]["vals"],
+            is_dc=True)) for c in scan], dtype=np.int64)
+        rac = np.array([_lut_row(_symbol_lut_cached(
+            huff[(1, c["ac"])]["bits"], huff[(1, c["ac"])]["vals"],
+            is_dc=False)) for c in scan], dtype=np.int64)
+        offs = np.empty(n_slots, dtype=np.int64)
+        for si, f in enumerate(job["flats"]):
+            offs[si] = out_off
+            stores.append(f)
+            out_off += f.size
+        slots_arr = job["slots_arr"]
+        slot_blks.append(slots_arr)
+        rowdc_blks.append(rdc[slots_arr])
+        rowac_blks.append(rac[slots_arr])
+        gfb_blks.append(offs[slots_arr] + job["fb_arr"])
+        seg_units, bpm = job["seg_units"], job["bpm"]
+        total_units = job["total_units"]
+        for gi, (s0, s1) in enumerate(job["seg_spans"]):
+            seg = payload[s0:s1].replace(b"\xff\x00", b"\xff")
+            parts.append(seg)
+            parts.append(b"\x00" * 72)
+            base_l.append(off_bytes)
+            nbits_l.append(8 * len(seg))
+            blk_lo_l.append(blk_base + gi * seg_units * bpm)
+            blk_hi_l.append(
+                blk_base + min((gi + 1) * seg_units, total_units) * bpm)
+            off_bytes += len(seg) + 72
+        blk_base += total_units * bpm
+    # 4-byte-aligned tail so the stride-4 window array covers the end
+    parts.append(b"\x00" * (16 - off_bytes % 4))
+    buf = b"".join(parts)
+    out = _lane_engine(
+        buf,
+        np.array(base_l, dtype=np.int64) * 8,
+        np.array(nbits_l, dtype=np.int64),
+        np.array(blk_lo_l, dtype=np.int64),
+        np.array(blk_hi_l, dtype=np.int64),
+        np.concatenate(slot_blks),
+        np.concatenate(rowdc_blks),
+        np.concatenate(rowac_blks),
+        np.concatenate(gfb_blks),
+        np.stack(luts),
+        out_off,
+    )
+    o = 0
+    for f in stores:
+        f[:] = out[o:o + f.size]
+        o += f.size
+
+
+def _lane_engine(buf, base_bits, nbits_arr, blk_lo, blk_hi,
+                 slot_blk, rowdc_blk, rowac_blk, gfb_blk,
+                 lut_tbl, n_out) -> np.ndarray:
+    """Vectorized multi-lane baseline Huffman decode (VERDICT r10
+    item 3 — the seam jpeg.py has always documented: T.81 F.2.1.3.1
+    makes every restart segment bit-position- and DC-predictor-
+    independent).
+
+    Every restart segment (possibly across MANY images — the
+    mapInPandas Arrow-batch shape) is a LANE: numpy arrays hold each
+    lane's bit position, current block, DC predictors and AC run
+    state, and ONE vectorized step advances every active lane by one
+    Huffman symbol — a single stacked-LUT gather resolves symbol +
+    magnitude for all lanes at once. Throughput is L / (a + b·L)
+    symbols/sec (a ≈ per-step numpy dispatch, b ≈ per-lane marginal):
+    the engine needs hundreds-to-thousands of lanes to beat the
+    scalar loop, which _LANE_MIN_SEGS gates.
+
+    Memory: the bit windows are a stride-4 uint64 array (2 bytes per
+    payload byte); rare symbol forms (magnitude overflowing the
+    16-bit LUT window, EOB/ZRL/invalid) are handled on the subset of
+    lanes that hit them each step.
+
+    Lane errors are collected, not raised mid-flight; the first
+    erroring lane (in lane order, matching the serial segment walk)
+    raises the same message the scalar path would. Returns the flat
+    coefficient vector of size ``n_out``."""
+    L = len(base_bits)
+    # stride-4 windows: ua4[i] = bytes[4i..4i+8) big-endian, so the
+    # 32 bits at bit position p are (ua4[p>>5] >> (32 - (p & 31)))
+    npad = (-len(buf)) % 8
+    b8 = np.frombuffer(buf + b"\x00" * (npad + 8), dtype=">u8")
+    b8b = np.frombuffer(buf[4:] + b"\x00" * ((-(len(buf) - 4)) % 8 + 8),
+                        dtype=">u8")
+    n4 = (len(buf) + 3) // 4
+    ua = np.empty(n4, dtype=np.uint64)
+    ua[0::2] = b8[: (n4 + 1) // 2]
+    ua[1::2] = b8b[: n4 // 2]
+    n_ua = len(ua)
+
+    pabs = base_bits.copy()
+    bi = blk_lo.copy()
+    state_dc = np.ones(L, dtype=bool)
+    kk = np.zeros(L, dtype=np.int64)
+    preds = np.zeros(L * 4, dtype=np.int64)  # flat (lane, slot) predictors
+    rowdelta_blk = rowac_blk - rowdc_blk
+    # per-lane copies of the current block's table entries: the big
+    # per-block arrays are only gathered at block transitions (~10-15%
+    # of lanes per step), keeping the hot loop's random access inside
+    # small cache-resident lane arrays
+    cur_slot = slot_blk[bi]
+    cur_rowdc = rowdc_blk[bi]
+    cur_rowdelta = rowdelta_blk[bi]
+    cur_gfb = gfb_blk[bi]
+    err = np.zeros(L, dtype=np.int8)
+    alive = bi < blk_hi
+    act = np.flatnonzero(alive)
+    end_bits = base_bits + nbits_arr
+
+    _MASK16 = np.array([(1 << s) - 1 for s in range(16)], dtype=np.int64)
+    _HALF16 = np.array([0] + [1 << (s - 1) for s in range(1, 16)],
+                       dtype=np.int64)
+    _M32 = np.uint64(0xFFFFFFFF)
+    bias = _VAL_BIAS
+    pos_chunks: list[np.ndarray] = []
+    val_chunks: list[np.ndarray] = []
+
+    while act.size:
+        pa = pabs[act]
+        w = ((ua[np.minimum(pa >> 5, n_ua - 1)]
+              >> ((32 - (pa & 31)).astype(np.uint64))) & _M32
+             ).astype(np.int64)
+        isdc = state_dc[act]
+        sl = cur_slot[act]
+        e = lut_tbl[cur_rowdc[act] + cur_rowdelta[act] * ~isdc, w >> 16]
+        posm = e > 0
+        # common-path fields (fixed up below for the rare forms)
+        adv = e >> 28
+        val = (e & 0x3FFFFF) - bias
+        run = (e >> 22) & 63
+        eob = np.zeros(len(act), dtype=bool)
+        zrl = np.zeros(len(act), dtype=bool)
+        invalid = np.zeros(len(act), dtype=bool)
+        emit_sym = posm.copy()
+        rare = np.flatnonzero(~posm)
+        if rare.size:
+            ner = -e[rare]
+            tr = ner & 0xFF
+            lf = tr == 3
+            adv[rare] = np.where(lf, ner >> 16, ner >> 8)
+            eob[rare] = ~isdc[rare] & (tr == 1)
+            zrl[rare] = ~isdc[rare] & (tr == 2)
+            invalid[rare] = np.where(isdc[rare], ~lf,
+                                     (tr != 1) & (tr != 2) & ~lf)
+            lfi = rare[lf]
+            if lfi.size:
+                nel = ner[lf]
+                s_sz = (nel >> 8) & 15
+                mg = ((w[lfi] >> np.clip(32 - adv[lfi], 0, 63))
+                      & _MASK16[s_sz])
+                val[lfi] = np.where(mg >= _HALF16[s_sz], mg,
+                                    mg - _MASK16[s_sz])
+                run[lfi] = (nel >> 12) & 15
+                emit_sym[lfi] = True
+        # DC phase
+        dc_ok = isdc & emit_sym
+        pidx = (act << 2) + sl
+        npred = preds[pidx] + val
+        oor = dc_ok & ((npred < -2097152) | (npred >= 2097152))
+        em_dc = dc_ok & ~oor
+        # AC phase
+        ac = ~isdc
+        ac_sym = ac & emit_sym
+        k_emit = kk[act] + run
+        overrun = ac_sym & (k_emit > 63)
+        emit_ac = ac_sym & ~overrun
+        kk_new = np.where(ac_sym, k_emit + 1, kk[act] + (zrl << 4))
+        done_blk = ac & ~overrun & ~invalid & (eob | (kk_new >= 64))
+        errm = invalid | oor | overrun
+        okm = ~errm
+
+        em = em_dc | emit_ac
+        if em.any():
+            pos_chunks.append(cur_gfb[act[em]]
+                              + np.where(isdc[em], 0, k_emit[em]))
+            val_chunks.append(np.where(isdc[em], npred[em], val[em]))
+        if em_dc.any():
+            preds[pidx[em_dc]] = npred[em_dc]
+
+        pabs[act] = pa + adv * okm
+        # em_dc / done_blk / "stay" are mutually exclusive lane classes,
+        # so the transitions collapse to boolean arithmetic (measured
+        # ~2x cheaper than nested np.where at high lane counts)
+        state_dc[act] = (isdc & ~em_dc) | done_blk
+        kk[act] = kk_new * (ac & okm & ~done_blk) + em_dc
+        adv_blk = okm & done_blk
+        if adv_blk.any():
+            nbi = bi[act[adv_blk]] + 1
+            fin = nbi >= blk_hi[act[adv_blk]]
+            go = act[adv_blk][~fin]
+            bi[go] = nbg = nbi[~fin]
+            cur_slot[go] = slot_blk[nbg]
+            cur_rowdc[go] = rowdc_blk[nbg]
+            cur_rowdelta[go] = rowdelta_blk[nbg]
+            cur_gfb[go] = gfb_blk[nbg]
+            if fin.any():
+                fi = act[adv_blk][fin]
+                ex = pabs[fi] > end_bits[fi]
+                err[fi[ex]] = 4
+                alive[fi] = False
+        if errm.any():
+            err[act[invalid]] = 1
+            err[act[overrun]] = 2
+            err[act[oor]] = 3
+            alive[act[errm]] = False
+        if errm.any() or (adv_blk.any() and fin.any()):
+            act = act[alive[act]]
+
+    bad = np.flatnonzero(err)
+    if bad.size:
+        raise ValueError(_LANE_ERRORS[int(err[bad[0]])])
+
+    out = np.zeros(n_out, dtype=np.int64)
+    if pos_chunks:
+        out[np.concatenate(pos_chunks)] = np.concatenate(val_chunks)
+    return out
 
 
 def _read_symbol(br: _BitReader, table: dict) -> int:
@@ -1096,8 +1534,10 @@ def _render(frame, quant, coefs) -> np.ndarray:
         nby, nbx, _ = store.shape
         q = quant[c["tq"]][ZIGZAG[:, 0], ZIGZAG[:, 1]]
         deq = store * q  # (nby, nbx, 64) still in zigzag order
-        coef = np.zeros((nby, nbx, 8, 8), dtype=np.float64)
-        coef[:, :, ZIGZAG[:, 0], ZIGZAG[:, 1]] = deq
+        # de-zigzag as a gather along the inverse permutation (no
+        # zero-init + scatter): coef[..., r, c] = deq[..., zz^-1(r, c)]
+        coef = deq[:, :, _ZIGZAG_INV].astype(np.float64).reshape(
+            nby, nbx, 8, 8)
         # batched IDCT Tᵀ F T as two stacked matmuls (BLAS path — the
         # equivalent einsum was the render hot spot), then block grid →
         # plane via a transpose view instead of a per-block copy loop

@@ -839,3 +839,103 @@ def test_chunked_window_path_decodes_identically(monkeypatch):
     monkeypatch.setattr(J._ChunkedWindows, "_CH", 64)  # force refills
     assert (J.decode_jpeg(jp) == want_j).all()
     assert (W.decode_webp(wp) == want_w).all()
+
+
+def test_jpeg_lane_engine_matches_scalar_decode(monkeypatch):
+    """The vectorized multi-lane restart-segment engine must produce
+    BIT-IDENTICAL coefficients to the serial LUT walk on the same
+    stream (forced both ways via the _LANE_MIN_SEGS gate), for color
+    and grayscale and across restart-interval granularities."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(41)
+    for shape, ri in (((48, 40, 3), 1), ((48, 40, 3), 5), ((32, 24, 1), 2)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        enc = J.encode_jpeg(img, quality=88, restart_interval=ri)
+        monkeypatch.setattr(J, "_LANE_MIN_SEGS", 10**9)
+        want = J.decode_jpeg(enc)
+        monkeypatch.setattr(J, "_LANE_MIN_SEGS", 1)
+        assert (J.decode_jpeg(enc) == want).all()
+
+
+def test_jpeg_lane_engine_error_messages_match_scalar(monkeypatch):
+    """Lane-engine corruption errors must surface the same messages
+    the serial path raises (swapped RST order is checked before the
+    engine; an out-of-range DC predictor inside a lane is checked by
+    the engine itself)."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(24, 24, 1), dtype=np.uint8)
+    enc = bytearray(J.encode_jpeg(img, quality=90, restart_interval=1))
+    i = enc.find(b"\xff\xd0")
+    j = enc.find(b"\xff\xd1")
+    enc[i:i + 2], enc[j:j + 2] = b"\xff\xd1", b"\xff\xd0"
+    monkeypatch.setattr(J, "_LANE_MIN_SEGS", 1)
+    with pytest.raises(ValueError, match="out of sequence"):
+        J.decode_jpeg(bytes(enc))
+
+
+def test_jpeg_stray_rst_after_last_restart_segment(monkeypatch):
+    """With DRI SET, a stray RSTn between the last restart segment's
+    entropy data and EOI must be skipped like the DRI-free stray
+    (ADVICE r10: it used to count as an extra segment and raise the
+    restart-segment-count error) — on both decode paths."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, size=(24, 24, 1), dtype=np.uint8)
+    enc = J.encode_jpeg(img, quality=90, restart_interval=4)
+    want = J.decode_jpeg(enc)
+    assert enc.endswith(b"\xff\xd9")
+    # 9 blocks at ri=4 -> 3 segments, RST0/RST1 consumed; the stray
+    # continues the cycle as a real encoder's flush would (RST2)
+    padded = enc[:-2] + b"\xff\xd2" + enc[-2:]
+    for gate in (10**9, 1):
+        monkeypatch.setattr(J, "_LANE_MIN_SEGS", gate)
+        assert (J.decode_jpeg(padded) == want).all()
+    # too FEW segments is still corruption
+    cut = enc[: enc.find(b"\xff\xd1")] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="restart segments|exhausted"):
+        J.decode_jpeg(cut)
+
+
+def test_jpeg_batch_decode_matches_individual():
+    """decode_jpeg_batch fuses entropy decode across payloads through
+    the lane engine; results must match per-image decode_jpeg exactly,
+    with progressive payloads falling back transparently and corrupt
+    payloads raising like the serial path."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(44)
+    imgs = [rng.integers(0, 256, size=(40, 32, 3), dtype=np.uint8)
+            for _ in range(5)]
+    pls = [J.encode_jpeg(im, quality=85 + i, restart_interval=(i % 3))
+           for i, im in enumerate(imgs)]
+    # a progressive payload exercises the _NotBatchable fallback
+    prog = _progressive_gray_fixture()
+    batch = pls + [prog]
+    want = [J.decode_jpeg(p) for p in batch]
+    got = J.decode_jpeg_batch(batch)
+    assert len(got) == len(want)
+    for w, g in zip(want, got):
+        assert (w == g).all()
+    with pytest.raises(ValueError):
+        J.decode_jpeg_batch([pls[0], b"\xff\xd8\xff\xd9", pls[1]])
+
+
+def _progressive_gray_fixture() -> bytes:
+    """A real progressive (SOF2) stream when the container ships one,
+    else a baseline payload (the batch test then simply exercises an
+    all-baseline batch)."""
+    import os
+
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    real = ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+            "multi-channel/grayscale.jpg")
+    if os.path.exists(real):
+        return open(real, "rb").read()
+    rng = np.random.default_rng(45)
+    img = rng.integers(0, 256, size=(16, 16, 1), dtype=np.uint8)
+    return J.encode_jpeg(img, quality=90)
