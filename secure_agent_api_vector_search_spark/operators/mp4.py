@@ -221,6 +221,103 @@ def encode_mp4_mjpeg(
     return ftyp + mdat + moov
 
 
+def encode_mp4_codec_stub(
+    codec: bytes,
+    w: int,
+    h: int,
+    samples: list[bytes],
+    config_box: bytes = b"",
+    fps: int = 10,
+) -> bytes:
+    """Write a structurally complete single-video-track MP4 whose
+    sample DATA is opaque (a compressed codec this package does not
+    pixel-decode — the media_metadata fixture shape). The container is
+    as real as encode_mp4_mjpeg's: full stsd/stts/stsc/stsz/stco,
+    mdat-before-moov absolute offsets; ``codec`` is the sample-entry
+    fourcc (e.g. b"avc1") and ``config_box`` an optional codec
+    configuration box (e.g. an avcC) appended to the 78-byte
+    VisualSampleEntry body per ISO 14496-15."""
+    if not samples:
+        raise ValueError("a video needs at least one sample")
+    sizes = [len(s) for s in samples]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(samples))
+    off = len(ftyp) + 8
+    chunk_offsets = []
+    acc = off
+    for i, sz in enumerate(sizes):
+        if i % 3 == 0:
+            chunk_offsets.append(acc)
+        acc += sz
+    timescale = 1000
+    delta = timescale // fps
+    duration = delta * len(samples)
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _full_box(
+        b"tkhd", 0, 3,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration) + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _box(b"dinf", _full_box(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")))
+    sample_entry = _box(
+        codec,
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HHII", 0, 0, 0, 0) + b"\x00" * 4
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x480000, 0x480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+        + config_box,
+    )
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, len(samples), delta))
+    stsc_entries = [(1, min(3, len(sizes)), 1)]
+    tail = len(sizes) % 3
+    if tail and len(chunk_offsets) > 1:
+        stsc_entries.append((len(chunk_offsets), tail, 1))
+    stsc = _full_box(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = _full_box(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = _full_box(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 # ---------------------------------------------------------------------------
 # reader — sample-table walk + per-sample JPEG decode
 # ---------------------------------------------------------------------------

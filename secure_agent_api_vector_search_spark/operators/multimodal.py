@@ -1212,6 +1212,182 @@ def synthetic_mjpeg_payloads(
     )
 
 
+def sps_fixture_bytes(w_mbs: int, h_mbs: int, crop_right_units: int = 0,
+                      level_idc: int = 30) -> bytes:
+    """A minimal LEGAL baseline-profile H.264 SPS NAL (ITU-T H.264
+    §7.3.2.1.1) for the media_metadata fixtures: profile 66, 4:2:0,
+    frame_mbs_only, optional right-crop in 2-px units — every field a
+    fixed-length or Exp-Golomb descriptor, with emulation-prevention
+    bytes inserted per §7.4.1. The decode side (media_meta.h264_sps)
+    must recover exactly 16·w_mbs − 2·crop_right_units pixels wide."""
+    bits: list[int] = []
+
+    def u(v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def ue(v: int) -> None:
+        k = v + 1
+        n = k.bit_length()
+        u(0, n - 1)
+        u(k, n)
+
+    u(66, 8)      # profile_idc: Baseline (not in the HIGH set)
+    u(0, 8)       # constraint flags + reserved
+    u(level_idc, 8)
+    ue(0)         # seq_parameter_set_id
+    ue(0)         # log2_max_frame_num_minus4
+    ue(0)         # pic_order_cnt_type 0
+    ue(0)         # log2_max_pic_order_cnt_lsb_minus4
+    ue(1)         # max_num_ref_frames
+    u(0, 1)       # gaps_in_frame_num_value_allowed_flag
+    ue(w_mbs - 1)
+    ue(h_mbs - 1)
+    u(1, 1)       # frame_mbs_only_flag
+    u(1, 1)       # direct_8x8_inference_flag
+    if crop_right_units:
+        u(1, 1)
+        ue(0)
+        ue(crop_right_units)
+        ue(0)
+        ue(0)
+    else:
+        u(0, 1)
+    u(0, 1)       # vui_parameters_present_flag
+    u(1, 1)       # rbsp_stop_one_bit
+    while len(bits) % 8:
+        bits.append(0)
+    raw = bytes(
+        int("".join(map(str, bits[i:i + 8])), 2) for i in range(0, len(bits), 8)
+    )
+    # emulation prevention (§7.4.1): 00 00 [00-03] -> 00 00 03 xx
+    out = bytearray()
+    zeros = 0
+    for b in raw:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return b"\x67" + bytes(out)  # NAL header: nal_ref_idc=3, type 7
+
+
+def synthetic_media_payloads(documents: DataFrame) -> DataFrame:
+    """Deterministic MIXED-media corpus for the media_metadata gate:
+    per document, digest index 22 picks one of four payload kinds —
+    two fully decodable (lossless WebP, Motion-JPEG MP4) and two
+    metadata-only boundary codecs (lossy-VP8 WebP, avc1/H.264 MP4
+    with a real SPS in its avcC). A 100 TB crawl is MOSTLY the latter
+    two, so the gated scan must yield structure rows for them instead
+    of dying on the NotImplementedError decode seam (VERDICT r10
+    gap 1). Expected rows derive from this digest spec with no parser
+    code at all (oracle_gen.py)."""
+    from secure_agent_api_vector_search_spark.operators.mp4 import (
+        encode_mp4_codec_stub,
+        encode_mp4_mjpeg,
+    )
+    from secure_agent_api_vector_search_spark.operators.webp import (
+        encode_webp_lossless,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.sha256((text or "").encode()).digest()
+                kind = d[22] % 4
+                if kind == 0:
+                    h, w = 8 + d[23] % 12, 8 + d[24] % 12
+                    px = np.frombuffer(
+                        (d * ((h * w * 3) // len(d) + 1))[: h * w * 3],
+                        dtype=np.uint8,
+                    ).reshape(h, w, 3)
+                    payload = encode_webp_lossless(px)
+                elif kind == 1:
+                    w = 16 + d[23] * 2
+                    h = 16 + d[24] * 2
+                    tag = (1 << 4) | (0 << 1) | 0  # key frame, show, v0
+                    body = (
+                        tag.to_bytes(3, "little")
+                        + b"\x9d\x01\x2a"
+                        + w.to_bytes(2, "little")
+                        + h.to_bytes(2, "little")
+                        + d[:16]  # opaque arithmetic-coded payload
+                    )
+                    chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
+                    chunk += b"\x00" * (len(body) & 1)
+                    payload = (
+                        b"RIFF"
+                        + (4 + len(chunk)).to_bytes(4, "little")
+                        + b"WEBP" + chunk
+                    )
+                elif kind == 2:
+                    w_mbs = 1 + d[23] % 40
+                    h_mbs = 1 + d[24] % 30
+                    crop = d[25] % 4
+                    sps = sps_fixture_bytes(w_mbs, h_mbs, crop)
+                    avcc_body = (
+                        b"\x01\x42\x00\x1e\xff\xe1"
+                        + len(sps).to_bytes(2, "big") + sps
+                        + b"\x00"  # zero PPS
+                    )
+                    avcc = (
+                        (8 + len(avcc_body)).to_bytes(4, "big")
+                        + b"avcC" + avcc_body
+                    )
+                    n = 1 + d[26] % 5
+                    payload = encode_mp4_codec_stub(
+                        b"avc1", 16 * w_mbs - 2 * crop, 16 * h_mbs,
+                        [d[:24]] * n, config_box=avcc,
+                    )
+                else:
+                    bh, bw = 1 + d[23] % 3, 1 + d[24] % 3
+                    vals = np.frombuffer(
+                        (d * ((bh * bw) // len(d) + 1))[: bh * bw],
+                        dtype=np.uint8,
+                    ).reshape(bh, bw)
+                    base = np.repeat(np.repeat(vals, 8, 0), 8, 1)[:, :, None]
+                    n = 2 + d[26] % 3
+                    payload = encode_mp4_mjpeg([base] * n, quality=95)
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, payload binary"
+    )
+
+
+def media_metadata_rows(with_payload: DataFrame) -> DataFrame:
+    """(doc_id, format, codec, width, height, n_frames, decodable,
+    profile) per payload via operators/media_meta.py — the structure
+    pass that never raises the decode seam's NotImplementedError."""
+    from secure_agent_api_vector_search_spark.operators.media_meta import (
+        media_metadata,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = media_metadata(bytes(payload))
+                rows.append((
+                    doc_id, m["format"], m["codec"], m["width"],
+                    m["height"], m["n_frames"], m["decodable"],
+                    m["profile"],
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "format", "codec", "width", "height",
+                "n_frames", "decodable", "profile",
+            ])
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        op,
+        schema="doc_id long, format string, codec string, width int, "
+               "height int, n_frames int, decodable boolean, "
+               "profile string",
+    )
+
+
 def synthetic_mp4_payloads(
     documents: DataFrame, n_frames: int = 8, quality: int = 95,
     samples_per_chunk: int = 3,

@@ -573,6 +573,52 @@ def image_decode_jpeg_oracle() -> str:
 
 
 @_memo_sql
+def media_metadata_oracle() -> str:
+    """Expected structure rows for catalog.media_metadata, replayed
+    from the fixture digest spec (multimodal.py::
+    synthetic_media_payloads) with NO parser code: per kind the
+    expected dims/codec/frames are pure digest arithmetic — including
+    the H.264 crop (16·w_mbs − 2·crop_right_units), so the gate pins
+    the whole container-walk + frame-tag + Exp-Golomb-SPS chain."""
+    sf_dir = oracle_sf_dir()
+    rows = []
+    for doc_id, text in _load_documents(sf_dir):
+        d = hashlib.sha256((text or "").encode()).digest()
+        kind = d[22] % 4
+        if kind == 0:
+            h, w = 8 + d[23] % 12, 8 + d[24] % 12
+            vals = (doc_id, "'webp'", "'vp8l'", w, h, 1, "TRUE", "NULL")
+        elif kind == 1:
+            w = 16 + d[23] * 2
+            h = 16 + d[24] * 2
+            vals = (doc_id, "'webp'", "'vp8'", w, h, 1, "FALSE", "NULL")
+        elif kind == 2:
+            w_mbs = 1 + d[23] % 40
+            h_mbs = 1 + d[24] % 30
+            crop = d[25] % 4
+            n = 1 + d[26] % 5
+            vals = (doc_id, "'mp4'", "'avc1'", 16 * w_mbs - 2 * crop,
+                    16 * h_mbs, n, "FALSE", "'66.30'")
+        else:
+            bh, bw = 1 + d[23] % 3, 1 + d[24] % 3
+            n = 2 + d[26] % 3
+            vals = (doc_id, "'mp4'", "'jpeg'", 8 * bw, 8 * bh, n,
+                    "TRUE", "NULL")
+        rows.append("(" + ", ".join(str(v) for v in vals) + ")")
+    core = f"""
+  WITH m(doc_id, format, codec, width, height, n_frames, decodable,
+         profile) AS (VALUES
+  {_values_rows(rows)})
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, format, codec,
+         CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+         CAST(n_frames AS INT) AS n_frames,
+         CAST(decodable AS BOOLEAN) AS decodable,
+         CAST(profile AS VARCHAR) AS profile
+  FROM m ORDER BY doc_id"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
+@_memo_sql
 def audio_decode_features_oracle(
     rate: int = 8000, window: int = 1024, activity_rms: float = 100.0
 ) -> str:
