@@ -1868,6 +1868,38 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked embedding near-dup (the at-scale alternative to
+    the sign-LSH form, whose fixed-recall table count grows n^0.28 —
+    SURVEY §6): spherical-k-means blocks + nprobe=2 multi-assignment +
+    exact in-block cosine verify. Linear in n at fixed block size."""
+    # nprobe=3: at the sf0.01 gate corpus one planted pair straddles a
+    # Voronoi boundary such that neither member's 2nd-nearest list
+    # covers it; the 3rd probe does (recall is monotone in nprobe, so
+    # the smaller gate scale stays exact too)
+    return D.embedding_neardup_pairs_clustered(
+        _embeddings_with_near_dups(spark, sf_dir), threshold=0.85,
+        n_lists=16, nprobe=3, dim=DIM,
+    )
+
+
+def embedding_clustered_vs_exact_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked embedding near-dup vs the exact pair scan over
+    the same planted corpus: empty diff pins precision (exact verify)
+    AND recall (nprobe=3 boundary coverage) as hard gate rows."""
+    corpus = _embeddings_with_near_dups(spark, sf_dir)
+    # dim=None on BOTH sides: the whole-batch numpy cosine, not the
+    # 64-term unrolled codegen expression — inlining that expression
+    # into both sides of the exceptAll plan overflows janino's method
+    # limit (InternalCompilerException); scores stay bit-identical
+    # across the two sides because both use the same kernel
+    exact = D.embedding_neardup_pairs(corpus, threshold=0.85)
+    clustered = D.embedding_neardup_pairs_clustered(
+        corpus, threshold=0.85, n_lists=16, nprobe=3,
+    )
+    return _pair_diff(exact, clustered, "cosine")
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from secure_agent_api_vector_search_spark.operators.semdedup import (
         semantic_dedup as _sd,
@@ -4768,6 +4800,31 @@ ORDER BY id_a, id_b""",
                     "by embedding_lsh_vs_exact_diff; recall also asserted "
                     "in tests", tags=("dedup", "vector")))
     r.register(NamedQuery(
+        "embedding_neardup_clustered", embedding_neardup_clustered,
+        # oracle = the EXACT pair set (same planted fixture as the LSH
+        # form): legitimate as a hard gate because equality with the
+        # clustered form is itself gate-pinned by the always-empty
+        # embedding_clustered_vs_exact_diff, and the in-block verify
+        # computes exact cosine, so found-pair values are bit-identical
+        oracle_sql=f"""
+WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dup AS (SELECT vec_id + 100000 AS vec_id,
+               list_transform(range(1, {DIM + 1}),
+                 i -> v[i] + 0.45 * v[CASE WHEN i = {DIM} THEN 1 ELSE i + 1 END]) AS v
+        FROM e2 WHERE vec_id < 50),
+c AS (SELECT vec_id, v FROM e2 UNION ALL SELECT vec_id, v FROM dup)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.v', 'b.v')} AS cosine
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE {_cos('a.v', 'b.v')} >= 0.85
+ORDER BY id_a, id_b""",
+        description="[EXT] cluster-blocked embedding near-dup (spherical "
+                    "k-means blocks, nprobe=3, exact in-block verify) — "
+                    "the LINEAR-shape scale form where sign-LSH grows "
+                    "n^1.28 at fixed recall; oracle = exact all-pairs "
+                    "cosine, equality pinned by "
+                    "embedding_clustered_vs_exact_diff",
+        tags=("dedup", "vector")))
+    r.register(NamedQuery(
         "ngram_jaccard_lsh", ngram_jaccard_lsh,
         # oracle = exact unblocked token-3-gram Jaccard over the
         # appended-dup fixture (md5-48 gram hashes, rebuilt in DuckDB
@@ -5019,6 +5076,13 @@ FROM top ORDER BY rank""",
         oracle_sql=_DIFF_SCHEMA_ORACLE.format(score="cosine"),
         description="[EXT] LSH-vs-exact gate: sign-LSH embedding near-dup "
                     "pairs equal the exact pair scan (empty diff)",
+        tags=("dedup", "vector", "gate")))
+    r.register(NamedQuery(
+        "embedding_clustered_vs_exact_diff", embedding_clustered_vs_exact_diff,
+        oracle_sql=_DIFF_SCHEMA_ORACLE.format(score="cosine"),
+        description="[EXT] clustered-vs-exact gate: cluster-blocked "
+                    "embedding near-dup pairs equal the exact pair scan "
+                    "(empty diff)",
         tags=("dedup", "vector", "gate")))
     r.register(NamedQuery(
         "textjoin_lsh_vs_exact_diff", textjoin_lsh_vs_exact_diff,
