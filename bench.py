@@ -650,7 +650,12 @@ def _stage_evidence_probe(spark, sf_dir: str) -> dict:
     import urllib.request
 
     probes = ["q1_pricing_summary", "q3_shipping_priority",
-              "top_customers_by_revenue"]
+              "top_customers_by_revenue",
+              # VERDICT r10 item 8: the five expensive warm queries,
+              # so perf deltas on the actually-slow plans are
+              # shuffle-byte-attributable next round
+              "image_neardup", "split_leakage_check", "minhash_near_dup",
+              "dedup_incremental_bloom", "quality_percentile_cut"]
     try:
         qs = queries()
         base = (

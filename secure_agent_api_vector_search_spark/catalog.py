@@ -5183,69 +5183,74 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
-    # --- round-10 window. Composition rule unchanged: (A) entries that
-    # are new this round (never driver-gated); then (B) oldest official
-    # coverage first — the 17 entries last driver-green in r06, then
-    # the 28 oldest of the 40 last green in r07 (the remaining 12 r07
-    # entries rotate in next round); then the standing ANN guard.
-    # Everything rotated out was green in r08/r09 and stays on the
-    # local full gate every round.
-    # A: the four TPC-H shapes added this round
-    "q4_order_priority",
+    # --- round-11 window. Composition rule (three criteria, in order):
+    # (A) entries never driver-gated or red last round; (B0) entries
+    # whose OPERATOR CODE moved most this round — the r10 ADVICE
+    # criterion: a rewritten decoder must not sit outside the official
+    # window in the round it was rewritten (this round: the JPEG lane
+    # engine + batch decode, the VP8L fused/pure-literal loop, the BMP
+    # bitfields fix); (B1) oldest official coverage first — the 12
+    # entries last driver-green in r07, then the 27 alphabetically
+    # first of the 46 last green in r08 (the other 19 r08 entries
+    # rotate in next round); then the standing ANN guard. Everything
+    # rotated out was green in r09/r10 and stays on the local full
+    # gate every round.
+    # A: new this round (media_metadata, clustered near-dup + its
+    # empty-diff gate) and the r10 red (q12 — oracle typing, fixed)
     "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q21_suppliers_kept_waiting",
-    # B1: last official driver record r06
-    "hard_negatives",
-    "orders_window_top3",
-    "events_hourly_anomaly",
-    "events_funnel",
-    "events_sessionize",
-    "dedup_exact_keep_first",
-    "dedup_incremental_bloom",
-    "doc_repetition",
-    "duplicate_ngram_stats",
-    "heavy_hitter_ngrams",
-    "html_extract",
-    "pack_sequences",
-    "mixture_upsample",
-    "lm_likelihood_buckets",
-    "epoch_shuffle",
-    "lang_profile",
-    "doc_winnow_fingerprints",
-    # B2: last official driver record r07, registry order (the tail —
-    # stratified_sample, token_budget_by_lang, top_terms_by_lang,
-    # lang_id_eval, bm25_search, revenue_cube, corpus_stats_gate,
-    # embed_texts, duplicated_spans, exact_substring_stats,
-    # strip_dup_spans, dedup_incremental — next round's B1)
-    "vector_topk_filtered",
-    "vector_topk_l2",
-    "vector_topk_dot",
-    "similar_to_doc",
-    "embedding_coverage",
-    "embedding_stats",
-    "neardup_pairs_cosine",
-    "q5_local_supplier_volume",
-    "top_customers_by_revenue",
-    "revenue_by_region",
-    "events_hourly",
-    "events_funnel_summary",
-    "events_retention",
-    "events_engagement",
-    "anomaly_streaming",
-    "orders_semi_late_lines",
-    "customers_without_orders",
-    "region_priority_pivot",
-    "part_small_qty_revenue",
-    "events_interval_join",
-    "dedup_normalized",
-    "doc_fingerprints",
-    "corpus_token_totals",
-    "doc_quality",
-    "pack_sequence_stats",
-    "dataset_split",
-    "tokenize_to_ids",
-    "vocab_coverage",
+    "media_metadata",
+    "embedding_neardup_clustered",
+    "embedding_clustered_vs_exact_diff",
+    # B0: decoders rewritten this round
+    "image_decode_jpeg",
+    "image_decode_webp",
+    "image_decode_bmp",
+    "video_frame_features_mjpeg",
+    "video_frame_features_mp4",
+    "video_frame_features_avi",
+    # B1: last official driver record r07
+    "bm25_search",
+    "corpus_stats_gate",
+    "dedup_incremental",
+    "duplicated_spans",
+    "embed_texts",
+    "exact_substring_stats",
+    "lang_id_eval",
+    "revenue_cube",
+    "stratified_sample",
+    "strip_dup_spans",
+    "token_budget_by_lang",
+    "top_terms_by_lang",
+    # B1 (cont.): last official driver record r08, alphabetical —
+    # includes image_neardup / multimodal_features (consume the moved
+    # decode paths) and embedding_lsh_vs_exact_diff (dedup.py moved)
+    "bpe_encode",
+    "bpe_tokenize_corpus",
+    "brand_setops",
+    "build_vocab",
+    "chunk_documents",
+    "contamination_check",
+    "corpus_curation",
+    "data_expectations",
+    "dedup_components_keep_first",
+    "embedding_lsh_vs_exact_diff",
+    "events_json_stats",
+    "find_similar_by_text",
+    "find_similar_records",
+    "hybrid_search",
+    "image_neardup",
+    "ivf_filtered_fullprobe",
+    "knn_classify",
+    "knn_join",
+    "knn_join_grouped",
+    "knn_join_ivf_fullprobe",
+    "minhash_near_dup",
+    "minhash_vs_exact_diff",
+    "mmr_exact_limit",
+    "multimodal_features",
+    "ngram_jaccard_dedup",
+    "ngram_lsh_vs_exact_diff",
+    "orders_asof_event",
     # standing ANN-family guard: the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate
     "ivf_topk_fullprobe",

@@ -319,7 +319,7 @@ class _ChunkedWindows:
 # make every gc generation-2 pass traverse millions of pointers
 # (measured: ~25× slowdown on a 50-distinct-frame stream); the
 # per-file list conversion the hot loop wants lives on the file's own
-# huff entry and dies with the decode. Bounded FIFO.
+# huff entry and dies with the decode. Bounded LRU.
 _LUT_CACHE: dict[tuple, np.ndarray] = {}
 _LUT_CACHE_MAX = 64
 
@@ -327,13 +327,18 @@ _LUT_CACHE_MAX = 64
 def _symbol_lut_cached(
     bits: list[int], vals: list[int], is_dc: bool
 ) -> np.ndarray:
+    """LRU-bounded (VERDICT r10 item 10): a hit reinserts the entry at
+    the back, so a long multimodal scan interleaving a few hot DHT
+    definitions with a stream of one-off ones keeps the hot tables and
+    evicts the strays — FIFO would cycle the hot ones out. Memory is
+    capped at _LUT_CACHE_MAX x 512 KB regardless of corpus."""
     key = (tuple(bits), tuple(vals), is_dc)
-    lut = _LUT_CACHE.get(key)
+    lut = _LUT_CACHE.pop(key, None)
     if lut is None:
         lut = _symbol_lut(bits, vals, is_dc)
         if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
             _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
-        _LUT_CACHE[key] = lut
+    _LUT_CACHE[key] = lut
     return lut
 
 

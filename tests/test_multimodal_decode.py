@@ -939,3 +939,30 @@ def _progressive_gray_fixture() -> bytes:
     rng = np.random.default_rng(45)
     img = rng.integers(0, 256, size=(16, 16, 1), dtype=np.uint8)
     return J.encode_jpeg(img, quality=90)
+
+
+def test_jpeg_lut_cache_is_bounded_lru():
+    """The cross-file DHT-keyed LUT cache must stay bounded under a
+    pathological stream of distinct table definitions (VERDICT r10
+    item 10), and a HIT must refresh recency (LRU, not FIFO): the hot
+    table survives a full cap's worth of strays."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    J._LUT_CACHE.clear()
+    hot_bits = [0] * 16
+    hot_bits[7] = 4  # 4 symbols at length 8 (legal, all-ones free)
+    hot = (hot_bits, [0, 1, 2, 3])
+    J._symbol_lut_cached(hot[0], hot[1], is_dc=True)
+    hot_key = (tuple(hot[0]), tuple(hot[1]), True)
+    for i in range(3 * J._LUT_CACHE_MAX):
+        bits = [0] * 16
+        bits[7] = 4
+        J._symbol_lut_cached(bits, [i & 0xFF, (i + 1) & 0xFF,
+                                    (i + 2) & 0xFF, (i + 3) & 0xFF],
+                             is_dc=False)
+        assert len(J._LUT_CACHE) <= J._LUT_CACHE_MAX
+        # touch the hot entry every few strays: LRU keeps it resident
+        if i % 8 == 0:
+            J._symbol_lut_cached(hot[0], hot[1], is_dc=True)
+    assert hot_key in J._LUT_CACHE
+    J._LUT_CACHE.clear()

@@ -134,6 +134,7 @@ def run_suite(spark, base: str) -> dict[str, dict[str, float]]:
     from secure_agent_api_vector_search_spark.operators.semdedup import semantic_dedup
     from secure_agent_api_vector_search_spark.operators.topk import topk_similar
 
+    n_docs = int(base.rsplit("n", 1)[-1])
     docs = spark.read.parquet(f"{base}/documents.parquet")
     emb = spark.read.parquet(f"{base}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
@@ -185,6 +186,14 @@ def run_suite(spark, base: str) -> dict[str, dict[str, float]]:
         "ngram_jaccard_lsh": lambda: D.ngram_jaccard_pairs_lsh(docs, threshold=0.6),
         "embedding_neardup_lsh": lambda: D.embedding_neardup_pairs_lsh(
             emb, threshold=0.85, dim=DIM
+        ),
+        # the LINEAR-shape alternative (VERDICT r10 item 6): cluster
+        # blocking with k ∝ n keeps block size ~constant, so wall must
+        # grow ~n where fixed-recall sign-LSH grows ~n^1.28 (its table
+        # count rises with n; SURVEY §6)
+        "embedding_neardup_clustered": lambda: D.embedding_neardup_pairs_clustered(
+            emb, threshold=0.85, dim=DIM,
+            n_lists=max(16, n_docs // 2000), nprobe=3,
         ),
         "semantic_dedup": lambda: semantic_dedup(emb, threshold=0.9),
         "vector_topk_cosine": lambda: topk_similar(emb, qvec, k=10),
@@ -267,6 +276,7 @@ def run_suite(spark, base: str) -> dict[str, dict[str, float]]:
     # ops also record their candidate-pair count so banding growth is
     # measured, not inferred from timings.
     only = os.environ.get("SPARK_GRAFT_SMOKE_OPS")
+    keep: set[str] = set()
     if only:
         keep = {s.strip() for s in only.split(",")}
         ops = {k: v for k, v in ops.items() if k in keep}
@@ -276,7 +286,8 @@ def run_suite(spark, base: str) -> dict[str, dict[str, float]]:
     # both timed passes, purely to record candidate growth.
     pair_ops = {
         "minhash_near_dup", "simhash_near_dup", "ngram_jaccard_lsh",
-        "embedding_neardup_lsh", "image_neardup_pairs",
+        "embedding_neardup_lsh", "embedding_neardup_clustered",
+        "image_neardup_pairs",
     }
     out: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -302,15 +313,31 @@ def run_suite(spark, base: str) -> dict[str, dict[str, float]]:
         # on ngram_jaccard_lsh at 80k docs)
         spark.catalog.clearCache()
 
+    # --- pairs-supplied leakage audit (VERDICT r10 item 7): the
+    # build-once/audit-many shape pipelines.curate_corpus defaults to.
+    # The pair frame is built and persisted UNTIMED; the audit's wall
+    # must track the pair count (~linear in n at ~constant dup rate),
+    # not the corpus-wide banded build.
+    if not only or "split_leakage_check_pairs_supplied" in keep:
+        pairs = D.ngram_jaccard_pairs_lsh(docs, threshold=0.6).persist()
+        n_pairs = pairs.count()
+        t0 = time.perf_counter()
+        CU.split_leakage_check(docs, pairs=pairs).write.format(
+            "noop").mode("overwrite").save()
+        out["split_leakage_check_pairs_supplied"] = round(
+            time.perf_counter() - t0, 2)
+        extra["split_leakage_check_pairs_supplied"] = {"n_pairs": n_pairs}
+        pairs.unpersist()
+        spark.catalog.clearCache()
+    if only:
+        return {"sec": out, "sec_warm": warm, "extra": extra}
+
     # --- production-shape BPE training (VERDICT r7 item 4): >=2k
     # merges at batch_k=32, the real-vocab regime. The record is the
     # ROUND count (must be ~ n_merges/batch_k + deferrals, free of
     # corpus size) next to the wall time (must track the ~50k-word
     # vocabulary, which saturates at the generator cap — so wall stays
     # ~flat across 5k/20k/80k docs while rows grow 16x).
-    if only:
-        return {"sec": out, "sec_warm": warm, "extra": extra}
-
     from secure_agent_api_vector_search_spark.operators.bpe import train_bpe
 
     st: dict = {}
