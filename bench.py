@@ -145,6 +145,10 @@ HEADLINE = [
     "bpe_encode_pipeline",
     "image_decode_png",
     "image_decode_jpeg",
+    # round-11 additions: the mixed-media structure pass and the
+    # linear-shape embedding near-dup
+    "media_metadata",
+    "embedding_neardup_clustered",
 ]
 
 # The cross-round comparison set: the 31 queries every round since r1 has

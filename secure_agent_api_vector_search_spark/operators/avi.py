@@ -126,7 +126,9 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
     """Decode an AVI's video frames. MJPEG fourccs decode for real
     (operators/jpeg.py per '##dc' chunk); compressed codecs raise
     NotImplementedError by name."""
-    from secure_agent_api_vector_search_spark.operators.jpeg import decode_jpeg
+    from secure_agent_api_vector_search_spark.operators.jpeg import (
+        decode_jpeg_batch,
+    )
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload (no RIFF/AVI magic)")
@@ -139,14 +141,16 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
         )
     if fourcc not in _MJPEG_FOURCC:
         raise ValueError(f"corrupt AVI: unknown video fourcc {fourcc!r}")
-    frames = []
+    samples = []
     for m_s, m_e in _lists(payload, 12, end, b"movi"):
         for cc, c_s, c_e in _chunks(payload, m_s, m_e):
             if cc[2:4] in (b"dc", b"db"):
-                frames.append(decode_jpeg(payload[c_s:c_e]))
-    if not frames:
+                samples.append(payload[c_s:c_e])
+    if not samples:
         raise ValueError("corrupt AVI: no video frame chunks in movi")
-    return frames
+    # one vectorized entropy pass across all frames' restart segments
+    # (jpeg._lane_engine; serial fallback below the lane threshold)
+    return decode_jpeg_batch(samples)
 
 
 def avi_track_summary(payload: bytes) -> dict:

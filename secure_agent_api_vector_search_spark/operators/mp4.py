@@ -429,7 +429,9 @@ def decode_mp4(payload: bytes) -> list[np.ndarray]:
     Motion-JPEG sample formats decode for real (operators/jpeg.py per
     sample); compressed codecs raise NotImplementedError by name — the
     documented seam, matching extract_features' decode_stub contract."""
-    from secure_agent_api_vector_search_spark.operators.jpeg import decode_jpeg
+    from secure_agent_api_vector_search_spark.operators.jpeg import (
+        decode_jpeg_batch,
+    )
 
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an MP4 payload (no ftyp)")
@@ -441,14 +443,17 @@ def decode_mp4(payload: bytes) -> list[np.ndarray]:
         )
     if fmt not in _JPEG_FORMATS:
         raise ValueError(f"corrupt MP4: unknown sample format {fmt!r}")
-    frames = []
+    samples = []
     for off, size in spans:
         if off + size > len(payload):
             raise ValueError("corrupt MP4: sample range beyond file end")
-        frames.append(decode_jpeg(payload[off : off + size]))
-    if not frames:
+        samples.append(payload[off : off + size])
+    if not samples:
         raise ValueError("corrupt MP4: video track has no samples")
-    return frames
+    # every sample's restart segments become lanes of ONE vectorized
+    # entropy pass (jpeg._lane_engine); DRI-free tracks fall back to
+    # the serial per-sample decoder inside the batch API
+    return decode_jpeg_batch(samples)
 
 
 def mp4_track_summary(payload: bytes) -> dict:
