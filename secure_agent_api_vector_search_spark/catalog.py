@@ -384,6 +384,14 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.q21_suppliers_kept_waiting(spark, sf_dir)
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q11_important_stock(spark, sf_dir)
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.q20_excess_stock_suppliers(spark, sf_dir)
+
+
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.q19_disjunctive_revenue(spark, sf_dir)
 
@@ -2768,6 +2776,51 @@ ORDER BY l_returnflag""",
         description="[EXT] TPC-H Q12: late-line counts by priority class "
                     "per lineitem attribute (returnflag proxies shipmode); "
                     "map-side conditional aggregation",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q11_important_stock", q11_important_stock,
+        oracle_sql="""
+WITH v AS (
+  SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+  GROUP BY l_partkey)
+SELECT l_partkey, CAST(val AS DOUBLE) AS value
+FROM v
+WHERE val > (SELECT SUM(val) * 0.001 FROM v)
+ORDER BY value DESC, l_partkey""",
+        description="[EXT] TPC-H Q11: per-part holdings value above a "
+                    "fraction of the global total (scalar subquery in "
+                    "HAVING; lineitem stands in for partsupp) — with "
+                    "Q20 this completes all 22 TPC-H shapes",
+        tags=("relational", "join", "agg")))
+
+    r.register(NamedQuery(
+        "q20_excess_stock_suppliers", q20_excess_stock_suppliers,
+        oracle_sql="""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01'
+                  THEN l_quantity ELSE 0 END) AS recent_qty,
+         SUM(l_quantity) AS total_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY l_suppkey, l_partkey),
+ok AS (SELECT DISTINCT l_suppkey FROM sp
+       WHERE total_qty >= 30 AND recent_qty > 0.5 * total_qty)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+  AND s_suppkey IN (SELECT l_suppkey FROM ok)
+ORDER BY s_name""",
+        description="[EXT] TPC-H Q20: suppliers with excess recent "
+                    "stock of one part type — nested semi joins with a "
+                    "correlated aggregate decorrelated into one "
+                    "conditional grouped pass (availqty proxied by "
+                    "shipped quantity; no partsupp in this corpus)",
         tags=("relational", "join", "agg")))
 
     r.register(NamedQuery(
@@ -5190,14 +5243,16 @@ CHECK_FIRST: tuple[str, ...] = (
     # window in the round it was rewritten (this round: the JPEG lane
     # engine + batch decode, the VP8L fused/pure-literal loop, the BMP
     # bitfields fix); (B1) oldest official coverage first — the 12
-    # entries last driver-green in r07, then the 27 alphabetically
-    # first of the 46 last green in r08 (the other 19 r08 entries
+    # entries last driver-green in r07, then the 25 alphabetically
+    # first of the 46 last green in r08 (the other 21 r08 entries
     # rotate in next round); then the standing ANN guard. Everything
     # rotated out was green in r09/r10 and stays on the local full
     # gate every round.
     # A: new this round (media_metadata, clustered near-dup + its
     # empty-diff gate) and the r10 red (q12 — oracle typing, fixed)
     "q12_shipmode_priority",
+    "q11_important_stock",
+    "q20_excess_stock_suppliers",
     "media_metadata",
     "embedding_neardup_clustered",
     "embedding_clustered_vs_exact_diff",
@@ -5249,8 +5304,9 @@ CHECK_FIRST: tuple[str, ...] = (
     "mmr_exact_limit",
     "multimodal_features",
     "ngram_jaccard_dedup",
-    "ngram_lsh_vs_exact_diff",
-    "orders_asof_event",
+    # (ngram_lsh_vs_exact_diff / orders_asof_event displaced to next
+    # round by the two new TPC-H entries; both r08-green and on the
+    # local full gate every round)
     # standing ANN-family guard: the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate
     "ivf_topk_fullprobe",

@@ -1169,3 +1169,95 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(100)
     )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: per-part holdings value in a nation group exceeding
+    a fraction of the GLOBAL total — the scalar-subquery-in-HAVING
+    shape. lineitem stands in for partsupp (this corpus ships none;
+    same convention as the Q16 adaptation), value = extendedprice
+    net of discount. Plan shape: one shared scan-side aggregate feeds
+    both the per-part values and the global total; the total is a
+    1-row broadcast into the filter (no recompute, no shuffle for the
+    scalar), supplier/nation broadcast dims. At 100 TB the only big
+    exchange is the partkey hash — Catalyst pushes the nation filter
+    below it."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2")
+    ).select("n_nationkey")
+    val = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"],
+              "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("value")
+        )
+    )
+    thresh = val.agg((F.sum("value") * F.lit(0.001)).alias("_t"))
+    return (
+        val.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("_t"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey"))
+    )
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers holding EXCESS recent stock of one part
+    type — the nested-semi-join + correlated-aggregate shape.
+    partsupp's availqty is proxied by per-(supplier, part) shipped
+    quantity (same no-partsupp convention as Q11/Q16): a pair
+    qualifies when its post-2001 quantity exceeds half its all-time
+    quantity (the correlated scalar decorrelates into one conditional
+    aggregate — one grouped pass computes both sides), with a volume
+    floor so singleton pairs don't trivially qualify. Qualifying
+    suppliers semi-join into the supplier×nation dim; part and nation
+    broadcast."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    sp = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"),
+                    F.col("l_quantity"),
+                ).otherwise(F.lit(0))
+            ).alias("recent_qty"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .filter(
+            (F.col("total_qty") >= 30)
+            & (F.col("recent_qty") > 0.5 * F.col("total_qty"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4"
+        )
+    ).select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(sp, s["s_suppkey"] == sp["l_suppkey"], "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

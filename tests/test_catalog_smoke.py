@@ -164,3 +164,26 @@ def test_q13_keeps_zero_order_customers(spark, sf_dir):
     )
     assert rows.get(0, 0) == zero
     assert sum(rows.values()) == c.count()
+
+
+def test_q11_q20_plan_shapes(spark, sf_dir):
+    """The round-11 TPC-H shapes keep their intended physical forms:
+    Q11's global-total scalar is a 1-row broadcast into the filter
+    (never a CartesianProduct over the per-part values), and Q20's
+    correlated availability aggregate is decorrelated into ONE grouped
+    pass feeding a LeftSemi into the supplier dim."""
+    from secure_agent_api_vector_search_spark.operators import analytics as A
+
+    p11 = (
+        A.q11_important_stock(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in p11 or "BroadcastExchange" in p11
+    assert "CartesianProduct" not in p11
+    p20 = (
+        A.q20_excess_stock_suppliers(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in p20
+    assert "CartesianProduct" not in p20
+    assert p20.count("HashAggregate") <= 6  # one grouped pass + distinct
