@@ -966,3 +966,25 @@ def test_jpeg_lut_cache_is_bounded_lru():
             J._symbol_lut_cached(hot[0], hot[1], is_dc=True)
     assert hot_key in J._LUT_CACHE
     J._LUT_CACHE.clear()
+
+
+def test_decode_image_batch_preserves_order_across_formats():
+    """decode_image_batch groups the JPEG payloads through the lane
+    engine and decodes other formats per payload — results must land
+    at their original positions regardless of grouping."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(46)
+    imgs = [rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+            for _ in range(4)]
+    payloads = [
+        J.encode_jpeg(imgs[0], quality=92, restart_interval=2),
+        M.encode_png(imgs[1]),
+        J.encode_jpeg(imgs[2], quality=92),
+        M.encode_netpbm(imgs[3]),
+    ]
+    want = [M.decode_image(p) for p in payloads]
+    got = M.decode_image_batch(payloads)
+    assert len(got) == 4
+    for w, g in zip(want, got):
+        assert (w == g).all()
