@@ -2140,6 +2140,28 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus media inventory: per (format, codec, decodable) file
+    count, frame total, and pixel volume over the mixed-media corpus —
+    the aggregate a 100 TB crawl runs FIRST to decide what to decode
+    (mp3/wav rows carry NULL dims, excluded from the pixel sum on both
+    engines by SQL NULL semantics). One map-only parse stage + one
+    tiny-key hash aggregate; the groupBy keys have single-digit
+    cardinality so the exchange is negligible."""
+    rows = M.media_metadata_rows(M.synthetic_media_payloads(
+        rebalance_if_narrow(load_documents(spark, sf_dir))))
+    return (
+        rows.groupBy("format", "codec", "decodable")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_frames").cast("bigint").alias("total_frames"),
+            F.sum(F.col("width").cast("bigint") * F.col("height"))
+            .cast("bigint").alias("total_pixels"),
+        )
+        .orderBy("format", "codec")
+    )
+
+
 def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over the synthetic corpus PLUS planted
     re-encodes: each of the first 20 docs gets a noisy copy under
@@ -4541,6 +4563,16 @@ FROM p ORDER BY doc_id""",
         tags=("multimodal",)))
 
     r.register(NamedQuery(
+        "media_inventory", media_inventory,
+        oracle_sql=OG.media_inventory_oracle,  # generated: the same
+        # digest-spec replay as media_metadata, aggregated in DuckDB
+        description="[EXT] corpus media inventory: per (format, codec, "
+                    "decodable) counts / frame totals / pixel volume — "
+                    "the decide-what-to-decode first pass over a mixed "
+                    "crawl",
+        tags=("multimodal", "agg")))
+
+    r.register(NamedQuery(
         "image_decode_jpeg", image_decode_jpeg,
         oracle_sql=OG.image_decode_jpeg_oracle,  # generated: block-flat
         # rasters rebuilt with no codec code — flat blocks decode
@@ -5256,6 +5288,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "media_metadata",
     "embedding_neardup_clustered",
     "embedding_clustered_vs_exact_diff",
+    "media_inventory",
     # B0: decoders rewritten this round
     "image_decode_jpeg",
     "image_decode_webp",
@@ -5303,8 +5336,8 @@ CHECK_FIRST: tuple[str, ...] = (
     "minhash_vs_exact_diff",
     "mmr_exact_limit",
     "multimodal_features",
-    "ngram_jaccard_dedup",
-    # (ngram_lsh_vs_exact_diff / orders_asof_event displaced to next
+    # (ngram_jaccard_dedup / ngram_lsh_vs_exact_diff /
+    # orders_asof_event displaced to next
     # round by the two new TPC-H entries; both r08-green and on the
     # local full gate every round)
     # standing ANN-family guard: the exactness-limit identity that

@@ -365,6 +365,15 @@ def media_metadata(payload: bytes) -> dict:
     if payload[:2] == b"BM":
         w, h = struct.unpack("<ii", payload[18:26])
         return _row("bmp", "bmp", w, abs(h), 1, True)
+    if payload[:4] == b"\x00\x00\x01\x00":
+        from secure_agent_api_vector_search_spark.operators.bmp import (
+            decode_ico,
+        )
+
+        img = decode_ico(payload)
+        n_entries = int.from_bytes(payload[4:6], "little")
+        return _row("ico", "ico", img.shape[1], img.shape[0],
+                    n_entries, True)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         from secure_agent_api_vector_search_spark.operators.tiff import (
             decode_tiff,

@@ -572,15 +572,11 @@ def image_decode_jpeg_oracle() -> str:
     )
 
 
-@_memo_sql
-def media_metadata_oracle() -> str:
-    """Expected structure rows for catalog.media_metadata, replayed
-    from the fixture digest spec (multimodal.py::
-    synthetic_media_payloads) with NO parser code: per kind the
-    expected dims/codec/frames are pure digest arithmetic — including
-    the H.264 crop (16·w_mbs − 2·crop_right_units), so the gate pins
-    the whole container-walk + frame-tag + Exp-Golomb-SPS chain."""
-    sf_dir = oracle_sf_dir()
+def _media_metadata_values(sf_dir: str) -> str:
+    """The expected (doc_id, format, codec, width, height, n_frames,
+    decodable, profile) rows as a VALUES list — pure digest arithmetic
+    replaying multimodal.synthetic_media_payloads' spec, shared by the
+    row-level and inventory-level oracles."""
     rows = []
     for doc_id, text in _load_documents(sf_dir):
         d = hashlib.sha256((text or "").encode()).digest()
@@ -605,10 +601,43 @@ def media_metadata_oracle() -> str:
             vals = (doc_id, "'mp4'", "'jpeg'", 8 * bw, 8 * bh, n,
                     "TRUE", "NULL")
         rows.append("(" + ", ".join(str(v) for v in vals) + ")")
+    return _values_rows(rows)
+
+
+@_memo_sql
+def media_inventory_oracle() -> str:
+    """Inventory aggregate over the same digest-spec replay as
+    media_metadata_oracle: per (format, codec, decodable) file count,
+    frame total, and pixel volume — the 'know what we have' corpus
+    scan, checked against the Spark groupBy of the parsed rows."""
+    sf_dir = oracle_sf_dir()
     core = f"""
   WITH m(doc_id, format, codec, width, height, n_frames, decodable,
          profile) AS (VALUES
-  {_values_rows(rows)})
+  {_media_metadata_values(sf_dir)})
+  SELECT format, codec, CAST(decodable AS BOOLEAN) AS decodable,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+         CAST(SUM(CAST(width AS BIGINT) * height) AS BIGINT) AS total_pixels
+  FROM m
+  GROUP BY format, codec, decodable
+  ORDER BY format, codec"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
+@_memo_sql
+def media_metadata_oracle() -> str:
+    """Expected structure rows for catalog.media_metadata, replayed
+    from the fixture digest spec (multimodal.py::
+    synthetic_media_payloads) with NO parser code: per kind the
+    expected dims/codec/frames are pure digest arithmetic — including
+    the H.264 crop (16·w_mbs − 2·crop_right_units), so the gate pins
+    the whole container-walk + frame-tag + Exp-Golomb-SPS chain."""
+    sf_dir = oracle_sf_dir()
+    core = f"""
+  WITH m(doc_id, format, codec, width, height, n_frames, decodable,
+         profile) AS (VALUES
+  {_media_metadata_values(sf_dir)})
   SELECT CAST(doc_id AS BIGINT) AS doc_id, format, codec,
          CAST(width AS INT) AS width, CAST(height AS INT) AS height,
          CAST(n_frames AS INT) AS n_frames,

@@ -115,3 +115,26 @@ def test_media_metadata_mp3_and_unknown():
     assert r["format"] == "mp3" and r["n_frames"] == 3 and not r["decodable"]
     with pytest.raises(ValueError, match="unrecognized"):
         MM.media_metadata(b"\x00\x01\x02\x03 garbage")
+
+
+def test_media_metadata_other_boundary_fourccs_and_ico():
+    """Any compressed MP4 video codec — not just avc1 — must yield a
+    metadata row with dims from the VisualSampleEntry; ICO reports its
+    largest entry's dims plus the directory count."""
+    from secure_agent_api_vector_search_spark.operators.bmp import encode_ico
+    from secure_agent_api_vector_search_spark.operators.mp4 import (
+        decode_mp4,
+        encode_mp4_codec_stub,
+    )
+
+    for cc in (b"hvc1", b"vp09", b"av01"):
+        payload = encode_mp4_codec_stub(cc, 320, 240, [b"z" * 16] * 2)
+        r = MM.media_metadata(payload)
+        assert (r["codec"], r["width"], r["height"], r["n_frames"],
+                r["decodable"]) == (cc.decode(), 320, 240, 2, False)
+        with pytest.raises((NotImplementedError, ValueError)):
+            decode_mp4(payload)
+    img = np.tile(np.arange(12, dtype=np.uint8).reshape(1, 4, 3), (8, 2, 1))
+    r = MM.media_metadata(encode_ico(img))
+    assert (r["format"], r["width"], r["height"], r["decodable"]) == (
+        "ico", 8, 8, True)
