@@ -25,9 +25,11 @@ falling over on the majority format:
   ``decodable=False`` — the same never-garbage contract as
   mp3.py::mp3_summary (structure, not invented samples).
 
-Reference parity: the reference (sql/03_tools_setup.sql) has no media
-surface at all; this closes the gap a training-data pipeline hits
-between "decode what we can" and "know what we have" at corpus scale.
+Reference parity: the reference has no media surface at all — its
+complete 12-file inventory (SURVEY.md §0: README/LICENSE/tools.yaml,
+agent/*, sql/01–05) contains only text/vector SQL; this closes the gap
+a training-data pipeline hits between "decode what we can" and "know
+what we have" at corpus scale.
 """
 
 from __future__ import annotations
@@ -225,11 +227,33 @@ def _row(fmt: str, codec: str, width, height, n_frames: int,
     }
 
 
+def _anmf_frame_codec(body: bytes) -> bytes:
+    """The image-chunk fourcc inside one ANMF body: skip the 16-byte
+    frame header, walk sub-chunks (an optional ALPH precedes the image
+    chunk for lossy-with-alpha frames) to the VP8/VP8L payload."""
+    pos = 16
+    while pos + 8 <= len(body):
+        fc = body[pos:pos + 4]
+        sz = struct.unpack("<I", body[pos + 4:pos + 8])[0]
+        if fc in (b"VP8 ", b"VP8L"):
+            return fc
+        pos += 8 + sz + (sz & 1)
+    raise ValueError("corrupt WebP: ANMF frame without image chunk")
+
+
 def _webp_meta(payload: bytes) -> dict:
+    """decodable must reflect decode_webp/decode_webp_frames' ACTUAL
+    capability (lossless VP8L only) — so a VP8X container is judged by
+    the codec of its image chunks, including inside ANMF frame bodies,
+    never by the container fourcc alone (extended/animated WebP very
+    commonly carries lossy VP8 frames)."""
+    if len(payload) < 16:
+        raise ValueError("corrupt WebP: truncated header")
     end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
     pos = 12
-    n_anmf = 0
     first: dict | None = None
+    canvas: tuple[int, int] | None = None
+    frame_codecs: list[bytes] = []
     while pos + 8 <= end:
         fourcc = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
@@ -243,17 +267,21 @@ def _webp_meta(payload: bytes) -> dict:
         elif fourcc == b"VP8 " and first is None:
             t = vp8_frame_tag(body)
             first = _row("webp", "vp8", t["width"], t["height"], 1, False)
-        elif fourcc == b"VP8X" and first is None and len(body) >= 10:
-            cw = int.from_bytes(body[4:7], "little") + 1
-            chh = int.from_bytes(body[7:10], "little") + 1
-            first = _row("webp", "vp8x", cw, chh, 1, True)
+        elif fourcc == b"VP8X" and canvas is None and len(body) >= 10:
+            canvas = (int.from_bytes(body[4:7], "little") + 1,
+                      int.from_bytes(body[7:10], "little") + 1)
         elif fourcc == b"ANMF":
-            n_anmf += 1
+            frame_codecs.append(_anmf_frame_codec(body))
         pos += 8 + size + (size & 1)
+    if frame_codecs:
+        # animated: decodable iff EVERY frame is lossless VP8L — the
+        # exact precondition of decode_webp_frames (webp.py:1443)
+        all_lossless = all(fc == b"VP8L" for fc in frame_codecs)
+        cw, chh = canvas if canvas else (None, None)
+        return _row("webp", "vp8l" if all_lossless else "vp8",
+                    cw, chh, len(frame_codecs), all_lossless)
     if first is None:
         raise ValueError("corrupt WebP: no image chunk")
-    if n_anmf:
-        first["n_frames"] = n_anmf
     return first
 
 
@@ -336,9 +364,13 @@ def media_metadata(payload: bytes) -> dict:
             hdr = MM._parse_wav_header(payload)
             if hdr is None:
                 raise ValueError("corrupt WAV payload")
-            rate, n_ch, _bits, _off, n_bytes = hdr
-            n_samples = n_bytes // (2 * max(1, n_ch))
-            return _row("wav", "pcm_s16le", None, None, n_samples, True)
+            rate, n_ch, width, _off, n_bytes = hdr
+            # the parsed sample width drives BOTH the frame count and
+            # the codec label — _parse_wav_header accepts 8/16/32-bit
+            # PCM (_PCM_DTYPES), not only 16-bit
+            n_samples = n_bytes // (width * max(1, n_ch))
+            codec = {1: "pcm_u8", 2: "pcm_s16le", 4: "pcm_s32le"}[width]
+            return _row("wav", codec, None, None, n_samples, True)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return _mp4_meta(payload)
     if payload[:3] == b"ID3" or (
@@ -357,12 +389,18 @@ def media_metadata(payload: bytes) -> dict:
         img = decode_jpeg(payload)
         return _row("jpeg", "jpeg", img.shape[1], img.shape[0], 1, True)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 24:
+            raise ValueError("corrupt PNG: truncated header")
         w, h = struct.unpack(">II", payload[16:24])
         return _row("png", "png", w, h, 1, True)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("corrupt GIF: truncated header")
         w, h = struct.unpack("<HH", payload[6:10])
         return _row("gif", "gif", w, h, 1, True)
     if payload[:2] == b"BM":
+        if len(payload) < 26:
+            raise ValueError("corrupt BMP: truncated header")
         w, h = struct.unpack("<ii", payload[18:26])
         return _row("bmp", "bmp", w, abs(h), 1, True)
     if payload[:4] == b"\x00\x00\x01\x00":

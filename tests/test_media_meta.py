@@ -138,3 +138,82 @@ def test_media_metadata_other_boundary_fourccs_and_ico():
     r = MM.media_metadata(encode_ico(img))
     assert (r["format"], r["width"], r["height"], r["decodable"]) == (
         "ico", 8, 8, True)
+
+
+def _wav_bytes(data: bytes, ch: int, rate: int, bits: int) -> bytes:
+    width = bits // 8
+    return b"".join((
+        b"RIFF", (36 + len(data)).to_bytes(4, "little"), b"WAVEfmt ",
+        (16).to_bytes(4, "little"), (1).to_bytes(2, "little"),
+        ch.to_bytes(2, "little"), rate.to_bytes(4, "little"),
+        (rate * ch * width).to_bytes(4, "little"),
+        (ch * width).to_bytes(2, "little"), bits.to_bytes(2, "little"),
+        b"data", len(data).to_bytes(4, "little"), data,
+    ))
+
+
+def test_media_metadata_wav_uses_parsed_sample_width():
+    """8/16/32-bit PCM all parse (_PCM_DTYPES = {1,2,4}); frame count
+    and codec label must come from the parsed width, not a hardcoded
+    16-bit assumption (ADVICE r11)."""
+    for bits, codec in ((8, "pcm_u8"), (16, "pcm_s16le"), (32, "pcm_s32le")):
+        width = bits // 8
+        n, ch = 120, 2
+        r = MM.media_metadata(_wav_bytes(b"\x40" * (n * ch * width), ch,
+                                         8000, bits))
+        assert (r["format"], r["codec"], r["n_frames"], r["decodable"]) == (
+            "wav", codec, n, True)
+
+
+def test_media_metadata_vp8x_decodable_from_frame_codecs():
+    """A VP8X container's decodable flag must reflect the image chunks
+    inside it — lossless animation decodes, lossy animation does not
+    (ADVICE r11: the container fourcc alone said True for both)."""
+    from secure_agent_api_vector_search_spark.operators.webp import (
+        decode_webp_frames,
+        encode_webp_animation,
+    )
+
+    frames = [np.full((8, 10, 3), 40 * (i + 1), dtype=np.uint8)
+              for i in range(3)]
+    anim = encode_webp_animation(frames)
+    r = MM.media_metadata(anim)
+    assert (r["codec"], r["width"], r["height"], r["n_frames"],
+            r["decodable"]) == ("vp8l", 10, 8, 3, True)
+    assert len(decode_webp_frames(anim)) == 3
+
+    # hand-build an animated container whose frames are lossy VP8
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    tag = 1 << 4
+    vp8_body = (tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
+                + (16).to_bytes(2, "little") + (8).to_bytes(2, "little")
+                + b"\xaa" * 12)
+    anmf = ((0).to_bytes(3, "little") + (0).to_bytes(3, "little")
+            + (15).to_bytes(3, "little") + (7).to_bytes(3, "little")
+            + (100).to_bytes(3, "little") + b"\x00")
+    chunks = chunk(b"VP8X", bytes([0x02, 0, 0, 0])
+                   + (15).to_bytes(3, "little") + (7).to_bytes(3, "little"))
+    chunks += chunk(b"ANIM", (0).to_bytes(4, "little") + (0).to_bytes(2, "little"))
+    chunks += chunk(b"ANMF", anmf + chunk(b"VP8 ", vp8_body))
+    chunks += chunk(b"ANMF", anmf + chunk(b"VP8 ", vp8_body))
+    riff = b"WEBP" + chunks
+    lossy_anim = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+    with pytest.raises(NotImplementedError):
+        decode_webp_frames(lossy_anim)
+    r = MM.media_metadata(lossy_anim)
+    assert (r["codec"], r["width"], r["height"], r["n_frames"],
+            r["decodable"]) == ("vp8", 16, 8, 2, False)
+
+
+def test_media_metadata_truncated_headers_raise_valueerror():
+    """Truncated payloads whose magic matches must raise ValueError
+    (the package-wide corrupt-payload contract), never struct.error."""
+    for payload in (b"\x89PNG\r\n\x1a\n\x00\x00",      # 10-byte PNG
+                    b"BM",                                 # bare BMP magic
+                    b"GIF89a\x10",                        # truncated GIF
+                    b"RIFF\x08\x00\x00\x00WEBP"):        # WebP, no chunks
+        with pytest.raises(ValueError):
+            MM.media_metadata(payload)
