@@ -897,9 +897,18 @@ def _decode_baseline_fast(payload: bytes, data_start: int, frame, scan,
                 f"(expected {expected_segs})"
             )
 
+    # snapshot the scan's table ENTRIES now (T.81 B.2.4.2: a scan uses
+    # the tables in force when its SOS appears): the walker's outer
+    # `huff` mapping is mutable, and a legal multi-scan file may
+    # redefine a table id between scans — a deferred batch job flushed
+    # after EOI must not see the later definition (ADVICE r11)
+    huff_snap = {}
+    for c in scan:
+        for key in ((0, c["dc"]), (1, c["ac"])):
+            huff_snap[key] = huff[key]
     job = {
         "payload": payload, "seg_spans": seg_spans, "scan": scan,
-        "huff": huff, "flats": flats, "fb_arr": fb_arr,
+        "huff": huff_snap, "flats": flats, "fb_arr": fb_arr,
         "slots_arr": slots_arr, "seg_units": seg_units, "bpm": bpm,
         "total_units": total_units, "stray_rst": stray_rst,
         "end_pos": end_pos,

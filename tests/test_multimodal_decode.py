@@ -988,3 +988,32 @@ def test_decode_image_batch_preserves_order_across_formats():
     assert len(got) == 4
     for w, g in zip(want, got):
         assert (w == g).all()
+
+
+def test_jpeg_batch_snapshot_tables_at_scan_time():
+    """A legal DHT between a scan and EOI redefines table id 0. The
+    serial path consumed the original tables at SOS time; a deferred
+    batch job flushed after EOI must decode with the SAME tables, not
+    the later redefinition (ADVICE r11: the job held the shared
+    mutable table mapping)."""
+    from secure_agent_api_vector_search_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(46)
+    img = rng.integers(0, 256, size=(24, 24, 1), dtype=np.uint8)
+    enc = J.encode_jpeg(img, quality=90)
+    want = J.decode_jpeg(enc)
+    # well-formed 1-symbol DC+AC tables for id 0 — valid syntax, wrong
+    # codes: decoding with these must NOT happen
+    bits = [1] + [0] * 15
+    dht = bytes([0x00] + bits) + bytes([0]) + bytes([0x10] + bits) + bytes([0])
+    seg = b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    spliced = enc[:-2] + seg + enc[-2:]
+    assert (J.decode_jpeg(spliced) == want).all()
+    for gate in (10**9, 1):  # scalar flush AND lane-engine flush
+        orig = J._LANE_MIN_SEGS
+        try:
+            J._LANE_MIN_SEGS = gate
+            got = J.decode_jpeg_batch([spliced, enc])
+        finally:
+            J._LANE_MIN_SEGS = orig
+        assert (got[0] == want).all() and (got[1] == want).all()
