@@ -1884,10 +1884,12 @@ def embedding_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nprobe=3: at the sf0.01 gate corpus one planted pair straddles a
     # Voronoi boundary such that neither member's 2nd-nearest list
     # covers it; the 3rd probe does (recall is monotone in nprobe, so
-    # the smaller gate scale stays exact too)
+    # the smaller gate scale stays exact too). n_lists DEFAULTS: the
+    # operator auto-derives k = max(16, n/2000) — the gate thus pins
+    # the shipped default path (16 lists at this corpus size)
     return D.embedding_neardup_pairs_clustered(
         _embeddings_with_near_dups(spark, sf_dir), threshold=0.85,
-        n_lists=16, nprobe=3, dim=DIM,
+        nprobe=3, dim=DIM,
     )
 
 
@@ -1903,7 +1905,7 @@ def embedding_clustered_vs_exact_diff(spark: SparkSession, sf_dir: str) -> DataF
     # across the two sides because both use the same kernel
     exact = D.embedding_neardup_pairs(corpus, threshold=0.85)
     clustered = D.embedding_neardup_pairs_clustered(
-        corpus, threshold=0.85, n_lists=16, nprobe=3,
+        corpus, threshold=0.85, nprobe=3,
     )
     return _pair_diff(exact, clustered, "cosine")
 

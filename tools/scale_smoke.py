@@ -190,10 +190,12 @@ def run_suite(spark, base: str) -> dict[str, dict[str, float]]:
         # the LINEAR-shape alternative (VERDICT r10 item 6): cluster
         # blocking with k ∝ n keeps block size ~constant, so wall must
         # grow ~n where fixed-recall sign-LSH grows ~n^1.28 (its table
-        # count rises with n; SURVEY §6)
+        # count rises with n; SURVEY §6). DEFAULTS-called: n_lists is
+        # now auto-derived inside the operator (k = max(16, n/2000),
+        # the rule this harness used to supply — VERDICT r11 item 1),
+        # so the smoke measures the shipped default path.
         "embedding_neardup_clustered": lambda: D.embedding_neardup_pairs_clustered(
-            emb, threshold=0.85, dim=DIM,
-            n_lists=max(16, n_docs // 2000), nprobe=3,
+            emb, threshold=0.85, dim=DIM, nprobe=3,
         ),
         "semantic_dedup": lambda: semantic_dedup(emb, threshold=0.9),
         "vector_topk_cosine": lambda: topk_similar(emb, qvec, k=10),
