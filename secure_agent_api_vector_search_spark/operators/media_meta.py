@@ -17,13 +17,22 @@ falling over on the majority format:
   Exp-Golomb descriptors only (profile/level, mb grid, cropping →
   exact pixel dimensions), including emulation-prevention-byte
   removal (§7.4.1) and scaling-list skip.
+- :func:`h265_sps` — ITU-T H.265 §7.3.2.2.1: the same Exp-Golomb
+  arithmetic plus the fixed-width profile_tier_level block and the
+  SubWidthC/SubHeightC conformance-window crop.
+- :func:`av1_sequence_header` — AV1 spec §5.5 (AOM, public): plain
+  bits to profile/level and exact max frame dimensions.
+- :func:`aac_adts_summary` / :func:`flac_streaminfo` — structural
+  audio passes (sample rate / channels / frames / duration) for the
+  two majority non-PCM audio shapes, same contract as
+  mp3.py::mp3_summary.
 - :func:`media_metadata` — container sniff + dispatch that NEVER
   raises NotImplementedError: decodable payloads (netpbm/PNG/JPEG/
   GIF/WebP-lossless/BMP/TIFF/MJPEG/RAWV/WAV) report their structure
   with ``decodable=True``; boundary codecs (VP8 lossy, avc1/hvc1/
-  vp09 MP4 tracks, MP3) report dimensions/codec/frame-count with
-  ``decodable=False`` — the same never-garbage contract as
-  mp3.py::mp3_summary (structure, not invented samples).
+  av01/vp09 MP4 tracks, MP3/AAC/FLAC) report dimensions/codec/
+  frame-count with ``decodable=False`` — the same never-garbage
+  contract as mp3.py::mp3_summary (structure, not invented samples).
 
 Reference parity: the reference has no media surface at all — its
 complete 12-file inventory (SURVEY.md §0: README/LICENSE/tools.yaml,
@@ -36,7 +45,11 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["vp8_frame_tag", "h264_sps", "media_metadata"]
+__all__ = [
+    "vp8_frame_tag", "h264_sps", "h265_sps", "av1_sequence_header",
+    "aac_adts_summary", "flac_streaminfo", "audio_metadata",
+    "media_metadata",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -210,6 +223,390 @@ def h264_sps(nal: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# H.265/HEVC SPS — ITU-T H.265 §7.3.2.2.1 (plain bits + Exp-Golomb,
+# same arithmetic class as h264_sps; no empirical tables)
+# ---------------------------------------------------------------------------
+
+
+def h265_sps(nal: bytes) -> dict:
+    """Parse one HEVC SPS NAL (2-byte NAL header, type 33) to
+    profile/tier/level and exact pixel dimensions. Reads through the
+    conformance window — everything needed is profile_tier_level
+    (§7.3.3, fixed-width bits) plus Exp-Golomb descriptors."""
+    if len(nal) < 2:
+        raise ValueError("corrupt HEVC SPS: empty NAL")
+    body = nal
+    if (nal[0] >> 1) & 0x3F == 33 and (nal[0] & 0x80) == 0:
+        body = nal[2:]  # strip the 2-byte NAL header (§7.3.1.2)
+    r = _EgReader(_strip_emulation(body))
+    r.u(4)  # sps_video_parameter_set_id
+    max_sub_layers_minus1 = r.u(3)
+    r.u(1)  # sps_temporal_id_nesting_flag
+    # profile_tier_level(1, max_sub_layers_minus1) — §7.3.3
+    r.u(2)  # general_profile_space
+    tier = r.u(1)
+    profile_idc = r.u(5)
+    r.u(32)  # general_profile_compatibility_flags
+    r.u(48)  # progressive/interlaced/non-packed/frame-only + reserved43 + 1
+    level_idc = r.u(8)
+    sub_profile = [r.u(1) for _ in range(max_sub_layers_minus1)]
+    sub_level = [r.u(1) for _ in range(max_sub_layers_minus1)]
+    if max_sub_layers_minus1 > 0:
+        for _ in range(max_sub_layers_minus1, 8):
+            r.u(2)  # reserved_zero_2bits alignment
+    for p, l in zip(sub_profile, sub_level):
+        if p:
+            r.u(88)  # sub-layer profile block (2+1+5+32+48 bits)
+        if l:
+            r.u(8)  # sub_layer_level_idc
+    r.ue()  # sps_seq_parameter_set_id
+    chroma_format_idc = r.ue()
+    if chroma_format_idc == 3:
+        r.u(1)  # separate_colour_plane_flag
+    pic_w = r.ue()
+    pic_h = r.ue()
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # conformance_window_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # offsets are in SubWidthC/SubHeightC units (§7.4.3.2.1, Table 6-1)
+    sw = 2 if chroma_format_idc in (1, 2) else 1
+    sh = 2 if chroma_format_idc == 1 else 1
+    return {
+        "profile_idc": profile_idc,
+        "tier": tier,
+        "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
+        "width": pic_w - sw * (crop_l + crop_r),
+        "height": pic_h - sh * (crop_t + crop_b),
+    }
+
+
+# ---------------------------------------------------------------------------
+# AV1 sequence header OBU — AV1 spec §5.5 (AOM, public; plain bits)
+# ---------------------------------------------------------------------------
+
+
+def _leb128(data: bytes, pos: int) -> tuple[int, int]:
+    """AV1 §4.10.5 leb128: (value, next_pos)."""
+    v = 0
+    for i in range(8):
+        if pos >= len(data):
+            raise ValueError("corrupt AV1: leb128 truncated")
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            return v, pos
+    raise ValueError("corrupt AV1: leb128 overlong")
+
+
+def av1_sequence_header(obu_payload: bytes) -> dict:
+    """Parse an AV1 sequence_header_obu payload (§5.5.1) to
+    profile/level and max frame dimensions. Plain fixed-width bits;
+    the only variable parts (timing/decoder-model/operating-point
+    blocks) are skipped field-exactly."""
+    r = _EgReader(obu_payload)
+    seq_profile = r.u(3)
+    still_picture = r.u(1)
+    reduced = r.u(1)
+    if reduced:
+        seq_level_idx = r.u(5)
+    else:
+        decoder_model_info = 0
+        buffer_delay_bits = 0
+        if r.u(1):  # timing_info_present_flag → timing_info (§5.5.3)
+            r.u(32)  # num_units_in_display_tick
+            r.u(32)  # time_scale
+            if r.u(1):  # equal_picture_interval
+                # uvlc (§4.10.3)
+                lead = 0
+                while r.u(1) == 0:
+                    lead += 1
+                    if lead > 32:
+                        raise ValueError("corrupt AV1: uvlc overflow")
+                if lead:
+                    r.u(lead)
+            decoder_model_info = r.u(1)
+            if decoder_model_info:  # decoder_model_info (§5.5.4)
+                buffer_delay_bits = r.u(5) + 1
+                r.u(32)  # num_units_in_decoding_tick
+                r.u(5)   # buffer_removal_time_length_minus_1
+                r.u(5)   # frame_presentation_time_length_minus_1
+        initial_display_delay = r.u(1)
+        op_cnt = r.u(5) + 1
+        seq_level_idx = None
+        for i in range(op_cnt):
+            r.u(12)  # operating_point_idc
+            lvl = r.u(5)
+            if i == 0:
+                seq_level_idx = lvl
+            if lvl > 7:
+                r.u(1)  # seq_tier
+            if decoder_model_info and r.u(1):
+                r.u(buffer_delay_bits)  # decoder_buffer_delay
+                r.u(buffer_delay_bits)  # encoder_buffer_delay
+                r.u(1)                  # low_delay_mode_flag
+            if initial_display_delay and r.u(1):
+                r.u(4)  # initial_display_delay_minus_1
+    wbits = r.u(4) + 1
+    hbits = r.u(4) + 1
+    return {
+        "seq_profile": seq_profile,
+        "seq_level_idx": seq_level_idx,
+        "still_picture": bool(still_picture),
+        "width": r.u(wbits) + 1,
+        "height": r.u(hbits) + 1,
+    }
+
+
+def _av1c_sequence_header(av1c_body: bytes) -> dict:
+    """Walk an AV1CodecConfigurationBox's configOBUs (AOM ISOBMFF
+    binding §2.3) to the sequence header OBU and parse it."""
+    pos = 4  # marker/version + 2 profile/level/flag bytes + delay byte
+    n = len(av1c_body)
+    while pos < n:
+        hdr = av1c_body[pos]
+        if hdr & 0x80:
+            raise ValueError("corrupt AV1: obu_forbidden_bit set")
+        obu_type = (hdr >> 3) & 0xF
+        has_ext = hdr & 0x04
+        has_size = hdr & 0x02
+        pos += 1
+        if has_ext:
+            pos += 1
+        if has_size:
+            size, pos = _leb128(av1c_body, pos)
+        else:
+            size = n - pos
+        if obu_type == 1:  # OBU_SEQUENCE_HEADER
+            return av1_sequence_header(av1c_body[pos:pos + size])
+        pos += size
+    raise ValueError("corrupt AV1: av1C has no sequence header OBU")
+
+
+# ---------------------------------------------------------------------------
+# AAC (ADTS, ISO 13818-7 §6.2) and FLAC (STREAMINFO) structural audio
+# — sample rate / channels / frame count / duration under the same
+# never-garbage contract as mp3.py::mp3_summary (VERDICT r11 missing #2)
+# ---------------------------------------------------------------------------
+
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+_AAC_PROFILES = ("aac-main", "aac-lc", "aac-ssr", "aac-ltp")
+
+
+def aac_adts_summary(payload: bytes) -> dict:
+    """Walk an ADTS-framed AAC stream's fixed headers: per ISO 13818-7
+    §6.2 the 56-bit header carries profile, sampling-frequency index,
+    channel configuration, and the 13-bit frame length — plain bits,
+    no Huffman codebooks. Each frame carries
+    (number_of_raw_data_blocks + 1) × 1024 samples."""
+    n = len(payload)
+    if n < 7 or payload[0] != 0xFF or (payload[1] & 0xF6) != 0xF0:
+        raise ValueError("not an ADTS stream: no 0xFFF/layer-00 sync")
+    pos = 0
+    first = None
+    n_blocks = 0
+    while pos + 7 <= n:
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xF6) != 0xF0:
+            raise ValueError(f"corrupt ADTS: lost sync at {pos}")
+        profile = payload[pos + 2] >> 6
+        fs_index = (payload[pos + 2] >> 2) & 0xF
+        if fs_index >= len(_ADTS_RATES):
+            raise ValueError(f"corrupt ADTS: sampling index {fs_index}")
+        ch = ((payload[pos + 2] & 1) << 2) | (payload[pos + 3] >> 6)
+        frame_len = (
+            ((payload[pos + 3] & 0x03) << 11)
+            | (payload[pos + 4] << 3)
+            | (payload[pos + 5] >> 5)
+        )
+        raw_blocks = (payload[pos + 6] & 0x03) + 1
+        header_len = 7 if (payload[pos + 1] & 0x01) else 9  # CRC adds 2
+        if frame_len < header_len:
+            raise ValueError("corrupt ADTS: frame length below header")
+        if pos + frame_len > n:
+            break  # truncated final frame: counted frames stand
+        if first is None:
+            first = (profile, fs_index, ch)
+        n_blocks += raw_blocks
+        pos += frame_len
+    if first is None or n_blocks == 0:
+        raise ValueError("not an ADTS stream: sync but no full frame")
+    profile, fs_index, ch = first
+    rate = _ADTS_RATES[fs_index]
+    n_samples = n_blocks * 1024
+    return {
+        "profile": _AAC_PROFILES[profile],
+        "sample_rate": rate,
+        "n_channels": ch,
+        "n_frames": n_blocks,
+        "n_samples": n_samples,
+        "duration_sec": n_samples / rate,
+    }
+
+
+def flac_streaminfo(payload: bytes) -> dict:
+    """Parse a FLAC file's STREAMINFO metadata block (format spec,
+    xiph: 16+16+24+24 bits of block/frame sizes, then a packed 64-bit
+    field of sample rate (20) / channels−1 (3) / bits−1 (5) /
+    total samples (36))."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (no fLaC magic)")
+    pos = 4
+    n = len(payload)
+    while pos + 4 <= n:
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + blen]
+        if btype == 0:
+            if len(body) < 18:
+                raise ValueError("corrupt FLAC: STREAMINFO truncated")
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            ch = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if rate == 0:
+                raise ValueError("corrupt FLAC: zero sample rate")
+            return {
+                "sample_rate": rate,
+                "n_channels": ch,
+                "bits_per_sample": bits,
+                "n_samples": total,
+                "duration_sec": total / rate,
+                "min_block_size": int.from_bytes(body[0:2], "big"),
+                "max_block_size": int.from_bytes(body[2:4], "big"),
+            }
+        if hdr & 0x80:
+            break  # last-metadata-block flag, no STREAMINFO seen
+        pos += 4 + blen
+    raise ValueError("corrupt FLAC: no STREAMINFO block")
+
+
+def _mp4_audio_meta(payload: bytes) -> dict | None:
+    """Audio-track summary for an MP4 with no video track: sample
+    rate / channels from the AudioSampleEntry (ISO 14496-12 §12.2.3),
+    frame count from stsz, duration from the track's mdhd. None when
+    no audio track exists."""
+    from secure_agent_api_vector_search_spark.operators import mp4 as M
+
+    moov = M._find_box(payload, 0, len(payload), b"moov")
+    if moov is None:
+        return None
+    for fc, t_s, t_e in M._walk_boxes(payload, *moov):
+        if fc != b"trak":
+            continue
+        mdia = M._find_box(payload, t_s, t_e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = M._find_box(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8:hdlr[0] + 12] != b"soun":
+            continue
+        duration_sec = None
+        mdhd = M._find_box(payload, *mdia, b"mdhd")
+        if mdhd is not None and payload[mdhd[0]] == 0:  # version 0
+            timescale = int.from_bytes(payload[mdhd[0] + 12:mdhd[0] + 16],
+                                       "big")
+            dur = int.from_bytes(payload[mdhd[0] + 16:mdhd[0] + 20], "big")
+            if timescale:
+                duration_sec = dur / timescale
+        minf = M._find_box(payload, *mdia, b"minf")
+        stbl = M._find_box(payload, *minf, b"stbl") if minf else None
+        stsd = M._find_box(payload, *stbl, b"stsd") if stbl else None
+        if stsd is None:
+            continue
+        se_fc, se_s, se_e = next(M._walk_boxes(payload, stsd[0] + 8, stsd[1]))
+        rate = ch = None
+        if se_e - se_s >= 28:
+            # AudioSampleEntry: 8 reserved, channelcount(2),
+            # samplesize(2), 4 reserved, samplerate (16.16 fixed)
+            ch = struct.unpack(">H", payload[se_s + 16:se_s + 18])[0]
+            rate = struct.unpack(">I", payload[se_s + 24:se_s + 28])[0] >> 16
+        n_frames = 0
+        stsz = M._find_box(payload, *stbl, b"stsz") if stbl else None
+        if stsz is not None:
+            # version/flags(4) + sample_size(4), then sample_count
+            n_frames = int.from_bytes(payload[stsz[0] + 8:stsz[0] + 12],
+                                      "big")
+        return {
+            "codec": se_fc.decode("latin1"),
+            "sample_rate": rate,
+            "n_channels": ch,
+            "n_frames": n_frames,
+            "duration_sec": duration_sec,
+        }
+    return None
+
+
+def audio_metadata(payload: bytes) -> dict:
+    """Structural metadata row for any supported AUDIO payload —
+    (format, codec, sample_rate, n_channels, n_frames, duration_sec,
+    decodable). PCM WAV is the only decodable=True kind (the package's
+    decode_wav); MP3/AAC/FLAC/mp4a report structure with
+    decodable=False, never invented samples."""
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from secure_agent_api_vector_search_spark.operators import (
+            multimodal as MM,
+        )
+
+        hdr = MM._parse_wav_header(payload)
+        if hdr is None:
+            raise ValueError("corrupt WAV payload")
+        rate, n_ch, width, _off, n_bytes = hdr
+        n_samples = n_bytes // (width * max(1, n_ch))
+        codec = {1: "pcm_u8", 2: "pcm_s16le", 4: "pcm_s32le"}[width]
+        return {
+            "format": "wav", "codec": codec, "sample_rate": rate,
+            "n_channels": n_ch, "n_frames": n_samples,
+            "duration_sec": n_samples / rate, "decodable": True,
+        }
+    if payload[:4] == b"fLaC":
+        s = flac_streaminfo(payload)
+        return {
+            "format": "flac", "codec": "flac",
+            "sample_rate": s["sample_rate"],
+            "n_channels": s["n_channels"], "n_frames": s["n_samples"],
+            "duration_sec": s["duration_sec"], "decodable": False,
+        }
+    if len(payload) >= 7 and payload[0] == 0xFF and (payload[1] & 0xF6) == 0xF0:
+        s = aac_adts_summary(payload)
+        return {
+            "format": "aac", "codec": s["profile"],
+            "sample_rate": s["sample_rate"],
+            "n_channels": s["n_channels"], "n_frames": s["n_frames"],
+            "duration_sec": s["duration_sec"], "decodable": False,
+        }
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        from secure_agent_api_vector_search_spark.operators import mp3
+
+        s = mp3.mp3_summary(payload)
+        return {
+            "format": "mp3",
+            "codec": f"mpeg{s['version']}-layer{s['layer']}",
+            "sample_rate": s["sample_rate"],
+            "n_channels": 1 if s["mono"] else 2,
+            "n_frames": s["n_frames"],
+            "duration_sec": s["duration_sec"], "decodable": False,
+        }
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        a = _mp4_audio_meta(payload)
+        if a is None:
+            raise ValueError("MP4 has no audio track")
+        return {
+            "format": "mp4", "codec": a["codec"],
+            "sample_rate": a["sample_rate"],
+            "n_channels": a["n_channels"], "n_frames": a["n_frames"],
+            "duration_sec": a["duration_sec"], "decodable": False,
+        }
+    raise ValueError(
+        f"unrecognized audio payload (magic {payload[:4]!r})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # container sniff + dispatch
 # ---------------------------------------------------------------------------
 
@@ -285,6 +682,33 @@ def _webp_meta(payload: bytes) -> dict:
     return first
 
 
+def _hvcc_sps(body: bytes) -> dict | None:
+    """Walk an HEVCDecoderConfigurationRecord's NAL arrays to the SPS
+    (type 33) and parse it; None when no parseable SPS is present."""
+    if len(body) < 23:
+        return None
+    n_arrays = body[22]
+    pos = 23
+    for _ in range(n_arrays):
+        if pos + 3 > len(body):
+            return None
+        nal_type = body[pos] & 0x3F
+        n_nalus = struct.unpack(">H", body[pos + 1:pos + 3])[0]
+        pos += 3
+        for _ in range(n_nalus):
+            if pos + 2 > len(body):
+                return None
+            ln = struct.unpack(">H", body[pos:pos + 2])[0]
+            nal = body[pos + 2:pos + 2 + ln]
+            pos += 2 + ln
+            if nal_type == 33:
+                try:
+                    return h265_sps(nal)
+                except ValueError:
+                    return None
+    return None
+
+
 def _mp4_meta(payload: bytes) -> dict:
     from secure_agent_api_vector_search_spark.operators import mp4 as M
 
@@ -335,6 +759,29 @@ def _mp4_meta(payload: bytes) -> dict:
                             height = info["height"]
                             profile = (f"{info['profile_idc']}."
                                        f"{info['level_idc']}")
+        elif se_fc in (b"hvc1", b"hev1"):
+            # hvcC (ISO 14496-15 §8.3.3.1): 22-byte record head, then
+            # NAL arrays — type 33 is the SPS
+            hvcc = M._find_box(payload, se_s + 78, se_e, b"hvcC")
+            if hvcc is not None:
+                body = payload[hvcc[0]:hvcc[1]]
+                info = _hvcc_sps(body)
+                if info:
+                    width = info["width"]
+                    height = info["height"]
+                    profile = f"{info['profile_idc']}.{info['level_idc']}"
+        elif se_fc == b"av01":
+            av1c = M._find_box(payload, se_s + 78, se_e, b"av1C")
+            if av1c is not None:
+                try:
+                    info = _av1c_sequence_header(payload[av1c[0]:av1c[1]])
+                except ValueError:
+                    info = None
+                if info:
+                    width = info["width"]
+                    height = info["height"]
+                    profile = (f"{info['seq_profile']}."
+                               f"{info['seq_level_idx']}")
         break
     return _row("mp4", codec, width, height, len(spans), decodable, profile)
 
@@ -372,7 +819,20 @@ def media_metadata(payload: bytes) -> dict:
             codec = {1: "pcm_u8", 2: "pcm_s16le", 4: "pcm_s32le"}[width]
             return _row("wav", codec, None, None, n_samples, True)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
-        return _mp4_meta(payload)
+        try:
+            return _mp4_meta(payload)
+        except ValueError:
+            a = _mp4_audio_meta(payload)
+            if a is None:
+                raise
+            return _row("mp4", a["codec"], None, None, a["n_frames"], False)
+    if payload[:4] == b"fLaC":
+        s = flac_streaminfo(payload)
+        return _row("flac", "flac", None, None, s["n_samples"], False)
+    # ADTS before MP3: both start 0xFF Ex/Fx, but ADTS has layer 00
+    if len(payload) >= 7 and payload[0] == 0xFF and (payload[1] & 0xF6) == 0xF0:
+        s = aac_adts_summary(payload)
+        return _row("aac", s["profile"], None, None, s["n_frames"], False)
     if payload[:3] == b"ID3" or (
         len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):

@@ -580,7 +580,7 @@ def _media_metadata_values(sf_dir: str) -> str:
     rows = []
     for doc_id, text in _load_documents(sf_dir):
         d = hashlib.sha256((text or "").encode()).digest()
-        kind = d[22] % 4
+        kind = d[22] % 6
         if kind == 0:
             h, w = 8 + d[23] % 12, 8 + d[24] % 12
             vals = (doc_id, "'webp'", "'vp8l'", w, h, 1, "TRUE", "NULL")
@@ -595,11 +595,27 @@ def _media_metadata_values(sf_dir: str) -> str:
             n = 1 + d[26] % 5
             vals = (doc_id, "'mp4'", "'avc1'", 16 * w_mbs - 2 * crop,
                     16 * h_mbs, n, "FALSE", "'66.30'")
-        else:
+        elif kind == 3:
             bh, bw = 1 + d[23] % 3, 1 + d[24] % 3
             n = 2 + d[26] % 3
             vals = (doc_id, "'mp4'", "'jpeg'", 8 * bw, 8 * bh, n,
                     "TRUE", "NULL")
+        elif kind == 4:
+            # the H.265 conformance-window arithmetic: pic_w − 2·crop
+            # (4:2:0 SubWidthC=2), Main profile 1, level 93
+            pic_w = 32 + 2 * d[23]
+            pic_h = 32 + 2 * d[24]
+            crop = d[25] % 4
+            n = 1 + d[26] % 5
+            vals = (doc_id, "'mp4'", "'hvc1'", pic_w - 2 * crop, pic_h,
+                    n, "FALSE", "'1.93'")
+        else:
+            # AV1 max_frame dims are exact (no crop concept here);
+            # profile 0, seq_level_idx 8
+            w = 1 + 4 * d[23] + d[25] % 4
+            h = 1 + 2 * d[24]
+            n = 1 + d[26] % 4
+            vals = (doc_id, "'mp4'", "'av01'", w, h, n, "FALSE", "'0.8'")
         rows.append("(" + ", ".join(str(v) for v in vals) + ")")
     return _values_rows(rows)
 
@@ -644,6 +660,69 @@ def media_metadata_oracle() -> str:
          CAST(decodable AS BOOLEAN) AS decodable,
          CAST(profile AS VARCHAR) AS profile
   FROM m ORDER BY doc_id"""
+    return with_corpus_guard(core, "documents", "doc_id", sf_dir)
+
+
+_ADTS_RATES_REPLAY = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
+                      22050, 16000, 12000, 11025, 8000, 7350)
+_FLAC_RATES_REPLAY = (8000, 16000, 22050, 44100, 48000)
+_MP4A_RATES_REPLAY = (8000, 22050, 44100)
+
+
+@_memo_sql
+def audio_metadata_oracle() -> str:
+    """Expected structural rows for catalog.audio_metadata, replayed
+    from the fixture digest spec (multimodal.py::
+    synthetic_audio_payloads) with NO parser code: per kind the
+    expected rate/channels/frames are pure digest arithmetic, and
+    duration replays the operator's exact int/int division so float
+    equality is bit-exact (ADTS §6.2 frame walk, FLAC STREAMINFO
+    packing, MP4 mdhd duration/timescale — each pinned against this
+    independent derivation)."""
+    sf_dir = oracle_sf_dir()
+    rows = []
+    for doc_id, text in _load_documents(sf_dir):
+        d = hashlib.sha256((text or "").encode()).digest()
+        kind = d[27] % 5
+        if kind == 0:
+            n = 256 + 16 * d[28]
+            ch = 1 + d[29] % 2
+            vals = (doc_id, "'wav'", "'pcm_s16le'", 8000, ch, n,
+                    _sql_float(n / 8000), "TRUE")
+        elif kind == 1:
+            n = 4 + d[28] % 6
+            vals = (doc_id, "'mp3'", "'mpeg1-layer3'", 44100, 2, n,
+                    _sql_float(n * 1152 / 44100), "FALSE")
+        elif kind == 2:
+            n = 2 + d[28] % 6
+            rate = _ADTS_RATES_REPLAY[3 + d[29] % 6]
+            ch = 1 + d[30] % 2
+            vals = (doc_id, "'aac'", "'aac-lc'", rate, ch, n,
+                    _sql_float(n * 1024 / rate), "FALSE")
+        elif kind == 3:
+            rate = _FLAC_RATES_REPLAY[d[28] % 5]
+            ch = 1 + d[29] % 2
+            total = 1000 + 100 * d[30]
+            vals = (doc_id, "'flac'", "'flac'", rate, ch, total,
+                    _sql_float(total / rate), "FALSE")
+        else:
+            rate = _MP4A_RATES_REPLAY[d[28] % 3]
+            ch = 1 + d[29] % 2
+            n = 1 + d[30] % 6
+            vals = (doc_id, "'mp4'", "'mp4a'", rate, ch, n,
+                    _sql_float(1024 * n / rate), "FALSE")
+        rows.append("(" + ", ".join(str(v) for v in vals) + ")")
+    core = f"""
+  WITH a(doc_id, format, codec, sample_rate, n_channels, n_frames,
+         duration_sec, decodable) AS (VALUES
+  {_values_rows(rows)})
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, format, codec,
+         CAST(sample_rate AS INT) AS sample_rate,
+         CAST(n_channels AS INT) AS n_channels,
+         CAST(n_frames AS BIGINT) AS n_frames,
+         CAST(duration_sec AS DOUBLE) AS duration_sec,
+         CAST(decodable AS BOOLEAN) AS decodable
+  FROM a ORDER BY doc_id"""
     return with_corpus_guard(core, "documents", "doc_id", sf_dir)
 
 
