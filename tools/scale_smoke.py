@@ -73,14 +73,57 @@ def _gen_docs(spark, n_docs: int, out: str) -> None:
     )
 
 
+PLANT_MOD = 97  # ids with id % PLANT_MOD == 3 are planted near-dups of id-1
+
+
+def _hash_gauss(ids: np.ndarray, dim: int, seed: int) -> np.ndarray:
+    """Deterministic per-(id, column) gaussian matrix, independent of
+    how ids are batched: splitmix64-style mix of (seed, id, column) →
+    two uniforms → Box-Muller. Batch-independence is the point — the
+    planted-pair partner vector (id-1) can be recomputed in whatever
+    mapInPandas batch the dup row lands in, so the PAIR (id-1, id)
+    provably exists in the corpus with known cosine. (The previous
+    generator rolled dup rows onto each other's OLD values, replacing
+    the partner too — zero recoverable pairs, VERDICT r11 missing #3.)
+    """
+    base = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ np.uint64(
+        seed & 0xFFFFFFFFFFFFFFFF
+    )
+    cols = np.arange(dim, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = base[:, None] + cols[None, :] * np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        y = x * np.uint64(0xD6E8FEB86659FD93)
+        y ^= y >> np.uint64(32)
+        y *= np.uint64(0xD6E8FEB86659FD93)
+        y ^= y >> np.uint64(32)
+    u1 = np.clip((x >> np.uint64(11)).astype(np.float64) / (1 << 53), 1e-16, 1.0)
+    u2 = (y >> np.uint64(11)).astype(np.float64) / (1 << 53)
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
+def planted_pair_count(n: int) -> int:
+    """Number of planted near-dup pairs in an n-row embedding corpus."""
+    return len([i for i in range(1, n) if i % PLANT_MOD == 3])
+
+
 def _gen_embeddings(spark, n: int, out: str) -> None:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            rng = np.random.default_rng([SEED + 1, int(ids[0])])
-            m = rng.normal(size=(len(ids), DIM))
-            dup = rng.random(len(ids)) < 0.01
-            m[dup] = np.roll(m[dup], 1, axis=0) + 0.05 * m[dup]
+            m = _hash_gauss(ids, DIM, SEED + 1)
+            # planted near-dups: id % PLANT_MOD == 3 becomes a 5%-
+            # perturbed copy of id-1's vector. id-1 is never itself a
+            # dup (3-1=2 mod 97), so BOTH members exist in the corpus;
+            # cosine(v, v + 0.05·g) ≈ 0.9988 at DIM=64 — recoverable at
+            # every threshold the smoke ops use (0.85 / 0.9).
+            dup = (ids % PLANT_MOD == 3) & (ids > 0)
+            if dup.any():
+                m[dup] = _hash_gauss(ids[dup] - 1, DIM, SEED + 1) + 0.05 * m[dup]
             yield pd.DataFrame(
                 {
                     "vec_id": ids,
@@ -308,6 +351,27 @@ def run_suite(spark, base: str) -> dict[str, dict[str, float]]:
         warm[name] = round(time.perf_counter() - t0, 2)
         if name in pair_ops:
             extra[name] = {"pairs_out": build().count()}
+            if name in ("embedding_neardup_lsh", "embedding_neardup_clustered"):
+                # recall-at-scale pin (VERDICT r11 missing #3): the
+                # generator plants (id-1, id) pairs at id % PLANT_MOD
+                # == 3 with cosine ≈ 0.9988; both members exist in the
+                # corpus by construction (batch-independent hash
+                # vectors), so the smoke measures RECALL of the
+                # blocking scheme at realistic block counts, not just
+                # candidate cost. Found pairs are exact-verified inside
+                # the operators themselves (exact cosine re-score).
+                n_emb = emb.count()
+                planted = (
+                    spark.range(1, n_emb)
+                    .filter((F.col("id") % PLANT_MOD) == 3)
+                    .select(
+                        (F.col("id") - 1).alias("id_a"),
+                        F.col("id").alias("id_b"),
+                    )
+                )
+                rec = build().join(planted, ["id_a", "id_b"], "inner").count()
+                extra[name]["planted"] = planted.count()
+                extra[name]["planted_recovered"] = rec
         # queries are isolated from each other's operator-internal
         # persists (minhash signatures, LSH gram frames) — the same
         # per-query discipline bench.py applies; without it late ops
