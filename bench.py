@@ -815,6 +815,30 @@ def _codec_throughput_probe() -> dict:
             "decode_mb_per_sec": round(len(payload) / dt / 1e6, 2),
             "megapixels_per_sec": round(512 * 512 / dt / 1e6, 2),
         }
+        # the executor-core WebP shape (mirrors jpeg_batch): an Arrow
+        # batch of images decodes through webp.decode_webp_batch, one
+        # LANE per VP8L image in a single vectorized pixel pass —
+        # throughput is L/(a+b·L) in the lane count, so the batch, not
+        # the single image, is the per-core number. Same 64-payload
+        # (4 distinct scenes x 16) composition as the JPEG probe.
+        wbatch = [WP.encode_webp_lossless(im, subtract_green=True)
+                  for im in distinct] * 16
+        t0 = time.perf_counter()
+        WP.decode_webp_batch(wbatch)
+        w_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        WP.decode_webp_batch(wbatch)
+        dt = time.perf_counter() - t0
+        out["webp_lossless_batch"] = {
+            "n_images": len(wbatch),
+            "payload_kb": round(sum(len(p) for p in wbatch) / 1024, 1),
+            "first_pass_sec": round(w_cold, 3),
+            "decode_sec": round(dt, 3),
+            "decode_mb_per_sec": round(
+                sum(len(p) for p in wbatch) / dt / 1e6, 2),
+            "megapixels_per_sec": round(
+                len(wbatch) * 512 * 512 / dt / 1e6, 2),
+        }
     except Exception as exc:  # diagnostics never fail the bench
         out["error"] = repr(exc)
     return out

@@ -5301,78 +5301,71 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
-    # --- round-11 window. Composition rule (three criteria, in order):
-    # (A) entries never driver-gated or red last round; (B0) entries
-    # whose OPERATOR CODE moved most this round — the r10 ADVICE
-    # criterion: a rewritten decoder must not sit outside the official
-    # window in the round it was rewritten (this round: the JPEG lane
-    # engine + batch decode, the VP8L fused/pure-literal loop, the BMP
-    # bitfields fix); (B1) oldest official coverage first — the 12
-    # entries last driver-green in r07, then the 25 alphabetically
-    # first of the 46 last green in r08 (the other 21 r08 entries
+    # --- round-12 window. Composition rule (three criteria, in order):
+    # (A) entries never driver-gated plus entries whose OPERATOR CODE
+    # moved this round (the r10 ADVICE criterion: rewritten code must
+    # not sit outside the official window in the round it moved —
+    # this round: HEVC/AV1 metadata + the audio metadata operator,
+    # the VP8L batch lane engine + decode_image_batch routing, the
+    # JPEG deferred-job Huffman snapshot, the clustered near-dup
+    # n_lists auto-derivation); (B1) oldest official coverage first —
+    # all 22 entries last driver-green in r08, then the 16
+    # alphabetically first of the 43 last green in r09 (the rest
     # rotate in next round); then the standing ANN guard. Everything
-    # rotated out was green in r09/r10 and stays on the local full
+    # rotated out was green in r09-r11 and stays on the local full
     # gate every round.
-    # A: new this round (media_metadata, clustered near-dup + its
-    # empty-diff gate) and the r10 red (q12 — oracle typing, fixed)
-    "q12_shipmode_priority",
-    "q11_important_stock",
-    "q20_excess_stock_suppliers",
+    # A: new or code-moved this round
+    "audio_metadata",
     "media_metadata",
-    "embedding_neardup_clustered",
-    "embedding_clustered_vs_exact_diff",
-    "media_inventory",
-    # B0: decoders rewritten this round
-    "image_decode_jpeg",
     "image_decode_webp",
-    "image_decode_bmp",
+    "multimodal_features",
+    "image_neardup",
+    "image_decode_jpeg",
     "video_frame_features_mjpeg",
     "video_frame_features_mp4",
     "video_frame_features_avi",
-    # B1: last official driver record r07
-    "bm25_search",
-    "corpus_stats_gate",
-    "dedup_incremental",
-    "duplicated_spans",
-    "embed_texts",
-    "exact_substring_stats",
-    "lang_id_eval",
-    "revenue_cube",
-    "stratified_sample",
-    "strip_dup_spans",
-    "token_budget_by_lang",
-    "top_terms_by_lang",
-    # B1 (cont.): last official driver record r08, alphabetical —
-    # includes image_neardup / multimodal_features (consume the moved
-    # decode paths) and embedding_lsh_vs_exact_diff (dedup.py moved)
-    "bpe_encode",
-    "bpe_tokenize_corpus",
-    "brand_setops",
-    "build_vocab",
-    "chunk_documents",
-    "contamination_check",
-    "corpus_curation",
-    "data_expectations",
-    "dedup_components_keep_first",
-    "embedding_lsh_vs_exact_diff",
-    "events_json_stats",
-    "find_similar_by_text",
-    "find_similar_records",
-    "hybrid_search",
-    "image_neardup",
-    "ivf_filtered_fullprobe",
-    "knn_classify",
-    "knn_join",
-    "knn_join_grouped",
-    "knn_join_ivf_fullprobe",
-    "minhash_near_dup",
-    "minhash_vs_exact_diff",
-    "mmr_exact_limit",
-    "multimodal_features",
-    # (ngram_jaccard_dedup / ngram_lsh_vs_exact_diff /
-    # orders_asof_event displaced to next
-    # round by the two new TPC-H entries; both r08-green and on the
-    # local full gate every round)
+    "embedding_neardup_clustered",
+    "embedding_clustered_vs_exact_diff",
+    # B1: last official driver record r08 (all 22)
+    "ngram_jaccard_dedup",
+    "ngram_lsh_vs_exact_diff",
+    "orders_asof_event",
+    "part_type_stats",
+    "pii_redact",
+    "point_lookup",
+    "pq_rerank_exact_limit",
+    "pq_topk_rerank",
+    "price_quantiles_by_brand",
+    "rrf_search",
+    "simhash_vs_exact_diff",
+    "similarity_join_exact",
+    "simjoin_lsh_vs_exact_diff",
+    "split_leakage_check",
+    "sq_topk_rerank",
+    "textjoin_lsh_vs_exact_diff",
+    "token_counts_bpe",
+    "token_stats",
+    "tokenizer_fertility",
+    "vector_topk_cosine",
+    "vector_topk_grouped",
+    "vector_topk_page2",
+    # B1 (cont.): last official driver record r09, alphabetical
+    "audio_decode_features",
+    "audio_mp3_summary",
+    "bpe_encode_pipeline",
+    "corpus_stats_approx",
+    "dedup_near_keep_first",
+    "embedding_neardup_lsh",
+    "image_decode_features",
+    "image_decode_gif",
+    "image_decode_png",
+    "image_decode_tiff",
+    "image_dedup_streaming",
+    "ivf_topk",
+    "ivfpq_topk",
+    "ivfpq_topk_fullprobe",
+    "knn_join_ivf",
+    "ngram_jaccard_lsh",
     # standing ANN-family guard: the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate
     "ivf_topk_fullprobe",

@@ -338,10 +338,12 @@ def decode_image_batch(payloads: list[bytes]) -> list[np.ndarray]:
     jpeg.decode_jpeg_batch — every restart segment of every image in
     the Arrow batch becomes a lane of ONE vectorized entropy pass (the
     shape the codec-throughput bench measures; 2.9x the per-image
-    loop on DRI corpora). Non-JPEG formats decode per payload via
-    :func:`decode_image`; below the engine's lane threshold the batch
-    API itself falls back to the serial decoder, so small/DRI-free
-    batches cost exactly what the loop did."""
+    loop on DRI corpora) — and WebP payloads through
+    webp.decode_webp_batch, where each qualifying VP8L image is a lane
+    of a vectorized multi-image pixel pass. Other formats decode per
+    payload via :func:`decode_image`; below the engines' lane
+    thresholds the batch APIs themselves fall back to the serial
+    decoders, so small batches cost exactly what the loop did."""
     out: list = [None] * len(payloads)
     jp = [i for i, pl in enumerate(payloads) if pl[:2] == b"\xff\xd8"]
     if jp:
@@ -350,6 +352,15 @@ def decode_image_batch(payloads: list[bytes]) -> list[np.ndarray]:
         )
 
         for i, img in zip(jp, decode_jpeg_batch([payloads[i] for i in jp])):
+            out[i] = img
+    wp = [i for i, pl in enumerate(payloads)
+          if pl[:4] == b"RIFF" and pl[8:12] == b"WEBP"]
+    if wp:
+        from secure_agent_api_vector_search_spark.operators.webp import (
+            decode_webp_batch,
+        )
+
+        for i, img in zip(wp, decode_webp_batch([payloads[i] for i in wp])):
             out[i] = img
     for i, pl in enumerate(payloads):
         if out[i] is None:

@@ -260,3 +260,118 @@ def test_webp_frames_lossy_still_rejects_by_name():
     payload = b"RIFF" + struct.pack("<I", len(riff)) + riff
     with pytest.raises(NotImplementedError, match="VP8"):
         W.decode_webp_frames(payload)
+
+
+# ---------------------------------------------------------------------------
+# batch lane engine (decode_webp_batch)
+# ---------------------------------------------------------------------------
+
+
+def _photo(h, w, seed):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy // 3 + xx // 3) % 256
+    return np.clip(
+        base[:, :, None] + rng.normal(0, 25, (h, w, 3)), 0, 255
+    ).astype(np.uint8)
+
+
+def test_webp_batch_engine_matches_serial_mixed_sizes():
+    # >= _BATCH_MIN_LANES qualifying lanes with DIFFERENT sizes and
+    # per-image codes, so epochs shrink the active set mid-run
+    sizes = [(24, 31), (17, 23), (40, 12), (24, 31), (9, 57), (33, 33)]
+    pays = [
+        W.encode_webp_lossless(_photo(h, w, seed=s), subtract_green=(s % 2 == 0))
+        for s, (h, w) in enumerate(sizes * 4)
+    ]
+    serial = [W.decode_webp(p) for p in pays]
+    got = W.decode_webp_batch(pays)
+    assert len(got) == len(serial)
+    for a, b in zip(serial, got):
+        assert np.array_equal(a, b)
+
+
+def test_webp_batch_fallback_shapes_match_serial():
+    # every non-qualifying encoder shape (LZ77 runs, color cache,
+    # palette, predictor, color transform, meta split, alpha channel)
+    # mixed with enough qualifying lanes to engage the engine
+    img = _photo(20, 22, seed=1)
+    few = (img // 64 * 64)
+    pays = [
+        W.encode_webp_lossless(img, lz_runs=True),
+        W.encode_webp_lossless(img, cache_bits=4),
+        W.encode_webp_lossless(few, use_palette=True),
+        W.encode_webp_lossless(img, predictor_mode=11),
+        W.encode_webp_lossless(img, color_cte=(17, -9, 4)),
+        W.encode_webp_lossless(img, meta_split=True),
+        W.encode_webp_lossless(_rand(8, 9, 4, seed=2)),  # real alpha
+        W.encode_webp_lossless(np.full((7, 5, 3), 99, np.uint8)),  # solid
+    ] + [W.encode_webp_lossless(_photo(15, 15, seed=s)) for s in range(20)]
+    serial = [W.decode_webp(p) for p in pays]
+    got = W.decode_webp_batch(pays)
+    for a, b in zip(serial, got):
+        assert np.array_equal(a, b)
+
+
+def test_webp_batch_small_batch_uses_scalar_and_matches():
+    pays = [W.encode_webp_lossless(_photo(10, 11, seed=s)) for s in range(3)]
+    got = W.decode_webp_batch(pays)
+    for p, g in zip(pays, got):
+        assert np.array_equal(W.decode_webp(p), g)
+    assert W.decode_webp_batch([]) == []
+
+
+def test_webp_batch_error_is_first_serial_error():
+    good = [W.encode_webp_lossless(_photo(12, 12, seed=s)) for s in range(20)]
+    bad_magic = b"nope" + good[0][4:]
+    truncated = good[1][:20]
+    # serial order: index 3 (bad magic) fails before index 7 (truncated)
+    batch = good[:3] + [bad_magic] + good[3:6] + [truncated] + good[6:]
+    with pytest.raises(ValueError, match="no RIFF/WEBP magic"):
+        W.decode_webp_batch(batch)
+    # lossy VP8 at the smallest failing index -> NotImplementedError
+    lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError, match="lossy"):
+        W.decode_webp_batch(good[:2] + [lossy] + [bad_magic] + good[2:])
+
+
+def test_webp_batch_corrupt_bitstream_parity():
+    """A payload whose entropy stream is truncated mid-pixels must
+    raise the same error batched as serial."""
+    pays = [W.encode_webp_lossless(_photo(16, 16, seed=s)) for s in range(20)]
+    whole = W.encode_webp_lossless(_photo(64, 64, seed=99))
+    cut = whole[:len(whole) - 40]
+    # fix the RIFF/chunk sizes so only the BITSTREAM is short
+    body = cut[12:]
+    chunk_size = len(body) - 8
+    fixed = (
+        b"RIFF" + struct.pack("<I", len(body) + 4) + b"WEBP"
+        + body[:4] + struct.pack("<I", chunk_size) + body[8:]
+    )
+    try:
+        W.decode_webp(fixed)
+        serial_exc = None
+    except ValueError as exc:
+        serial_exc = str(exc)
+    assert serial_exc is not None
+    with pytest.raises(ValueError, match="exhausted"):
+        W.decode_webp_batch(pays + [fixed])
+
+
+def test_webp_batch_via_decode_image_batch_order_preserved():
+    from secure_agent_api_vector_search_spark.operators.multimodal import (
+        decode_image_batch, encode_png,
+    )
+
+    webps = [W.encode_webp_lossless(_photo(14, 13, seed=s)) for s in range(18)]
+    png_img = _rand(6, 7, seed=11)
+    payloads = webps[:9] + [encode_png(png_img)] + webps[9:]
+    out = decode_image_batch(payloads)
+    for i, p in enumerate(webps[:9]):
+        assert np.array_equal(out[i], W.decode_webp(p))
+    assert np.array_equal(out[9], png_img)
+    for i, p in enumerate(webps[9:]):
+        assert np.array_equal(out[10 + i], W.decode_webp(p))
