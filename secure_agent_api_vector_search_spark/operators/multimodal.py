@@ -343,9 +343,24 @@ def decode_image_batch(payloads: list[bytes]) -> list[np.ndarray]:
     of a vectorized multi-image pixel pass. Other formats decode per
     payload via :func:`decode_image`; below the engines' lane
     thresholds the batch APIs themselves fall back to the serial
-    decoders, so small batches cost exactly what the loop did."""
+    decoders, so small batches cost exactly what the loop did.
+
+    Byte-identical payloads decode ONCE: real crawl corpora carry many
+    exact-duplicate images (trackers, logos, re-hosted files), and the
+    decode cost is per distinct payload, not per row — duplicates get
+    independent array copies (a memcpy, ~1000x cheaper than a decode),
+    so callers may mutate results freely."""
     out: list = [None] * len(payloads)
-    jp = [i for i, pl in enumerate(payloads) if pl[:2] == b"\xff\xd8"]
+    first: dict[bytes, int] = {}
+    dups: list[tuple[int, int]] = []
+    uniq: list[int] = []
+    for i, pl in enumerate(payloads):
+        j = first.setdefault(bytes(pl), i)
+        if j == i:
+            uniq.append(i)
+        else:
+            dups.append((i, j))
+    jp = [i for i in uniq if payloads[i][:2] == b"\xff\xd8"]
     if jp:
         from secure_agent_api_vector_search_spark.operators.jpeg import (
             decode_jpeg_batch,
@@ -353,8 +368,8 @@ def decode_image_batch(payloads: list[bytes]) -> list[np.ndarray]:
 
         for i, img in zip(jp, decode_jpeg_batch([payloads[i] for i in jp])):
             out[i] = img
-    wp = [i for i, pl in enumerate(payloads)
-          if pl[:4] == b"RIFF" and pl[8:12] == b"WEBP"]
+    wp = [i for i in uniq
+          if payloads[i][:4] == b"RIFF" and payloads[i][8:12] == b"WEBP"]
     if wp:
         from secure_agent_api_vector_search_spark.operators.webp import (
             decode_webp_batch,
@@ -362,9 +377,11 @@ def decode_image_batch(payloads: list[bytes]) -> list[np.ndarray]:
 
         for i, img in zip(wp, decode_webp_batch([payloads[i] for i in wp])):
             out[i] = img
-    for i, pl in enumerate(payloads):
+    for i in uniq:
         if out[i] is None:
-            out[i] = decode_image(pl)
+            out[i] = decode_image(payloads[i])
+    for i, j in dups:
+        out[i] = out[j].copy()
     return out
 
 
@@ -1963,11 +1980,15 @@ def image_ahash(with_payload: DataFrame) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                (doc_id, ahash64(decode_image(bytes(payload))))
-                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "fp"])
+            # whole-batch decode: JPEG/WebP payloads fuse through the
+            # lane engines, byte-identical payloads decode once
+            imgs = decode_image_batch([bytes(p) for p in pdf["payload"]])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "fp": [ahash64(im) for im in imgs],
+                }
+            )
 
     return with_payload.mapInPandas(op, schema="doc_id long, fp long")
 
@@ -2001,9 +2022,9 @@ def perturbed_image_copies(with_payload: DataFrame, id_offset: int) -> DataFrame
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            imgs = decode_image_batch([bytes(p) for p in pdf["payload"]])
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_image(bytes(payload))
+            for doc_id, img in zip(pdf["doc_id"], imgs):
                 shifted = np.clip(img.astype(np.int32) + 2, 0, 255).astype(np.uint8)
                 rows.append((int(doc_id) + id_offset, encode_netpbm(shifted)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])

@@ -1072,10 +1072,38 @@ def decode_webp_batch(payloads: list[bytes]) -> list[np.ndarray]:
     payloads decode."""
     results: list[np.ndarray | None] = [None] * len(payloads)
     errors: dict[int, BaseException] = {}
-    lanes: list[dict] = []
+    datas: list[bytes] = []
+    pos: list[int] = []
     for i, payload in enumerate(payloads):
         try:
-            data = _find_vp8l_chunk(payload)
+            datas.append(_find_vp8l_chunk(payload))
+            pos.append(i)
+        except (ValueError, NotImplementedError) as exc:
+            errors[i] = exc
+    sub, sub_err = _decode_vp8l_batch_impl(datas)
+    for j, i in enumerate(pos):
+        if j in sub_err:
+            errors[i] = sub_err[j]
+        else:
+            results[i] = sub[j]
+    if errors:
+        raise errors[min(errors)]
+    return results  # type: ignore[return-value]
+
+
+def _decode_vp8l_batch_impl(
+    datas: list[bytes],
+) -> tuple[list, dict[int, BaseException]]:
+    """Batch-decode raw VP8L chunk payloads (the shared core of
+    :func:`decode_webp_batch` and the animated-frame path in
+    :func:`decode_webp_frames`). Returns (results, errors-by-index) —
+    the CALLER decides raise semantics, so both container walks can
+    merge these with their own structural errors by original index."""
+    results: list[np.ndarray | None] = [None] * len(datas)
+    errors: dict[int, BaseException] = {}
+    lanes: list[dict] = []
+    for i, data in enumerate(datas):
+        try:
             r, w, h, eff_w, transforms = _parse_vp8l_header(data)
             cache_bits, cache_size, meta, meta_bits, groups = _entropy_header(
                 r, eff_w, h, True
@@ -1104,19 +1132,28 @@ def decode_webp_batch(payloads: list[bytes]) -> list[np.ndarray]:
                             "lutg": lutg, "mg": mg, "lutr": lutr,
                             "mr": mr, "lutb": lutb, "mb": mb,
                             "ahi": (luta[0] >> 4) << 24,
+                            # right-size the lane's fused table: when
+                            # the longest green+red pair fits fewer
+                            # bits, the table shrinks (build time and
+                            # cache pressure ∝ 2^bits) AND covers every
+                            # pair — zero slow-path hits
+                            "fbits": min(
+                                _ENGINE_FUSED_BITS,
+                                g0[0].max_len + g0[1].max_len,
+                            ),
                         })
                         continue
             # non-qualifying stream: scalar decode (re-parse is cheap
             # next to the pixel loop)
-            results[i] = decode_webp(payload)
-        except (ValueError, NotImplementedError) as exc:
+            results[i] = _decode_vp8l_payload(data)
+        except ValueError as exc:
             errors[i] = exc
     if lanes:
         if len(lanes) < _BATCH_MIN_LANES:
             for ln in lanes:
                 try:
-                    results[ln["i"]] = decode_webp(payloads[ln["i"]])
-                except (ValueError, NotImplementedError) as exc:
+                    results[ln["i"]] = _decode_vp8l_payload(ln["data"])
+                except ValueError as exc:
                     errors[ln["i"]] = exc
         else:
             try:
@@ -1127,12 +1164,10 @@ def decode_webp_batch(payloads: list[bytes]) -> list[np.ndarray]:
                 # raised is exactly the serial one
                 for ln in lanes:
                     try:
-                        results[ln["i"]] = decode_webp(payloads[ln["i"]])
-                    except (ValueError, NotImplementedError) as exc:
+                        results[ln["i"]] = _decode_vp8l_payload(ln["data"])
+                    except ValueError as exc:
                         errors[ln["i"]] = exc
-    if errors:
-        raise errors[min(errors)]
-    return results  # type: ignore[return-value]
+    return results, errors
 
 
 def _vp8l_lane_engine(
@@ -1192,12 +1227,16 @@ def _vp8l_lane_engine(
     )
     ub = (win & np.uint64((1 << 56) - 1)).view(np.int64)
 
-    fused_flat = np.concatenate([
+    fused_tbls = [
         _fused_gr_lut_np(ln["lutg"], ln["mg"], ln["lutr"], ln["mr"],
-                         ahi=ln["ahi"], bits=_ENGINE_FUSED_BITS)
+                         ahi=ln["ahi"], bits=ln["fbits"])
         for ln in lanes
-    ])
-    off_f = np.arange(L, dtype=np.int64) * np.int64(1 << _ENGINE_FUSED_BITS)
+    ]
+    fused_flat = np.concatenate(fused_tbls)
+    off_f = np.zeros(L, dtype=np.int64)
+    np.cumsum([len(t) for t in fused_tbls[:-1]], out=off_f[1:])
+    mf_arr = np.array([(1 << ln["fbits"]) - 1 for ln in lanes],
+                      dtype=np.int64)
 
     def _flat(key: str) -> tuple[np.ndarray, np.ndarray]:
         tbls = [np.asarray(ln[key], dtype=np.int64) for ln in lanes]
@@ -1222,7 +1261,6 @@ def _vp8l_lane_engine(
 
     M7 = np.int64(7)
     M15 = np.int64(15)
-    M16 = np.int64((1 << _ENGINE_FUSED_BITS) - 1)
     M31 = np.int64(31)
     s = 0
     k = 0
@@ -1235,6 +1273,7 @@ def _vp8l_lane_engine(
         offb_a = off_b[k:]
         offr_a = off_r[k:]
         mb_a = mb_arr[k:]
+        mf_a = mf_arr[k:]
         mr_a = mr_arr[k:]
         ahi_a = ahi_arr[k:]
         La = L - k
@@ -1242,7 +1281,7 @@ def _vp8l_lane_engine(
             s1 = min(until, s + _ROW_CHUNK)
             for si in range(s1 - s):
                 wi = ub[P_a >> 3] >> (P_a & M7)
-                f = fused_flat[offf_a + (wi & M16)]
+                f = fused_flat[offf_a + (wi & mf_a)]
                 slow = np.flatnonzero(f < 0)
                 if slow.size > 6:
                     # vectorized subset fixup: ~10 numpy calls beat
@@ -1741,25 +1780,33 @@ def decode_webp_frames(payload: bytes) -> list[np.ndarray]:
     canvas = None
     saw_lossy = False
     frames: list[np.ndarray] = []
+    # pass 1 — walk the container, collecting every frame's VP8L
+    # payload (plus structural errors, index-tagged) WITHOUT decoding,
+    # so all frames batch through the lane engine: each ANMF frame is
+    # an independent VP8L bitstream, i.e. a lane — an animation is a
+    # ready-made batch even when the file arrives alone
+    ops: list[tuple] = []
+    datas: list[bytes] = []
     pos = 12
     while pos + 8 <= end:
         fourcc = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = pos + 8
         if body + size > end:
-            raise ValueError(f"corrupt WebP: chunk {fourcc!r} overruns file")
+            # walk-terminal: the serial walk dies here too
+            ops.append(("err", ValueError(
+                f"corrupt WebP: chunk {fourcc!r} overruns file")))
+            break
         if fourcc == b"VP8X":
             cw = 1 + int.from_bytes(payload[body + 4 : body + 7], "little")
             ch = 1 + int.from_bytes(payload[body + 7 : body + 10], "little")
             if cw * ch > _MAX_PIXELS:
-                raise ValueError(
+                ops.append(("err", ValueError(
                     f"corrupt WebP: canvas {cw}x{ch} exceeds the "
-                    f"{_MAX_PIXELS}-pixel allocation guard"
-                )
-            canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+                    f"{_MAX_PIXELS}-pixel allocation guard")))
+                break
+            ops.append(("canvas", cw, ch))
         elif fourcc == b"ANMF":
-            if canvas is None:
-                raise ValueError("corrupt WebP: ANMF before VP8X")
             fx = 2 * int.from_bytes(payload[body : body + 3], "little")
             fy = 2 * int.from_bytes(payload[body + 3 : body + 6], "little")
             fw = 1 + int.from_bytes(payload[body + 6 : body + 9], "little")
@@ -1768,53 +1815,75 @@ def decode_webp_frames(payload: bytes) -> list[np.ndarray]:
             # the frame's own image chunk follows the 16-byte header
             sub = payload[body + 16 : body + size]
             if sub[:4] == b"VP8 ":
-                raise NotImplementedError(
+                ops.append(("err", NotImplementedError(
                     "WebP lossy (VP8) animation frame decode not "
-                    "implemented (documented seam)"
-                )
-            if sub[:4] != b"VP8L":
-                raise ValueError(
-                    f"corrupt WebP: ANMF frame chunk {sub[:4]!r}"
-                )
-            sub_size = struct.unpack("<I", sub[4:8])[0]
-            img = _decode_vp8l_payload(sub[8 : 8 + sub_size])
-            if img.shape[:2] != (fh, fw):
-                raise ValueError(
-                    f"corrupt WebP: ANMF declares {fw}x{fh}, frame is "
-                    f"{img.shape[1]}x{img.shape[0]}"
-                )
-            if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
-                raise ValueError("corrupt WebP: frame exceeds canvas")
-            region = canvas[fy : fy + fh, fx : fx + fw]
-            rgba = _to_rgba(img)
-            if flags & 0x02:  # B=1: do not blend — overwrite the region
-                region[:] = rgba
+                    "implemented (documented seam)")))
+            elif sub[:4] != b"VP8L":
+                ops.append(("err", ValueError(
+                    f"corrupt WebP: ANMF frame chunk {sub[:4]!r}")))
             else:
-                # B=0 (default): straight-alpha "over" per the container
-                # spec — out.A = src.A + dst.A*(1-src.A); out.RGB =
-                # (src.RGB*src.A + dst.RGB*dst.A*(1-src.A)) / out.A
-                sa = rgba[:, :, 3:4].astype(np.float64) / 255.0
-                da = region[:, :, 3:4].astype(np.float64) / 255.0
-                oa = sa + da * (1.0 - sa)
-                num = (
-                    rgba[:, :, :3].astype(np.float64) * sa
-                    + region[:, :, :3].astype(np.float64) * da * (1.0 - sa)
-                )
-                rgb = np.where(oa > 0, num / np.where(oa > 0, oa, 1.0), 0.0)
-                region[:, :, :3] = np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
-                region[:, :, 3] = np.clip(
-                    oa[:, :, 0] * 255.0 + 0.5, 0, 255
-                ).astype(np.uint8)
-            frames.append(canvas.copy())
-            if flags & 0x01:  # D=1: dispose to background (transparent black)
-                canvas[fy : fy + fh, fx : fx + fw] = 0
+                sub_size = struct.unpack("<I", sub[4:8])[0]
+                ops.append(("anmf", fx, fy, fw, fh, flags, len(datas)))
+                datas.append(sub[8 : 8 + sub_size])
         elif fourcc == b"VP8 ":
             saw_lossy = True
         elif fourcc == b"VP8L":
-            frames.append(
-                _to_rgba(_decode_vp8l_payload(payload[body : body + size]))
-            )
+            ops.append(("still", len(datas)))
+            datas.append(payload[body : body + size])
         pos = body + size + (size & 1)
+
+    imgs, errs = _decode_vp8l_batch_impl(datas)
+
+    # pass 2 — composite in chunk order; the first failing op (walk
+    # error, decode error, or geometry error) raises exactly where the
+    # serial walk would have
+    for op in ops:
+        if op[0] == "err":
+            raise op[1]
+        if op[0] == "canvas":
+            canvas = np.zeros((op[2], op[1], 4), dtype=np.uint8)
+            continue
+        if op[0] == "still":
+            if op[1] in errs:
+                raise errs[op[1]]
+            frames.append(_to_rgba(imgs[op[1]]))
+            continue
+        _, fx, fy, fw, fh, flags, di = op
+        if canvas is None:
+            raise ValueError("corrupt WebP: ANMF before VP8X")
+        if di in errs:
+            raise errs[di]
+        img = imgs[di]
+        if img.shape[:2] != (fh, fw):
+            raise ValueError(
+                f"corrupt WebP: ANMF declares {fw}x{fh}, frame is "
+                f"{img.shape[1]}x{img.shape[0]}"
+            )
+        if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
+            raise ValueError("corrupt WebP: frame exceeds canvas")
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        rgba = _to_rgba(img)
+        if flags & 0x02:  # B=1: do not blend — overwrite the region
+            region[:] = rgba
+        else:
+            # B=0 (default): straight-alpha "over" per the container
+            # spec — out.A = src.A + dst.A*(1-src.A); out.RGB =
+            # (src.RGB*src.A + dst.RGB*dst.A*(1-src.A)) / out.A
+            sa = rgba[:, :, 3:4].astype(np.float64) / 255.0
+            da = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = sa + da * (1.0 - sa)
+            num = (
+                rgba[:, :, :3].astype(np.float64) * sa
+                + region[:, :, :3].astype(np.float64) * da * (1.0 - sa)
+            )
+            rgb = np.where(oa > 0, num / np.where(oa > 0, oa, 1.0), 0.0)
+            region[:, :, :3] = np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+            region[:, :, 3] = np.clip(
+                oa[:, :, 0] * 255.0 + 0.5, 0, 255
+            ).astype(np.uint8)
+        frames.append(canvas.copy())
+        if flags & 0x01:  # D=1: dispose to background (transparent black)
+            canvas[fy : fy + fh, fx : fx + fw] = 0
     if not frames:
         if saw_lossy:
             # mirror decode_webp's seam contract: a lossy still inside a

@@ -1017,3 +1017,25 @@ def test_jpeg_batch_snapshot_tables_at_scan_time():
         finally:
             J._LANE_MIN_SEGS = orig
         assert (got[0] == want).all() and (got[1] == want).all()
+
+
+def test_decode_image_batch_dedups_identical_payloads():
+    """Byte-identical payloads decode once and fan out as independent
+    copies — mutating one result must not leak into its twins."""
+    import numpy as np
+
+    from secure_agent_api_vector_search_spark.operators import multimodal as M
+    from secure_agent_api_vector_search_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img_a = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    pa = encode_jpeg(img_a, quality=90)
+    pb = M.encode_png(img_b)
+    out = M.decode_image_batch([pa, pb, pa, pa, pb])
+    assert np.array_equal(out[0], out[2]) and np.array_equal(out[0], out[3])
+    assert np.array_equal(out[1], out[4])
+    assert np.array_equal(out[1], img_b)
+    out[2][:] = 0  # independent copy: out[0]/out[3] unaffected
+    assert not np.array_equal(out[0], out[2])
+    assert np.array_equal(out[0], out[3])

@@ -375,3 +375,46 @@ def test_webp_batch_via_decode_image_batch_order_preserved():
     assert np.array_equal(out[9], png_img)
     for i, p in enumerate(webps[9:]):
         assert np.array_equal(out[10 + i], W.decode_webp(p))
+
+
+def test_webp_animation_frames_route_through_batch_engine():
+    """Each ANMF frame is an independent VP8L stream — a many-frame
+    animation is a ready-made lane batch even when the file arrives
+    alone. Composited output must equal the serial walk's."""
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = (yy // 3 + xx // 3) % 256
+    frames = [
+        np.clip(base[:, :, None] + rng.normal(0, 25, (32, 32, 3)), 0, 255)
+        .astype(np.uint8)
+        for _ in range(24)
+    ]
+    anim = W.encode_webp_animation(frames)
+    out = W.decode_webp_frames(anim)
+    assert len(out) == 24
+    for o, f in zip(out, frames):
+        assert np.array_equal(o[:, :, :3] if o.shape[2] == 4 else o, f)
+
+
+def test_webp_animation_error_order_is_serial():
+    """A corrupt frame mid-animation raises at that frame, not after
+    later frames decode (the serial walk's first-error contract)."""
+    frames = [
+        np.full((8, 8, 3), 40 * i % 256, np.uint8) for i in range(20)
+    ]
+    anim = bytearray(W.encode_webp_animation(frames))
+    # find the THIRD ANMF chunk and corrupt its VP8L signature byte
+    seen = 0
+    pos = 12
+    while pos + 8 <= len(anim):
+        fourcc = bytes(anim[pos:pos + 4])
+        size = struct.unpack("<I", bytes(anim[pos + 4:pos + 8]))[0]
+        if fourcc == b"ANMF":
+            seen += 1
+            if seen == 3:
+                anim[pos + 8 + 16 + 8] ^= 0xFF  # VP8L payload byte 0
+                break
+        pos += 8 + size + (size & 1)
+    assert seen == 3
+    with pytest.raises(ValueError, match="corrupt VP8L"):
+        W.decode_webp_frames(bytes(anim))
