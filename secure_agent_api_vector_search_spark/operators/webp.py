@@ -1034,8 +1034,11 @@ def decode_webp(payload: bytes) -> np.ndarray:
 
 # lane-engine gate: below this many qualifying images the per-step
 # numpy dispatch (~a + b·L per pixel row across L lanes) loses to the
-# scalar loop, exactly the L/(a+b·L) economics of jpeg._lane_engine
-_BATCH_MIN_LANES = 16
+# scalar loop, exactly the L/(a+b·L) economics of jpeg._lane_engine.
+# Swept on an idle box at 128px and 512px frames: 16 lanes = 0.5-0.6x
+# scalar, 32 = ~parity (0.76-1.04x), 64 = 1.2-1.5x — the gate sits on
+# the winning side of the crossover
+_BATCH_MIN_LANES = 48
 
 # lane-engine output rows buffered between column-wise flushes: big
 # enough to amortize the flush, small enough to stay cache-resident

@@ -276,7 +276,9 @@ def _photo(h, w, seed):
     ).astype(np.uint8)
 
 
-def test_webp_batch_engine_matches_serial_mixed_sizes():
+def test_webp_batch_engine_matches_serial_mixed_sizes(monkeypatch):
+    # force the lane engine on small fixtures (the shipped gate is 48)
+    monkeypatch.setattr(W, "_BATCH_MIN_LANES", 4)
     # >= _BATCH_MIN_LANES qualifying lanes with DIFFERENT sizes and
     # per-image codes, so epochs shrink the active set mid-run
     sizes = [(24, 31), (17, 23), (40, 12), (24, 31), (9, 57), (33, 33)]
@@ -291,7 +293,9 @@ def test_webp_batch_engine_matches_serial_mixed_sizes():
         assert np.array_equal(a, b)
 
 
-def test_webp_batch_fallback_shapes_match_serial():
+def test_webp_batch_fallback_shapes_match_serial(monkeypatch):
+    # force the lane engine on small fixtures (the shipped gate is 48)
+    monkeypatch.setattr(W, "_BATCH_MIN_LANES", 4)
     # every non-qualifying encoder shape (LZ77 runs, color cache,
     # palette, predictor, color transform, meta split, alpha channel)
     # mixed with enough qualifying lanes to engage the engine
@@ -321,7 +325,9 @@ def test_webp_batch_small_batch_uses_scalar_and_matches():
     assert W.decode_webp_batch([]) == []
 
 
-def test_webp_batch_error_is_first_serial_error():
+def test_webp_batch_error_is_first_serial_error(monkeypatch):
+    # force the lane engine on small fixtures (the shipped gate is 48)
+    monkeypatch.setattr(W, "_BATCH_MIN_LANES", 4)
     good = [W.encode_webp_lossless(_photo(12, 12, seed=s)) for s in range(20)]
     bad_magic = b"nope" + good[0][4:]
     truncated = good[1][:20]
@@ -338,9 +344,11 @@ def test_webp_batch_error_is_first_serial_error():
         W.decode_webp_batch(good[:2] + [lossy] + [bad_magic] + good[2:])
 
 
-def test_webp_batch_corrupt_bitstream_parity():
+def test_webp_batch_corrupt_bitstream_parity(monkeypatch):
     """A payload whose entropy stream is truncated mid-pixels must
     raise the same error batched as serial."""
+    # force the lane engine on small fixtures (the shipped gate is 48)
+    monkeypatch.setattr(W, "_BATCH_MIN_LANES", 4)
     pays = [W.encode_webp_lossless(_photo(16, 16, seed=s)) for s in range(20)]
     whole = W.encode_webp_lossless(_photo(64, 64, seed=99))
     cut = whole[:len(whole) - 40]
@@ -361,7 +369,9 @@ def test_webp_batch_corrupt_bitstream_parity():
         W.decode_webp_batch(pays + [fixed])
 
 
-def test_webp_batch_via_decode_image_batch_order_preserved():
+def test_webp_batch_via_decode_image_batch_order_preserved(monkeypatch):
+    # force the lane engine on small fixtures (the shipped gate is 48)
+    monkeypatch.setattr(W, "_BATCH_MIN_LANES", 4)
     from secure_agent_api_vector_search_spark.operators.multimodal import (
         decode_image_batch, encode_png,
     )
@@ -377,10 +387,12 @@ def test_webp_batch_via_decode_image_batch_order_preserved():
         assert np.array_equal(out[10 + i], W.decode_webp(p))
 
 
-def test_webp_animation_frames_route_through_batch_engine():
+def test_webp_animation_frames_route_through_batch_engine(monkeypatch):
     """Each ANMF frame is an independent VP8L stream — a many-frame
     animation is a ready-made lane batch even when the file arrives
     alone. Composited output must equal the serial walk's."""
+    # force the lane engine on small fixtures (the shipped gate is 48)
+    monkeypatch.setattr(W, "_BATCH_MIN_LANES", 4)
     rng = np.random.default_rng(5)
     yy, xx = np.mgrid[0:32, 0:32]
     base = (yy // 3 + xx // 3) % 256
@@ -396,9 +408,11 @@ def test_webp_animation_frames_route_through_batch_engine():
         assert np.array_equal(o[:, :, :3] if o.shape[2] == 4 else o, f)
 
 
-def test_webp_animation_error_order_is_serial():
+def test_webp_animation_error_order_is_serial(monkeypatch):
     """A corrupt frame mid-animation raises at that frame, not after
     later frames decode (the serial walk's first-error contract)."""
+    # force the lane engine on small fixtures (the shipped gate is 48)
+    monkeypatch.setattr(W, "_BATCH_MIN_LANES", 4)
     frames = [
         np.full((8, 8, 3), 40 * i % 256, np.uint8) for i in range(20)
     ]
