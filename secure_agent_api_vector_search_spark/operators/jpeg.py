@@ -666,10 +666,14 @@ def decode_jpeg_consumed(
     coefs: dict[int, np.ndarray] = {}  # comp id → (n_block_rows, n_block_cols, 64)
     ri = 0  # restart interval in MCUs (0 = none), set by DRI
     while True:
+        if pos + 1 >= len(payload):
+            raise ValueError("corrupt JPEG: truncated before EOI")
         if payload[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
         while payload[pos + 1] == 0xFF:
             pos += 1  # legal 0xFF fill bytes before a marker (B.1.1.2)
+            if pos + 1 >= len(payload):
+                raise ValueError("corrupt JPEG: truncated before EOI")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -703,6 +707,8 @@ def decode_jpeg_consumed(
                 cls, tid = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1:i + 17])
                 n = sum(bits)
+                if len(bits) < 16 or i + 17 + n > len(body):
+                    raise ValueError("corrupt JPEG: truncated DHT segment")
                 vals = list(body[i + 17:i + 17 + n])
                 huff[(cls, tid)] = {
                     "map": _decode_map(bits, vals),
@@ -710,14 +716,27 @@ def decode_jpeg_consumed(
                 }
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("corrupt JPEG: truncated SOF segment")
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             fh = int.from_bytes(body[1:3], "big")
             fw = int.from_bytes(body[3:5], "big")
-            ncomp = body[5]
+            ncomp = body[5] if len(body) > 5 else 0
+            if fh == 0 or fw == 0 or ncomp == 0:
+                # h=0 would mean DNL-deferred height (T.81 B.2.2),
+                # which this decoder does not implement
+                raise ValueError(
+                    f"corrupt JPEG: frame {fw}x{fh} with {ncomp} components"
+                )
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= hv & 0xF <= 4):
+                    raise ValueError(
+                        f"corrupt JPEG: sampling factors {hv >> 4}x{hv & 0xF} "
+                        "out of the T.81 1..4 range"
+                    )
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {
                 "h": fh, "w": fw, "comps": comps,
@@ -749,15 +768,41 @@ def decode_jpeg_consumed(
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
+                raise ValueError("corrupt JPEG: truncated SOS header")
             ns = body[0]
             scan = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                comp = next(
+                    (x for x in frame["comps"] if x["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"corrupt JPEG: SOS references unknown component {cs}"
+                    )
                 scan.append({**comp, "dc": tt >> 4, "ac": tt & 0xF})
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
+            # tables must be defined before the scan that USES them
+            # (T.81 B.2.4.2) — but only the ones the scan uses: a
+            # progressive DC scan leaves its AC id unused (and a DC
+            # refinement uses no Huffman table at all), so checking
+            # both ids unconditionally would reject legal files
+            for c in scan:
+                # baseline scans use both tables regardless of what a
+                # (possibly corrupt) ss/se field claims
+                need_dc = (ss == 0 and ah == 0) or not frame["progressive"]
+                need_ac = se > 0 or not frame["progressive"]
+                if need_dc and (0, c["dc"]) not in huff:
+                    raise ValueError(
+                        "corrupt JPEG: SOS references undefined DC table"
+                    )
+                if need_ac and (1, c["ac"]) not in huff:
+                    raise ValueError(
+                        "corrupt JPEG: SOS references undefined AC table"
+                    )
             if not frame["progressive"]:
                 # baseline: vectorized LUT path (~20× the bit-at-a-time
                 # reader); progressive keeps the serial bitplane decoder
@@ -775,9 +820,14 @@ def decode_jpeg_consumed(
                 p = br.pos
             # entropy data ends at the next true marker (skip stuffing
             # and any stray RSTn)
+            n_pl = len(payload)
             while True:
-                while payload[p] != 0xFF:
+                while p < n_pl and payload[p] != 0xFF:
                     p += 1
+                if p + 1 >= n_pl:
+                    raise ValueError(
+                        "corrupt JPEG: entropy data truncated before EOI"
+                    )
                 nxt = payload[p + 1]
                 if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
                     p += 2
@@ -1546,6 +1596,10 @@ def _render(frame, quant, coefs) -> np.ndarray:
     for c in frame["comps"]:
         store = coefs[c["id"]]
         nby, nbx, _ = store.shape
+        if c["tq"] not in quant:
+            raise ValueError(
+                f"corrupt JPEG: undefined quantization table {c['tq']}"
+            )
         q = quant[c["tq"]][ZIGZAG[:, 0], ZIGZAG[:, 1]]
         deq = store * q  # (nby, nbx, 64) still in zigzag order
         # de-zigzag as a gather along the inverse permutation (no

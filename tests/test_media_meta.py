@@ -362,3 +362,78 @@ def test_media_metadata_routes_audio_boundary_formats():
     r = MM.media_metadata(M.encode_mp4_audio_stub([b"a" * 10] * 6))
     assert (r["format"], r["codec"], r["n_frames"], r["decodable"]) == (
         "mp4", "mp4a", 6, False)
+
+
+def _fuzz_corpus():
+    """One valid payload per routed kind — the mutation targets."""
+    from secure_agent_api_vector_search_spark.operators import webp as W
+    from secure_agent_api_vector_search_spark.operators.jpeg import encode_jpeg
+    from secure_agent_api_vector_search_spark.operators.mp3 import (
+        encode_mp3_frames,
+    )
+
+    img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    return [
+        W.encode_webp_lossless(img),
+        encode_jpeg(img, quality=90),
+        M.encode_png(img),
+        M.encode_wav(np.zeros((64, 1), np.int16), 8000),
+        encode_mp3_frames([(128, 0)] * 2),
+        M.encode_adts([b"q" * 25] * 2, fs_index=8),
+        M.encode_flac_streaminfo(22050, 1, 16, 2205),
+    ]
+
+
+def test_media_metadata_never_crashes_on_mutations():
+    """The never-garbage contract's flip side: for ANY corruption of a
+    valid payload (truncation, bit flip, byte splice), media_metadata
+    either raises ValueError or returns a metadata dict — never an
+    IndexError/struct.error/KeyError escape, never a hang."""
+    rng = np.random.default_rng(2026)
+    for payload in _fuzz_corpus():
+        arr = bytearray(payload)
+        cases = []
+        # truncations at awkward offsets, including header-splitting ones
+        for cut in (1, 3, 7, 11, len(arr) // 2, len(arr) - 1):
+            cases.append(bytes(arr[:cut]))
+        # single-bit flips scattered through the payload
+        for _ in range(24):
+            m = bytearray(arr)
+            pos = int(rng.integers(0, len(m)))
+            m[pos] ^= 1 << int(rng.integers(0, 8))
+            cases.append(bytes(m))
+        # spliced garbage tails
+        cases.append(bytes(arr[: len(arr) // 2]) + b"\xff" * 32)
+        for mutant in cases:
+            try:
+                out = MM.media_metadata(mutant)
+            except ValueError:
+                continue
+            except NotImplementedError:
+                # a flip may turn a payload into a recognized-but-
+                # undecodable shape; the metadata contract still routes
+                # it, so this escape would be a bug
+                raise
+            assert isinstance(out, dict) and "codec" in out
+
+
+def test_decoders_never_crash_on_mutations():
+    """Same mutation corpus against decode_image itself: corrupt input
+    raises ValueError (or the documented NotImplementedError seam for
+    flips that fabricate an unsupported-but-recognized shape) — no
+    IndexError/struct.error/KeyError/StopIteration escapes."""
+    rng = np.random.default_rng(31)
+    for payload in _fuzz_corpus()[:4]:  # image kinds route here
+        arr = bytearray(payload)
+        cases = [bytes(arr[:cut]) for cut in (1, 3, 7, len(arr) // 2,
+                                              len(arr) - 1)]
+        for _ in range(24):
+            m = bytearray(arr)
+            pos = int(rng.integers(0, len(m)))
+            m[pos] ^= 1 << int(rng.integers(0, 8))
+            cases.append(bytes(m))
+        for mutant in cases:
+            try:
+                M.decode_image(mutant)
+            except (ValueError, NotImplementedError):
+                continue
