@@ -417,8 +417,16 @@ def minhash_near_dup_pairs(
     )
     sh_a = feats.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = feats.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    # broadcast the TINY side (screened candidates, ~|true pairs|
+    # rows), not the shingle tables: left to its size estimates, AQE
+    # broadcast the full shingle arrays (tens of MB at sf0.1, corpus-
+    # scale at 100 TB — an impossible build) and then probed them in
+    # ONE post-coalesce task — measured 3.0 s of a 4.1 s warm wall in
+    # the r12 stage evidence (stage 853). Broadcasting the candidate
+    # pairs streams the cached feats across all partitions instead,
+    # and the verify scales with the corpus, never the broadcast.
     pairs = (
-        screened.join(sh_a, "id_a")
+        F.broadcast(F.broadcast(screened).join(sh_a, "id_a"))
         .join(sh_b, "id_b")
         .select("id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -459,7 +467,7 @@ def _cross_screen_verify(
     sh_a = a_ok.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = b_ok.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        screened.join(sh_a, "id_a")
+        F.broadcast(F.broadcast(screened).join(sh_a, "id_a"))
         .join(sh_b, "id_b")
         .select("id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -789,7 +797,7 @@ def ngram_jaccard_pairs_lsh(
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("_ga"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("_gb"))
     out = (
-        cand.join(ga, "id_a")
+        F.broadcast(F.broadcast(cand).join(ga, "id_a"))
         .join(gb, "id_b")
         .select("id_a", "id_b", H.jaccard(F.col("_ga"), F.col("_gb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -1309,7 +1317,12 @@ def embedding_neardup_pairs_lsh(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     return (
-        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), "id_a")
+        F.broadcast(
+            F.broadcast(cand).join(
+                vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
+                "id_a",
+            )
+        )
         .join(vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b")
         .select(
             "id_a", "id_b",
@@ -1438,9 +1451,11 @@ def embedding_neardup_pairs_clustered(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     return (
-        cand.join(
-            vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
-            "id_a",
+        F.broadcast(
+            F.broadcast(cand).join(
+                vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
+                "id_a",
+            )
         )
         .join(
             vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")),
@@ -1519,7 +1534,7 @@ def embedding_similarity_join(
         F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb")
     )
     return (
-        cand.join(va, "id_a")
+        F.broadcast(F.broadcast(cand).join(va, "id_a"))
         .join(vb, "id_b")
         .select(
             "id_a", "id_b",
@@ -1837,7 +1852,7 @@ def text_jaccard_join_exact(
             .select("id_a", "id_b")
             .distinct()
         )
-        joined = cand.join(fa, "id_a").join(fb, "id_b")
+        joined = F.broadcast(F.broadcast(cand).join(fa, "id_a")).join(fb, "id_b")
     else:
         raise ValueError(f"via must be 'cross' or 'index', got {via!r}")
     pairs = joined.select(
