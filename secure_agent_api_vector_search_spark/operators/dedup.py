@@ -742,8 +742,14 @@ def ngram_jaccard_pairs_lsh(
             f"num_hashes ({num_hashes}) must be divisible by "
             f"num_bands ({num_bands}) for equal-width LSH bands"
         )
+    # the tokenize/shingle/md5 explode is the CPU hot spot; an
+    # under-split scan (one small parquet file → 1-2 input partitions)
+    # ran it on 1 of N cores (r12 stage evidence: 2.4 s single-task of
+    # a 4.0 s wall). Same guard as minhash_near_dup_pairs; a no-op at
+    # cluster scale where the scan splits per ~128 MB.
     grams = (
-        df.select(
+        rebalance_if_narrow(df)
+        .select(
             F.col(id_col),
             F.explode(F.array_distinct(X.token_shingles(text_col, n))).alias("_g"),
         )
