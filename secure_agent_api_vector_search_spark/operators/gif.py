@@ -254,6 +254,8 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
             raise ValueError("corrupt GIF: image with no color table")
         if left + w > sw or top + h > sh:
             raise ValueError("corrupt GIF: frame exceeds logical screen")
+        if pos >= len(payload):
+            raise ValueError("corrupt GIF: truncated before LZW code size")
         mcs = payload[pos]
         pos += 1
         data, pos = _sub_blocks(payload, pos)

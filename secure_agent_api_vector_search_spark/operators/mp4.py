@@ -326,7 +326,20 @@ def encode_mp4_codec_stub(
 def _parse_stbl(buf: bytes, s: int, e: int) -> tuple[bytes, list[tuple[int, int]]]:
     """(sample_format, [(offset, size) per sample in decode order])
     from one stbl box — the full stsz/stsc/stco(co64) expansion of
-    ISO 14496-12 §8.7."""
+    ISO 14496-12 §8.7. A corrupt table whose declared counts overrun
+    the box raises ValueError like every parser in the package."""
+    try:
+        return _parse_stbl_inner(buf, s, e)
+    except struct.error:
+        raise ValueError(
+            "corrupt MP4: sample table truncated (declared count "
+            "overruns its box)"
+        ) from None
+
+
+def _parse_stbl_inner(
+    buf: bytes, s: int, e: int
+) -> tuple[bytes, list[tuple[int, int]]]:
     stsd = _find_box(buf, s, e, b"stsd")
     if stsd is None:
         raise ValueError("corrupt MP4: stbl without stsd")

@@ -367,12 +367,26 @@ def test_media_metadata_routes_audio_boundary_formats():
 def _fuzz_corpus():
     """One valid payload per routed kind — the mutation targets."""
     from secure_agent_api_vector_search_spark.operators import webp as W
+    from secure_agent_api_vector_search_spark.operators.avi import (
+        encode_avi_mjpeg,
+    )
+    from secure_agent_api_vector_search_spark.operators.bmp import (
+        encode_bmp,
+        encode_ico,
+    )
+    from secure_agent_api_vector_search_spark.operators.gif import encode_gif
     from secure_agent_api_vector_search_spark.operators.jpeg import encode_jpeg
     from secure_agent_api_vector_search_spark.operators.mp3 import (
         encode_mp3_frames,
     )
+    from secure_agent_api_vector_search_spark.operators.mp4 import (
+        encode_mp4_mjpeg,
+    )
+    from secure_agent_api_vector_search_spark.operators.tiff import encode_tiff
 
     img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    big = np.tile(np.arange(24, dtype=np.uint8).reshape(2, 4, 3), (8, 4, 1))
+    gray = big[:, :, :1] // 32 * 32
     return [
         W.encode_webp_lossless(img),
         encode_jpeg(img, quality=90),
@@ -381,6 +395,12 @@ def _fuzz_corpus():
         encode_mp3_frames([(128, 0)] * 2),
         M.encode_adts([b"q" * 25] * 2, fs_index=8),
         M.encode_flac_streaminfo(22050, 1, 16, 2205),
+        encode_gif(gray),
+        encode_bmp(big),
+        encode_ico(big),
+        encode_tiff(big),
+        encode_mp4_mjpeg([gray] * 3),
+        encode_avi_mjpeg([gray] * 3),
     ]
 
 
@@ -423,7 +443,7 @@ def test_decoders_never_crash_on_mutations():
     flips that fabricate an unsupported-but-recognized shape) — no
     IndexError/struct.error/KeyError/StopIteration escapes."""
     rng = np.random.default_rng(31)
-    for payload in _fuzz_corpus()[:4]:  # image kinds route here
+    for payload in _fuzz_corpus():  # non-image kinds hit the seam (OK)
         arr = bytearray(payload)
         cases = [bytes(arr[:cut]) for cut in (1, 3, 7, len(arr) // 2,
                                               len(arr) - 1)]
