@@ -432,3 +432,44 @@ def test_webp_animation_error_order_is_serial(monkeypatch):
     assert seen == 3
     with pytest.raises(ValueError, match="corrupt VP8L"):
         W.decode_webp_frames(bytes(anim))
+
+
+def test_webp_batch_mutation_parity_with_serial(monkeypatch):
+    """Mutation fuzz: for ANY corruption of a payload, the batch engine
+    must agree with the serial decoder — same pixels on success, same
+    exception TYPE AND MESSAGE on failure (the serial-order error
+    contract, checked mechanically rather than on hand-picked cases)."""
+    monkeypatch.setattr(W, "_BATCH_MIN_LANES", 2)
+
+    def photo(s):
+        yy, xx = np.mgrid[0:24, 0:24]
+        base = (yy // 3 + xx // 3) % 256
+        return np.clip(
+            base[:, :, None]
+            + np.random.default_rng(s).normal(0, 25, (24, 24, 3)),
+            0, 255,
+        ).astype(np.uint8)
+
+    good = [W.encode_webp_lossless(photo(s)) for s in range(4)]
+    base_payload = W.encode_webp_lossless(photo(99), subtract_green=True)
+    for seed in range(60):
+        rng = np.random.default_rng(seed)
+        m = bytearray(base_payload)
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(0, len(m)))
+            m[pos] ^= int(rng.integers(1, 256))
+        if rng.random() < 0.3:
+            m = m[:int(rng.integers(20, len(m)))]
+        mutant = bytes(m)
+        try:
+            s_res, s_exc = W.decode_webp(mutant), None
+        except (ValueError, NotImplementedError) as e:
+            s_res, s_exc = None, (type(e), str(e))
+        try:
+            b_out, b_exc = W.decode_webp_batch(good + [mutant]), None
+        except (ValueError, NotImplementedError) as e:
+            b_out, b_exc = None, (type(e), str(e))
+        if s_exc is None:
+            assert b_exc is None and np.array_equal(b_out[-1], s_res), seed
+        else:
+            assert b_exc == s_exc, (seed, s_exc, b_exc)
