@@ -643,14 +643,20 @@ def _pipeline_probe(spark, sf_dir: str) -> dict:
         return {"error": repr(exc)}
 
 
-def _stage_evidence_probe(spark, sf_dir: str) -> dict:
+def _stage_evidence_probe(spark, sf_dir: str, extra: list[str] | None = None) -> dict:
     """Per-STAGE metrics (task count, executor run time, shuffle
-    read/write bytes, input bytes) for three representative shared31
+    read/write bytes, input bytes) for representative shared31
     plans, via the local status REST API (VERDICT r9 item 5). Purpose:
     make environment drift distinguishable from plan drift at a glance
     — a plan regression moves shuffle bytes / task counts / stage
     structure; box noise moves only wall. One untimed warm-up pass per
-    query, then one measured pass whose new stages are recorded."""
+    query, then one measured pass whose new stages are recorded.
+
+    ``extra`` (VERDICT r12 item 1): queries whose warm median moved
+    >1.5x vs the previous round's committed record are auto-appended by
+    main(), so every large round-over-round swing carries stage rows —
+    identity of shuffle bytes / task counts against the prior record
+    proves box noise; a delta localizes the plan drift."""
     import urllib.request
 
     probes = ["q1_pricing_summary", "q3_shipping_priority",
@@ -666,6 +672,8 @@ def _stage_evidence_probe(spark, sf_dir: str) -> dict:
               # decidable from the artifact alone
               "price_quantiles_by_brand", "part_small_qty_revenue",
               "region_priority_pivot"]
+    auto = [q for q in (extra or []) if q not in probes]
+    probes = probes + auto
     try:
         qs = queries()
         base = (
@@ -677,7 +685,7 @@ def _stage_evidence_probe(spark, sf_dir: str) -> dict:
             with urllib.request.urlopen(base, timeout=10) as r:
                 return json.load(r)
 
-        out: dict = {}
+        out: dict = {"_auto_probed": auto}
         for name in probes:
             try:
                 fn = qs[name]
@@ -848,6 +856,17 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else 0.0
+    # previous round's committed record, read BEFORE this run overwrites
+    # it: any query whose warm median moves >1.5x against it gets
+    # auto-appended to the stage-evidence probe set (VERDICT r12 item 1)
+    prev_medians: dict[str, float] = {}
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )) as f:
+            prev_medians = json.load(f).get("queries_warm_median", {}) or {}
+    except (OSError, ValueError):
+        pass
     spark = get_session("bench")
 
     qs = queries()
@@ -938,7 +957,14 @@ def main() -> int:
         "recall": _recall_probe(spark, sf_dir),
         "ann_crossover": _ann_crossover_probe(spark, sf_dir),
         "pipeline_e2e": _pipeline_probe(spark, sf_dir),
-        "stage_evidence": _stage_evidence_probe(spark, sf_dir),
+        "stage_evidence": _stage_evidence_probe(
+            spark, sf_dir,
+            extra=sorted(
+                n for n, v in warm_median.items()
+                if prev_medians.get(n, 0) > 0
+                and max(v / prev_medians[n], prev_medians[n] / v) > 1.5
+            ),
+        ),
         "codec_throughput": _codec_throughput_probe(),
         "warm_total": round(sum(warm.values()), 3),
         "warm_median_total": round(sum(warm_median.values()), 3),

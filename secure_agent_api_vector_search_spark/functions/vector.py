@@ -205,6 +205,71 @@ def np_query_scorer(query_vec, metric: str = "cosine"):
     return score
 
 
+def fold_query_scorer(query_vec, metric: str = "cosine"):
+    """Arrow-batched numpy scorer that reproduces the unrolled
+    left-fold expression BIT-FOR-BIT — the exact-values twin of
+    :func:`np_query_scorer` (whose BLAS pairwise summation is
+    rank-stable but not bit-identical to the fold).
+
+    Per-row operation order is identical to the expression form:
+    dot = (((0.0 + t_0) + t_1) + …) with one multiply per term —
+    vectorized ACROSS THE BATCH instead of across the dimension, so
+    each `acc = acc + m[:, i] * q[i]` step performs the same IEEE
+    double ops the codegen'd fold performs per row. Norms, the
+    cosine division, and the |a|²−2ab+|b|² L2 expansion replicate
+    :func:`cosine_similarity` / :func:`l2_distance` term-for-term.
+
+    Why it exists (r12 VERDICT item 6): the keyset-paged cursor
+    filter references the score column twice, and Catalyst inlines
+    the unrolled expression into the filter AND the projection —
+    at dim 64 the generated method exceeds Janino's 64 KB limit and
+    the whole stage silently falls back to interpreted execution
+    (guide §7.2). Routing the score through this scorer (marked
+    non-deterministic at the call site, like the >256-dim tier) keeps
+    ONE ArrowEvalPython evaluation feeding a codegen'd filter +
+    TakeOrderedAndProject, with values the full-precision oracle
+    still matches bit-for-bit.
+    """
+    if metric not in ("cosine", "dot", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    q = [float(x) for x in query_vec]
+    dim = len(q)
+    # query-side constants via the same left fold Catalyst would
+    # constant-fold from the literal expression
+    qq = 0.0
+    for x in q:
+        qq = qq + x * x
+
+    @F.pandas_udf("double")
+    def score(v: pd.Series) -> pd.Series:
+        vals = v.to_numpy()
+        # null-vector semantics replicate the EXPRESSION tier exactly:
+        # cosine/dot propagate null; l2's `greatest(sq, 0.0)` SKIPS the
+        # null sq (GREATEST ignores nulls), so a null vector scores
+        # sqrt(0.0) = 0.0 there — faithful, if surprising
+        res = np.full(len(vals), 0.0 if metric == "l2" else None, dtype=object)
+        mask = np.fromiter((x is not None for x in vals), dtype=bool, count=len(vals))
+        if mask.any():
+            m = np.stack(vals[mask])  # (batch, dim) float64
+            d = np.zeros(len(m), dtype=np.float64)   # (0.0 + t0) + t1 + …
+            na = np.zeros(len(m), dtype=np.float64)
+            for i in range(dim):
+                c = m[:, i]
+                d = d + c * q[i]
+                na = na + c * c
+            with np.errstate(divide="ignore", invalid="ignore"):
+                if metric == "dot":
+                    out = d
+                elif metric == "cosine":
+                    out = d / (np.sqrt(na) * math.sqrt(qq))
+                else:  # same association as l2_distance's expansion
+                    out = np.sqrt(np.maximum((na - 2.0 * d) + qq, 0.0))
+            res[mask] = out
+        return pd.Series(res)
+
+    return score
+
+
 def normalize(a: Column | str) -> Column:
     """Unit-normalize an array<double> column (null-safe on zero norm).
 

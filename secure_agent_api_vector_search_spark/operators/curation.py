@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from secure_agent_api_vector_search_spark.functions import text as X
+from secure_agent_api_vector_search_spark.functions.localdf import local_frame
 
 # PII patterns — the subset of regex syntax with identical semantics in
 # Java regex (Spark) and RE2 (DuckDB): character classes, bounded
@@ -153,9 +154,6 @@ def quality_percentile_cut(
         F.col(id_col), F.col(group_col), q.alias("quality")
     ).persist()
     try:
-        counts = {
-            r[0]: int(r[1]) for r in scored.groupBy(group_col).count().collect()
-        }
         # the percentile margin must cover >= 4 RANKS to beat the
         # sketch's error plus rank/percentile conversion conventions;
         # 4/accuracy ranks only exceeds 4 once n > accuracy, so smaller
@@ -163,19 +161,38 @@ def quality_percentile_cut(
         # (a <= accuracy-row window partition — harmless by definition)
         margin = 4.0 / accuracy
         p_lo, p_hi = max(0.0, min_pct - margin), min(1.0, min_pct + margin)
+        # ONE aggregate pass computes count AND sketch per group (r13:
+        # previously two sequential passes — count, then a second
+        # filtered scan for the sketch; guide §1.2 "don't compute in
+        # two passes what one pass carries"). The per-group GK sketch
+        # is independent of other groups, so its values are identical
+        # to the old filtered form; sketches of groups that stay on
+        # the whole-group band are simply discarded below.
+        agg_rows = (
+            scored.groupBy(group_col)
+            .agg(
+                F.count("*").alias("_n"),
+                # non-null count: the driver-side fill below must
+                # reproduce the old aggregate's `quality <= inf`
+                # semantics exactly (null quality counted in neither
+                # bound), so a group of null scores still trips the
+                # bracket ValueError instead of silently dropping rows
+                F.count("quality").alias("_nn"),
+                F.percentile_approx("quality", [p_lo, p_hi], accuracy).alias("b"),
+            )
+            .collect()
+        )
+        counts = {r[group_col]: int(r["_n"]) for r in agg_rows}
+        nn = {r[group_col]: int(r["_nn"]) for r in agg_rows}
         # NULL is a legitimate group value (the window form treats it
-        # as its own partition); isin() cannot address it, so a big
-        # null group simply takes the whole-group band like small ones
-        big = [g for g, n in counts.items() if n > accuracy and g is not None]
-        bstats = {}
-        if big:
-            bstats = {
-                r[group_col]: (float(r["b"][0]), float(r["b"][1]))
-                for r in scored.filter(F.col(group_col).isin(big))
-                .groupBy(group_col)
-                .agg(F.percentile_approx("quality", [p_lo, p_hi], accuracy).alias("b"))
-                .collect()
-            }
+        # as its own partition); a big null group simply takes the
+        # whole-group band like small ones (unchanged contract)
+        big = {g for g, n in counts.items() if n > accuracy and g is not None}
+        bstats = {
+            r[group_col]: (float(r["b"][0]), float(r["b"][1]))
+            for r in agg_rows
+            if r[group_col] in big
+        }
 
         # smallest 1-based rank k with (k-1)/(n-1) >= p, under the SAME
         # double arithmetic percent_rank uses (adjusted, not assumed)
@@ -207,20 +224,38 @@ def quality_percentile_cut(
                 T.StructField("k", T.LongType()),
             ]
         )
-        bounds = F.broadcast(spark.createDataFrame(rows, bounds_schema))
+        # local_frame, not createDataFrame: a literal frame must plan
+        # as LocalTableScan — the RDD form cost four 32-task Python-
+        # worker broadcast rebuilds per call here (functions/localdf.py)
+        bounds = F.broadcast(local_frame(spark, rows, bounds_schema))
         tagged = scored.join(
             bounds, scored[group_col].eqNullSafe(bounds["_g"])
         ).drop("_g")
-        checks = (
-            tagged.groupBy(group_col, "n", "k")
-            .agg(
-                F.sum(F.when(F.col("quality") < F.col("t_lo"), 1).otherwise(0))
-                .alias("below"),
-                F.sum(F.when(F.col("quality") <= F.col("t_hi"), 1).otherwise(0))
-                .alias("le_hi"),
-            )
-            .collect()
-        )
+        # the runtime bracket proof only needs a pass over SKETCHED
+        # groups: a whole-group band (t_lo=-inf, t_hi=inf) has
+        # below = 0 and le_hi = n BY DEFINITION — counting that with an
+        # aggregate was a full extra corpus pass that proved a
+        # tautology (r13; at sf0.1 every group is whole-band and the
+        # checks job disappears outright). The same ValueError
+        # conditions are evaluated for every group either way.
+        checks = [
+            {group_col: g, "n": n, "k": k_of(n), "below": 0, "le_hi": nn[g]}
+            for g, n in counts.items()
+            if g not in big
+        ]
+        if big:
+            checks += [
+                r.asDict()
+                for r in tagged.filter(F.col(group_col).isin(list(big)))
+                .groupBy(group_col, "n", "k")
+                .agg(
+                    F.sum(F.when(F.col("quality") < F.col("t_lo"), 1).otherwise(0))
+                    .alias("below"),
+                    F.sum(F.when(F.col("quality") <= F.col("t_hi"), 1).otherwise(0))
+                    .alias("le_hi"),
+                )
+                .collect()
+            ]
         for c in checks:
             in_band = c["le_hi"] - c["below"]
             if in_band > band_cap:
@@ -242,8 +277,9 @@ def quality_percentile_cut(
             [T.StructField("_g", gtype), T.StructField("below", T.LongType())]
         )
         below_df = F.broadcast(
-            spark.createDataFrame(
-                [(c[group_col], int(c["below"])) for c in checks], below_schema
+            local_frame(
+                spark, [(c[group_col], int(c["below"])) for c in checks],
+                below_schema,
             )
         )
         band = (

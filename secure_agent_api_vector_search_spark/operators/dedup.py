@@ -59,6 +59,38 @@ def _pair_order(df: DataFrame) -> DataFrame:
     return df.repartition(1).sortWithinPartitions("id_a", "id_b")
 
 
+def _attach_pair_payloads(
+    cand: DataFrame, side_a: DataFrame, side_b: DataFrame
+) -> DataFrame:
+    """Attach one per-id payload column per side (shingle set / gram
+    set / vector) to a bare candidate-pair frame ``(id_a, id_b)`` for
+    the exact verify — broadcasting ONLY the bare pairs, never
+    payload-carrying rows.
+
+    The previous shape wrapped the first probe's RESULT in
+    ``F.broadcast`` to drive the second probe. That hint bypasses
+    ``autoBroadcastJoinThreshold`` sizing, and the wrapped intermediate
+    carries the per-doc arrays, so its size is candidate-count ×
+    payload — unbounded in corpus size and dup density; at scale it
+    hits Spark's 8 GB broadcast hard cap / driver OOM and fails the
+    job outright (round-12 ADVICE, guide §3.1).
+
+    Here the bare id pairs broadcast into TWO independent probes.
+    Each probe streams its corpus side in place — the corpus is never
+    shuffled and never broadcast — and emits |cand| rows carrying one
+    payload column. The halves then meet in a pair-keyed join whose
+    shuffle moves only candidate-sized rows (2·|cand| payloads, the
+    minimum for the two arrays to meet anywhere) and whose strategy
+    AQE picks from real runtime sizes instead of a blind hint.
+    ``cand`` rows are distinct by construction, so the pair-keyed meet
+    reproduces the sequential enrichment row-for-row.
+    """
+    bc = F.broadcast(cand)
+    left = bc.join(side_a, "id_a")
+    right = bc.join(side_b, "id_b")
+    return left.join(right, ["id_a", "id_b"])
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest id per exact-text group. Returns the kept rows.
 
@@ -422,12 +454,11 @@ def minhash_near_dup_pairs(
     # broadcast the full shingle arrays (tens of MB at sf0.1, corpus-
     # scale at 100 TB — an impossible build) and then probed them in
     # ONE post-coalesce task — measured 3.0 s of a 4.1 s warm wall in
-    # the r12 stage evidence (stage 853). Broadcasting the candidate
-    # pairs streams the cached feats across all partitions instead,
-    # and the verify scales with the corpus, never the broadcast.
+    # the r12 stage evidence (stage 853). Only the BARE pairs are ever
+    # broadcast (see _attach_pair_payloads); the verify scales with
+    # the corpus, never the broadcast.
     pairs = (
-        F.broadcast(F.broadcast(screened).join(sh_a, "id_a"))
-        .join(sh_b, "id_b")
+        _attach_pair_payloads(screened, sh_a, sh_b)
         .select("id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -467,8 +498,7 @@ def _cross_screen_verify(
     sh_a = a_ok.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = b_ok.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        F.broadcast(F.broadcast(screened).join(sh_a, "id_a"))
-        .join(sh_b, "id_b")
+        _attach_pair_payloads(screened, sh_a, sh_b)
         .select("id_a", "id_b", H.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -803,8 +833,7 @@ def ngram_jaccard_pairs_lsh(
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("_ga"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("_gb"))
     out = (
-        F.broadcast(F.broadcast(cand).join(ga, "id_a"))
-        .join(gb, "id_b")
+        _attach_pair_payloads(cand, ga, gb)
         .select("id_a", "id_b", H.jaccard(F.col("_ga"), F.col("_gb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .transform(_pair_order)
@@ -1323,13 +1352,11 @@ def embedding_neardup_pairs_lsh(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     return (
-        F.broadcast(
-            F.broadcast(cand).join(
-                vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
-                "id_a",
-            )
+        _attach_pair_payloads(
+            cand,
+            vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
+            vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")),
         )
-        .join(vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b")
         .select(
             "id_a", "id_b",
             V.cosine_similarity("_va", "_vb", dim).alias("cosine"),
@@ -1457,15 +1484,10 @@ def embedding_neardup_pairs_clustered(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     return (
-        F.broadcast(
-            F.broadcast(cand).join(
-                vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
-                "id_a",
-            )
-        )
-        .join(
+        _attach_pair_payloads(
+            cand,
+            vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
             vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")),
-            "id_b",
         )
         .select(
             "id_a", "id_b",
@@ -1540,8 +1562,7 @@ def embedding_similarity_join(
         F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb")
     )
     return (
-        F.broadcast(F.broadcast(cand).join(va, "id_a"))
-        .join(vb, "id_b")
+        _attach_pair_payloads(cand, va, vb)
         .select(
             "id_a", "id_b",
             V.cosine_similarity("_va", "_vb", dim).alias("cosine"),
@@ -1858,7 +1879,7 @@ def text_jaccard_join_exact(
             .select("id_a", "id_b")
             .distinct()
         )
-        joined = F.broadcast(F.broadcast(cand).join(fa, "id_a")).join(fb, "id_b")
+        joined = _attach_pair_payloads(cand, fa, fb)
     else:
         raise ValueError(f"via must be 'cross' or 'index', got {via!r}")
     pairs = joined.select(

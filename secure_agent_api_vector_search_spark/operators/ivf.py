@@ -250,8 +250,10 @@ def write_ivf(index: IvfIndex, path: str) -> None:
     index.assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
     spark = index.assigned.sparkSession
     rows = [(i, c, index.metric) for i, c in enumerate(index.centroids)]
-    spark.createDataFrame(
-        rows, "list_id int, centroid array<double>, metric string"
+    from secure_agent_api_vector_search_spark.functions.localdf import local_frame
+
+    local_frame(
+        spark, rows, "list_id int, centroid array<double>, metric string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 

@@ -250,8 +250,10 @@ def ivf_recall_sweep(
     finally:
         truth.unpersist()  # never leak executor cache across sweeps
     spark = queries.sparkSession
-    return spark.createDataFrame(
-        frames, "nprobe int, recall_at_k double, n_queries long"
+    from secure_agent_api_vector_search_spark.functions.localdf import local_frame
+
+    return local_frame(
+        spark, frames, "nprobe int, recall_at_k double, n_queries long"
     ).orderBy("nprobe")
 
 

@@ -355,7 +355,11 @@ def decode_image_batch(payloads: list[bytes]) -> list[np.ndarray]:
     dups: list[tuple[int, int]] = []
     uniq: list[int] = []
     for i, pl in enumerate(payloads):
-        j = first.setdefault(bytes(pl), i)
+        # bytes(pl) on an exact-bytes payload is a full copy — an Arrow
+        # batch of large images transiently doubled executor memory
+        # (round-12 ADVICE); key on the object itself when it already
+        # IS bytes (dict hashing is by content either way)
+        j = first.setdefault(pl if type(pl) is bytes else bytes(pl), i)
         if j == i:
             uniq.append(i)
         else:
@@ -409,7 +413,8 @@ def image_features(with_payload: DataFrame, thumb_size: int = 8) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            imgs = decode_image_batch([bytes(p) for p in pdf["payload"]])
+            imgs = decode_image_batch([p if type(p) is bytes else bytes(p)
+                                       for p in pdf["payload"]])
             for doc_id, img in zip(pdf["doc_id"], imgs):
                 h, w, c = img.shape
                 rows.append(
@@ -1982,7 +1987,8 @@ def image_ahash(with_payload: DataFrame) -> DataFrame:
         for pdf in batches:
             # whole-batch decode: JPEG/WebP payloads fuse through the
             # lane engines, byte-identical payloads decode once
-            imgs = decode_image_batch([bytes(p) for p in pdf["payload"]])
+            imgs = decode_image_batch([p if type(p) is bytes else bytes(p)
+                                       for p in pdf["payload"]])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
@@ -2022,7 +2028,8 @@ def perturbed_image_copies(with_payload: DataFrame, id_offset: int) -> DataFrame
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            imgs = decode_image_batch([bytes(p) for p in pdf["payload"]])
+            imgs = decode_image_batch([p if type(p) is bytes else bytes(p)
+                                       for p in pdf["payload"]])
             rows = []
             for doc_id, img in zip(pdf["doc_id"], imgs):
                 shifted = np.clip(img.astype(np.int32) + 2, 0, 255).astype(np.uint8)

@@ -286,8 +286,10 @@ def write_pq(codebook: PqCodebook, codes: DataFrame, path: str) -> None:
         for j, book in enumerate(codebook.codebooks)
         for k, codeword in enumerate(book)
     ]
-    spark.createDataFrame(
-        rows, "sub int, code int, codeword array<double>"
+    from secure_agent_api_vector_search_spark.functions.localdf import local_frame
+
+    local_frame(
+        spark, rows, "sub int, code int, codeword array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
 
 

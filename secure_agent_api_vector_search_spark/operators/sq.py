@@ -179,7 +179,9 @@ def write_sq(params: SqParams, codes: DataFrame, path: str) -> None:
     codes.write.mode("overwrite").parquet(f"{path}/codes")
     spark = codes.sparkSession
     rows = [(i, float(mn), float(sc)) for i, (mn, sc) in enumerate(zip(params.mins, params.scales))]
-    spark.createDataFrame(rows, "dim int, min double, scale double").coalesce(
+    from secure_agent_api_vector_search_spark.functions.localdf import local_frame
+
+    local_frame(spark, rows, "dim int, min double, scale double").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/params")
 

@@ -36,6 +36,16 @@ from pyspark.sql import functions as F
 from secure_agent_api_vector_search_spark.functions import vector as V
 
 
+# Max dim for the unrolled-expression tier of the PAGED top-k
+# (topk_similar_after) — deliberately lower than UNROLL_MAX_DIM: the
+# cursor filter triples the expression (projection + two cursor
+# disjuncts, and the pushed-down copy reaches the scan's DataFilters),
+# so the codegen budget per copy is ~1/3 of the single-projection
+# path's. At 32 dims the tripled method still compiles; at 64 it blows
+# Janino's 64 KB method limit and the stage runs interpreted.
+PAGED_UNROLL_MAX_DIM = 32
+
+
 def _sim_col(metric: str, vec, q, dim: int | None = None) -> tuple[Column, bool]:
     """Returns (score column, ascending?) for a metric name.
 
@@ -225,8 +235,11 @@ def topk_similar_mmr(
         (int(ids[i]), float(sims[i]), scores[j], j)
         for j, i in enumerate(selected)
     ]
-    return embeddings.sparkSession.createDataFrame(
-        rows, f"{id_col} long, similarity double, mmr_score double, rank long"
+    from secure_agent_api_vector_search_spark.functions.localdf import local_frame
+
+    return local_frame(
+        embeddings.sparkSession, rows,
+        f"{id_col} long, similarity double, mmr_score double, rank long",
     )
 
 
@@ -389,18 +402,36 @@ def topk_similar_after(
     the corpus with no gaps or repeats — the float score compared is
     the SAME expression both pages computed, bit-stable across runs.
     """
-    # same score tiers as topk_similar; the cursor filter sits BELOW
-    # the top-k (filter -> TakeOrderedAndProject), so no over-fetch
+    # same score VALUES as topk_similar, but the paged path's physical
+    # tiers differ (r13, VERDICT r12 item 6): the cursor filter
+    # references the score column twice, and Catalyst inlines the
+    # expression into filter AND projection — at dim 64 the generated
+    # method exceeds Janino's 64 KB limit ("Code ... grows beyond
+    # 64 KB", observed) and the WHOLE stage falls back to interpreted
+    # execution, so the "evaluated at scan speed" contract silently
+    # degraded. Above PAGED_UNROLL_MAX_DIM the score therefore routes
+    # through fold_query_scorer — an Arrow-batched numpy fold that is
+    # BIT-IDENTICAL to the unrolled expression (same per-row IEEE op
+    # order; the full-precision oracle still matches) — evaluated
+    # exactly once (ArrowEvalPython), with the cursor filter and
+    # TakeOrderedAndProject back in whole-stage codegen.
     vec = F.col(vec_col)
     dim = len(query_vec)
     if dim > V.UNROLL_MAX_DIM:
-        # the cursor filter references the scorer's output column;
-        # non-deterministic marking stops Catalyst from inlining the
+        # >256-dim tier unchanged: np_query_scorer (BLAS order) — the
+        # same scorer topk_similar used for page 1, so the cursor
+        # equality compares like against like.
+        # Non-deterministic marking stops Catalyst from inlining the
         # UDF into the filter when it splits filter from projection,
         # which would run the whole-corpus scorer TWICE per page
         # (2 ArrowEvalPython nodes, measured — the same pathology
         # topk_similar's exclude-nulls redesign removed)
         score = V.np_query_scorer(query_vec, metric).asNondeterministic()(vec)
+        asc = metric == "l2"
+    elif dim > PAGED_UNROLL_MAX_DIM:
+        score = V.fold_query_scorer(query_vec, metric).asNondeterministic()(
+            vec.cast("array<double>")
+        )
         asc = metric == "l2"
     else:
         score, asc = _sim_col(metric, vec_col, [float(x) for x in query_vec], dim)

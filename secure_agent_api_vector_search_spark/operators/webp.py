@@ -1164,8 +1164,13 @@ def _decode_vp8l_batch_impl(
             except IndexError:
                 # a corrupt lane ran past the whole window buffer —
                 # re-decode the engine's lanes scalar so the error
-                # raised is exactly the serial one
+                # raised is exactly the serial one. Drop any error the
+                # aborted engine pass already recorded for a lane
+                # first: callers check errors before results, so a
+                # stale engine error would mask a successful scalar
+                # re-decode (round-12 ADVICE).
                 for ln in lanes:
+                    errors.pop(ln["i"], None)
                     try:
                         results[ln["i"]] = _decode_vp8l_payload(ln["data"])
                     except ValueError as exc:

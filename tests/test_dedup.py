@@ -736,3 +736,43 @@ def test_embedding_neardup_clustered_auto_n_lists_and_hot_cluster_skew(spark):
                 df, threshold=0.995, nprobe=3, screen_tile=16,
                 target_block_size=10).collect()}
     assert got2 == exact
+
+
+def test_attach_pair_payloads_broadcasts_only_bare_pairs(spark):
+    """r13 verify-join restructure: the exact-verify payload attach must
+    (a) reproduce the sequential-enrichment rows exactly and (b) never
+    place a payload-carrying relation inside a BroadcastExchange — the
+    r12 shape broadcast the first probe's RESULT (pairs + arrays),
+    which is unbounded in dup density and hits the 8 GB broadcast cap
+    at corpus scale (round-12 ADVICE)."""
+    import re
+
+    from secure_agent_api_vector_search_spark.plans.explain import physical_plan
+
+    cand = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "id_a long, id_b long")
+    pay = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in (1, 2, 3, 4)], "id long, v array<double>"
+    )
+    side_a = pay.select(F.col("id").alias("id_a"), F.col("v").alias("_va"))
+    side_b = pay.select(F.col("id").alias("id_b"), F.col("v").alias("_vb"))
+    got = D._attach_pair_payloads(cand, side_a, side_b)
+    rows = {
+        (r["id_a"], r["id_b"], tuple(r["_va"]), tuple(r["_vb"]))
+        for r in got.collect()
+    }
+    want = {
+        (a, b, (float(a),) * 4, (float(b),) * 4)
+        for a, b in [(1, 2), (1, 3), (2, 3)]
+    }
+    assert rows == want
+    # every BroadcastExchange input is the bare pair frame: its Input
+    # line in the formatted plan must not mention a payload column
+    plan = physical_plan(got)
+    details = re.split(r"\n\(\d+\) ", plan)
+    bad = [
+        d.splitlines()[0:3]
+        for d in details
+        if d.startswith("BroadcastExchange") and ("_va" in d or "_vb" in d)
+    ]
+    assert not bad, f"payload columns inside a broadcast: {bad}"
+    assert "BroadcastExchange" in plan  # the bare pairs DO broadcast

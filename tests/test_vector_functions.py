@@ -129,3 +129,63 @@ def test_np_query_scorer_matches_hof_fold_at_768(spark):
 def test_np_query_scorer_rejects_unknown_metric():
     with pytest.raises(ValueError):
         V.np_query_scorer([1.0, 0.0], "manhattan")
+
+
+def test_fold_query_scorer_bit_identical_to_unrolled_expression(spark):
+    """r13 paged-top-k tier: fold_query_scorer must reproduce the
+    unrolled left-fold expression BIT-FOR-BIT (not approximately — the
+    full-precision oracle gates vector_topk_page2 on these doubles),
+    including null rows, zero vectors (NaN cosine), and all metrics."""
+    import random
+    import struct
+
+    rnd = random.Random(13)
+    rows = [([rnd.uniform(-1, 1) for _ in range(64)],) for _ in range(64)]
+    rows += [(None,), ([0.0] * 64,)]
+    df_all = spark.createDataFrame(rows, "v array<double>")
+    # ANSI mode makes the cosine EXPRESSION raise DIVIDE_BY_ZERO on a
+    # zero-norm vector (so the paged path never produced a value there);
+    # the fold scorer's NaN is strictly more robust — compare bitwise
+    # only where the expression form yields a value
+    df_nz = spark.createDataFrame(rows[:-1], "v array<double>")
+    q = [rnd.uniform(-1, 1) for _ in range(64)]
+    for metric, expr, df in (
+        ("cosine", V.cosine_similarity("v", q, 64), df_nz),
+        ("dot", V.dot("v", q, 64), df_all),
+        ("l2", V.l2_distance("v", q, 64), df_all),
+    ):
+        got = df.select(
+            V.fold_query_scorer(q, metric)(F.col("v")).alias("a"), expr.alias("b")
+        ).collect()
+        for r in got:
+            if r["a"] is None or r["b"] is None:
+                # null-vector semantics must agree with the expression
+                # tier (incl. l2's greatest(null, 0.0) -> 0.0 quirk)
+                assert r["a"] is None and r["b"] is None, metric
+            else:
+                assert struct.pack("<d", r["a"]) == struct.pack("<d", r["b"]), (
+                    metric, r["a"], r["b"])
+
+
+def test_paged_topk_scorer_is_single_arrow_eval(spark, emb):
+    """r13: above PAGED_UNROLL_MAX_DIM the keyset page must evaluate
+    the scorer ONCE as ArrowEvalPython (the tripled inline expression
+    blew Janino's 64 KB method limit and ran interpreted), with the
+    top-k still a TakeOrderedAndProject."""
+    from secure_agent_api_vector_search_spark.operators import topk as TK
+    from secure_agent_api_vector_search_spark.plans.explain import physical_plan
+
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    page1 = TK.topk_similar(emb, qvec, k=10).collect()
+    last = page1[-1]
+    page2 = TK.topk_similar_after(
+        emb, qvec, last_score=last["similarity"], last_id=last["vec_id"], k=10
+    )
+    import re
+
+    plan = physical_plan(page2)
+    # formatted explain prints each node twice (tree + details): count
+    # the numbered detail headers, which appear once per node
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert "TakeOrderedAndProject" in plan
