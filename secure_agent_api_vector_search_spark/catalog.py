@@ -1990,7 +1990,12 @@ def similarity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(emb)
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= 0.85)
-        .orderBy("id_a", "id_b")
+        # _pair_order, not a global orderBy (r13): the sort's range-
+        # sampling pass re-executes the broadcast-NLJ cosine scan (the
+        # only upstream stage — no shuffle boundary shields it), i.e.
+        # 2x the whole query; the single-partition sort reads the tiny
+        # pair set once and keeps the same (id_a, id_b) order
+        .transform(D._pair_order)
     )
 
 
@@ -2135,12 +2140,13 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     VP8 frame tag, ITU-T H.264/H.265 Exp-Golomb SPS parses inside the
     container's avcC/hvcC, and the AV1 sequence-header OBU inside
     av1C (operators/media_meta.py). Map-only, zero exchanges — the
-    cheap first pass before deciding what to decode."""
+    cheap first pass before deciding what to decode. No trailing
+    orderBy (r13): the range-sampling pass of a global sort re-executes
+    the synthesis+parse map once more (the 2x-decode trap the
+    image_decode_* queries already avoid); the gate hash is
+    order-insensitive."""
     docs = rebalance_if_narrow(load_documents(spark, sf_dir))
-    return (
-        M.media_metadata_rows(M.synthetic_media_payloads(docs))
-        .orderBy("doc_id")
-    )
+    return M.media_metadata_rows(M.synthetic_media_payloads(docs))
 
 
 def audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2152,12 +2158,10 @@ def audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     13818-7 ADTS fixed headers, the FLAC STREAMINFO bit packing, ISO
     14496-12 AudioSampleEntry + mdhd). Map-only, zero exchanges — the
     same decide-what-to-decode first pass media_metadata gives images
-    and video."""
+    and video. No trailing orderBy (r13): same 2x-synthesis sampling
+    trap as media_metadata; the gate hash is order-insensitive."""
     docs = rebalance_if_narrow(load_documents(spark, sf_dir))
-    return (
-        M.audio_metadata_rows(M.synthetic_audio_payloads(docs))
-        .orderBy("doc_id")
-    )
+    return M.audio_metadata_rows(M.synthetic_audio_payloads(docs))
 
 
 def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -270,6 +270,42 @@ def fold_query_scorer(query_vec, metric: str = "cosine"):
     return score
 
 
+def fold_normalize():
+    """Arrow-batched bit-exact twin of :func:`normalize` — same values
+    (unit vector via x_i / sqrt(left-fold Σx_i²), zero-norm/null rows
+    → NULL), evaluated as one numpy pass per batch instead of the
+    interpreted HOF pair (`transform` re-inlines the whole `l2_norm`
+    fold PER ELEMENT after projection collapse: dim² interpreted ops
+    per row — measured seconds per pass on the k-means fit's corpus
+    scans, r13). The fold runs dimension-sequential across the batch,
+    so every sum and division is the same IEEE op the expression form
+    performs per row — centroid training input stays bit-identical,
+    which the witness-replay oracles require."""
+
+    @F.pandas_udf("array<double>")
+    def norm(v: pd.Series) -> pd.Series:
+        vals = v.to_numpy()
+        res = np.full(len(vals), None, dtype=object)
+        mask = np.fromiter((x is not None for x in vals), dtype=bool, count=len(vals))
+        if mask.any():
+            m = np.stack(vals[mask]).astype(np.float64, copy=False)
+            na = np.zeros(len(m), dtype=np.float64)
+            for i in range(m.shape[1]):
+                c = m[:, i]
+                na = na + c * c
+            n = np.sqrt(na)
+            pos = n > 0
+            out = np.full(len(m), None, dtype=object)
+            if pos.any():
+                unit = m[pos] / n[pos, None]
+                for j, row in zip(np.flatnonzero(pos), unit):
+                    out[j] = row
+            res[mask] = out
+        return pd.Series(res)
+
+    return norm
+
+
 def normalize(a: Column | str) -> Column:
     """Unit-normalize an array<double> column (null-safe on zero norm).
 

@@ -344,7 +344,16 @@ def bpe_tokenize(
             )
 
     id_type = documents.schema[id_col].dataType.simpleString()
-    return documents.select(id_col, text_col).mapInPandas(
+    # the per-word merge loop is the CPU hot spot; a small parquet scan
+    # under-splits to 1-2 input partitions and the whole corpus then
+    # tokenizes on 1-2 of N cores (measured: a single 2.6 s task at
+    # sf0.1). Round-robin rebalance only when narrow — a no-op on a
+    # real cluster's per-128 MB splits (guide §2.6/§4).
+    from secure_agent_api_vector_search_spark.sources.tables import (
+        rebalance_if_narrow,
+    )
+
+    return rebalance_if_narrow(documents.select(id_col, text_col)).mapInPandas(
         op, schema=f"{id_col} {id_type}, tokens array<string>, n_tokens long"
     )
 

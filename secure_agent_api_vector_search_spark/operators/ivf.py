@@ -101,16 +101,21 @@ def _fit_centroids(
     import numpy as np
 
     from secure_agent_api_vector_search_spark.functions.kmeans import lloyd
-    from secure_agent_api_vector_search_spark.functions.vector import normalize
+    from secure_agent_api_vector_search_spark.functions.vector import fold_normalize
 
     key = [F.col(order_col).alias("_oid")] if order_col else []
     vecs = embeddings.filter(F.col(vec_col).isNotNull()).select(
         *key, F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     if metric == "cosine":
-        # zero-norm vectors normalize to NULL — no direction, nothing to train on
+        # zero-norm vectors normalize to NULL — no direction, nothing
+        # to train on. fold_normalize (r13) = bit-exact Arrow twin of
+        # the normalize() expression, whose collapsed transform
+        # re-evaluated the interpreted norm fold per element (dim²
+        # interpreted ops/row over every fit pass)
         vecs = vecs.select(
-            *(["_oid"] if order_col else []), normalize(vec_col).alias(vec_col)
+            *(["_oid"] if order_col else []),
+            fold_normalize()(F.col(vec_col)).alias(vec_col),
         ).filter(F.col(vec_col).isNotNull())
     elif metric != "l2":
         raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")

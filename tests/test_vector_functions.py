@@ -189,3 +189,27 @@ def test_paged_topk_scorer_is_single_arrow_eval(spark, emb):
     # the numbered detail headers, which appear once per node
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fold_normalize_bit_identical_to_normalize_expression(spark):
+    """r13 k-means fit path: fold_normalize must reproduce the
+    normalize() expression bit-for-bit, including null rows and the
+    zero-norm -> NULL contract (centroid training input feeds
+    witness-replay oracles, so ulps matter)."""
+    import random
+    import struct
+
+    rnd = random.Random(99)
+    rows = [([rnd.uniform(-1, 1) for _ in range(64)],) for _ in range(64)]
+    rows += [(None,), ([0.0] * 64,)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    got = df.select(
+        V.normalize("v").alias("a"), V.fold_normalize()(F.col("v")).alias("b")
+    ).collect()
+    for r in got:
+        if r["a"] is None or r["b"] is None:
+            assert r["a"] is None and r["b"] is None
+        else:
+            assert [struct.pack("<d", x) for x in r["a"]] == [
+                struct.pack("<d", x) for x in r["b"]
+            ]
