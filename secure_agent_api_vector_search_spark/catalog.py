@@ -5305,71 +5305,71 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
-    # --- round-12 window. Composition rule (three criteria, in order):
-    # (A) entries never driver-gated plus entries whose OPERATOR CODE
-    # moved this round (the r10 ADVICE criterion: rewritten code must
-    # not sit outside the official window in the round it moved —
-    # this round: HEVC/AV1 metadata + the audio metadata operator,
-    # the VP8L batch lane engine + decode_image_batch routing, the
-    # JPEG deferred-job Huffman snapshot, the clustered near-dup
-    # n_lists auto-derivation); (B1) oldest official coverage first —
-    # all 22 entries last driver-green in r08, then the 16
-    # alphabetically first of the 43 last green in r09 (the rest
-    # rotate in next round); then the standing ANN guard. Everything
-    # rotated out was green in r09-r11 and stays on the local full
-    # gate every round.
-    # A: new or code-moved this round
-    "audio_metadata",
+    # --- round-13 window (optimization round). Composition rule
+    # unchanged: (A) entries whose OPERATOR CODE moved this round —
+    # every query the r13 optimizations touched must prove
+    # hash-identity in the OFFICIAL window the round it moved (this
+    # round: the LSH verify-join restructure, the keyset-page fold
+    # scorer, the media/audio trailing-sort removal, the
+    # quality_percentile_cut pass merge + LocalTableScan literal
+    # frames, bpe_tokenize rebalance, the cosine-fit fold_normalize,
+    # decode_image_batch byte-copy removal, the webp fallback fix);
+    # (B) oldest official coverage first — all 27 entries whose last
+    # driver-green record is r09 (VERDICT r12 item 2, completing the
+    # rotation; max staleness drops to r10); then the standing ANN
+    # guard. Everything rotated out was green in r10-r12 and stays on
+    # the local full gate every round.
+    # A: code moved this round (r13 optimizations)
+    "vector_topk_page2",
     "media_metadata",
-    "image_decode_webp",
-    "multimodal_features",
-    "image_neardup",
-    "image_decode_jpeg",
-    "video_frame_features_mjpeg",
-    "video_frame_features_mp4",
-    "video_frame_features_avi",
+    "audio_metadata",
+    "similarity_join_exact",
+    "minhash_near_dup",
+    "dedup_near_keep_first",
+    "split_leakage_check",
+    "ngram_jaccard_dedup",
+    "ngram_jaccard_lsh",
+    "ngram_lsh_vs_exact_diff",
     "embedding_neardup_clustered",
     "embedding_clustered_vs_exact_diff",
-    # B1: last official driver record r08 (all 22)
-    "ngram_jaccard_dedup",
-    "ngram_lsh_vs_exact_diff",
-    "orders_asof_event",
-    "part_type_stats",
-    "pii_redact",
-    "point_lookup",
-    "pq_rerank_exact_limit",
-    "pq_topk_rerank",
-    "price_quantiles_by_brand",
-    "rrf_search",
-    "simhash_vs_exact_diff",
-    "similarity_join_exact",
+    "embedding_neardup_lsh",
     "simjoin_lsh_vs_exact_diff",
-    "split_leakage_check",
-    "sq_topk_rerank",
     "textjoin_lsh_vs_exact_diff",
     "token_counts_bpe",
-    "token_stats",
     "tokenizer_fertility",
-    "vector_topk_cosine",
-    "vector_topk_grouped",
-    "vector_topk_page2",
-    # B1 (cont.): last official driver record r09, alphabetical
-    "audio_decode_features",
-    "audio_mp3_summary",
     "bpe_encode_pipeline",
-    "corpus_stats_approx",
-    "dedup_near_keep_first",
-    "embedding_neardup_lsh",
-    "image_decode_features",
-    "image_decode_gif",
-    "image_decode_png",
-    "image_decode_tiff",
+    "multimodal_features",
+    "image_neardup",
+    "image_decode_webp",
     "image_dedup_streaming",
-    "ivf_topk",
-    "ivfpq_topk",
-    "ivfpq_topk_fullprobe",
-    "knn_join_ivf",
-    "ngram_jaccard_lsh",
+    # B: last official driver record r09 (all 27 — rotation complete)
+    "per_source_cap",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    "quality_percentile_cut",
+    "quality_percentile_filter",
+    "revenue_rollup",
+    "semantic_dedup",
+    "sessionize_streaming",
+    "simhash_near_dup",
+    "similarity_join_lsh",
+    "source_drift_tvd",
+    "text_similarity_join",
+    "token_budget_sample",
+    "vector_topk_mmr",
+    "video_frame_features",
     # standing ANN-family guard: the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate
     "ivf_topk_fullprobe",
