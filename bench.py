@@ -375,7 +375,9 @@ def _recall_probe(spark, sf_dir: str, n_queries: int = 8, k: int = 10) -> dict:
         return {"error": repr(exc)}
 
 
-def _ann_crossover_probe(spark, sf_dir: str) -> dict:
+def _ann_crossover_probe(
+    spark, sf_dir: str, reps: int = 16, n_lists: int = 64, nprobe: int = 8,
+) -> dict:
     """BASELINE.md's frozen ANN target ("IVF-probed top-k <= exact-path
     time at recall >= 0.9") demonstrated in the regime it is ABOUT: a
     scan-dominated corpus read from disk, where probing is partition
@@ -414,16 +416,16 @@ def _ann_crossover_probe(spark, sf_dir: str) -> dict:
         )
         from secure_agent_api_vector_search_spark.operators.topk import topk_similar
 
-        n_lists, nprobe, k = 64, 8, 10
+        k = 10
         root = tempfile.mkdtemp(prefix="bench_ann_xover_")
         try:
             base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
                 "doc_id", "text"
             )
             big = base.crossJoin(
-                spark.range(16).select(F.col("id").alias("rep"))
+                spark.range(reps).select(F.col("id").alias("rep"))
             ).select(
-                (F.col("doc_id") * 16 + F.col("rep")).alias("doc_id"),
+                (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" variant "), F.col("rep")).alias(
                     "text"
                 ),
@@ -864,7 +866,11 @@ def main() -> int:
         with open(os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )) as f:
-            prev_medians = json.load(f).get("queries_warm_median", {}) or {}
+            prev = json.load(f)
+        # only comparable at the SAME scale factor — a cross-SF record
+        # would mark every query a >1.5x "mover"
+        if prev.get("sf") == sf:
+            prev_medians = prev.get("queries_warm_median", {}) or {}
     except (OSError, ValueError):
         pass
     spark = get_session("bench")
@@ -956,6 +962,16 @@ def main() -> int:
         "dim768": _dim768_probe(spark, sf_dir),
         "recall": _recall_probe(spark, sf_dir),
         "ann_crossover": _ann_crossover_probe(spark, sf_dir),
+        # the 1M x 768 tier (VERDICT r12 item 3): ~6-10 min of embed +
+        # k-means build, so it does not run on every bench invocation
+        # (the driver re-runs the bench at several core counts) —
+        # enable explicitly; the round's measured row is committed in
+        # OPTIMIZATION_r13.md / BENCH_FULL.json
+        "ann_crossover_1m": (
+            _ann_crossover_probe(spark, sf_dir, reps=192, n_lists=256, nprobe=16)
+            if os.environ.get("SPARK_GRAFT_ANN_1M") == "1"
+            else {"skipped": "set SPARK_GRAFT_ANN_1M=1 (~6-10 min probe)"}
+        ),
         "pipeline_e2e": _pipeline_probe(spark, sf_dir),
         "stage_evidence": _stage_evidence_probe(
             spark, sf_dir,
