@@ -1297,8 +1297,15 @@ def embedding_neardup_pairs_lsh(
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """Scale path: random-hyperplane LSH bucketing, then exact cosine
-    verify on bucket-colliding pairs only.
+    """Sign-LSH near-dup pairs: random-hyperplane bucketing, then exact
+    cosine verify on bucket-colliding pairs only.
+
+    At FIXED recall the required table count grows ~n^0.28, so this
+    form is superlinear in corpus size (measured 444.9 s vs 96.5 s at
+    1M, SMOKE_r12); corpus-scale users should prefer
+    :func:`embedding_neardup_pairs_clustered`, which is linear in n at
+    fixed block size and produces the identical pair set (the
+    always-empty clustered-vs-exact diff gate pins it).
 
     ``num_tables`` defaults to the count that achieves ``target_recall``
     at the given threshold (:func:`lsh_tables_for`). A pair is a

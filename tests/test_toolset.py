@@ -123,9 +123,14 @@ def test_v2_toolset_pagination_walks_without_gaps(spark, sf_dir):
 
 def test_paged_search_embeds_corpus_once(spark, sf_dir):
     """The v2 paged tool derives similarity from the embed UDF and the
-    cursor filters on it: the executed plan must carry exactly ONE
-    ArrowEvalPython node (unmarked, Catalyst cloned the embed into the
-    filter stage — measured 4 nodes, the corpus embedding 4x/page)."""
+    cursor filters on it: the executed plan must carry exactly TWO
+    ArrowEvalPython nodes — the corpus embed evaluated ONCE and the
+    r13 fold scorer evaluated ONCE (dim 64 > PAGED_UNROLL_MAX_DIM, so
+    the paged scorer is Arrow-batched; see operators/topk.py). The
+    regression this guards: an UNMARKED embed UDF gets cloned by
+    Catalyst into the extracted filter stage and the corpus embeds
+    4x per page request (measured 4 nodes before the
+    asNondeterministic marking)."""
     from secure_agent_api_vector_search_spark.toolset import _find_similar_page
 
     df = _find_similar_page(spark, sf_dir, "insurance claim water", 5, 0.5, 0)
@@ -134,7 +139,7 @@ def test_paged_search_embeds_corpus_once(spark, sf_dir):
     # executed AQE plans print BOTH the final and the initial plan —
     # count only the final section
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("ArrowEvalPython") == 1
+    assert final.count("ArrowEvalPython") == 2
 
 
 def test_ann_store_invalidates_on_corpus_change(spark, sf_dir, tmp_path):
