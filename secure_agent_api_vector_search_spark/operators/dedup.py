@@ -1447,12 +1447,16 @@ def embedding_neardup_pairs_clustered(
     from secure_agent_api_vector_search_spark.functions import vector as V
     from secure_agent_api_vector_search_spark.operators import ivf as IV
 
+    n = None
     if n_lists is None:
         n = embeddings.count()
         n_lists = max(16, n // max(1, target_block_size))
+    # pass the just-counted corpus size through as the fit's sample
+    # bound — the fit otherwise re-counts the corpus (a second full
+    # pass per call, r13)
     cents = IV._fit_centroids(
         embeddings, vec_col, n_lists, seed=seed, metric="cosine",
-        order_col=id_col,
+        order_col=id_col, n_rows=n,
     )
     ranked = IV._nearest_lists_udf(cents, nprobe=nprobe)(F.col(vec_col))
     blocked = (

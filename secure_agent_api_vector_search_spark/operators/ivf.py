@@ -65,6 +65,7 @@ def _fit_centroids(
     sample_cap: int = 262_144,
     metric: str = "l2",
     order_col: str | None = None,
+    n_rows: int | None = None,
 ) -> list[list[float]]:
     """Coarse-quantizer training: k-means on a bounded driver sample,
     with a DISTRIBUTED escape hatch above the sample budget.
@@ -123,7 +124,12 @@ def _fit_centroids(
     if n_lists * 100 > sample_cap:
         c = _fit_centroids_distributed(vecs, vec_col, n_lists, seed)
     else:
-        n = vecs.count()
+        # ``n_rows``: an upper bound on the trainable row count a
+        # caller already holds (e.g. the corpus count it just derived
+        # n_lists from) — saves one full corpus pass; a too-HIGH bound
+        # only shrinks the sample fraction, never the correctness
+        # (below the cap frac is 1.0 either way)
+        n = vecs.count() if n_rows is None else n_rows
         frac = min(1.0, sample_cap / max(n, 1))
         sample = vecs if frac >= 1.0 else vecs.sample(fraction=frac, seed=seed)
         rows = sample.collect()

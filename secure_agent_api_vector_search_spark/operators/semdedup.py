@@ -182,6 +182,7 @@ def _harden_skew(
                 k,
                 seed=seed + 1000 * (rnd + 1) + cid,
                 order_col=id_col,
+                n_rows=size,  # known from the over-cap scan — no re-count
             )
             sub[cid] = (np.asarray(cents, dtype=np.float64), next_id)
             next_id += k
@@ -238,11 +239,16 @@ def semantic_dedup(
     regardless, and above it MLlib k-means|| parallelizes k·n across
     the cluster (SemDeDup itself runs 50k clusters on LAION this way).
     """
+    n = None
     if n_clusters is None:
-        n_clusters = max(2, -(-int(embeddings.count()) // 1024))
+        n = int(embeddings.count())
+        n_clusters = max(2, -(-n // 1024))
     nonnull = embeddings.filter(F.col(vec_col).isNotNull())
+    # thread the just-counted corpus size through as the fit's sample
+    # bound so the fit does not re-count the corpus (r13; a too-high
+    # bound only shrinks the sample fraction)
     centroids = _fit_centroids(
-        nonnull, vec_col, n_clusters, seed=seed, order_col=id_col
+        nonnull, vec_col, n_clusters, seed=seed, order_col=id_col, n_rows=n
     )
     assigned = assign_lists(nonnull, centroids, vec_col).select(
         F.col(id_col),
