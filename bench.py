@@ -857,6 +857,18 @@ def _codec_throughput_probe() -> dict:
     return out
 
 
+def _bench_cpus() -> int:
+    """Core count this bench runs at ($SPARK_GRAFT_CPUS, 0 = all local
+    cores) — recorded in the payload and used to gate the mover
+    comparison to same-cpus records."""
+    n = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+    if n:
+        return n
+    import multiprocessing
+
+    return multiprocessing.cpu_count()
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -870,9 +882,12 @@ def main() -> int:
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )) as f:
             prev = json.load(f)
-        # only comparable at the SAME scale factor — a cross-SF record
-        # would mark every query a >1.5x "mover"
-        if prev.get("sf") == sf:
+        # only comparable at the SAME scale factor AND core count — the
+        # round driver re-runs the bench at several core counts and the
+        # last run overwrites BENCH_FULL.json (r13's committed record
+        # was the driver's c8 run), so a cross-cpus record would mark
+        # overhead-dominated queries "movers" spuriously
+        if prev.get("sf") == sf and prev.get("cpus") in (None, _bench_cpus()):
             prev_medians = prev.get("queries_warm_median", {}) or {}
     except (OSError, ValueError):
         pass
@@ -965,6 +980,7 @@ def main() -> int:
         "unit": "sec",
         "bench_reps": n_reps,
         "sf": sf,
+        "cpus": _bench_cpus(),
         "warm_reps": warm_reps,
         "rows_out": rows_out,
         "queries": cold,

@@ -391,6 +391,7 @@ def minhash_near_dup_pairs(
     num_bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    est_parts: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH with exact-Jaccard verify.
 
@@ -422,7 +423,7 @@ def minhash_near_dup_pairs(
     # UDF runs on 2 of N cores. Rebalance only in that case — at
     # cluster scale the scan splits per ~128 MB and this is a no-op.
     feats = (
-        rebalance_if_narrow(df)
+        rebalance_if_narrow(df, est_parts=est_parts)
         .select(
             F.col(id_col),
             _shingle_sig_udf(shingle_k, num_hashes, seed, num_bands)(F.col(text_col)).alias("_f"),
@@ -471,11 +472,12 @@ def minhash_near_dup_pairs(
     return _pair_order(pairs)
 
 
-def _minhash_side_feats(df, sig, text_col: str, id_col: str, side: int):
+def _minhash_side_feats(df, sig, text_col: str, id_col: str, side: int,
+                        est_parts: int | None = None):
     """Side-tagged (id, side, shingles, signature, bands) feature frame —
     the shared input shape of the two-frame screen."""
     return (
-        rebalance_if_narrow(df)
+        rebalance_if_narrow(df, est_parts=est_parts)
         .select(F.col(id_col), sig(F.col(text_col)).alias("_f"))
         .select(
             F.col(id_col).alias("id"),
@@ -520,6 +522,8 @@ def minhash_similarity_join(
     num_bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    est_parts_a: int | None = None,
+    est_parts_b: int | None = None,
 ) -> DataFrame:
     """Two-frame approximate similarity join on text: pairs (a ∈ A,
     b ∈ B) with exact Jaccard ≥ threshold, candidates via shared LSH
@@ -542,8 +546,10 @@ def minhash_similarity_join(
 
     from pyspark import StorageLevel
 
-    fa = _minhash_side_feats(dfA, sig, text_col, id_col, 0).persist(StorageLevel.MEMORY_AND_DISK)
-    fb = _minhash_side_feats(dfB, sig, text_col, id_col, 1).persist(StorageLevel.MEMORY_AND_DISK)
+    fa = _minhash_side_feats(dfA, sig, text_col, id_col, 0,
+                             est_parts=est_parts_a).persist(StorageLevel.MEMORY_AND_DISK)
+    fb = _minhash_side_feats(dfB, sig, text_col, id_col, 1,
+                             est_parts=est_parts_b).persist(StorageLevel.MEMORY_AND_DISK)
     fa.count(), fb.count()  # one eager pass each: banding + verify both consume
     fa_ok = fa.filter(F.col("shingles").isNotNull())
     fb_ok = fb.filter(F.col("shingles").isNotNull())
@@ -745,6 +751,7 @@ def ngram_jaccard_pairs_lsh(
     num_bands: int = 16,
     seed: int = 42,
     materialize: bool = True,
+    est_parts: int | None = None,
 ) -> DataFrame:
     """Scale path for token-n-gram Jaccard: MinHash-LSH banding over the
     hashed gram sets for candidates, exact Jaccard verify on the true
@@ -784,7 +791,7 @@ def ngram_jaccard_pairs_lsh(
     # a 4.0 s wall). Same guard as minhash_near_dup_pairs; a no-op at
     # cluster scale where the scan splits per ~128 MB.
     grams = (
-        rebalance_if_narrow(df)
+        rebalance_if_narrow(df, est_parts=est_parts)
         .select(
             F.col(id_col),
             F.explode(F.array_distinct(X.token_shingles(text_col, n))).alias("_g"),
@@ -944,6 +951,7 @@ def _embedding_lsh_buckets(
     dim: int | None,
     flat: bool = False,
     flat_side_col: str | None = None,
+    est_parts: int | None = None,
 ) -> DataFrame | None:
     """(id, vec) → (id, vec, bands) via the sign-LSH sketch — or, with
     ``flat=True``, exploded (id, band_id, band_hash) rows (the pairs
@@ -1007,10 +1015,10 @@ def _embedding_lsh_buckets(
         if with_side:
             cols.append(F.col(flat_side_col).alias("_side"))
             schema += ", side int"
-        return rebalance_if_narrow(embeddings).select(*cols).mapInPandas(
-            flat_gen, schema
-        )
-    sketched = rebalance_if_narrow(embeddings).select(
+        return rebalance_if_narrow(embeddings, est_parts=est_parts).select(
+            *cols
+        ).mapInPandas(flat_gen, schema)
+    sketched = rebalance_if_narrow(embeddings, est_parts=est_parts).select(
         F.col(id_col), vec.alias(vec_col), sketch(vec).alias("_sk")
     )
     return sketched.select(
@@ -1296,6 +1304,7 @@ def embedding_neardup_pairs_lsh(
     target_recall: float = 0.95,
     seed: int = 42,
     dim: int | None = None,
+    est_parts: int | None = None,
 ) -> DataFrame:
     """Sign-LSH near-dup pairs: random-hyperplane bucketing, then exact
     cosine verify on bucket-colliding pairs only.
@@ -1336,7 +1345,7 @@ def embedding_neardup_pairs_lsh(
     """
     flat = _embedding_lsh_buckets(
         embeddings, threshold, id_col, vec_col, num_planes, num_tables,
-        target_recall, seed, dim, flat=True,
+        target_recall, seed, dim, flat=True, est_parts=est_parts,
     )
     if flat is None:
         # empty-path schema must agree with the non-empty path, so
@@ -1526,6 +1535,7 @@ def embedding_similarity_join(
     target_recall: float = 0.95,
     seed: int = 42,
     dim: int | None = None,
+    est_parts: int | None = None,
 ) -> DataFrame:
     """Two-frame semantic similarity join: pairs (a ∈ A, b ∈ B) with
     cosine ≥ threshold, candidates via shared sign-LSH buckets
@@ -1550,6 +1560,7 @@ def embedding_similarity_join(
     flat = _embedding_lsh_buckets(
         tagged, threshold, id_col, vec_col, num_planes, num_tables,
         target_recall, seed, dim, flat=True, flat_side_col="_tag_side",
+        est_parts=est_parts,
     )
     if flat is None:
         id_type = dfA.schema[id_col].dataType
@@ -1760,6 +1771,8 @@ def minhash_incremental(
     num_bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    est_parts_batch: int | None = None,
+    est_parts_seen: int | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup: the MinHash completion of
     :func:`dedup_incremental` — keep the batch rows whose Jaccard
@@ -1795,10 +1808,12 @@ def minhash_incremental(
 
     sig = _shingle_sig_udf(shingle_k, num_hashes, seed, num_bands)
 
-    fb = _minhash_side_feats(batch, sig, text_col, id_col, 0).persist(
+    fb = _minhash_side_feats(batch, sig, text_col, id_col, 0,
+                             est_parts=est_parts_batch).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    fs = _minhash_side_feats(seen, sig, text_col, id_col, 1).persist(
+    fs = _minhash_side_feats(seen, sig, text_col, id_col, 1,
+                             est_parts=est_parts_seen).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
@@ -1851,6 +1866,8 @@ def text_jaccard_join_exact(
     threshold: float = 0.5,
     seed: int = 42,
     via: str = "cross",
+    est_parts_a: int | None = None,
+    est_parts_b: int | None = None,
 ) -> DataFrame:
     """Exact two-frame text Jaccard join — the ground-truth twin of
     :func:`minhash_similarity_join`.
@@ -1881,16 +1898,17 @@ def text_jaccard_join_exact(
         raise ValueError("threshold must be > 0")
     sig = _shingle_sig_udf(shingle_k, 1, seed, 0)
 
-    def feats(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+    def feats(df: DataFrame, out_id: str, out_sh: str,
+              est_parts: int | None) -> DataFrame:
         return (
-            rebalance_if_narrow(df)
+            rebalance_if_narrow(df, est_parts=est_parts)
             .select(F.col(id_col).alias(out_id), sig(F.col(text_col)).alias("_f"))
             .select(out_id, F.col("_f.shingles").alias(out_sh))
             .filter(F.col(out_sh).isNotNull())
         )
 
-    fa = feats(dfA, "id_a", "sh_a")
-    fb = feats(dfB, "id_b", "sh_b")
+    fa = feats(dfA, "id_a", "sh_a", est_parts_a)
+    fb = feats(dfB, "id_b", "sh_b", est_parts_b)
     if via == "cross":
         joined = fb.crossJoin(F.broadcast(fa))
     elif via == "index":
