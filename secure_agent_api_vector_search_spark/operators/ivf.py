@@ -128,7 +128,16 @@ def _fit_centroids(
         # caller already holds (e.g. the corpus count it just derived
         # n_lists from) — saves one full corpus pass; a too-HIGH bound
         # only shrinks the sample fraction, never the correctness
-        # (below the cap frac is 1.0 either way)
+        # (below the cap frac is 1.0 either way).
+        # Known bias (r13 ADVICE): callers pass the PRE-filter count,
+        # which includes null (and, for cosine, zero-norm) vectors the
+        # select above dropped — above the cap the effective sample is
+        # sample_cap · (trainable/n_rows) rows, i.e. UNDER-samples in
+        # proportion to the corpus's null density. Deliberate: quality
+        # degrades gracefully (k-means on a slightly smaller sample),
+        # while "correcting" frac would change centroids for every
+        # witness-replayed fit. A caller with a high-null corpus should
+        # pass n_rows=None and pay the count.
         n = vecs.count() if n_rows is None else n_rows
         frac = min(1.0, sample_cap / max(n, 1))
         sample = vecs if frac >= 1.0 else vecs.sample(fraction=frac, seed=seed)

@@ -104,11 +104,23 @@ def chunk_documents(
 
     Output: (doc_id, chunk_id, start_token, n_chunk_tokens,
     chunk_text) — one row per chunk, chunk_id dense from 0 in token
-    order. Map-only: tokenize → inline start sequence → filtered
-    explode → slice; one scan, zero shuffles, no UDFs (the 100 TB
-    shape — chunking is embarrassingly parallel and must stay that
-    way). Whitespace tokens (single-space split, functions/text.py)
-    keep every value DuckDB-recomputable.
+    order. Map-only: tokenize → inline start sequence → per-start
+    slice INSIDE one transform → explode of the already-sliced chunks;
+    one scan, zero shuffles, no UDFs (the 100 TB shape — chunking is
+    embarrassingly parallel and must stay that way). Whitespace tokens
+    (single-space split, functions/text.py) keep every value
+    DuckDB-recomputable.
+
+    Shape note (r14, VERDICT r13 item 5): the old form exploded the
+    START array and carried the FULL token array into every chunk row
+    (Generate copies it per row), then sliced — n_chunks × n_tokens
+    bytes materialized, QUADRATIC in document length (a 1M-token doc
+    → ~21k chunks × 1M tokens). Slicing inside the transform keeps the
+    explode output proportional to the chunk text itself (linear);
+    values are identical (verified rowwise at sf0.1) and local wall is
+    unchanged on short-doc corpora — this is a scale-trap removal, not
+    a local win. The transform's slice lambda is one native array copy
+    per chunk, not per-token interpretation.
     """
     if chunk_size <= overlap:
         raise ValueError(f"chunk_size {chunk_size} must exceed overlap {overlap}")
@@ -119,26 +131,26 @@ def chunk_documents(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
         lambda s: (s == 0) | (s + overlap < n),
     )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("long").alias("start"),
+            F.slice(toks, s + 1, chunk_size).alias("chunk"),
+        ),
+    )
     return (
         documents.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), toks.alias("_toks"), starts.alias("_starts"))
+        .select(F.col(id_col), chunks.alias("_chunks"))
         .select(
             F.col(id_col),
-            F.posexplode("_starts").alias("chunk_id", "start_token"),
-            F.col("_toks"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("chunk_id"),
-            F.col("start_token").cast("long").alias("start_token"),
-            F.slice("_toks", F.col("start_token") + 1, chunk_size).alias("_chunk"),
+            F.posexplode("_chunks").alias("chunk_id", "_c"),
         )
         .select(
             F.col(id_col),
             "chunk_id",
-            "start_token",
-            F.size("_chunk").cast("long").alias("n_chunk_tokens"),
-            F.array_join("_chunk", " ").alias("chunk_text"),
+            F.col("_c.start").alias("start_token"),
+            F.size("_c.chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_c.chunk", " ").alias("chunk_text"),
         )
     )
 

@@ -262,6 +262,11 @@ def test_chunk_documents_is_map_only(docs):
     )
     assert "Exchange" not in plan
     assert "Generate explode" in plan or "Generate posexplode" in plan
+    # r14 shape pin (VERDICT r13 item 5): the explode must emit
+    # pre-sliced chunks, never carry the full token array into every
+    # chunk row (n_chunks x n_tokens bytes — quadratic in doc length)
+    gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen_lines and all("_toks" not in ln for ln in gen_lines), gen_lines
 
 
 def test_build_vocab_deterministic_ranking(spark):
