@@ -732,6 +732,153 @@ def _stage_evidence_probe(spark, sf_dir: str, extra: list[str] | None = None) ->
         return {"error": repr(exc)}
 
 
+def _scaling_tier_probe(spark, sf_dir: str, reps: int = 16,
+                        timed_reps: int = 2,
+                        only: list[str] | None = None) -> dict:
+    """Compute-dominated scaling tier (VERDICT r13 item 3): the gate
+    corpora give 0.2-2.5 s walls at sf0.1, where fixed job-launch and
+    Python-worker overhead dominates and an 8-vs-32-core ratio says
+    nothing about parallelism. This probe inflates the corpus (reps
+    deterministic variants per doc/vector) until the heavy operator
+    families run SECONDS of genuine compute, then times them at the
+    session's core count ($SPARK_GRAFT_CPUS) — run it once at 8 and
+    once at 32 cores (tools/scaling_tier.py) and compare warm minima.
+
+    Inflation is engineered so candidate sets stay ~linear: every
+    space in a doc becomes a marker token unique to that OUTPUT row
+    (" mID "), so no two inflated docs share token n-grams and
+    byte-shingle Jaccard between rep-copies falls well under the
+    verify thresholds (a shared or rep-level marker was measured to
+    CORRELATE MinHash minima across a rep's docs — giant LSH buckets,
+    quadratic screen); embeddings are multiplied by a rep-specific
+    deterministic ±1 sign pattern, which preserves every within-rep
+    pairwise cosine EXACTLY (the base corpus has no near-dups) and
+    randomizes cross-rep cosines to ~0. Outputs are therefore ~empty
+    by design — the probe times the dominant signature / banding /
+    shuffle / decode machinery, not result materialization. Map-only
+    families (bpe/image/substr) run on a larger inflation (map_reps =
+    4× reps) so their walls clear the fixed overhead too.
+
+    Env-gated (SPARK_GRAFT_SCALE_TIER=1): costs minutes per core
+    count, and the driver re-runs the bench at several core counts.
+    The measured rows for this round are committed in
+    OPTIMIZATION_r14.md."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from secure_agent_api_vector_search_spark.operators import bpe as B
+    from secure_agent_api_vector_search_spark.operators import dedup as D
+    from secure_agent_api_vector_search_spark.operators import multimodal as M
+    from secure_agent_api_vector_search_spark.operators import substr as SB
+    from secure_agent_api_vector_search_spark.operators.curation import (
+        split_leakage_check,
+    )
+
+    out: dict = {"cpus": _bench_cpus(), "reps": reps, "timed_reps": timed_reps}
+    root = tempfile.mkdtemp(prefix="bench_scale_tier_")
+    try:
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+
+        _built: dict = {}
+
+        def inflate_docs(k: int):
+            if k in _built:
+                return _built[k]
+            path = f"{root}/docs{k}"
+            rep = spark.range(k).select(F.col("id").alias("rep"))
+            new_id = F.col("doc_id") * k + F.col("rep")
+            # marker unique PER OUTPUT ROW — see docstring
+            marker = F.concat(F.lit(" m"), new_id.cast("string"), F.lit(" "))
+            big = base.crossJoin(rep).select(
+                new_id.alias("doc_id"),
+                F.replace(F.col("text"), F.lit(" "), marker).alias("text"),
+            )
+            big.repartition(64).write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+            out[f"n_docs_x{k}"] = df.count()
+            _built[k] = df
+            return df
+
+        def inflate_emb(k: int):
+            if ("emb", k) in _built:
+                return _built[("emb", k)]
+            emb_base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+            rep = spark.range(k).select(F.col("id").alias("rep"))
+            # deterministic ±1 sign per (rep, dimension): norm-preserving,
+            # within-rep geometry untouched, cross-rep cosines ~0
+            signed = F.transform(
+                F.col("embedding"),
+                lambda x, i: x * (F.pmod(F.xxhash64(F.col("rep"), i), F.lit(2))
+                                  .cast("double") * 2.0 - 1.0),
+            )
+            big = emb_base.crossJoin(rep).select(
+                (F.col("vec_id") * k + F.col("rep")).alias("vec_id"),
+                signed.alias("embedding"),
+            )
+            big.repartition(64).write.mode("overwrite").parquet(f"{root}/emb{k}")
+            df = spark.read.parquet(f"{root}/emb{k}")
+            out[f"n_vecs_x{k}"] = df.count()
+            _built[("emb", k)] = df
+            return df
+
+        def _merges():
+            # fixed table, built once on the UNTIMED warm pass — the
+            # probe times tokenization, not training
+            if "merges" not in _built:
+                _built["merges"] = B.train_bpe(base, n_merges=24)
+            return _built["merges"]
+
+        map_reps = reps * 4
+        # corpora build lazily so a family-filtered run (``only``) pays
+        # only for what it times — fresh-session single-family runs are
+        # the clean protocol on this box (session aging inflates
+        # python-heavy walls late in a multi-family session)
+        families = {
+            "minhash_banding": lambda: D.minhash_near_dup_pairs(
+                inflate_docs(reps), threshold=0.5),
+            "split_leakage_check": lambda: split_leakage_check(
+                inflate_docs(reps), threshold=0.6),
+            "embedding_neardup_clustered": lambda:
+                D.embedding_neardup_pairs_clustered(
+                    inflate_emb(reps * 4), threshold=0.85, dim=64),
+            "exact_substr_spans": lambda: SB.duplicated_spans(
+                inflate_docs(map_reps), k=16),
+            "bpe_tokenize": lambda: B.bpe_tokenize(
+                inflate_docs(map_reps * 4), _merges()),
+            "image_decode": lambda: M.image_features(
+                M.synthetic_jpeg_payloads(inflate_docs(map_reps))),
+        }
+        for name, fn in families.items():
+            if only and name not in only:
+                continue
+            try:
+                spark.sparkContext.setJobDescription(f"scale-tier: {name}")
+                walls = []
+                for i in range(1 + timed_reps):  # first pass untimed warm
+                    t0 = time.perf_counter()
+                    fn().write.format("noop").mode("overwrite").save()
+                    if i:
+                        walls.append(round(time.perf_counter() - t0, 3))
+                out[name] = {"warm_walls": walls, "warm_min": min(walls)}
+            except Exception as exc:  # keep the artifact alive per family
+                out[name] = {"error": repr(exc)}
+            spark.catalog.clearCache()
+        spark.sparkContext.setJobDescription(None)
+        return out
+    except Exception as exc:
+        out["error"] = repr(exc)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _codec_throughput_probe() -> dict:
     """Decode throughput on realistic payload sizes — the regression
     guard for the defect class round-8 ADVICE caught (a quadratic bit
@@ -999,6 +1146,14 @@ def main() -> int:
             _ann_crossover_probe(spark, sf_dir, reps=192, n_lists=256, nprobe=16)
             if os.environ.get("SPARK_GRAFT_ANN_1M") == "1"
             else {"skipped": "set SPARK_GRAFT_ANN_1M=1 (~6-10 min probe)"}
+        ),
+        # compute-dominated scaling tier (VERDICT r13 item 3): run at
+        # two core counts via tools/scaling_tier.py and compare warm
+        # minima; env-gated because it costs minutes per core count
+        "scaling_tier": (
+            _scaling_tier_probe(spark, sf_dir)
+            if os.environ.get("SPARK_GRAFT_SCALE_TIER") == "1"
+            else {"skipped": "set SPARK_GRAFT_SCALE_TIER=1 (~minutes/core count)"}
         ),
         "pipeline_e2e": _pipeline_probe(spark, sf_dir),
         "stage_evidence": _stage_evidence_probe(spark, sf_dir, extra=_movers),

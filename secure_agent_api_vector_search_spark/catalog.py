@@ -5379,71 +5379,70 @@ FROM m ORDER BY doc_id""",
 # CORRECTNESS_r03.json had no row for the first block and red/err rows for
 # the second (VERDICT.md round 3, "What's wrong" #5).
 CHECK_FIRST: tuple[str, ...] = (
-    # --- round-13 window (optimization round). Composition rule
-    # unchanged: (A) entries whose OPERATOR CODE moved this round —
-    # every query the r13 optimizations touched must prove
-    # hash-identity in the OFFICIAL window the round it moved (this
-    # round: the LSH verify-join restructure, the keyset-page fold
-    # scorer, the media/audio trailing-sort removal, the
-    # quality_percentile_cut pass merge + LocalTableScan literal
-    # frames, bpe_tokenize rebalance, the cosine-fit fold_normalize,
-    # decode_image_batch byte-copy removal, the webp fallback fix);
-    # (B) oldest official coverage first — all 27 entries whose last
-    # driver-green record is r09 (VERDICT r12 item 2, completing the
-    # rotation; max staleness drops to r10); then the standing ANN
-    # guard. Everything rotated out was green in r10-r12 and stays on
-    # the local full gate every round.
-    # A: code moved this round (r13 optimizations)
+    # --- round-14 window (optimization round 2). Composition rule
+    # unchanged: (A) entries whose OPERATOR or CONSTRUCTION code
+    # moved this round — the scorer zero-norm/ragged alignment
+    # (vector_topk_page2 + every fold_normalize fit consumer), the
+    # chunk_documents linear-explode rewrite, and every query whose
+    # construction now threads the filesystem scan-split estimate
+    # (est_parts) instead of the df.rdd planning probe — the
+    # rebalance decision is proven identical, and hash-identity in
+    # the official window is the proof the judge replays; (B) the
+    # stalest remaining coverage (last official record r10 — the
+    # r9 backlog was fully rotated in r13); then the standing ANN
+    # guard. Everything rotated out was green in r11-r13 and stays
+    # on the local full gate every round.
+    # A: code moved this round (r14 optimizations)
+    "chunk_documents",
     "vector_topk_page2",
-    "media_metadata",
-    "audio_metadata",
-    "similarity_join_exact",
     "minhash_near_dup",
     "dedup_near_keep_first",
     "split_leakage_check",
-    "ngram_jaccard_dedup",
     "ngram_jaccard_lsh",
     "ngram_lsh_vs_exact_diff",
+    "minhash_vs_exact_diff",
+    "embedding_neardup_lsh",
+    "embedding_lsh_vs_exact_diff",
     "embedding_neardup_clustered",
     "embedding_clustered_vs_exact_diff",
-    "embedding_neardup_lsh",
-    "simjoin_lsh_vs_exact_diff",
-    "textjoin_lsh_vs_exact_diff",
-    "token_counts_bpe",
-    "tokenizer_fertility",
-    "bpe_encode_pipeline",
-    "multimodal_features",
-    "image_neardup",
-    "image_decode_webp",
-    "image_dedup_streaming",
-    # B: last official driver record r09 (all 27 — rotation complete)
-    "per_source_cap",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-    "quality_percentile_cut",
-    "quality_percentile_filter",
-    "revenue_rollup",
     "semantic_dedup",
-    "sessionize_streaming",
-    "simhash_near_dup",
     "similarity_join_lsh",
-    "source_drift_tvd",
+    "simjoin_lsh_vs_exact_diff",
     "text_similarity_join",
-    "token_budget_sample",
-    "vector_topk_mmr",
+    "textjoin_lsh_vs_exact_diff",
+    "dedup_incremental",
+    "image_dedup_streaming",
+    "bpe_encode",
+    "bpe_encode_pipeline",
+    "bpe_tokenize_corpus",
+    "tokenizer_fertility",
+    "image_decode_features",
+    "image_decode_png",
+    "image_decode_gif",
+    "image_decode_bmp",
+    "image_decode_tiff",
+    "image_decode_webp",
+    "image_decode_jpeg",
+    "media_metadata",
+    "audio_metadata",
+    "media_inventory",
+    "image_neardup",
     "video_frame_features",
+    "video_frame_features_mjpeg",
+    "video_frame_features_mp4",
+    "video_frame_features_avi",
+    "audio_decode_features",
+    "audio_mp3_summary",
+    # B: stalest official coverage (last driver record r10)
+    "vector_topk_filtered",
+    "vector_topk_l2",
+    "vector_topk_dot",
+    "find_similar_records",
+    "knn_join",
+    "q4_order_priority",
+    "events_funnel",
+    "events_retention",
+    "dedup_exact_keep_first",
     # standing ANN-family guard: the exactness-limit identity that
     # keeps the IVF machinery on every round's hard gate
     "ivf_topk_fullprobe",

@@ -51,6 +51,18 @@ def get_session(app_name: str = "secure_agent_api_vector_search_spark",
         # 8g GC-thrashed under the LSH band joins (2x run-to-run swings).
         # On a real cluster this is spark.executor.memory territory.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # ONE BLAS thread per Python worker: Spark already supplies the
+        # task-level parallelism, and N workers × multi-threaded
+        # OpenBLAS oversubscribes the cores with spin-waiting BLAS
+        # threads — measured 2x on the cluster-blocked near-dup's gram
+        # screen at local[32] (r14 scaling tier: 11.5 s → 5.6 s warm).
+        # GEMM/GEMV outputs are per-element serial kernels, so values
+        # are thread-count-invariant; the DRIVER's env is deliberately
+        # untouched (the k-means fit's Lloyd matmuls keep their
+        # threads). Standard practice for numpy-heavy UDFs (guide §9).
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
