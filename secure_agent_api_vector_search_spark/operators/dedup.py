@@ -231,9 +231,16 @@ def _shingle_sig_udf(shingle_k: int, num_hashes: int, seed: int, num_bands: int 
                     ([0], np.nonzero(d_u[1:] != d_u[:-1])[0] + 1)
                 )
                 hs = v_u % H.MINHASH_P
+                # affine family per UNIQUE shingle value, gathered back
+                # per occurrence (r14): byte shingles repeat massively
+                # across a batch's docs (~200x on the gate corpus), so
+                # the multiply+mod runs on the unique set; bit-identical
+                # by construction (uu[inv] == hs)
+                uu, inv = np.unique(hs, return_inverse=True)
                 sig = np.empty((len(seg_starts), num_hashes), dtype=np.int64)
                 for j in range(num_hashes):
-                    sig[:, j] = np.minimum.reduceat((hs * a[j] + b[j]) % H.MINHASH_P, seg_starts)
+                    sig[:, j] = np.minimum.reduceat(
+                        ((uu * a[j] + b[j]) % H.MINHASH_P)[inv], seg_starts)
                 bounds = np.append(seg_starts[1:], len(v_u))
                 seg_docs = d_u[seg_starts]
                 bnd = _band_hashes(sig, num_bands) if num_bands else None
@@ -828,8 +835,15 @@ def ngram_jaccard_pairs_lsh(
             # overflow int64 and silently wrap, leaving the universal-affine
             # collision guarantees behind
             flat = flat % H.MINHASH_P
-            # affine family over every gram × hash, then segmented min
-            hv = (flat[:, None] * a_coef[None, :] + b_coef[None, :]) % H.MINHASH_P
+            # affine family per UNIQUE gram, gathered back to every
+            # occurrence (r14): grams repeat across a batch's docs
+            # (~4x on the gate corpus), so hashing uniques cuts the
+            # dominant multiply+mod by the duplication factor — values
+            # are bit-identical by construction (u[inv] == flat), and
+            # the segmented min consumes the same per-occurrence rows
+            u, inv = np.unique(flat, return_inverse=True)
+            hu = (u[:, None] * a_coef[None, :] + b_coef[None, :]) % H.MINHASH_P
+            hv = hu[inv]
             bounds = np.concatenate(([0], np.cumsum(lens)))
             sig = np.minimum.reduceat(hv, bounds[:-1], axis=0)
             bands = _band_hashes(sig, num_bands)
